@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's canonical configuration.
+  *
+  * All entry points (Verify, Bench, tests, streaming apps) build sessions
+  * here so the semantics-critical confs (UTC, nanos-as-long parquet reads,
+  * AQE, shuffle-partition sizing) are applied uniformly.
+  *
+  * Scale notes (designed for a ~1000-executor cluster, tested on local[N]):
+  *  - AQE on: runtime coalescing of shuffle partitions + skew-join splitting
+  *    replaces hand-tuned partition counts at 100 TB.
+  *  - `spark.sql.legacy.parquet.nanosAsLong=true`: the harness `events`
+  *    table stores TIMESTAMP(NANOS) which Spark's vectorized parquet reader
+  *    otherwise rejects; reading as Long preserves full precision and keeps
+  *    event-time arithmetic in exact integer space (the reference engine
+  *    also keeps clocks as integer ns — reference/src/time_helpers.py:12-23).
+  */
+object GraftSession {
+  def builder(appName: String, cores: String = "*"): SparkSession.Builder = {
+    val parallelism = cores match {
+      case "*" => Runtime.getRuntime.availableProcessors().toString
+      case n   => n
+    }
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", parallelism)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+  }
+
+  def get(appName: String, cores: String = "*"): SparkSession = {
+    val s = builder(appName, cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the harness parquet tables (TESTDATA.md).
+  *
+  * Column pruning + predicate pushdown happen automatically because these
+  * return plain scans; callers `.select`/`.filter` and Catalyst pushes both
+  * into the parquet reader (check `PushedFilters`/`ReadSchema` in
+  * `.explain("formatted")`).
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** `events` with the TIMESTAMP(NANOS) `ts` (read as Long ns — see
+    * [[GraftSession]]) plus derived clocks: `ts_ms` (epoch ms, exact — equals
+    * DuckDB `epoch_ms(ts)`) and `ts_utc` (µs-truncated TimestampType, equals
+    * DuckDB's µs truncation of the same parquet column).
+    */
+  def events(s: SparkSession, d: String): DataFrame =
+    load(s, d, "events")
+      .withColumn("ts_ms", expr("ts div 1000000"))
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+}

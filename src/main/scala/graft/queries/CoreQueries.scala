@@ -1,0 +1,386 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{OracleSql => O, Tables}
+import graft.functions.{ExactPercentile, StableAgg => SA}
+import graft.operators.WindowStats
+
+/** Core relational + metrics-engine queries (SURVEY.md §2.3/§2.4 projected
+  * onto the harness tables). Every query has a DuckDB oracle; results are
+  * bit-deterministic across partitionings (see StableAgg).
+  *
+  * Scale notes are per-query in comments: these shapes are chosen so the
+  * same plan survives 100 TB — partial aggregation everywhere, broadcast
+  * joins for dims, sort-merge/shuffle-hash only on co-partitioned big keys,
+  * top-k via TakeOrderedAndProject (never a global sort materialization).
+  */
+object CoreQueries extends Registry {
+
+  /** A5-style grouped aggregation over the fact table (TPC-H Q1 shape).
+    * Plan at scale: scan → partial hash agg (map-side combine) → shuffle by
+    * (2 keys, tiny) → final agg. No row explosion, ~|groups| output.
+    */
+  private val q1 = Q("q1_pricing_summary",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit(Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          SA.dsum(col("l_quantity")).as("sum_qty"),
+          SA.dsum(col("l_extendedprice")).as("sum_base_price"),
+          SA.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          SA.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          SA.davg(col("l_quantity")).as("avg_qty"),
+          SA.davg(col("l_extendedprice")).as("avg_price"),
+          SA.davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some(s"""SELECT l_returnflag, l_linestatus,
+      ${O.dsum("l_quantity")} AS sum_qty,
+      ${O.dsum("l_extendedprice")} AS sum_base_price,
+      ${O.dsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+      ${O.dsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+      ${O.davg("l_quantity")} AS avg_qty,
+      ${O.davg("l_extendedprice")} AS avg_price,
+      ${O.davg("l_discount")} AS avg_disc,
+      COUNT(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""))
+
+  /** N1/N2-style predicates + D1-D4-style scalar projections. Filters and
+    * the 4-column projection push into the parquet scan.
+    */
+  private val q2 = Q("q2_filter_project",
+    (s, d) => {
+      Tables.events(s, d)
+        .filter(col("event_type") =!= "error" && col("value") > 50.0)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+          (col("value") * 2.0).as("value_x2"),
+          (col("value") - 50.0).as("value_over"),
+          col("ts_ms"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type, value,
+      value * 2.0 AS value_x2, value - 50.0 AS value_over,
+      epoch_ms(ts) AS ts_ms
+      FROM events WHERE event_type <> 'error' AND value > 50.0
+      ORDER BY event_id"""))
+
+  /** N8 explode (1→N) + token counting. At scale: explode is pipelined
+    * (no materialization), partial agg bounds the shuffle by |vocab|.
+    */
+  private val q3 = Q("q3_token_counts",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("token")).limit(100)
+    },
+    Some("""SELECT token, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token ORDER BY cnt DESC, token LIMIT 100"""))
+
+  /** S6-style tolerant JSON decode: from_json + field extraction, corrupt
+    * input → null → filtered, all inside codegen.
+    */
+  private val q4 = Q("q4_json_extract",
+    (s, d) => {
+      Tables.events(s, d)
+        .withColumn("k",
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k"))
+        .filter(col("k").isNotNull && col("k") % 7 === 0)
+        .select("event_id", "k")
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+      FROM events
+      WHERE CAST(props->>'$.k' AS BIGINT) IS NOT NULL
+        AND CAST(props->>'$.k' AS BIGINT) % 7 = 0
+      ORDER BY event_id"""))
+
+  /** Top-k: TakeOrderedAndProject — per-partition heaps + driver merge of k
+    * rows, never a full sort. Deterministic via the orderkey tiebreak.
+    */
+  private val q5 = Q("q5_topk_orders",
+    (s, d) => {
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(15)
+    },
+    Some("""SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 15"""))
+
+  /** Star join with broadcast dims (supplier/nation/region are tiny at any
+    * SF) — no shuffle of the fact table at all; agg is partial+final.
+    */
+  private val q6 = Q("q6_revenue_by_nation",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val sup = Tables.supplier(s, d)
+      val nat = Tables.nation(s, d)
+      val reg = Tables.region(s, d)
+      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name", "r_name")
+        .agg(
+          SA.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+    Some(s"""SELECT n_name, r_name,
+      ${O.dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+      COUNT(*) AS n_items
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY n_name, r_name ORDER BY n_name"""))
+
+  /** Larger join: orders ⋈ customer. At 100 TB both sides are big → AQE
+    * picks shuffle-hash/sort-merge on the join key; distinct agg shares the
+    * same shuffle key space.
+    */
+  private val q7 = Q("q7_segment_sales",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          SA.dsum(col("o_totalprice")).as("total_sales"),
+          count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+        .orderBy("c_mktsegment")
+    },
+    Some(s"""SELECT c_mktsegment,
+      ${O.dsum("o_totalprice")} AS total_sales,
+      COUNT(*) AS n_orders,
+      COUNT(DISTINCT o_custkey) AS n_customers
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** A6 staleness: per-key consecutive-timestamp gaps (lag window fn) then
+    * A5/A9 per-key stats on the exact integer path.
+    */
+  private val q8 = Q("q8_staleness_stats",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+      ev.withColumn("gap_ms", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
+        .filter(col("gap_ms").isNotNull)
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("stale_count"),
+          SA.lavg(col("gap_ms")).as("stale_mean_ms"),
+          SA.lstdSamp(col("gap_ms")).as("stale_std_ms"),
+          min("gap_ms").as("stale_min_ms"),
+          max("gap_ms").as("stale_max_ms"))
+        .orderBy("user_id")
+    },
+    Some(s"""WITH g AS (
+        SELECT user_id,
+          epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+            (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap_ms
+        FROM events)
+      SELECT user_id, COUNT(*) AS stale_count,
+        ${O.lavg("gap_ms")} AS stale_mean_ms,
+        ${O.lstdSamp("gap_ms")} AS stale_std_ms,
+        MIN(gap_ms) AS stale_min_ms, MAX(gap_ms) AS stale_max_ms
+      FROM g WHERE gap_ms IS NOT NULL
+      GROUP BY user_id ORDER BY user_id"""))
+
+  /** A2+A3: exact floor-index percentiles (native TypedImperativeAggregate)
+    * with the min-20-samples gate.
+    */
+  private val q9 = Q("q9_exact_percentiles",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(ExactPercentile(col("value"), Seq(0.5, 0.95, 0.99)).as("pcts"),
+          count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 20)
+        .select(col("event_type"),
+          element_at(col("pcts"), 1).as("p50"),
+          element_at(col("pcts"), 2).as("p95"),
+          element_at(col("pcts"), 3).as("p99"),
+          col("cnt"))
+        .orderBy("event_type")
+    },
+    Some("""WITH r AS (
+        SELECT event_type, value,
+          row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events)
+      SELECT event_type,
+        MAX(CASE WHEN rn = CAST(floor(0.50::DOUBLE * (n-1)) AS BIGINT) THEN value END) AS p50,
+        MAX(CASE WHEN rn = CAST(floor(0.95::DOUBLE * (n-1)) AS BIGINT) THEN value END) AS p95,
+        MAX(CASE WHEN rn = CAST(floor(0.99::DOUBLE * (n-1)) AS BIGINT) THEN value END) AS p99,
+        COUNT(*) AS cnt
+      FROM r GROUP BY event_type HAVING COUNT(*) >= 20
+      ORDER BY event_type"""))
+
+  /** A4: cumulative conditional counters + rate % (zeros/max(1,total)*100). */
+  private val q10 = Q("q10_low_value_rate",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("total"),
+          sum(when(col("value") < 10.0, 1L).otherwise(0L)).as("low_cnt"))
+        .withColumn("low_rate_pct",
+          col("low_cnt").cast("double") / greatest(col("total"), lit(1L)) * 100.0d)
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, COUNT(*) AS total,
+      SUM(CASE WHEN value < 10.0 THEN 1 ELSE 0 END) AS low_cnt,
+      CAST(SUM(CASE WHEN value < 10.0 THEN 1 ELSE 0 END) AS DOUBLE)
+        / greatest(COUNT(*), 1) * 100.0 AS low_rate_pct
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** A7/A8: per-key cumulative counts, sorted emission. */
+  private val q11 = Q("q11_user_counts",
+    (s, d) => WindowStats.msgCounts(Tables.events(s, d), "user_id"),
+    Some("""SELECT user_id, COUNT(*) AS msg_count FROM events
+      GROUP BY user_id ORDER BY user_id"""))
+
+  /** A1/A5/T1: tumbling event-time windows (1 h) with stable stats + the
+    * min-sample gate. At scale this is the canonical windowed agg: partial
+    * agg per input split, shuffle by (window, key).
+    */
+  private val q12 = Q("q12_hourly_window_stats",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts_utc"), "1 hour").as("w"), col("event_type"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          SA.davg(col("value")).as("mean_value"),
+          SA.dstdSamp(col("value")).as("std_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .filter(col("cnt") >= 5)
+        .select(unix_millis(col("w.start")).as("window_start_ms"),
+          col("event_type"), col("cnt"), col("mean_value"), col("std_value"),
+          col("min_value"), col("max_value"))
+        .orderBy("window_start_ms", "event_type")
+    },
+    Some(s"""SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms,
+      event_type, COUNT(*) AS cnt,
+      ${O.davg("value")} AS mean_value,
+      ${O.dstdSamp("value")} AS std_value,
+      MIN(value) AS min_value, MAX(value) AS max_value
+      FROM events GROUP BY 1, 2 HAVING COUNT(*) >= 5
+      ORDER BY window_start_ms, event_type"""))
+
+  /** A8/K6: the CSV-snapshot shape — two per-key aggregates joined
+    * full-outer over the union of key sets, zero defaults (rolling.py:152,
+    * 178-196). Both sides pre-aggregate before the join → the join input
+    * is |keys|-sized, trivially broadcastable at any SF.
+    */
+  private val q13 = Q("q13_csv_snapshot",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val lat = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("lat_count"),
+          coalesce(SA.davg(col("value")), lit(0.0)).as("lat_mean"),
+          SA.dstdSamp(col("value")).as("lat_std"),
+          coalesce(min(col("value")), lit(0.0)).as("lat_min"),
+          coalesce(max(col("value")), lit(0.0)).as("lat_max"))
+      val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+      val stale = ev
+        .withColumn("gap_ms", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
+        .filter(col("gap_ms").isNotNull)
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("stale_count"),
+          coalesce(SA.lavg(col("gap_ms")), lit(0.0)).as("stale_mean_ms"),
+          SA.lstdSamp(col("gap_ms")).as("stale_std_ms"),
+          coalesce(min(col("gap_ms")), lit(0L)).as("stale_min_ms"),
+          coalesce(max(col("gap_ms")), lit(0L)).as("stale_max_ms"))
+      lat.join(stale, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("lat_count"), lit(0L)).as("lat_count"),
+          coalesce(col("lat_mean"), lit(0.0)).as("lat_mean"),
+          coalesce(col("lat_std"), lit(0.0)).as("lat_std"),
+          coalesce(col("lat_min"), lit(0.0)).as("lat_min"),
+          coalesce(col("lat_max"), lit(0.0)).as("lat_max"),
+          coalesce(col("stale_count"), lit(0L)).as("stale_count"),
+          coalesce(col("stale_mean_ms"), lit(0.0)).as("stale_mean_ms"),
+          coalesce(col("stale_std_ms"), lit(0.0)).as("stale_std_ms"),
+          coalesce(col("stale_min_ms"), lit(0L)).as("stale_min_ms"),
+          coalesce(col("stale_max_ms"), lit(0L)).as("stale_max_ms"))
+        .orderBy("user_id")
+    },
+    Some(s"""WITH lat AS (
+        SELECT user_id, COUNT(*) AS lat_count,
+          coalesce(${O.davg("value")}, 0.0) AS lat_mean,
+          ${O.dstdSamp("value")} AS lat_std,
+          coalesce(MIN(value), 0.0) AS lat_min,
+          coalesce(MAX(value), 0.0) AS lat_max
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      g AS (
+        SELECT user_id,
+          epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+            (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap_ms
+        FROM events),
+      stale AS (
+        SELECT user_id, COUNT(*) AS stale_count,
+          coalesce(${O.lavg("gap_ms")}, 0.0) AS stale_mean_ms,
+          ${O.lstdSamp("gap_ms")} AS stale_std_ms,
+          coalesce(MIN(gap_ms), 0) AS stale_min_ms,
+          coalesce(MAX(gap_ms), 0) AS stale_max_ms
+        FROM g WHERE gap_ms IS NOT NULL GROUP BY user_id)
+      SELECT coalesce(lat.user_id, stale.user_id) AS user_id,
+        coalesce(lat_count, 0) AS lat_count,
+        coalesce(lat_mean, 0.0) AS lat_mean,
+        coalesce(lat_std, 0.0) AS lat_std,
+        coalesce(lat_min, 0.0) AS lat_min,
+        coalesce(lat_max, 0.0) AS lat_max,
+        coalesce(stale_count, 0) AS stale_count,
+        coalesce(stale_mean_ms, 0.0) AS stale_mean_ms,
+        coalesce(stale_std_ms, 0.0) AS stale_std_ms,
+        coalesce(stale_min_ms, 0) AS stale_min_ms,
+        coalesce(stale_max_ms, 0) AS stale_max_ms
+      FROM lat FULL OUTER JOIN stale ON lat.user_id = stale.user_id
+      ORDER BY user_id"""))
+
+  /** D5: UTC date partition key derivation + per-day counts. */
+  private val q14 = Q("q14_daily_counts",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy(date_format(col("ts_utc"), "yyyy-MM-dd").as("event_date"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("event_date")
+    },
+    Some("""SELECT strftime(ts, '%Y-%m-%d') AS event_date, COUNT(*) AS cnt
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
+  /** D4-style spread (max-min) per key + deterministic top-k. */
+  private val q15 = Q("q15_price_spread",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_partkey")
+        .agg((max(col("l_extendedprice")) - min(col("l_extendedprice"))).as("price_spread"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(desc("price_spread"), asc("l_partkey"))
+        .limit(20)
+    },
+    Some("""SELECT l_partkey,
+      MAX(l_extendedprice) - MIN(l_extendedprice) AS price_spread,
+      COUNT(*) AS n_lines
+      FROM lineitem GROUP BY l_partkey
+      ORDER BY price_spread DESC, l_partkey LIMIT 20"""))
+
+  override val all: Seq[Q] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
+    q11, q12, q13, q14, q15)
+}
