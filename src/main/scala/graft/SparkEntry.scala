@@ -13,7 +13,7 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private val registries: Seq[Registry] = Seq(CoreQueries)
+  private val registries: Seq[Registry] = Seq(CoreQueries, NormalizerQueries)
 
   private lazy val qs: Seq[Q] = registries.flatMap(_.all)
 

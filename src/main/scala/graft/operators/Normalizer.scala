@@ -67,8 +67,11 @@ object Normalizer {
         col("msg.data").isNotNull && size(col("msg.data")) > 0)
   }
 
-  /** books5 branch: N3 (dispatch) + N4 + N5 + N6 + N7. */
-  def normalizeBooks(decoded: DataFrame): DataFrame = {
+  /** books5 branch: N3 (dispatch) + N4 + N5 + N6 + N7.
+    * `passthrough` columns from the input survive into the output (useful
+    * for lineage ids / replay bookkeeping; the reference has no analog).
+    */
+  def normalizeBooks(decoded: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
     val books = decoded
       .filter(col("msg.arg.channel") === "books5")
       // N4: books5 uses data[0] only (normalizer.py:84)
@@ -92,15 +95,15 @@ object Normalizer {
         col("bids"),
         col("asks")).as("book"),
       lit(null).cast(Schemas.tradePayloadType).as("trade"))
-    books.select(outCols: _*)
+    books.select(passthrough.map(col) ++ outCols: _*)
   }
 
   /** trades branch: N3 (dispatch) + N8 (flatMap/explode) + N9 (casts). */
-  def normalizeTrades(decoded: DataFrame): DataFrame = {
+  def normalizeTrades(decoded: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
     val trades = decoded
       .filter(col("msg.arg.channel") === "trades")
       // N8: one message → N trade events
-      .select(Seq(col("msg.arg.instId").as("symbol"),
+      .select(passthrough.map(col) ++ Seq(col("msg.arg.instId").as("symbol"),
         explode(col("msg.data")).as("item")) ++ captureCols: _*)
       .withColumn("ts_exchange_ms", expr("try_cast(item.ts AS BIGINT)"))
       .withColumn("price", expr("try_cast(item.px AS DOUBLE)"))
@@ -120,15 +123,16 @@ object Normalizer {
         col("price"), col("size"),
         col("item.side").as("side"),
         col("item.tradeId").as("trade_id")).as("trade"))
-    trades.select(outCols: _*)
+    trades.select(passthrough.map(col) ++ outCols: _*)
   }
 
   /** Full normalizer: decode + both channel branches unioned back into the
     * single fan-out stream (app.py:89-98). Unknown channels yield nothing
     * (normalizer.py:202).
     */
-  def normalize(raw: DataFrame): DataFrame = {
+  def normalize(raw: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
     val decoded = decode(raw)
-    normalizeBooks(decoded).unionByName(normalizeTrades(decoded))
+    normalizeBooks(decoded, passthrough)
+      .unionByName(normalizeTrades(decoded, passthrough))
   }
 }

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Fixture-driven normalizer tests: every skip path in FIXTURES.md §1.3
+  * (derived from reference/src/normalizer.py + okx_ws.py).
+  */
+class NormalizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def framesOf(raws: String*): DataFrame =
+    raws.toSeq.zipWithIndex.toDF("raw", "i").select(
+      col("raw"),
+      (lit(1700000000000L) + col("i")).as("ts_recv_epoch_ms"),
+      (lit(5000000000L) + col("i") * 100L).as("ts_recv_mono_ns"),
+      (lit(5000010000L) + col("i") * 100L).as("ts_decoded_mono_ns"),
+      (lit(5000025000L) + col("i") * 100L).as("ts_proc_mono_ns"))
+
+  private val goodBook =
+    """{"arg":{"channel":"books5","instId":"BTC-USDT"},
+      |"data":[{"ts":"1738195200123",
+      |"bids":[["92578.70","0.51","0","3"],["92578.60","1.20","0","5"]],
+      |"asks":[["92578.80","0.10","0","1"]]}]}""".stripMargin.replace("\n", "")
+
+  private val goodTrades =
+    """{"arg":{"channel":"trades","instId":"ETH-USDT"},
+      |"data":[{"ts":"1738195200456","px":"3205.85","sz":"0.034120","side":"buy","tradeId":"987654321"},
+      |{"ts":"1738195200457","px":"3205.86","sz":"1.0","side":"sell"}]}""".stripMargin.replace("\n", "")
+
+  test("good books5 frame normalizes with parsed levels and best bid/ask") {
+    val out = Normalizer.normalize(framesOf(goodBook))
+    val row = out.collect().toSeq
+    assert(row.size == 1)
+    val r = row.head
+    assert(r.getAs[String]("symbol") == "BTC-USDT")
+    assert(r.getAs[String]("event_type") == "book_topn")
+    assert(r.getAs[Long]("ts_exchange_ms") == 1738195200123L)
+    val book = r.getAs[org.apache.spark.sql.Row]("book")
+    assert(book.getAs[Double]("best_bid") == 92578.70)
+    assert(book.getAs[Double]("best_ask") == 92578.80)
+    assert(book.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("bids").map(_.getAs[Double]("price")) == Seq(92578.70, 92578.60))
+    assert(book.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("bids").map(_.getAs[Int]("count")) == Seq(3, 5))
+  }
+
+  test("trades frame explodes to N events, nullable tradeId preserved") {
+    val out = Normalizer.normalize(framesOf(goodTrades)).orderBy("ts_exchange_ms")
+    val rows = out.collect().toSeq
+    assert(rows.size == 2)
+    val t0 = rows.head.getAs[org.apache.spark.sql.Row]("trade")
+    assert(t0.getAs[Double]("price") == 3205.85 && t0.getAs[String]("side") == "buy")
+    assert(t0.getAs[String]("trade_id") == "987654321")
+    assert(rows(1).getAs[org.apache.spark.sql.Row]("trade").getAs[String]("trade_id") == null)
+  }
+
+  test("control / malformed / unknown-channel frames are all dropped") {
+    val out = Normalizer.normalize(framesOf(
+      """{"event":"subscribe","arg":{"channel":"books5","instId":"X"}}""",
+      """{"event":"unsubscribe","arg":{"channel":"books5","instId":"X"}}""",
+      """{"event":"error","arg":{"channel":"books5","instId":"X"}}""",
+      """{"arg":{"instId":"X"},"data":[{"ts":"1"}]}""",          // no channel
+      """{"arg":{"channel":"books5"},"data":[{"ts":"1"}]}""",    // no instId
+      """{"arg":{"channel":"books5","instId":"X"},"data":[]}""", // empty data
+      """{"arg":{"channel":"books50","instId":"X"},"data":[{"ts":"1"}]}""", // unknown channel
+      """not json at all""",
+      """[1,2,3]""",
+      """{"arg":{"channel":"books5","instId":"X"},"data":[{"ts":"NaNope","bids":[],"asks":[]}]}""" // bad ts
+    ))
+    assert(out.count() == 0)
+  }
+
+  test("short/malformed book levels skipped but event kept; empty sides → 0.0 defaults") {
+    val out = Normalizer.normalize(framesOf(
+      """{"arg":{"channel":"books5","instId":"X"},"data":[{"ts":"5",
+        |"bids":[["100.5","1"],["bad","x","0","1"],["99.5","2.0","0","7"]],
+        |"asks":[]}]}""".stripMargin.replace("\n", "")))
+    val r = out.collect().head
+    val book = r.getAs[org.apache.spark.sql.Row]("book")
+    // 2-element and non-numeric levels dropped (normalizer.py:100-121)
+    assert(book.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("bids").map(_.getAs[Double]("price")) == Seq(99.5))
+    assert(book.getAs[Double]("best_bid") == 99.5)
+    assert(book.getAs[Double]("best_ask") == 0.0) // empty side default (normalizer.py:123-125)
+  }
+
+  test("trade items with unparseable ts/px/sz are skipped individually") {
+    val out = Normalizer.normalize(framesOf(
+      """{"arg":{"channel":"trades","instId":"X"},"data":[
+        |{"ts":"10","px":"1.5","sz":"2.5","side":"buy","tradeId":"a"},
+        |{"ts":"xx","px":"1.5","sz":"2.5","side":"buy","tradeId":"b"},
+        |{"ts":"12","px":"no","sz":"2.5","side":"buy","tradeId":"c"},
+        |{"ts":"13","px":"1.5","sz":"no","side":"buy","tradeId":"d"}]}""".stripMargin.replace("\n", "")))
+    val ids = out.select("trade.trade_id").as[String].collect().toSet
+    assert(ids == Set("a"))
+  }
+
+  test("capture timestamps pass through unchanged (S5) and latencies derive (D1-D3)") {
+    val out = Derived.withLatencies(Normalizer.normalize(framesOf(goodBook)))
+    val r = out.collect().head
+    assert(r.getAs[Long]("lat_ex_to_recv_ms") == 1700000000000L - 1738195200123L)
+    assert(r.getAs[Long]("lat_recv_to_decode_ns") == 10000L)
+    assert(r.getAs[Long]("lat_decode_to_proc_ns") == 15000L)
+  }
+}
