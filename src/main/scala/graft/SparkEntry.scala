@@ -13,7 +13,8 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private val registries: Seq[Registry] = Seq(CoreQueries, NormalizerQueries)
+  private val registries: Seq[Registry] =
+    Seq(CoreQueries, NormalizerQueries, TrainingDataQueries)
 
   private lazy val qs: Seq[Q] = registries.flatMap(_.all)
 

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard.
+  *
+  * Scale design:
+  *  - signatures (minhash/simhash/fingerprints) are per-row higher-order-
+  *    function expressions — computed at scan speed, no shuffle, no UDF;
+  *  - candidate generation shuffles only (band_hash → doc_id) pairs, never
+  *    documents;
+  *  - verification joins operate on pre-shrunk candidate sets.
+  *
+  * Hashes are salted md5 hex strings (lexicographic min == numeric min on
+  * a uniform hash), chosen so an external SQL engine reproduces them
+  * bit-for-bit for the correctness oracle.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash; keep the smallest doc_id as the
+    * canonical representative. One shuffle of (hash, doc_id) pairs only.
+    */
+  def exactGroups(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature: mh_i = min over shingles of md5("i:" ++ shingle).
+    * `numHashes` independent salted hash functions. Per-row, shuffle-free.
+    */
+  def minhashCols(shingles: Column, numHashes: Int): Seq[Column] =
+    (0 until numHashes).map { i =>
+      array_min(transform(shingles, x => md5(concat(lit(s"$i:"), x))))
+        .as(s"mh$i")
+    }
+
+  /** LSH banding: group `numHashes` signature columns into bands of
+    * `rowsPerBand`, hash each band. Docs sharing any band hash are
+    * candidate near-duplicates.
+    */
+  def bandCols(numHashes: Int, rowsPerBand: Int): Seq[Column] = {
+    (0 until numHashes / rowsPerBand).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      md5(concat_ws("|", parts: _*)).as(s"band$b")
+    }
+  }
+
+  /** Candidate pairs via LSH: explode bands, self-join per (band index,
+    * band hash) bucket, emit distinct ordered pairs. The join input is
+    * |docs|×|bands| small rows; the quadratic blowup is confined to within
+    * buckets (the point of LSH).
+    */
+  def lshCandidatePairs(sigs: DataFrame, numBands: Int): DataFrame = {
+    val bandStructs = array((0 until numBands).map(b =>
+      struct(lit(b).as("band_idx"), col(s"band$b").as("band_hash"))): _*)
+    val exploded = sigs
+      .select(col("doc_id"), explode(bandStructs).as("b"))
+      .select(col("doc_id"), col("b.band_idx"), col("b.band_hash"))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
+      .distinct()
+  }
+
+  /** 32-bit SimHash over a pre-hashed token array (`tok_md5`): for each bit
+    * position, sum ±1 votes derived from one hex nibble of each token's
+    * md5; the sign of the sum sets the bit. Integer arithmetic only —
+    * bit-exact everywhere — and per-row (shuffle-free).
+    */
+  def simhash32(tokMd5: Column): Column = {
+    val bits = (0 until 32).map { b =>
+      val hexPos = b / 4 + 1
+      val shift = b % 4
+      // bit vote: ((hexValue(md5[hexPos]) >> shift) & 1) == 1 ? +1 : -1
+      // hex nibble decoded arithmetically: 'a'..'f' → 10..15, '0'..'9' → 0..9
+      def nibble(t: Column): Column =
+        when(ascii(substring(t, hexPos, 1)) >= 97,
+          ascii(substring(t, hexPos, 1)) - 87)
+          .otherwise(ascii(substring(t, hexPos, 1)) - 48)
+      val sumVotes = aggregate(tokMd5, lit(0), (acc, t) =>
+        acc + when(shiftright(nibble(t), shift).bitwiseAND(lit(1)) === 1, 1)
+          .otherwise(-1))
+      when(sumVotes > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash values (for near-dup banding /
+    * verification).
+    */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** n-gram Jaccard similarity between two shingle arrays (distinct
+    * semantics): |A∩B| / |A∪B|.
+    */
+  def jaccard(shA: Column, shB: Column): Column =
+    size(array_intersect(shA, shB)).cast("double") /
+      size(array_union(shA, shB))
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
+  *    set against the corpus; per-row dot products in codegen'd
+  *    higher-order functions; ranking via window row_number (per-query
+  *    partitions). The corpus is scanned once, never shuffled.
+  *  - [[lshBucketedTopK]]: the scale path — random-hyperplane LSH buckets
+  *    corpus and queries (signs of dot products with deterministic
+  *    pseudo-random planes); candidates are only same-bucket rows, turning
+  *    O(|corpus|·|queries|) into O(bucket) work. Recall < 1 by design;
+  *    multi-probe = compare on fewer bits.
+  *
+  * All arithmetic is double-deterministic: elementwise products folded
+  * left-to-right (IEEE order fixed) so results reproduce bit-for-bit on
+  * any partitioning and in the external oracle.
+  */
+object Similarity {
+
+  /** Cosine similarity of two double arrays, left-to-right fold. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0d), (acc, x) => acc + x))
+    dot / (na * nb)
+  }
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k neighbors for each query vector.
+    * @param corpus  (id, vec) rows
+    * @param queries (qid, qvec) rows — small; broadcast
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("cos_sim", cosine(asDouble(col("qvec")), asDouble(col("vec"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cos_sim"), asc("id"))
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor_id"), col("cos_sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
+    * a value in [-0.5, 0.5) derived from md5 — reproducible everywhere,
+    * no RNG state to ship.
+    */
+  private def planeComponent(p: Int, i: Column): Column =
+    (conv(substring(md5(concat(lit(s"plane$p:"), i.cast("string"))), 1, 6), 16, 10)
+      .cast("double") / lit(16777216.0d)) - lit(0.5d)
+
+  /** Sign-bucket signature: bit p = (vec · plane_p) >= 0. */
+  def lshBucket(vec: Column, numPlanes: Int): Column = {
+    val bits = (0 until numPlanes).map { p =>
+      val dot = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x * planeComponent(p, i)),
+        lit(0.0d), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN: exact ranking within LSH buckets. Corpus is bucketed once
+    * (shuffle by bucket id — small keys); each query only scans its own
+    * bucket.
+    */
+  def lshBucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numPlanes: Int = 8): DataFrame = {
+    val cb = corpus.withColumn("bucket", lshBucket(asDouble(col("vec")), numPlanes))
+    val qb = queries.withColumn("bucket", lshBucket(asDouble(col("qvec")), numPlanes))
+    val joined = cb.join(broadcast(qb), Seq("bucket"))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("cos_sim", cosine(asDouble(col("qvec")), asDouble(col("vec"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cos_sim"), asc("id"))
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor_id"), col("cos_sim"))
+  }
+}

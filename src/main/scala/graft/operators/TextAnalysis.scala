@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over a `documents`
+  * table (doc_id, text, ...). All pure column expressions / higher-order
+  * functions: per-row computation, no shuffle, fully codegen'd — at 100 TB
+  * these run at scan speed and parallelize with input splits.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (the corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles: ["a","b","c","d"] → n=3 → ["a b c","b c d"].
+    * Empty for docs shorter than n words (guarded — `sequence` would
+    * otherwise produce a descending range).
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Tiny deterministic per-language marker lexicons for the n-gram/
+    * stopword language-ID heuristic. Public-knowledge function-word lists.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to"),
+    "es" -> Seq("el", "la", "de", "y", "es", "no"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "ne"))
+
+  /** Language-ID: count marker-token hits per language, predict the argmax
+    * (ties broken by lexicon order above — deterministic).
+    */
+  def langScores(toks: Column): Seq[Column] =
+    langMarkers.map { case (lang, words) =>
+      size(filter(toks, t => t.isin(words.map(lit): _*)))
+        .as(s"score_$lang")
+    }
+
+  def langPredict(scoreCols: Seq[String]): Column = {
+    // argmax with first-wins tie-break: a fold over CASE comparisons
+    val langs = langMarkers.map(_._1)
+    var best = lit(langs.head)
+    var bestScore = col(scoreCols.head)
+    for (i <- 1 until langs.size) {
+      val c = col(scoreCols(i))
+      best = when(c > bestScore, lit(langs(i))).otherwise(best)
+      bestScore = when(c > bestScore, c).otherwise(bestScore)
+    }
+    best
+  }
+
+  /** Quality scoring: length/stopword/word-shape ratios composed into a
+    * [0,1] score (heuristics in the spirit of public corpus-quality
+    * filters: C4/Gopher-style length + stopword density rules).
+    */
+  def qualityColumns(text: Column, toks: Column): Seq[Column] = {
+    val nWords = size(toks)
+    val nChars = length(text)
+    val avgWordLen = (nChars - (nWords - 1)).cast("double") / nWords
+    val stopHits = size(filter(toks,
+      t => t.isin(Seq("the", "a", "of", "and", "is", "to", "in", "that").map(lit): _*)))
+    val stopRatio = stopHits.cast("double") / nWords
+    val lenScore = least(nWords.cast("double") / 100.0d, lit(1.0))
+    val wordLenScore =
+      when(avgWordLen >= 3.0 && avgWordLen <= 10.0, lit(1.0)).otherwise(lit(0.0))
+    Seq(
+      nWords.as("n_words"),
+      avgWordLen.as("avg_word_len"),
+      stopRatio.as("stopword_ratio"),
+      (lenScore * 0.5d + wordLenScore * 0.2d + least(stopRatio * 3.0d, lit(1.0)) * 0.3d)
+        .as("quality_score"))
+  }
+
+  /** Token counting: exact whitespace tokens + a BPE-ish estimate
+    * (chars/4 — the published rule-of-thumb for BPE vocabularies).
+    */
+  def tokenCounts(text: Column, toks: Column): Seq[Column] = Seq(
+    size(toks).as("n_ws_tokens"),
+    ceil(length(text).cast("double") / 4.0d).cast("long").as("n_bpe_est"))
+
+  /** Document fingerprints: full-content digest + a prefix digest (cheap
+    * near-head dedup key), over whitespace-normalized lowercase text.
+    */
+  def fingerprints(text: Column): Seq[Column] = {
+    val norm = lower(trim(text))
+    Seq(
+      md5(norm).as("fp_full"),
+      md5(substring(norm, 1, 64)).as("fp_prefix64"))
+  }
+}

@@ -1,0 +1,323 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data-pipeline operators over `documents` / `embeddings`:
+  * dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine),
+  * similarity search (brute-force + LSH-bucketed ANN), text analysis
+  * (lang-ID, quality, token counts, fingerprints), multimodal plumbing.
+  *
+  * Oracle parity notes: all hashing is salted md5 (reproducible in any
+  * SQL engine); all floating-point reductions are left-to-right folds
+  * (IEEE order fixed); DuckDB fractional literals are cast ::DOUBLE to
+  * escape its decimal literal typing.
+  */
+object TrainingDataQueries extends Registry {
+
+  private val NumHashes = 6
+  private val RowsPerBand = 2
+  private val NumBands = NumHashes / RowsPerBand
+
+  // ---- shared DuckDB SQL fragments (mirror TextAnalysis/Dedup exactly) --
+  private val duckToks = "string_split(text, ' ')"
+  private def duckShingles(w: String): String =
+    s"list_transform(range(1, len($w)-1), i -> array_to_string(($w)[i:i+2], ' '))"
+  private def duckMh(i: Int): String =
+    s"list_aggregate(list_transform(sh, x -> md5('$i:' || x)), 'min')"
+  private def duckCos(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_transform(range(1, len($x)+1), i -> CAST(($x)[i] AS DOUBLE) * CAST(($y)[i] AS DOUBLE)), (acc, v) -> acc + v)"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
+  /** Exact dedup by content hash (hash-groupBy; one tiny shuffle). */
+  private val q20 = Q("q20_dedup_exact",
+    (s, d) => Dedup.exactGroups(Tables.documents(s, d)).orderBy("content_hash"),
+    Some("""SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+      COUNT(*) AS n_copies FROM documents
+      GROUP BY md5(text) ORDER BY content_hash"""))
+
+  /** MinHash signatures: per-row HOF computation, shuffle-free. */
+  private val q21 = Q("q21_minhash_signatures",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      docs
+        .select(col("doc_id"),
+          TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id") +: Dedup.minhashCols(col("sh"), NumHashes): _*)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $duckToks AS w FROM documents),
+      s AS (SELECT doc_id, ${duckShingles("w")} AS sh FROM t)
+      SELECT doc_id,
+        ${(0 until NumHashes).map(i => s"${duckMh(i)} AS mh$i").mkString(",\n        ")}
+      FROM s WHERE len(sh) > 0 ORDER BY doc_id"""))
+
+  /** LSH candidate pairs: explode band hashes, bucket self-join — the
+    * quadratic work is confined to within buckets.
+    */
+  private val q22 = Q("q22_lsh_candidate_pairs",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val sigs = docs
+        .select(col("doc_id"),
+          TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id") +: Dedup.minhashCols(col("sh"), NumHashes): _*)
+        .select(col("doc_id") +: Dedup.bandCols(NumHashes, RowsPerBand): _*)
+      Dedup.lshCandidatePairs(sigs, NumBands).orderBy("doc_id_a", "doc_id_b")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $duckToks AS w FROM documents),
+      s AS (SELECT doc_id, ${duckShingles("w")} AS sh FROM t),
+      mh AS (SELECT doc_id,
+        ${(0 until NumHashes).map(i => s"${duckMh(i)} AS mh$i").mkString(", ")}
+        FROM s WHERE len(sh) > 0),
+      sig AS (SELECT doc_id,
+        ${(0 until NumBands).map(b =>
+          s"md5(mh${b * RowsPerBand} || '|' || mh${b * RowsPerBand + 1}) AS band$b")
+          .mkString(", ")}
+        FROM mh),
+      bands AS (${(0 until NumBands).map(b =>
+          s"SELECT doc_id, $b AS band_idx, band$b AS band_hash FROM sig")
+          .mkString("\n        UNION ALL ")})
+      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+        AND a.doc_id < b.doc_id
+      ORDER BY doc_id_a, doc_id_b"""))
+
+  /** 32-bit SimHash — integer votes from md5 nibbles, per-row. */
+  private val q23 = Q("q23_simhash",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          transform(TextAnalysis.tokens(col("text")), t => md5(t)).as("tok_md5"))
+        .select(col("doc_id"), Dedup.simhash32(col("tok_md5")).as("simhash"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val bitTerms = (0 until 32).map { b =>
+        val hexPos = b / 4 + 1
+        val shift = b % 4
+        val nib = s"(CASE WHEN ascii(substr(t, $hexPos, 1)) >= 97 " +
+          s"THEN ascii(substr(t, $hexPos, 1)) - 87 " +
+          s"ELSE ascii(substr(t, $hexPos, 1)) - 48 END)"
+        s"(CASE WHEN list_sum(list_transform(tm, t -> " +
+          s"CASE WHEN ($nib >> $shift) & 1 = 1 THEN 1 ELSE -1 END)) > 0 " +
+          s"THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }
+      s"""WITH t AS (SELECT doc_id,
+        list_transform($duckToks, t -> md5(t)) AS tm FROM documents)
+      SELECT doc_id, ${bitTerms.mkString("\n        + ")} AS simhash
+      FROM t ORDER BY doc_id"""
+    })
+
+  /** n-gram Jaccard between consecutive docs (1-1 sort-merge join; the
+    * set algebra runs on distinct shingle arrays per row).
+    */
+  private val q24 = Q("q24_ngram_jaccard",
+    (s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val a = sh.as("a")
+      val b = sh.as("b")
+      a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"),
+          size(array_intersect(col("a.sh"), col("b.sh"))).cast("long").as("n_inter"),
+          size(array_union(col("a.sh"), col("b.sh"))).cast("long").as("n_union"),
+          Dedup.jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+        .orderBy("doc_id_a")
+    },
+    Some(s"""WITH raw AS (SELECT doc_id,
+        unnest(${duckShingles(duckToks)}) AS sh FROM documents),
+      s AS (SELECT DISTINCT doc_id, sh FROM raw),
+      c AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+      i AS (SELECT a.doc_id AS doc_id_a, COUNT(*) AS n_inter
+            FROM s a JOIN s b ON b.sh = a.sh AND b.doc_id = a.doc_id + 1
+            GROUP BY a.doc_id)
+      SELECT ca.doc_id AS doc_id_a, cb.doc_id AS doc_id_b,
+        coalesce(n_inter, 0) AS n_inter,
+        ca.n + cb.n - coalesce(n_inter, 0) AS n_union,
+        CAST(coalesce(n_inter, 0) AS DOUBLE)
+          / (ca.n + cb.n - coalesce(n_inter, 0)) AS jaccard
+      FROM c ca JOIN c cb ON cb.doc_id = ca.doc_id + 1
+      LEFT JOIN i ON i.doc_id_a = ca.doc_id
+      ORDER BY doc_id_a"""))
+
+  /** Embedding cosine near-dup between consecutive vectors — exact
+    * left-to-right double folds, bit-reproducible.
+    */
+  private val q25 = Q("q25_embedding_neardup",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val a = e.as("a")
+      val b = e.as("b")
+      a.join(b, col("b.vec_id") === col("a.vec_id") + 1)
+        .select(col("a.vec_id").as("vec_id_a"), col("b.vec_id").as("vec_id_b"),
+          Similarity.cosine(col("a.v"), col("b.v")).as("cos_sim"))
+        .withColumn("near_dup", col("cos_sim") > 0.95d)
+        .orderBy("vec_id_a")
+    },
+    Some(s"""SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+      ${duckCos("a.embedding", "b.embedding")} AS cos_sim,
+      ${duckCos("a.embedding", "b.embedding")} > 0.95::DOUBLE AS near_dup
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      ORDER BY vec_id_a"""))
+
+  /** Brute-force cosine top-k: broadcast query set over one corpus scan. */
+  private val q26 = Q("q26_ann_bruteforce_topk",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(corpus, queries, 10)
+        .withColumn("rank", col("rank").cast("int"))
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+        FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+      sim AS (SELECT qid, id, ${duckCos("qvec", "vec")} AS cos_sim
+        FROM q CROSS JOIN c WHERE id <> qid),
+      r AS (SELECT qid, id, cos_sim,
+        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, id)
+          AS INTEGER) AS rank FROM sim)
+      SELECT qid, rank, id AS neighbor_id, cos_sim
+      FROM r WHERE rank <= 10 ORDER BY qid, rank"""))
+
+  /** LSH-bucketed ANN (the scale path; no SQL oracle — recall vs brute
+    * force is asserted in SimilaritySpec instead).
+    */
+  private val q27 = Q("q27_ann_lsh_bucketed",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.lshBucketedTopK(corpus, queries, 10, numPlanes = 8)
+        .withColumn("rank", col("rank").cast("int"))
+        .orderBy("qid", "rank")
+    },
+    None)
+
+  /** Language-ID heuristic: marker-lexicon hit counts + argmax. */
+  private val q28 = Q("q28_lang_id",
+    (s, d) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val scoreNames = TextAnalysis.langMarkers.map { case (l, _) => s"score_$l" }
+      Tables.documents(s, d)
+        .select(col("doc_id") +: TextAnalysis.langScores(toks): _*)
+        .withColumn("predicted_lang", TextAnalysis.langPredict(scoreNames))
+        .orderBy("doc_id")
+    },
+    Some {
+      val scores = TextAnalysis.langMarkers.map { case (lang, words) =>
+        val inList = words.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter($duckToks, t -> t IN ($inList))) AS INTEGER) AS score_$lang"
+      }
+      s"""WITH sc AS (SELECT doc_id, ${scores.mkString(",\n        ")}
+        FROM documents)
+      SELECT doc_id, score_de, score_en, score_es, score_fr,
+        CASE WHEN score_fr > greatest(score_de, score_en, score_es) THEN 'fr'
+             WHEN score_es > greatest(score_de, score_en) THEN 'es'
+             WHEN score_en > score_de THEN 'en'
+             ELSE 'de' END AS predicted_lang
+      FROM sc ORDER BY doc_id"""
+    })
+
+  /** Quality scoring: length/stopword/word-shape heuristics. */
+  private val q29 = Q("q29_quality_score",
+    (s, d) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id") +: TextAnalysis.qualityColumns(col("text"), toks): _*)
+        .withColumn("n_words", col("n_words").cast("long"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, text, $duckToks AS w FROM documents),
+      m AS (SELECT doc_id,
+        len(w) AS n_words,
+        CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) AS avg_word_len,
+        CAST(len(list_filter(w, t -> t IN ('the','a','of','and','is','to','in','that'))) AS DOUBLE)
+          / len(w) AS stopword_ratio,
+        least(CAST(len(w) AS DOUBLE) / 100.0::DOUBLE, 1.0::DOUBLE) AS len_score
+        FROM t)
+      SELECT doc_id, n_words, avg_word_len, stopword_ratio,
+        len_score * 0.5::DOUBLE
+          + (CASE WHEN avg_word_len >= 3.0::DOUBLE AND avg_word_len <= 10.0::DOUBLE
+              THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) * 0.2::DOUBLE
+          + least(stopword_ratio * 3.0::DOUBLE, 1.0::DOUBLE) * 0.3::DOUBLE
+          AS quality_score
+      FROM m ORDER BY doc_id"""))
+
+  /** Token counting: whitespace + BPE-ish chars/4 estimate. */
+  private val q30 = Q("q30_token_stats",
+    (s, d) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(Seq(col("doc_id"), col("n_chars")) ++
+          TextAnalysis.tokenCounts(col("text"), toks): _*)
+        .withColumn("n_ws_tokens", col("n_ws_tokens").cast("long"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, n_chars,
+      len(string_split(text, ' ')) AS n_ws_tokens,
+      CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
+      FROM documents ORDER BY doc_id"""))
+
+  /** Document fingerprints (full + 64-char prefix digests). */
+  private val q31 = Q("q31_fingerprint",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id") +: TextAnalysis.fingerprints(col("text")): _*)
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+      md5(lower(trim(text))) AS fp_full,
+      md5(substr(lower(trim(text)), 1, 64)) AS fp_prefix64
+      FROM documents ORDER BY doc_id"""))
+
+  /** Multimodal metadata plumbing: opaque binary payload + typed meta. */
+  private val q32 = Q("q32_multimodal_meta",
+    (s, d) => {
+      Multimodal.withMediaColumns(Tables.documents(s, d))
+        .select(col("doc_id"),
+          col("media_meta.byte_len").as("byte_len"),
+          col("media_meta.declared_width").as("declared_width"),
+          col("media_meta.declared_height").as("declared_height"),
+          md5(col("media_bytes")).as("content_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+      CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+      CAST(doc_id % 64 + 16 AS INTEGER) AS declared_width,
+      CAST(doc_id % 48 + 16 AS INTEGER) AS declared_height,
+      md5(text) AS content_md5
+      FROM documents ORDER BY doc_id"""))
+
+  /** Multimodal decode/feature-extraction via per-partition batches
+    * (stubbed codec — see Multimodal.FakeDecoder; Spark-side plumbing is
+    * real). No SQL oracle; covered by MultimodalSpec.
+    */
+  private val q33 = Q("q33_multimodal_features",
+    (s, d) => {
+      val media = Multimodal.withMediaColumns(Tables.documents(s, d))
+      Multimodal.extractFeatures(s, media)
+        .select(col("doc_id"), col("byte_len"), col("checksum"),
+          col("width"), col("height"),
+          element_at(col("features"), 1).as("feat0"))
+        .orderBy("doc_id")
+    },
+    None)
+
+  override val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27,
+    q28, q29, q30, q31, q32, q33)
+}

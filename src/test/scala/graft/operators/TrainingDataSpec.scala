@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class TrainingDataSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("exact dedup: identical texts collapse to one group keeping min id") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(docs).collect()
+    assert(groups.length == 2)
+    val dup = groups.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash: identical docs share full signature; jaccard-similar docs share some") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "entirely different words in this document here now")).toDF("doc_id", "text")
+    val sigs = docs
+      .select(col("doc_id"), TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3).as("sh"))
+      .select(col("doc_id") +: Dedup.minhashCols(col("sh"), 6): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 6).map(r.getString)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("jaccard: identity = 1.0, disjoint = 0.0") {
+    val df = Seq((Seq("a b c", "b c d"), Seq("a b c", "b c d"), Seq("x y z", "z z z")))
+      .toDF("s1", "s2", "s3")
+    val r = df.select(
+      Dedup.jaccard(col("s1"), col("s2")).as("same"),
+      Dedup.jaccard(col("s1"), col("s3")).as("disjoint")).collect().head
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("simhash: identical docs equal; hamming distance small for near-identical") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda")).toDF("doc_id", "text")
+    val sh = docs
+      .select(col("doc_id"), transform(TextAnalysis.tokens(col("text")), t => md5(t)).as("tm"))
+      .select(col("doc_id"), Dedup.simhash32(col("tm")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) <= 16) // near-dup stays close
+  }
+
+  test("LSH ANN returns a subset consistent with brute-force ranking") {
+    val e = Tables.embeddings(spark, dir)
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val brute = Similarity.bruteForceTopK(corpus, queries, 50)
+      .select("qid", "neighbor_id", "cos_sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshBucketedTopK(corpus, queries, 10)
+      .select("qid", "neighbor_id", "cos_sim").collect()
+    // every LSH result must carry the exact cosine the brute-force path
+    // computes (same expression ⇒ same double) when within brute's top-50
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      brute.get(key).foreach(exp => assert(r.getDouble(2) == exp))
+    }
+  }
+
+  test("multimodal feature extraction is deterministic and partition-invariant") {
+    val docs = Tables.documents(spark, dir)
+    def run(parts: Int) =
+      Multimodal.extractFeatures(spark, Multimodal.withMediaColumns(docs).repartition(parts))
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(run(2) == run(7))
+  }
+
+  test("language-ID picks the lexicon with most marker hits") {
+    val docs = Seq(
+      (1L, "der hund und die katze ist nicht hier"),
+      (2L, "the cat and the dog is a friend of mine"),
+      (3L, "el perro y la casa es de madera no si")).toDF("doc_id", "text")
+    val scoreNames = TextAnalysis.langMarkers.map { case (l, _) => s"score_$l" }
+    val out = docs
+      .select(col("doc_id") +: TextAnalysis.langScores(TextAnalysis.tokens(col("text"))): _*)
+      .withColumn("predicted_lang", TextAnalysis.langPredict(scoreNames))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("predicted_lang")).toMap
+    assert(out == Map(1L -> "de", 2L -> "en", 3L -> "es"))
+  }
+}
