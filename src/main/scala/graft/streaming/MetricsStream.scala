@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ExactPercentile
+import graft.operators.WindowStats
+
+/** The streaming metrics report (SURVEY.md §2.4 A1-A4, §2.6 T1/T3):
+  * 5-second sliding windows (1 s slide = the reference's 1 s report
+  * cadence) of the three stage-latency series with exact floor-index
+  * percentiles, the ≥20-sample gate, and the cumulative zero-rate
+  * counters.
+  *
+  * Windows are keyed on a time column the caller chooses: the ingest
+  * clock (`timestamp_millis(ts_recv_epoch_ms)`) reproduces the
+  * reference's processing-time behavior on replay; `timestamp_millis(
+  * ts_exchange_ms)` + a watermark gives the idiomatic event-time variant
+  * (T2 — absent in the reference, supported here).
+  */
+object MetricsStream {
+
+  /** A1+A2+A3: sliding-window percentile report for one latency column. */
+  def latencyPercentiles(
+      events: DataFrame,
+      latCol: String,
+      timeCol: Column,
+      windowLen: String = "5 seconds",
+      slide: String = "1 second",
+      minSamples: Int = 20): DataFrame = {
+    events
+      .groupBy(window(timeCol, windowLen, slide).as("w"))
+      .agg(ExactPercentile(col(latCol), Seq(0.5, 0.95, 0.99)).as("pcts"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minSamples)
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        element_at(col("pcts"), 1).as("p50"),
+        element_at(col("pcts"), 2).as("p95"),
+        element_at(col("pcts"), 3).as("p99"),
+        col("cnt"))
+  }
+
+  /** A4: cumulative (since stream start) zero-latency counters — a running
+    * ungrouped aggregate; emit in update/complete mode.
+    */
+  def zeroRates(events: DataFrame, latCol: String): DataFrame =
+    events.agg(
+      count(lit(1)).as("total"),
+      sum(when(col(latCol) === 0, 1L).otherwise(0L)).as("zeros"))
+      .withColumn("zero_rate_pct",
+        col("zeros").cast("double") / greatest(col("total"), lit(1L)) * 100.0d)
+
+  /** A5: per-(symbol, channel) windowed count/mean/std/min/max of a Long
+    * series (the CSV-snapshot aggregate, streaming form).
+    */
+  def keyedSeriesStats(
+      events: DataFrame,
+      seriesCol: String,
+      timeCol: Column,
+      prefix: String,
+      windowLen: String = "5 seconds",
+      slide: String = "1 second"): DataFrame = {
+    val stats = WindowStats.longSeriesStats(prefix, col(seriesCol))
+    events
+      .groupBy(window(timeCol, windowLen, slide).as("w"),
+        col("symbol"), col("channel"))
+      .agg(stats.head, stats.tail: _*)
+      .withColumn("window_start", col("w.start"))
+      .drop("w")
+  }
+
+  /** A7: per-symbol cumulative message counts (update/complete mode). */
+  def msgCounts(events: DataFrame): DataFrame =
+    events.groupBy("symbol").agg(count(lit(1)).as("msg_count"))
+}
