@@ -14,6 +14,19 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Adaptive fan-out for CPU-bound per-row pipelines: parquet scans can't
+    * split below row-group granularity, and the harness fixtures are
+    * single-row-group files — without this, a 32-core session runs the
+    * whole map side on one task. When the scan already has enough splits
+    * (any real multi-file/multi-row-group dataset at scale) this is a
+    * no-op, so it never introduces a shuffle where the source parallelism
+    * is adequate.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

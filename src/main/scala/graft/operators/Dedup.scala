@@ -26,12 +26,19 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature: mh_i = min over shingles of md5("i:" ++ shingle).
-    * `numHashes` independent salted hash functions. Per-row, shuffle-free.
+  /** MinHash signature: `numHashes` hash functions derived from
+    * ceil(numHashes/3) salted md5s per shingle — each md5's 32 hex chars
+    * yield three independent 40-bit keys (10-hex-char slices), cutting the
+    * md5 work 3× vs one digest per hash function. A 40-bit key space is
+    * ample for minhash ordering (collisions need ~2^20 shingles per doc).
+    * Per-row HOF computation, shuffle-free.
     */
   def minhashCols(shingles: Column, numHashes: Int): Seq[Column] =
     (0 until numHashes).map { i =>
-      array_min(transform(shingles, x => md5(concat(lit(s"$i:"), x))))
+      val salt = i / 3
+      val slice = i % 3
+      array_min(transform(shingles,
+        x => substring(md5(concat(lit(s"$salt:"), x)), 1 + slice * 10, 10)))
         .as(s"mh$i")
     }
 
@@ -67,24 +74,27 @@ object Dedup {
       .distinct()
   }
 
-  /** 32-bit SimHash over a pre-hashed token array (`tok_md5`): for each bit
-    * position, sum ±1 votes derived from one hex nibble of each token's
-    * md5; the sign of the sum sets the bit. Integer arithmetic only —
-    * bit-exact everywhere — and per-row (shuffle-free).
+  /** 32-bit integer from the first 8 hex chars of a digest string, decoded
+    * arithmetically ('a'..'f' → 10..15, '0'..'9' → 0..9). Apply to a
+    * md5-hex lambda variable so the digest is computed once per token.
     */
-  def simhash32(tokMd5: Column): Column = {
+  def hexHash32(hexStr: Column): Column = {
+    def nibble(pos: Int): Column = {
+      val c = ascii(substring(hexStr, pos, 1)).cast("long")
+      when(c >= 97, c - 87).otherwise(c - 48)
+    }
+    (1 to 8).map(p => shiftleft(nibble(p), (8 - p) * 4)).reduce(_ + _)
+  }
+
+  /** 32-bit SimHash over a pre-hashed token array (`tok_hash`, from
+    * [[tokenHash32]]): for each bit position, sum ±1 votes; the sign of
+    * the sum sets the bit. Integer arithmetic only — bit-exact everywhere
+    * — and per-row (shuffle-free).
+    */
+  def simhash32(tokHash: Column): Column = {
     val bits = (0 until 32).map { b =>
-      val hexPos = b / 4 + 1
-      val shift = b % 4
-      // bit vote: ((hexValue(md5[hexPos]) >> shift) & 1) == 1 ? +1 : -1
-      // hex nibble decoded arithmetically: 'a'..'f' → 10..15, '0'..'9' → 0..9
-      def nibble(t: Column): Column =
-        when(ascii(substring(t, hexPos, 1)) >= 97,
-          ascii(substring(t, hexPos, 1)) - 87)
-          .otherwise(ascii(substring(t, hexPos, 1)) - 48)
-      val sumVotes = aggregate(tokMd5, lit(0), (acc, t) =>
-        acc + when(shiftright(nibble(t), shift).bitwiseAND(lit(1)) === 1, 1)
-          .otherwise(-1))
+      val sumVotes = aggregate(tokHash, lit(0L), (acc, h) =>
+        acc + shiftright(h, b).bitwiseAND(lit(1L)) * 2L - 1L)
       when(sumVotes > 0, lit(1L << b)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

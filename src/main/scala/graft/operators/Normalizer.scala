@@ -17,45 +17,96 @@ import graft.model.Schemas
   *
   * Output: Schemas.normalizedEventType rows, one per book snapshot or trade.
   *
-  * Every skip-on-malformed branch of the reference maps to a null-producing
-  * `try_*` expression followed by a filter, so the whole operator stays
-  * inside WholeStageCodegen — no UDFs, no driver involvement, scales
-  * linearly with input splits:
-  *  - invalid JSON / non-object frame dropped  (okx_ws.py:78-81,92-94) → S6
-  *  - control events dropped                   (normalizer.py:64-66)   → N1
-  *  - envelope validation                      (normalizer.py:68-78)   → N2
-  *  - channel dispatch books5/trades           (normalizer.py:82,161)  → N3
-  *  - books5: data[0], ts cast-or-drop         (normalizer.py:84-91)   → N4
-  *  - level parse, skip malformed levels       (normalizer.py:93-121)  → N5
-  *  - best bid/ask head-of-array, 0.0 default  (normalizer.py:123-125) → N6
-  *  - book payload assembly, n=5, exchange=okx (normalizer.py:127-159) → N7
-  *  - trades: one message → N trade events     (normalizer.py:161-200) → N8
-  *  - trade casts, skip malformed items        (normalizer.py:164-175) → N9
+  * Execution shape (deliberate, for 100 TB):
+  *   Scan → Generate(parse once) → Filter → Generate(build+explode) → Project
+  *  - The JSON parse is wrapped in `explode(array(from_json(...)))`: the
+  *    Generate node is a barrier Catalyst won't collapse or push filters
+  *    through, so each frame is parsed exactly ONCE (naive alias use gets
+  *    inlined into every filter/field access — 21 copies in this plan).
+  *  - Both channel branches are built in ONE projection as an array of
+  *    event structs and exploded once: a single scan+parse pass, no
+  *    self-union, output rows produced by a codegen'd generator.
+  *  - Every skip-on-malformed branch of the reference maps to a
+  *    null-producing `try_*` expression inside the generator — no UDFs:
+  *    invalid JSON / non-object frames (okx_ws.py:78-81,92-94 → S6),
+  *    control events (normalizer.py:64-66 → N1), envelope validation
+  *    (:68-78 → N2), channel dispatch (:82,161 → N3), books5 data[0] + ts
+  *    cast-or-drop (:84-91 → N4), per-level parse-or-skip (:93-121 → N5),
+  *    best bid/ask head-of-array with 0.0 default (:123-125 → N6), payload
+  *    assembly with n=5/exchange=okx (:127-159 → N7), trades 1→N explode
+  *    (:161-200 → N8), per-item cast-or-skip (:164-175 → N9).
   */
 object Normalizer {
 
   private val captureCols: Seq[Column] = Seq("ts_recv_epoch_ms",
     "ts_recv_mono_ns", "ts_decoded_mono_ns", "ts_proc_mono_ns").map(col)
 
-  /** N5: [[px, sz, liq, cnt] strings] → [(price, size, count)] structs,
-    * dropping levels that are too short or fail numeric parse
-    * (reference/src/normalizer.py:97-121). Pure higher-order functions —
-    * stays in codegen.
+  private val bookDdl = Schemas.bookPayloadType.sql
+  private val tradeDdl = Schemas.tradePayloadType.sql
+
+  /** N5: one side's levels — parse [px, sz, liq, cnt] string arrays into
+    * (price, size, count) structs, dropping short/malformed levels.
     */
-  private def levelsExpr(side: String): Column = expr(
+  private def levelsSql(side: String): String =
     s"""filter(
-       |  transform(coalesce(item.$side, array()), lv ->
+       |  transform(coalesce(try_element_at(msg.data, 1).$side, array()), lv ->
        |    CASE WHEN size(lv) >= 4 THEN named_struct(
        |      'price', try_cast(try_element_at(lv, 1) AS DOUBLE),
        |      'size',  try_cast(try_element_at(lv, 2) AS DOUBLE),
        |      'count', try_cast(try_element_at(lv, 4) AS INT)) END),
        |  lv -> lv IS NOT NULL AND lv.price IS NOT NULL
-       |        AND lv.size IS NOT NULL AND lv.count IS NOT NULL)""".stripMargin)
+       |        AND lv.size IS NOT NULL AND lv.count IS NOT NULL)""".stripMargin
 
-  /** Decode (S6) + N1/N2 envelope filtering. Keeps the envelope struct. */
+  /** The per-frame event builder: returns an array of normalized event
+    * structs (empty = frame dropped; N items for a trades frame). The
+    * books branch let-binds the parsed levels via a single-element
+    * `transform` so they're computed once and reused for best_bid/best_ask.
+    */
+  private def eventsSql: String =
+    s"""CASE
+       |  WHEN msg.arg.channel = 'books5' THEN
+       |    element_at(transform(array(named_struct(
+       |        'ts', try_cast(try_element_at(msg.data, 1).ts AS BIGINT),
+       |        'bids', ${levelsSql("bids")},
+       |        'asks', ${levelsSql("asks")})),
+       |      t -> CASE WHEN t.ts IS NOT NULL THEN array(named_struct(
+       |          'symbol', msg.arg.instId,
+       |          'channel', 'books5',
+       |          'event_type', 'book_topn',
+       |          'ts_exchange_ms', t.ts,
+       |          'book', named_struct(
+       |            'n', 5,
+       |            'best_bid', coalesce(try_element_at(t.bids, 1).price, CAST(0.0 AS DOUBLE)),
+       |            'best_ask', coalesce(try_element_at(t.asks, 1).price, CAST(0.0 AS DOUBLE)),
+       |            'bids', t.bids,
+       |            'asks', t.asks),
+       |          'trade', CAST(NULL AS $tradeDdl)))
+       |        ELSE array() END), 1)
+       |  WHEN msg.arg.channel = 'trades' THEN
+       |    filter(transform(msg.data, item ->
+       |      CASE WHEN try_cast(item.ts AS BIGINT) IS NOT NULL
+       |            AND try_cast(item.px AS DOUBLE) IS NOT NULL
+       |            AND try_cast(item.sz AS DOUBLE) IS NOT NULL THEN
+       |        named_struct(
+       |          'symbol', msg.arg.instId,
+       |          'channel', 'trades',
+       |          'event_type', 'trade',
+       |          'ts_exchange_ms', try_cast(item.ts AS BIGINT),
+       |          'book', CAST(NULL AS $bookDdl),
+       |          'trade', named_struct(
+       |            'price', try_cast(item.px AS DOUBLE),
+       |            'size', try_cast(item.sz AS DOUBLE),
+       |            'side', item.side,
+       |            'trade_id', item.tradeId))
+       |      END), x -> x IS NOT NULL)
+       |  ELSE array()
+       |END""".stripMargin
+
+  /** Decode (S6) + N1/N2 envelope filtering. */
   def decode(raw: DataFrame): DataFrame = {
     raw
-      .withColumn("msg", from_json(col("raw"), Schemas.rawEnvelopeType))
+      // parse barrier: exactly one from_json per row (see class doc)
+      .withColumn("msg", explode(array(from_json(col("raw"), Schemas.rawEnvelopeType))))
       // S6: invalid JSON → null struct → dropped
       .filter(col("msg").isNotNull)
       // N1: control events dropped (subscribe/unsubscribe/error)
@@ -67,72 +118,28 @@ object Normalizer {
         col("msg.data").isNotNull && size(col("msg.data")) > 0)
   }
 
-  /** books5 branch: N3 (dispatch) + N4 + N5 + N6 + N7.
-    * `passthrough` columns from the input survive into the output (useful
-    * for lineage ids / replay bookkeeping; the reference has no analog).
-    */
-  def normalizeBooks(decoded: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
-    val books = decoded
-      .filter(col("msg.arg.channel") === "books5")
-      // N4: books5 uses data[0] only (normalizer.py:84)
-      .withColumn("item", expr("try_element_at(msg.data, 1)"))
-      .withColumn("ts_exchange_ms", expr("try_cast(item.ts AS BIGINT)"))
-      .filter(col("ts_exchange_ms").isNotNull) // drop event on bad ts (N4)
-      .withColumn("bids", levelsExpr("bids"))
-      .withColumn("asks", levelsExpr("asks"))
-
-    val outCols: Seq[Column] = Seq(
-      lit("okx").as("exchange"),                         // normalizer.py:149
-      col("msg.arg.instId").as("symbol"),
-      lit("books5").as("channel"),
-      lit("book_topn").as("event_type"),                 // normalizer.py:152
-      col("ts_exchange_ms")) ++ captureCols ++ Seq(
-      struct(
-        lit(5).as("n"),                                  // normalizer.py:129
-        // N6: head-of-array with 0.0 default (normalizer.py:123-125)
-        coalesce(expr("try_element_at(bids, 1).price"), lit(0.0)).as("best_bid"),
-        coalesce(expr("try_element_at(asks, 1).price"), lit(0.0)).as("best_ask"),
-        col("bids"),
-        col("asks")).as("book"),
-      lit(null).cast(Schemas.tradePayloadType).as("trade"))
-    books.select(passthrough.map(col) ++ outCols: _*)
-  }
-
-  /** trades branch: N3 (dispatch) + N8 (flatMap/explode) + N9 (casts). */
-  def normalizeTrades(decoded: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
-    val trades = decoded
-      .filter(col("msg.arg.channel") === "trades")
-      // N8: one message → N trade events
-      .select(passthrough.map(col) ++ Seq(col("msg.arg.instId").as("symbol"),
-        explode(col("msg.data")).as("item")) ++ captureCols: _*)
-      .withColumn("ts_exchange_ms", expr("try_cast(item.ts AS BIGINT)"))
-      .withColumn("price", expr("try_cast(item.px AS DOUBLE)"))
-      .withColumn("size", expr("try_cast(item.sz AS DOUBLE)"))
-      // N9: skip item when ts/px/sz unparseable (normalizer.py:164-175)
-      .filter(col("ts_exchange_ms").isNotNull &&
-        col("price").isNotNull && col("size").isNotNull)
-
-    val outCols: Seq[Column] = Seq(
-      lit("okx").as("exchange"),                         // normalizer.py:190
-      col("symbol"),
-      lit("trades").as("channel"),
-      lit("trade").as("event_type"),                     // normalizer.py:193
-      col("ts_exchange_ms")) ++ captureCols ++ Seq(
-      lit(null).cast(Schemas.bookPayloadType).as("book"),
-      struct(
-        col("price"), col("size"),
-        col("item.side").as("side"),
-        col("item.tradeId").as("trade_id")).as("trade"))
-    trades.select(passthrough.map(col) ++ outCols: _*)
-  }
-
-  /** Full normalizer: decode + both channel branches unioned back into the
-    * single fan-out stream (app.py:89-98). Unknown channels yield nothing
-    * (normalizer.py:202).
+  /** Full normalizer. `passthrough` columns from the input survive into
+    * the output (lineage ids / replay bookkeeping; no reference analog).
     */
   def normalize(raw: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
     val decoded = decode(raw)
-    normalizeBooks(decoded, passthrough)
-      .unionByName(normalizeTrades(decoded, passthrough))
+    val exploded = decoded.select(
+      passthrough.map(col) ++ captureCols :+ explode(expr(eventsSql)).as("evt"): _*)
+    exploded.select(
+      passthrough.map(col) ++ Seq(
+        lit("okx").as("exchange"),                      // normalizer.py:149,190
+        col("evt.symbol").as("symbol"),
+        col("evt.channel").as("channel"),
+        col("evt.event_type").as("event_type"),
+        col("evt.ts_exchange_ms").as("ts_exchange_ms")) ++
+      captureCols ++ Seq(
+        col("evt.book").as("book"),
+        col("evt.trade").as("trade")): _*)
   }
+
+  /** books5-only / trades-only views (N3 dispatch as post-filters). */
+  def normalizeBooks(raw: DataFrame, passthrough: Seq[String] = Nil): DataFrame =
+    normalize(raw, passthrough).filter(col("channel") === "books5")
+  def normalizeTrades(raw: DataFrame, passthrough: Seq[String] = Nil): DataFrame =
+    normalize(raw, passthrough).filter(col("channel") === "trades")
 }

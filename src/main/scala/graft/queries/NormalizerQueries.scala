@@ -22,9 +22,14 @@ import graft.operators.{Derived, Normalizer}
   */
 object NormalizerQueries extends Registry {
 
-  /** Frame synthesis shared by both queries. */
+  /** Dev hook for profiling (tools.Probe). */
+  def framedBooksPublic(s: SparkSession, d: String): DataFrame = framedBooks(s, d)
+
+  /** Frame synthesis shared by both queries. fanOut: the JSON round-trip
+    * is CPU-bound, so spread the single-row-group fixture scan first.
+    */
   private def framedBooks(s: SparkSession, d: String): DataFrame = {
-    Tables.lineitem(s, d).select(
+    Tables.fanOut(Tables.lineitem(s, d)).select(
       (col("l_orderkey") * 10 + col("l_linenumber")).as("src_id"),
       col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
       col("l_extendedprice").as("px"), col("l_quantity").as("qty"),
@@ -96,7 +101,7 @@ object NormalizerQueries extends Registry {
 
   private val q17 = Q("q17_normalize_trades",
     (s, d) => {
-      val base = Tables.lineitem(s, d).select(
+      val base = Tables.fanOut(Tables.lineitem(s, d)).select(
         (col("l_orderkey") * 10 + col("l_linenumber")).as("src_id"),
         col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
         col("l_extendedprice").as("px"), col("l_quantity").as("qty"),

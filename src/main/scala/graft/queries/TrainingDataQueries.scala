@@ -26,7 +26,7 @@ object TrainingDataQueries extends Registry {
   private def duckShingles(w: String): String =
     s"list_transform(range(1, len($w)-1), i -> array_to_string(($w)[i:i+2], ' '))"
   private def duckMh(i: Int): String =
-    s"list_aggregate(list_transform(sh, x -> md5('$i:' || x)), 'min')"
+    s"list_aggregate(list_transform(sh, x -> substr(md5('${i / 3}:' || x), ${1 + (i % 3) * 10}, 10)), 'min')"
   private def duckCos(a: String, b: String): String = {
     def dot(x: String, y: String) =
       s"list_reduce(list_transform(range(1, len($x)+1), i -> CAST(($x)[i] AS DOUBLE) * CAST(($y)[i] AS DOUBLE)), (acc, v) -> acc + v)"
@@ -35,7 +35,7 @@ object TrainingDataQueries extends Registry {
 
   /** Exact dedup by content hash (hash-groupBy; one tiny shuffle). */
   private val q20 = Q("q20_dedup_exact",
-    (s, d) => Dedup.exactGroups(Tables.documents(s, d)).orderBy("content_hash"),
+    (s, d) => Dedup.exactGroups(Tables.fanOut(Tables.documents(s, d))).orderBy("content_hash"),
     Some("""SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
       COUNT(*) AS n_copies FROM documents
       GROUP BY md5(text) ORDER BY content_hash"""))
@@ -43,7 +43,7 @@ object TrainingDataQueries extends Registry {
   /** MinHash signatures: per-row HOF computation, shuffle-free. */
   private val q21 = Q("q21_minhash_signatures",
     (s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.fanOut(Tables.documents(s, d))
       docs
         .select(col("doc_id"),
           TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3).as("sh"))
@@ -62,7 +62,7 @@ object TrainingDataQueries extends Registry {
     */
   private val q22 = Q("q22_lsh_candidate_pairs",
     (s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.fanOut(Tables.documents(s, d))
       val sigs = docs
         .select(col("doc_id"),
           TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3).as("sh"))
@@ -90,28 +90,32 @@ object TrainingDataQueries extends Registry {
         AND a.doc_id < b.doc_id
       ORDER BY doc_id_a, doc_id_b"""))
 
-  /** 32-bit SimHash — integer votes from md5 nibbles, per-row. */
+  /** 32-bit SimHash — one md5+nibble decode per token, then arithmetic-only
+    * per-bit votes.
+    */
   private val q23 = Q("q23_simhash",
     (s, d) => {
-      Tables.documents(s, d)
+      Tables.fanOut(Tables.documents(s, d))
         .select(col("doc_id"),
           transform(TextAnalysis.tokens(col("text")), t => md5(t)).as("tok_md5"))
-        .select(col("doc_id"), Dedup.simhash32(col("tok_md5")).as("simhash"))
+        .select(col("doc_id"),
+          transform(col("tok_md5"), h => Dedup.hexHash32(h)).as("tok_hash"))
+        .select(col("doc_id"), Dedup.simhash32(col("tok_hash")).as("simhash"))
         .orderBy("doc_id")
     },
     Some {
+      val nib = (p: Int) =>
+        s"(CASE WHEN ascii(substr(h, $p, 1)) >= 97 " +
+          s"THEN CAST(ascii(substr(h, $p, 1)) - 87 AS BIGINT) " +
+          s"ELSE CAST(ascii(substr(h, $p, 1)) - 48 AS BIGINT) END)"
+      val hash32 = (1 to 8).map(p => s"(${nib(p)} << ${(8 - p) * 4})").mkString(" + ")
       val bitTerms = (0 until 32).map { b =>
-        val hexPos = b / 4 + 1
-        val shift = b % 4
-        val nib = s"(CASE WHEN ascii(substr(t, $hexPos, 1)) >= 97 " +
-          s"THEN ascii(substr(t, $hexPos, 1)) - 87 " +
-          s"ELSE ascii(substr(t, $hexPos, 1)) - 48 END)"
-        s"(CASE WHEN list_sum(list_transform(tm, t -> " +
-          s"CASE WHEN ($nib >> $shift) & 1 = 1 THEN 1 ELSE -1 END)) > 0 " +
+        s"(CASE WHEN list_sum(list_transform(th, h -> ((h >> $b) & 1) * 2 - 1)) > 0 " +
           s"THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
       }
       s"""WITH t AS (SELECT doc_id,
-        list_transform($duckToks, t -> md5(t)) AS tm FROM documents)
+        list_transform(list_transform($duckToks, t -> md5(t)), h -> $hash32) AS th
+        FROM documents)
       SELECT doc_id, ${bitTerms.mkString("\n        + ")} AS simhash
       FROM t ORDER BY doc_id"""
     })
@@ -121,7 +125,7 @@ object TrainingDataQueries extends Registry {
     */
   private val q24 = Q("q24_ngram_jaccard",
     (s, d) => {
-      val sh = Tables.documents(s, d)
+      val sh = Tables.fanOut(Tables.documents(s, d))
         .select(col("doc_id"),
           array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)).as("sh"))
         .filter(size(col("sh")) > 0)
@@ -155,7 +159,7 @@ object TrainingDataQueries extends Registry {
     */
   private val q25 = Q("q25_embedding_neardup",
     (s, d) => {
-      val e = Tables.embeddings(s, d)
+      val e = Tables.fanOut(Tables.embeddings(s, d))
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val a = e.as("a")
       val b = e.as("b")
@@ -174,7 +178,7 @@ object TrainingDataQueries extends Registry {
   /** Brute-force cosine top-k: broadcast query set over one corpus scan. */
   private val q26 = Q("q26_ann_bruteforce_topk",
     (s, d) => {
-      val e = Tables.embeddings(s, d)
+      val e = Tables.fanOut(Tables.embeddings(s, d))
       val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -198,7 +202,7 @@ object TrainingDataQueries extends Registry {
     */
   private val q27 = Q("q27_ann_lsh_bucketed",
     (s, d) => {
-      val e = Tables.embeddings(s, d)
+      val e = Tables.fanOut(Tables.embeddings(s, d))
       val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -213,7 +217,7 @@ object TrainingDataQueries extends Registry {
     (s, d) => {
       val toks = TextAnalysis.tokens(col("text"))
       val scoreNames = TextAnalysis.langMarkers.map { case (l, _) => s"score_$l" }
-      Tables.documents(s, d)
+      Tables.fanOut(Tables.documents(s, d))
         .select(col("doc_id") +: TextAnalysis.langScores(toks): _*)
         .withColumn("predicted_lang", TextAnalysis.langPredict(scoreNames))
         .orderBy("doc_id")
@@ -237,7 +241,7 @@ object TrainingDataQueries extends Registry {
   private val q29 = Q("q29_quality_score",
     (s, d) => {
       val toks = TextAnalysis.tokens(col("text"))
-      Tables.documents(s, d)
+      Tables.fanOut(Tables.documents(s, d))
         .select(col("doc_id") +: TextAnalysis.qualityColumns(col("text"), toks): _*)
         .withColumn("n_words", col("n_words").cast("long"))
         .orderBy("doc_id")
@@ -262,7 +266,7 @@ object TrainingDataQueries extends Registry {
   private val q30 = Q("q30_token_stats",
     (s, d) => {
       val toks = TextAnalysis.tokens(col("text"))
-      Tables.documents(s, d)
+      Tables.fanOut(Tables.documents(s, d))
         .select(Seq(col("doc_id"), col("n_chars")) ++
           TextAnalysis.tokenCounts(col("text"), toks): _*)
         .withColumn("n_ws_tokens", col("n_ws_tokens").cast("long"))
@@ -276,7 +280,7 @@ object TrainingDataQueries extends Registry {
   /** Document fingerprints (full + 64-char prefix digests). */
   private val q31 = Q("q31_fingerprint",
     (s, d) => {
-      Tables.documents(s, d)
+      Tables.fanOut(Tables.documents(s, d))
         .select(col("doc_id") +: TextAnalysis.fingerprints(col("text")): _*)
         .orderBy("doc_id")
     },
@@ -288,7 +292,7 @@ object TrainingDataQueries extends Registry {
   /** Multimodal metadata plumbing: opaque binary payload + typed meta. */
   private val q32 = Q("q32_multimodal_meta",
     (s, d) => {
-      Multimodal.withMediaColumns(Tables.documents(s, d))
+      Multimodal.withMediaColumns(Tables.fanOut(Tables.documents(s, d)))
         .select(col("doc_id"),
           col("media_meta.byte_len").as("byte_len"),
           col("media_meta.declared_width").as("declared_width"),
@@ -309,7 +313,7 @@ object TrainingDataQueries extends Registry {
     */
   private val q33 = Q("q33_multimodal_features",
     (s, d) => {
-      val media = Multimodal.withMediaColumns(Tables.documents(s, d))
+      val media = Multimodal.withMediaColumns(Tables.fanOut(Tables.documents(s, d)))
       Multimodal.extractFeatures(s, media)
         .select(col("doc_id"), col("byte_len"), col("checksum"),
           col("width"), col("height"),

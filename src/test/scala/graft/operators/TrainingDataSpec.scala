@@ -46,7 +46,8 @@ class TrainingDataSpec extends SparkSpec {
       (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda")).toDF("doc_id", "text")
     val sh = docs
       .select(col("doc_id"), transform(TextAnalysis.tokens(col("text")), t => md5(t)).as("tm"))
-      .select(col("doc_id"), Dedup.simhash32(col("tm")).as("h"))
+      .select(col("doc_id"), transform(col("tm"), h => Dedup.hexHash32(h)).as("th"))
+      .select(col("doc_id"), Dedup.simhash32(col("th")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(1L) == sh(2L))
     assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) <= 16) // near-dup stays close
