@@ -111,4 +111,18 @@ object Dedup {
   def jaccard(shA: Column, shB: Column): Column =
     size(array_intersect(shA, shB)).cast("double") /
       size(array_union(shA, shB))
+
+  /** Streaming exact dedup: drop events whose content hash was already
+    * seen, with state bounded by the watermark horizon (idiomatic
+    * Structured Streaming dedup — state is GC'd once the event-time
+    * watermark passes).
+    *
+    * @param eventTimeCol TimestampType column the watermark rides on
+    */
+  def streamingExact(events: DataFrame, textCol: String,
+      eventTimeCol: String, watermarkDelay: String): DataFrame =
+    events
+      .withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
 }

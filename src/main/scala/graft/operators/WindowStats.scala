@@ -101,4 +101,19 @@ object WindowStats {
         Seq("lat_min_ms", "lat_max_ms", "stale_min_ms", "stale_max_ms"))
       .orderBy(keyCols.map(col): _*)
   }
+
+  /** K6/D7/D8: the reference's exact 13-column CSV shape
+    * (rolling.py:156-170) — generated_at_utc stamp first, floats
+    * %.3f-formatted, keys sorted.
+    */
+  def csvSnapshotFormatted(snapshot: DataFrame): DataFrame = {
+    def f3(c: String) = format_string("%.3f", col(c).cast("double")).as(c)
+    snapshot.select(
+      graft.operators.Derived.generatedAtUtc,
+      col("symbol"), col("channel"),
+      col("lat_count"), f3("lat_mean_ms"), f3("lat_std_ms"),
+      f3("lat_min_ms"), f3("lat_max_ms"),
+      col("stale_count"), f3("stale_mean_ms"), f3("stale_std_ms"),
+      f3("stale_min_ms"), f3("stale_max_ms"))
+  }
 }

@@ -381,6 +381,67 @@ object CoreQueries extends Registry {
       FROM lineitem GROUP BY l_partkey
       ORDER BY price_spread DESC, l_partkey LIMIT 20"""))
 
+  /** Semi/anti joins (EXISTS / NOT EXISTS): per-segment counts of
+    * customers with and without orders, the two join flavors full-outer
+    * merged. Semi/anti shuffle only the key column of the probe side.
+    */
+  private val q18 = Q("q18_semi_anti_customers",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with_orders"))
+      val withoutO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without_orders"))
+      withO.join(withoutO, Seq("c_mktsegment"), "full_outer")
+        .select(col("c_mktsegment"),
+          coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+          coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""WITH w AS (
+        SELECT c_mktsegment, COUNT(*) AS n_with_orders FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_mktsegment),
+      wo AS (
+        SELECT c_mktsegment, COUNT(*) AS n_without_orders FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_mktsegment)
+      SELECT coalesce(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+        coalesce(n_with_orders, 0) AS n_with_orders,
+        coalesce(n_without_orders, 0) AS n_without_orders
+      FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment
+      ORDER BY c_mktsegment"""))
+
+  /** Rollup with grouping flags: subtotal hierarchy computed in one pass
+    * (Expand + partial agg — no N-pass re-aggregation).
+    */
+  private val q19 = Q("q19_rollup_sales",
+    (s, d) => {
+      // via the engine's SQL surface (same Catalyst plan as the Dataset
+      // API: Expand + partial/final aggregate)
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql(s"""SELECT
+          coalesce(c_mktsegment, 'ALL') AS segment,
+          coalesce(o_orderpriority, 'ALL') AS priority,
+          CAST(GROUPING(c_mktsegment) * 2 + GROUPING(o_orderpriority) AS INT) AS gid,
+          ${O.dsum("o_totalprice")} AS total_sales,
+          COUNT(*) AS n_orders
+        FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+        GROUP BY ROLLUP(c_mktsegment, o_orderpriority)
+        ORDER BY gid, segment, priority""")
+    },
+    Some(s"""SELECT
+        coalesce(c_mktsegment, 'ALL') AS segment,
+        coalesce(o_orderpriority, 'ALL') AS priority,
+        CAST(GROUPING(c_mktsegment) * 2 + GROUPING(o_orderpriority) AS INTEGER) AS gid,
+        ${O.dsum("o_totalprice")} AS total_sales,
+        COUNT(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY ROLLUP(c_mktsegment, o_orderpriority)
+      ORDER BY gid, segment, priority"""))
+
   override val all: Seq[Q] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
-    q11, q12, q13, q14, q15)
+    q11, q12, q13, q14, q15, q18, q19)
 }

@@ -72,4 +72,47 @@ object MetricsStream {
   /** A7: per-symbol cumulative message counts (update/complete mode). */
   def msgCounts(events: DataFrame): DataFrame =
     events.groupBy("symbol").agg(count(lit(1)).as("msg_count"))
+
+  /** The reference's one-line metrics report (rolling.py:113-145;
+    * README.md:176-185): three latency series with floor-index
+    * percentiles, each shown only at ≥ minSamples window samples, the
+    * internal series annotated with cumulative zero-rates, and the sorted
+    * per-symbol message counts. Batch form — compute over a window's
+    * events (use inside foreachBatch for the 1 s cadence).
+    *
+    *   Metrics | Ex→Recv p50=344.0ms p95=458.0ms p99=544.0ms |
+    *   Recv→Decode p50=10.743us ... (zero=0.0%) | ... | Msgs: BTC-USDT:12
+    */
+  def metricsLine(events: DataFrame, minSamples: Int = 20): DataFrame = {
+    val ps = Seq(0.5, 0.95, 0.99)
+    def pcts(c: String) = ExactPercentile(col(c), ps)
+    def zeros(c: String) = sum(when(col(c) === 0, 1L).otherwise(0L))
+    val stats = events.agg(
+      count(lit(1)).as("n"),
+      pcts("lat_ex_to_recv_ms").as("p_ex"),
+      pcts("lat_recv_to_decode_ns").as("p_dec"),
+      pcts("lat_decode_to_proc_ns").as("p_proc"),
+      zeros("lat_recv_to_decode_ns").as("z_dec"),
+      zeros("lat_decode_to_proc_ns").as("z_proc"))
+    val msgs = events.groupBy("symbol").agg(count(lit(1)).as("c"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("symbol"), col("c")))),
+          s => concat(s.getField("symbol"), lit(":"), s.getField("c"))),
+        ", ").as("msgs"))
+    def seg(label: String, p: Column, unit: String, scale: Double, zero: Option[Column]) = {
+      val fmt = if (unit == "ms") "%.1f" else "%.3f"
+      val body = format_string(
+        s" | $label p50=$fmt$unit p95=$fmt$unit p99=$fmt$unit",
+        element_at(p, 1) / scale, element_at(p, 2) / scale, element_at(p, 3) / scale)
+      val z = zero.map(zc => format_string(" (zero=%.1f%%)",
+        zc.cast("double") / greatest(col("n"), lit(1L)) * 100.0d)).getOrElse(lit(""))
+      when(col("n") >= minSamples, concat(body, z)).otherwise(lit(""))
+    }
+    stats.crossJoin(msgs).select(concat(
+      lit("Metrics"),
+      seg("Ex→Recv", col("p_ex"), "ms", 1.0, None),
+      seg("Recv→Decode", col("p_dec"), "us", 1000.0, Some(col("z_dec"))),
+      seg("Decode→Proc", col("p_proc"), "us", 1000.0, Some(col("z_proc"))),
+      lit(" | Msgs: "), col("msgs")).as("metrics_line"))
+  }
 }
