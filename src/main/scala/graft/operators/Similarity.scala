@@ -68,6 +68,58 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
+    * corpus vector to one of `nlist` cells; each query probes only its
+    * `nProbe` nearest cells and ranks exactly within them. This is the
+    * classic billion-scale layout: the corpus is partitioned by cell once
+    * (one shuffle at index-build time), queries touch nProbe/nlist of the
+    * data. `nProbe = nlist` degrades to exact brute force (used by the
+    * spec as the correctness anchor).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+
+    val spark = corpus.sparkSession
+    val corpusFv = corpus
+      .withColumn("v", asDouble(col("vec")))
+      .withColumn("fv", array_to_vector(col("v")))
+    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(5)
+      .setFeaturesCol("fv").fit(corpusFv)
+    val assigned = model.transform(corpusFv)
+      .select(col("id"), col("vec"), col("prediction").as("cell"))
+
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+
+    // route each query to its nProbe nearest cells (euclidean, matching
+    // the quantizer's metric)
+    val qCells = queries
+      .withColumn("qv", asDouble(col("qvec")))
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist", aggregate(
+        zip_with(col("qv"), col("centroid"), (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, x) => acc + x))
+      .withColumn("crank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(asc("dist"), asc("cell"))))
+      .filter(col("crank") <= nProbe)
+      .select(col("qid"), col("qvec"), col("cell"))
+
+    val joined = assigned.join(broadcast(qCells), Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("cos_sim", cosine(asDouble(col("qvec")), asDouble(col("vec"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cos_sim"), asc("id"))
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor_id"), col("cos_sim"))
+  }
+
   /** ANN: exact ranking within LSH buckets. Corpus is bucketed once
     * (shuffle by bucket id — small keys); each query only scans its own
     * bucket.

@@ -76,11 +76,14 @@ object TextAnalysis {
         .as("quality_score"))
   }
 
-  /** Token counting: exact whitespace tokens + a BPE-ish estimate
-    * (chars/4 — the published rule-of-thumb for BPE vocabularies).
+  /** Token counting: exact whitespace tokens, a BPE-ish regex token count
+    * (alnum runs — the word-ish pre-tokenization BPE vocabularies split
+    * on), and the chars/4 rule-of-thumb estimate.
     */
   def tokenCounts(text: Column, toks: Column): Seq[Column] = Seq(
     size(toks).as("n_ws_tokens"),
+    size(regexp_extract_all(text, lit("[a-z0-9]+"), lit(0))).cast("long")
+      .as("n_regex_tokens"),
     ceil(length(text).cast("double") / 4.0d).cast("long").as("n_bpe_est"))
 
   /** Document fingerprints: full-content digest + a prefix digest (cheap

@@ -274,6 +274,7 @@ object TrainingDataQueries extends Registry {
     },
     Some("""SELECT doc_id, n_chars,
       len(string_split(text, ' ')) AS n_ws_tokens,
+      len(regexp_extract_all(text, '[a-z0-9]+')) AS n_regex_tokens,
       CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
       FROM documents ORDER BY doc_id"""))
 
@@ -307,6 +308,22 @@ object TrainingDataQueries extends Registry {
       md5(text) AS content_md5
       FROM documents ORDER BY doc_id"""))
 
+  /** IVF ANN: KMeans coarse quantizer + per-cell exact ranking (the
+    * billion-scale layout; see Similarity.ivfTopK). No SQL oracle —
+    * nProbe=nlist equivalence to brute force is asserted in the spec.
+    */
+  private val q34 = Q("q34_ann_ivf",
+    (s, d) => {
+      val e = Tables.fanOut(Tables.embeddings(s, d))
+      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(corpus, queries, 10, nlist = 16, nProbe = 4)
+        .withColumn("rank", col("rank").cast("int"))
+        .orderBy("qid", "rank")
+    },
+    None)
+
   /** Multimodal decode/feature-extraction via per-partition batches
     * (stubbed codec — see Multimodal.FakeDecoder; Spark-side plumbing is
     * real). No SQL oracle; covered by MultimodalSpec.
@@ -323,5 +340,5 @@ object TrainingDataQueries extends Registry {
     None)
 
   override val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27,
-    q28, q29, q30, q31, q32, q33)
+    q28, q29, q30, q31, q32, q33, q34)
 }

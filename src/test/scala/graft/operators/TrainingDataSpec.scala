@@ -70,6 +70,26 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN with nProbe = nlist is exactly brute force; partial probe is a consistent subset") {
+    val e = Tables.embeddings(spark, dir)
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = e.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val brute = Similarity.bruteForceTopK(corpus, queries, 10)
+      .select("qid", "rank", "neighbor_id").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val ivfFull = Similarity.ivfTopK(corpus, queries, 10, nlist = 8, nProbe = 8)
+      .select("qid", "rank", "neighbor_id").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ivfFull == brute)
+    val bruteCos = Similarity.bruteForceTopK(corpus, queries, 500)
+      .select("qid", "neighbor_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivfPartial = Similarity.ivfTopK(corpus, queries, 10, nlist = 8, nProbe = 2)
+      .select("qid", "neighbor_id", "cos_sim").collect()
+    ivfPartial.foreach { r =>
+      bruteCos.get((r.getLong(0), r.getLong(1)))
+        .foreach(exp => assert(r.getDouble(2) == exp))
+    }
+  }
+
   test("multimodal feature extraction is deterministic and partition-invariant") {
     val docs = Tables.documents(spark, dir)
     def run(parts: Int) =
