@@ -442,6 +442,87 @@ object CoreQueries extends Registry {
       GROUP BY ROLLUP(c_mktsegment, o_orderpriority)
       ORDER BY gid, segment, priority"""))
 
+  /** As-of join (trade vs prevailing quote shape): for each 'signup'
+    * event, the latest 'purchase' value at-or-before it per user — the
+    * canonical market-data operator, composed as union + one window pass
+    * (ONE shuffle regardless of side sizes; see operators.AsOfJoin).
+    */
+  private val q35 = Q("q35_asof_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val left = ev.filter(col("event_type") === "signup")
+        .select("event_id", "user_id", "ts_ms", "value")
+      val right = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts_ms", "value", "event_id")
+      graft.operators.AsOfJoin
+        .lastValueAsOf(left, right, Seq("user_id"), "ts_ms", Seq("value"), "event_id")
+        .select(col("event_id"), col("user_id"), col("ts_ms"), col("value"),
+          col("asof_value").as("asof_quote"),
+          (col("value") - col("asof_value")).as("value_minus_quote"))
+        .orderBy("event_id")
+    },
+    Some("""WITH u AS (
+        SELECT user_id, epoch_ms(ts) AS ts_ms, 1 AS is_right,
+               event_id AS tie, value AS q,
+               CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS DOUBLE) AS value
+        FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT user_id, epoch_ms(ts), 0, event_id, CAST(NULL AS DOUBLE),
+               event_id, value
+        FROM events WHERE event_type = 'signup'),
+      c AS (SELECT *, last_value(q IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY ts_ms, is_right DESC, tie
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_quote
+            FROM u)
+      SELECT event_id, user_id, ts_ms, value, asof_quote,
+             value - asof_quote AS value_minus_quote
+      FROM c WHERE is_right = 0 ORDER BY event_id"""))
+
+  /** Session windows (absent in the reference and in classic SQL — native
+    * in Spark): 30-minute-gap sessions per user. Oracle reproduces the
+    * semantics via gaps-and-islands. Both engines see the identical
+    * ms-truncated clock so boundary behavior matches exactly.
+    */
+  private val q36 = Q("q36_session_windows",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy(session_window(timestamp_millis(col("ts_ms")), "30 minutes").as("sw"),
+          col("user_id"))
+        .agg(count(lit(1)).as("cnt"), SA.dsum(col("value")).as("total_value"))
+        .select(col("user_id"),
+          unix_millis(col("sw.start")).as("session_start_ms"),
+          unix_millis(col("sw.end")).as("session_end_ms"),
+          col("cnt"), col("total_value"))
+        .orderBy("user_id", "session_start_ms")
+    },
+    Some(s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, value FROM events),
+      m AS (SELECT *, CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+              OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) >= 1800000
+              THEN 1 ELSE 0 END AS new_s FROM e),
+      g AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
+      SELECT user_id, MIN(ms) AS session_start_ms,
+        MAX(ms) + 1800000 AS session_end_ms,
+        COUNT(*) AS cnt, ${O.dsum("value")} AS total_value
+      FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_ms"""))
+
+  /** Approximate sketches — the documented scale path for unbounded
+    * groups: HLL distinct counts + interpolated approx percentiles. No
+    * SQL oracle (approximate by nature); ApproxSpec bounds the error
+    * against the exact operators.
+    */
+  private val q37 = Q("q37_approx_sketches",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"),
+          count(lit(1)).as("cnt"))
+        .orderBy("event_type")
+    },
+    None)
+
   override val all: Seq[Q] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
-    q11, q12, q13, q14, q15, q18, q19)
+    q11, q12, q13, q14, q15, q18, q19, q35, q36, q37)
 }
