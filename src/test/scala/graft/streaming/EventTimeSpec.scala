@@ -46,6 +46,36 @@ class EventTimeSpec extends SparkSpec {
     def toMap2: Map[Long, (Long, Double)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
 
+  test("stream-stream interval join: each trade joins book quotes within its window") {
+    implicit val sqlCtx = spark.sqlContext
+    val books = MemoryStream[(String, Long, Double)]
+    val trades = MemoryStream[(String, Long, Double)]
+    val b = books.toDF().toDF("symbol", "ts_ms", "bid")
+      .withColumn("b_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("b_time", "10 seconds")
+    val t = trades.toDF().toDF("symbol", "ts_ms", "price")
+      .withColumn("t_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("t_time", "10 seconds")
+    // quote valid for a trade if it arrived within the 5 s before it
+    val joined = t.alias("t").join(b.alias("b"),
+      expr("""t.symbol = b.symbol AND
+              b.b_time BETWEEN t.t_time - INTERVAL 5 SECONDS AND t.t_time"""))
+      .select(col("t.symbol"), col("t.ts_ms").as("trade_ms"),
+        col("b.ts_ms").as("quote_ms"), col("price"), col("bid"))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      val base = 1700000000000L
+      books.addData(("BTC", base, 100.0), ("BTC", base + 2000, 101.0))
+      trades.addData(("BTC", base + 3000, 100.5))
+      q.processAllAvailable()
+      val got = spark.table("ssj_out")
+        .select("quote_ms", "bid").as[(Long, Double)].collect().toSet
+      // both quotes fall inside [trade-5s, trade]
+      assert(got == Set((base, 100.0), (base + 2000, 101.0)))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops repeated content across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
