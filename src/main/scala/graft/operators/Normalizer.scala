@@ -46,16 +46,12 @@ object Normalizer {
 
   /** N5: one side's levels — parse [px, sz, liq, cnt] string arrays into
     * (price, size, count) structs, dropping short/malformed levels.
+    * Delegates to the native [[graft.functions.ParseBookLevels]]
+    * expression (one tight loop per row instead of nested interpreted
+    * lambdas — the normalizer's former hot spot).
     */
   private def levelsSql(side: String): String =
-    s"""filter(
-       |  transform(coalesce(try_element_at(msg.data, 1).$side, array()), lv ->
-       |    CASE WHEN size(lv) >= 4 THEN named_struct(
-       |      'price', try_cast(try_element_at(lv, 1) AS DOUBLE),
-       |      'size',  try_cast(try_element_at(lv, 2) AS DOUBLE),
-       |      'count', try_cast(try_element_at(lv, 4) AS INT)) END),
-       |  lv -> lv IS NOT NULL AND lv.price IS NOT NULL
-       |        AND lv.size IS NOT NULL AND lv.count IS NOT NULL)""".stripMargin
+    s"parse_book_levels(coalesce(try_element_at(msg.data, 1).$side, array()))"
 
   /** The per-frame event builder: returns an array of normalized event
     * structs (empty = frame dropped; N items for a trades frame). The
@@ -122,6 +118,9 @@ object Normalizer {
     * the output (lineage ids / replay bookkeeping; no reference analog).
     */
   def normalize(raw: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
+    org.apache.spark.sql.graftbridge.FunctionRegistryBridge.register(
+      raw.sparkSession, "parse_book_levels",
+      exprs => graft.functions.ParseBookLevels(exprs.head))
     val decoded = decode(raw)
     val exploded = decoded.select(
       passthrough.map(col) ++ captureCols :+ explode(expr(eventsSql)).as("evt"): _*)
