@@ -125,4 +125,45 @@ object Dedup {
       .withColumn("content_hash", md5(col(textCol)))
       .withWatermark(eventTimeCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Duplicate-cluster resolution: connected components over the LSH
+    * candidate-pair graph via iterative min-label propagation — each doc's
+    * cluster id becomes the smallest doc_id in its component (the
+    * canonical representative to keep).
+    *
+    * Scale: the standard pre-GraphFrames distributed CC — per iteration
+    * one join + one aggregation on the edge list, converging in
+    * O(component diameter) rounds (near-dup clusters are shallow);
+    * `localCheckpoint` truncates lineage so plans don't grow with
+    * iterations.
+    */
+  def duplicateClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+      .unionByName(pairs.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "nbr"),
+          col("dst") === col("nbr"))
+        .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
+      val updated = labels
+        .join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      val changed = updated.as("n")
+        .join(labels.select(col("doc_id"), col("cluster_id").as("old_id")), "doc_id")
+        .filter(col("cluster_id") =!= col("old_id"))
+        .limit(1).count()
+      labels = updated
+      converged = changed == 0
+    }
+    labels
+  }
 }

@@ -308,6 +308,50 @@ object TrainingDataQueries extends Registry {
       md5(text) AS content_md5
       FROM documents ORDER BY doc_id"""))
 
+  /** Duplicate clusters: connected components over the LSH candidate
+    * graph (iterative min-label propagation); cluster id = smallest
+    * doc_id in the component. Oracle: recursive CTE reachability.
+    */
+  private val q38 = Q("q38_dup_clusters",
+    (s, d) => {
+      val docs = Tables.fanOut(Tables.documents(s, d))
+      val sigs = docs
+        .select(col("doc_id"),
+          TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id") +: Dedup.minhashCols(col("sh"), NumHashes): _*)
+        .select(col("doc_id") +: Dedup.bandCols(NumHashes, RowsPerBand): _*)
+      val pairs = Dedup.lshCandidatePairs(sigs, NumBands)
+      Dedup.duplicateClusters(pairs).orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $duckToks AS w FROM documents),
+      s AS (SELECT doc_id, ${duckShingles("w")} AS sh FROM t),
+      mh AS (SELECT doc_id,
+        ${(0 until NumHashes).map(i => s"${duckMh(i)} AS mh$i").mkString(", ")}
+        FROM s WHERE len(sh) > 0),
+      sig AS (SELECT doc_id,
+        ${(0 until NumBands).map(b =>
+          s"md5(mh${b * RowsPerBand} || '|' || mh${b * RowsPerBand + 1}) AS band$b")
+          .mkString(", ")}
+        FROM mh),
+      bands AS (${(0 until NumBands).map(b =>
+          s"SELECT doc_id, $b AS band_idx, band$b AS band_hash FROM sig")
+          .mkString("\n        UNION ALL ")}),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+          AND a.doc_id < b.doc_id),
+      edges AS (
+        SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+        UNION ALL SELECT doc_id_b, doc_id_a FROM pairs),
+      reach(doc_id, lbl) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.dst)
+      SELECT doc_id, MIN(lbl) AS cluster_id FROM reach
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   /** IVF ANN: KMeans coarse quantizer + per-cell exact ranking (the
     * billion-scale layout; see Similarity.ivfTopK). No SQL oracle —
     * nProbe=nlist equivalence to brute force is asserted in the spec.
@@ -340,5 +384,5 @@ object TrainingDataQueries extends Registry {
     None)
 
   override val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27,
-    q28, q29, q30, q31, q32, q33, q34)
+    q28, q29, q30, q31, q32, q33, q34, q38)
 }

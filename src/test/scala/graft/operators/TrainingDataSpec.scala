@@ -70,6 +70,15 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("duplicate clusters: min-label propagation finds connected components") {
+    // components: {1,2,3,9} (chain 1-2, 2-3, 3-9), {5,6}, singleton pairs absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L))
+      .toDF("doc_id_a", "doc_id_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("IVF ANN with nProbe = nlist is exactly brute force; partial probe is a consistent subset") {
     val e = Tables.embeddings(spark, dir)
     val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
