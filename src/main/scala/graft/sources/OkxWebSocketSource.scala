@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -90,10 +90,18 @@ case class FrameOffset(n: Long) extends Offset {
 }
 
 class OkxMicroBatchStream(options: CaseInsensitiveStringMap)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private val maxBuffer = options.getInt("maxBuffer", 1024)  // okx_ws.py:55
-  private val maxPerTrigger = options.getLong("maxFramesPerTrigger", Long.MaxValue)
+  // T6 admission control: bound frames per micro-batch so a backlog can't
+  // produce one monster batch (keeps triggers responsive; backlog drains
+  // over successive batches). Enforced via SupportsAdmissionControl —
+  // clamping in planInputPartitions would silently LOSE the overflow,
+  // because the engine commits whatever end offset latestOffset returned.
+  private val maxPerTrigger = options.getLong("maxFramesPerTrigger", 100000L)
+  // parallelize reads of large batches: split the slice into chunks so a
+  // backlog drains on all cores, not one
+  private val framesPerPartition = options.getInt("framesPerPartition", 5000)
 
   // frames[i] holds global offset (base + i)
   private val frames = new ArrayBuffer[OkxSource.Frame]()
@@ -111,23 +119,38 @@ class OkxMicroBatchStream(options: CaseInsensitiveStringMap)
 
   override def initialOffset(): Offset = FrameOffset(0L)
 
-  override def latestOffset(): Offset = lock.synchronized {
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxPerTrigger)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = lock.synchronized {
+    val startN = start.asInstanceOf[FrameOffset].n
     val available = base + frames.size
-    FrameOffset(available)
+    val capped = limit match {
+      case m: ReadMaxRows => math.min(available, startN + m.maxRows())
+      case _              => available
+    }
+    FrameOffset(capped)
+  }
+
+  override def reportLatestOffset(): Offset = lock.synchronized {
+    FrameOffset(base + frames.size)
   }
 
   override def deserializeOffset(json: String): Offset = FrameOffset(json.toLong)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[FrameOffset].n
-    val e = math.min(end.asInstanceOf[FrameOffset].n,
-      s + maxPerTrigger)
+    val e = end.asInstanceOf[FrameOffset].n
     val slice = lock.synchronized {
       val from = math.max(0, (s - base).toInt)
       val until = math.max(from, math.min(frames.size, (e - base).toInt))
       frames.slice(from, until).toArray
     }
-    Array(FramesPartition(slice))
+    if (slice.isEmpty) Array(FramesPartition(slice))
+    else slice.grouped(framesPerPartition).map(FramesPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -260,6 +283,9 @@ class SyntheticFrameProvider(options: CaseInsensitiveStringMap) extends FramePro
   private val symbols = options.getOrDefault("symbols", "BTC-USDT,ETH-USDT").split(",").toSeq
   private val count = options.getLong("frames", 1000L)
   private val intervalMs = options.getLong("frameIntervalMs", 1L)
+  // pacing: sleep intervalMs once per `burst` frames (burst>1 = bulk feeds
+  // that stay inside the at-most-once buffer bound)
+  private val burst = options.getLong("burst", 1L)
   private val stopped = new AtomicBoolean(false)
   private var thread: Thread = _
 
@@ -277,7 +303,7 @@ class SyntheticFrameProvider(options: CaseInsensitiveStringMap) extends FramePro
             s"""{"arg":{"channel":"books5","instId":"$sym"},"data":[{"ts":"$ts","bids":[["$px","1.0","0","3"],["${px - 0.5}","2.0","0","4"]],"asks":[["${px + 0.5}","1.5","0","2"]]}]}"""
         emit(frame)
         i += 1
-        if (intervalMs > 0) Thread.sleep(intervalMs)
+        if (intervalMs > 0 && i % burst == 0) Thread.sleep(intervalMs)
       }
     }, "okx-synthetic-provider")
     thread.setDaemon(true)

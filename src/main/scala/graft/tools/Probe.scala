@@ -1,34 +1,44 @@
 package graft.tools
 
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 import graft.GraftSession
+import graft.operators.Normalizer
 
-/** Dev-only scratch probe (not part of the library surface). */
+/** Dev-only scratch probe (not part of the library surface).
+  * Currently: live-path throughput — synthetic WebSocket feed → DSv2
+  * source → normalizer → noop-ish sink, events/second.
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.get("probe", "32")
-    val d = "/root/testdata/sf0.1"
-    def time(tag: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime(); f
-      println(s"$tag: ${(System.nanoTime() - t0) / 1e9}s")
+    val spark = GraftSession.get("probe", "8")
+    val frames = 300000L
+    val raw = spark.readStream.format("okx")
+      .option("provider", "synthetic")
+      .option("symbols", "BTC-USDT,ETH-USDT,SOL-USDT,XRP-USDT")
+      .option("frames", frames.toString)
+      .option("frameIntervalMs", "1")
+      .option("burst", "500")
+      .option("maxBuffer", "2000000")
+      .load()
+    val t0 = System.nanoTime()
+    val q = Normalizer.normalize(raw)
+      .writeStream.format("memory").queryName("tp")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    var n = 0L
+    var lastN = -1L
+    while (n < frames && n != lastN) {
+      Thread.sleep(2000)
+      q.processAllAvailable()
+      lastN = n
+      n = spark.table("tp").count()
+      println(s"[tp] $n events, ${n / ((System.nanoTime() - t0) / 1e9)} ev/s")
     }
-    def noop(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-
-    noop(graft.Tables.lineitem(spark, d).select(count(lit(1)))) // warmup
-    val framed = graft.queries.NormalizerQueries.framedBooksPublic(spark, d)
-    time("synthesis")(noop(framed))
-    time("synthesis r2")(noop(framed))
-    val decoded = graft.operators.Normalizer.decode(framed)
-    time("decode")(noop(decoded.select(col("msg.arg.instId"))))
-    time("decode r2")(noop(decoded.select(col("msg.arg.instId"))))
-    val norm = graft.operators.Normalizer.normalize(framed, Seq("src_id"))
-    time("normalize")(noop(norm))
-    time("normalize r2")(noop(norm))
-    val full = graft.SparkEntry.queries("q16_normalize_books5")(spark, d)
-    time("full q16")(noop(full))
-    time("full q16 r2")(noop(full))
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"[tp] FINAL: $n events in $secs%.1f s = ${n / secs}%.0f events/s end-to-end")
+    q.stop()
     spark.stop()
   }
 }
