@@ -62,6 +62,31 @@ object Multimodal {
     }
   }
 
+  /** Resize plan: pure-metadata transform computing target dimensions
+    * with aspect-ratio-preserving fit (the actual pixel work happens in
+    * the per-partition decode below; at plan level resize is just typed
+    * column arithmetic — zero cost until decode).
+    */
+  def withResizePlan(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val w = col("media_meta.declared_width").cast("double")
+    val h = col("media_meta.declared_height").cast("double")
+    val scale = least(lit(maxW) / w, lit(maxH) / h, lit(1.0))
+    media.withColumn("resize_plan", struct(
+      floor(w * scale).cast("int").as("target_width"),
+      floor(h * scale).cast("int").as("target_height"),
+      (scale < 1.0).as("needs_resize")))
+  }
+
+  /** Frame-sampling plan for video-like payloads: deterministic sample
+    * offsets (every `stride`-th frame up to `maxFrames`), as typed
+    * metadata the decoder consumes. Array arithmetic only.
+    */
+  def withFrameSamplePlan(media: DataFrame, declaredFramesCol: String,
+      stride: Int, maxFrames: Int): DataFrame =
+    media.withColumn("frame_sample_plan",
+      slice(sequence(lit(0), greatest(col(declaredFramesCol) - 1, lit(0)),
+        lit(stride)), 1, maxFrames))
+
   /** Per-partition batch decode: the mapPartitions boundary means one
     * decoder instance per partition and pipelined row streaming — the
     * idiomatic Spark shape for expensive per-row native work (and the

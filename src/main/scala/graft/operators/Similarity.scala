@@ -49,12 +49,14 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
-    * a value in [-0.5, 0.5) derived from md5 — reproducible everywhere,
-    * no RNG state to ship.
+    * a value in [-0.5, 0.5) derived from md5 via pure nibble arithmetic —
+    * reproducible in any SQL engine (no RNG state, no engine-specific
+    * base conversion), which is what lets the LSH-ANN query carry a full
+    * external oracle.
     */
   private def planeComponent(p: Int, i: Column): Column =
-    (conv(substring(md5(concat(lit(s"plane$p:"), i.cast("string"))), 1, 6), 16, 10)
-      .cast("double") / lit(16777216.0d)) - lit(0.5d)
+    (Dedup.hexHash32(md5(concat(lit(s"plane$p:"), i.cast("string"))))
+      .cast("double") / lit(4294967296.0d)) - lit(0.5d)
 
   /** Sign-bucket signature: bit p = (vec · plane_p) >= 0. */
   def lshBucket(vec: Column, numPlanes: Int): Column = {

@@ -32,6 +32,12 @@ object TrainingDataQueries extends Registry {
       s"list_reduce(list_transform(range(1, len($x)+1), i -> CAST(($x)[i] AS DOUBLE) * CAST(($y)[i] AS DOUBLE)), (acc, v) -> acc + v)"
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
   }
+  private def duckNib(h: String, p: Int): String =
+    s"(CASE WHEN ascii(substr($h, $p, 1)) >= 97 " +
+      s"THEN CAST(ascii(substr($h, $p, 1)) - 87 AS BIGINT) " +
+      s"ELSE CAST(ascii(substr($h, $p, 1)) - 48 AS BIGINT) END)"
+  private def duckHash32(h: String): String =
+    (1 to 8).map(p => s"(${duckNib(h, p)} << ${(8 - p) * 4})").mkString(" + ")
 
   /** Exact dedup by content hash (hash-groupBy; one tiny shuffle). */
   private val q20 = Q("q20_dedup_exact",
@@ -104,11 +110,7 @@ object TrainingDataQueries extends Registry {
         .orderBy("doc_id")
     },
     Some {
-      val nib = (p: Int) =>
-        s"(CASE WHEN ascii(substr(h, $p, 1)) >= 97 " +
-          s"THEN CAST(ascii(substr(h, $p, 1)) - 87 AS BIGINT) " +
-          s"ELSE CAST(ascii(substr(h, $p, 1)) - 48 AS BIGINT) END)"
-      val hash32 = (1 to 8).map(p => s"(${nib(p)} << ${(8 - p) * 4})").mkString(" + ")
+      val hash32 = duckHash32("h")
       val bitTerms = (0 until 32).map { b =>
         s"(CASE WHEN list_sum(list_transform(th, h -> ((h >> $b) & 1) * 2 - 1)) > 0 " +
           s"THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
@@ -197,8 +199,10 @@ object TrainingDataQueries extends Registry {
       SELECT qid, rank, id AS neighbor_id, cos_sim
       FROM r WHERE rank <= 10 ORDER BY qid, rank"""))
 
-  /** LSH-bucketed ANN (the scale path; no SQL oracle — recall vs brute
-    * force is asserted in SimilaritySpec instead).
+  /** LSH-bucketed ANN (the scale path): random-hyperplane sign buckets,
+    * exact ranking within buckets. Fully oracled — the planes derive from
+    * md5 nibble arithmetic both engines can compute, and the dot products
+    * are ordered folds.
     */
   private val q27 = Q("q27_ann_lsh_bucketed",
     (s, d) => {
@@ -210,7 +214,32 @@ object TrainingDataQueries extends Registry {
         .withColumn("rank", col("rank").cast("int"))
         .orderBy("qid", "rank")
     },
-    None)
+    Some {
+      val mdExpr = "md5('plane' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR))"
+      s"""WITH pc AS (
+        SELECT p, i,
+          (CAST(${duckHash32(mdExpr)} AS DOUBLE) / 4294967296.0 - 0.5::DOUBLE) AS comp
+        FROM range(0, 8) t1(p), range(0, 64) t2(i)),
+      pl AS (SELECT p, list(comp ORDER BY i) AS comps FROM pc GROUP BY p),
+      c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+      cd AS (SELECT id, p,
+          list_reduce(list_transform(range(1, len(vec)+1),
+            i -> CAST(vec[i] AS DOUBLE) * comps[i]), (a, b) -> a + b) AS dot
+        FROM c CROSS JOIN pl),
+      cb AS (SELECT id,
+          SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
+        FROM cd GROUP BY id),
+      corp AS (SELECT cb.id, c.vec, bucket FROM cb JOIN c USING (id)),
+      qb AS (SELECT id AS qid, vec AS qvec, bucket FROM corp WHERE id < 5),
+      j AS (SELECT qid, qvec, id, vec
+            FROM qb JOIN corp USING (bucket) WHERE id <> qid),
+      sim AS (SELECT qid, id, ${duckCos("qvec", "vec")} AS cos_sim FROM j),
+      r AS (SELECT qid, id, cos_sim,
+            CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, id)
+              AS INTEGER) AS rank FROM sim)
+      SELECT qid, rank, id AS neighbor_id, cos_sim
+      FROM r WHERE rank <= 10 ORDER BY qid, rank"""
+    })
 
   /** Language-ID heuristic: marker-lexicon hit counts + argmax. */
   private val q28 = Q("q28_lang_id",

@@ -107,6 +107,27 @@ class TrainingDataSpec extends SparkSpec {
     assert(run(2) == run(7))
   }
 
+  test("multimodal resize and frame-sample plans are deterministic metadata") {
+    val docs = Tables.documents(spark, dir).limit(10)
+    val media = Multimodal.withMediaColumns(docs)
+      .withColumn("declared_frames", (col("doc_id") % 20 + 1).cast("int"))
+    val planned = Multimodal.withFrameSamplePlan(
+      Multimodal.withResizePlan(media, 32, 32), "declared_frames", 3, 4)
+    val r = planned.orderBy("doc_id").select(
+      col("doc_id"), col("media_meta.declared_width"),
+      col("resize_plan.target_width"), col("resize_plan.needs_resize"),
+      col("frame_sample_plan")).collect()
+    r.foreach { row =>
+      assert(row.getInt(2) <= 32)
+      val frames = row.getAs[scala.collection.Seq[Int]]("frame_sample_plan")
+      assert(frames.size <= 4)
+      assert(frames.zipWithIndex.forall { case (f, i) => f == i * 3 })
+    }
+    // doc 0: declared 16x16 → no resize; doc 9: 25x25 → no; larger widths resize
+    val wide = r.find(_.getInt(1) > 32)
+    wide.foreach(row => assert(row.getBoolean(3)))
+  }
+
   test("language-ID picks the lexicon with most marker hits") {
     val docs = Seq(
       (1L, "der hund und die katze ist nicht hier"),
