@@ -523,6 +523,36 @@ object CoreQueries extends Registry {
     },
     None)
 
+  /** Brand/type share analysis (TPC-H Q14-ish): broadcast part join with
+    * string predicates (LIKE / upper / substring) and a conditional-share
+    * ratio — completes coverage of every harness table.
+    */
+  private val q40 = Q("q40_promo_share",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .filter(col("p_size").between(5, 40) && upper(col("p_brand")).like("BRAND#%"))
+        .groupBy(col("p_type"), substring(col("p_brand"), 7, 2).as("brand_code"))
+        .agg(
+          SA.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          SA.dsum(col("l_quantity")).as("total_qty"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          (sum(when(col("p_type") === "PROMO", 1L).otherwise(0L)).cast("double") * 100.0d /
+            greatest(count(lit(1)), lit(1L))).as("promo_line_pct"))
+        .orderBy("p_type", "brand_code")
+    },
+    Some(s"""SELECT p_type, substr(p_brand, 7, 2) AS brand_code,
+        ${O.dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+        ${O.dsum("l_quantity")} AS total_qty,
+        COUNT(DISTINCT l_partkey) AS n_parts,
+        CAST(SUM(CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END) AS DOUBLE) * 100.0
+          / greatest(COUNT(*), 1) AS promo_line_pct
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_size BETWEEN 5 AND 40 AND upper(p_brand) LIKE 'BRAND#%'
+      GROUP BY p_type, substr(p_brand, 7, 2)
+      ORDER BY p_type, brand_code"""))
+
   override val all: Seq[Q] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
-    q11, q12, q13, q14, q15, q18, q19, q35, q36, q37)
+    q11, q12, q13, q14, q15, q18, q19, q35, q36, q37, q40)
 }
