@@ -26,5 +26,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] = 32 concurrent tasks in ONE JVM: unified memory is
+  // 0.6*heap, so 8g gave each task slot ~150 MB before spilling — the
+  // JSON-heavy normalizer queries spilled and GC-thrashed (23-37 s in
+  // BENCH_r01 vs ~4 s with room). 48g ≈ 0.9 GB/slot on a 125 GB box.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // 39 queries x (warmup+timed) generate hundreds of Janino classes;
+  // default 240 MB JIT code cache can fill and silently disable the JIT.
+  "-XX:ReservedCodeCacheSize=512m",
 )
+// Dev profiling hook: GRAFT_EXTRA_JVM="-Xlog:gc:file=/tmp/gc.log" sbt ...
+javaOptions ++= sys.env.get("GRAFT_EXTRA_JVM").toSeq.flatMap(_.split("\\s+"))

@@ -5,6 +5,25 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.get("graft-bench", cpus)
+    // Dev observability (stderr only): per-stage wall/CPU/GC summary for
+    // stages slower than 2 s, to localize erratic slow queries.
+    if (sys.env.contains("GRAFT_BENCH_STAGES")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val wall = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3
+          if (wall > 2.0) {
+            val m = si.taskMetrics
+            System.err.println(f"[stage] id=${si.stageId} wall=$wall%.1fs tasks=${si.numTasks} " +
+              f"runMs=${m.executorRunTime} cpuMs=${m.executorCpuTime / 1000000} " +
+              f"gcMs=${m.jvmGCTime} spillMB=${m.memoryBytesSpilled / 1048576} " +
+              f"shRead=${m.shuffleReadMetrics.totalBytesRead / 1048576}MB " +
+              f"shWrite=${m.shuffleWriteMetrics.bytesWritten / 1048576}MB  ${si.name.take(80)}")
+          }
+        }
+      })
+    }
     // Untimed per-query warmup at the smallest SF: compiles each query's
     // generated code + JIT so the timed run measures steady-state data
     // processing (what a long-lived cluster session sees), not one-time
@@ -14,7 +33,13 @@ object Bench {
       if (sib.isDirectory) sib.getPath else sfDir
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Two-step warmup: tiny SF compiles the generated code cheaply, then
+      // one untimed pass at the target SF lets the JIT reach steady state
+      // (C2 needs thousands of row-loop invocations — a 600-row warmup
+      // leaves the first full-scale run 3-6x slower than warm).
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
       val t0 = System.nanoTime()
       // noop sink forces full materialization of every output column
@@ -24,7 +49,9 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench-q] $name $sec%.2f s (ended ${System.currentTimeMillis()})")
+      name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

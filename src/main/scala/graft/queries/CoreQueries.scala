@@ -241,7 +241,7 @@ object CoreQueries extends Registry {
         .orderBy("event_type")
     },
     Some("""SELECT event_type, COUNT(*) AS total,
-      SUM(CASE WHEN value < 10.0 THEN 1 ELSE 0 END) AS low_cnt,
+      CAST(SUM(CASE WHEN value < 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS low_cnt,
       CAST(SUM(CASE WHEN value < 10.0 THEN 1 ELSE 0 END) AS DOUBLE)
         / greatest(COUNT(*), 1) * 100.0 AS low_rate_pct
       FROM events GROUP BY event_type ORDER BY event_type"""))

@@ -1,0 +1,25 @@
+package graft.tools
+
+import graft.GraftSession
+
+/** Dev-only: reproduce Bench's warm-at-sf0.001 / time-at-sf0.1 sequence
+  * for a subset of queries, to isolate first-run-at-scale overhead.
+  */
+object ProfileBenchSeq {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get("profile-bench-seq", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val names = if (args.nonEmpty) args.toSeq else Seq("q16_normalize_books5", "q17_normalize_trades")
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+      val t1 = System.nanoTime()
+      fn(spark, "/root/testdata/sf0.1").write.format("noop").mode("overwrite").save()
+      val t2 = System.nanoTime()
+      fn(spark, "/root/testdata/sf0.1").write.format("noop").mode("overwrite").save()
+      val t3 = System.nanoTime()
+      println(f"[seq] $name%-24s warm0.001=${(t1 - t0) / 1e9}%.2f first0.1=${(t2 - t1) / 1e9}%.2f second0.1=${(t3 - t2) / 1e9}%.2f")
+    }
+    spark.stop()
+  }
+}

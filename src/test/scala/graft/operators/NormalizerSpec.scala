@@ -95,6 +95,49 @@ class NormalizerSpec extends SparkSpec {
     assert(ids == Set("a"))
   }
 
+  test("missing ts field maps to ts_exchange_ms=0, not a drop (d.get('ts','0'))") {
+    val out = Normalizer.normalize(framesOf(
+      """{"arg":{"channel":"books5","instId":"X"},"data":[{"bids":[["1.0","2.0","0","1"]],"asks":[]}]}""",
+      """{"arg":{"channel":"trades","instId":"Y"},"data":[{"px":"1.5","sz":"2.5","side":"buy"}]}"""))
+    val rows = out.orderBy("symbol").collect().toSeq
+    assert(rows.size == 2)
+    assert(rows.forall(_.getAs[Long]("ts_exchange_ms") == 0L))
+  }
+
+  /** Every fixture in this spec, plus ordering/duplication edge frames, must
+    * normalize identically through the native ParseOkxFrame path and the
+    * declarative from_json path.
+    */
+  test("native and declarative normalizers agree on the full fixture battery") {
+    val battery = framesOf(
+      goodBook, goodTrades,
+      """{"event":"subscribe","arg":{"channel":"books5","instId":"X"}}""",
+      """{"arg":{"instId":"X"},"data":[{"ts":"1"}]}""",
+      """{"arg":{"channel":"books5"},"data":[{"ts":"1"}]}""",
+      """{"arg":{"channel":"books5","instId":"X"},"data":[]}""",
+      """{"arg":{"channel":"books50","instId":"X"},"data":[{"ts":"1"}]}""",
+      """not json at all""",
+      """[1,2,3]""",
+      """{"arg":{"channel":"books5","instId":"X"},"data":[{"ts":"NaNope","bids":[],"asks":[]}]}""",
+      """{"arg":{"channel":"books5","instId":"X"},"data":[{"bids":[["1.0","2.0","0","1"]],"asks":[]}]}""",
+      """{"arg":{"channel":"trades","instId":"Y"},"data":[{"px":"1.5","sz":"2.5","side":"buy"}]}""",
+      // data before arg (field-order robustness)
+      """{"data":[{"ts":"77","px":"9.5","sz":"0.5","side":"sell","tradeId":"z"}],"arg":{"channel":"trades","instId":"Z"}}""",
+      """{"data":[{"ts":"88","bids":[["5.0","1.0","0","2"]],"asks":[["6.0","1.0","0","2"]]}],"arg":{"channel":"books5","instId":"W"}}""",
+      // extra unknown envelope fields + nested junk
+      """{"junk":{"deep":[1,{"x":2}]},"arg":{"channel":"books5","instId":"V"},"data":[{"ts":"99","bids":[["1.5","2.5","0","4"]],"asks":[]}],"more":[true,null]}""",
+      """{"arg":{"channel":"trades","instId":"X"},"data":[
+        |{"ts":"10","px":"1.5","sz":"2.5","side":"buy","tradeId":"a"},
+        |{"ts":"xx","px":"1.5","sz":"2.5","side":"buy","tradeId":"b"},
+        |{"ts":"12","px":"no","sz":"2.5","side":"buy","tradeId":"c"}]}""".stripMargin.replace("\n", ""))
+    val native = Normalizer.normalize(battery)
+      .orderBy("symbol", "ts_exchange_ms", "channel").collect().toSeq
+    val declarative = Normalizer.normalizeDeclarative(battery)
+      .orderBy("symbol", "ts_exchange_ms", "channel").collect().toSeq
+    assert(native.nonEmpty)
+    assert(native == declarative)
+  }
+
   test("capture timestamps pass through unchanged (S5) and latencies derive (D1-D3)") {
     val out = Derived.withLatencies(Normalizer.normalize(framesOf(goodBook)))
     val r = out.collect().head
