@@ -30,9 +30,32 @@ object StableAgg {
   private val SumScale = 6   // decimal(38,6): 1e31 integer headroom
   private val SqScale  = 10  // squares need more fractional precision
 
-  /** Exact, order-independent sum of a double expression. */
-  def dsum(c: Column): Column =
-    sum(c.cast(s"decimal(38,$SumScale)")).cast("double")
+  /** Exact, order-independent sum of a double expression.
+    *
+    * Quantization contract (explicit, per ADVICE r01): each ADDEND is
+    * rounded half-up to `scale` fractional digits before summing — with
+    * the default scale 6, |x| < 5e-7 contributes exactly 0 and the result
+    * is the exact sum of the rounded addends, NOT the IEEE sum. Pick the
+    * scale per use: market prices/sizes and latencies are quoted well
+    * above 1e-6, while unit-magnitude series (embedding components, rates)
+    * should pass `scale = 12` (headroom still 1e25). The oracle SQL must
+    * mirror the same `CAST(x AS DECIMAL(38,s))` for hash parity.
+    *
+    * Overflow contract: |x| >= 1e(38-scale) cannot be represented. Under
+    * ANSI mode (Spark 4 default) the cast itself raises; under non-ANSI
+    * the cast yields null, which `sum` would silently exclude (a wrong
+    * answer) — the explicit guard below raises there too, so bad
+    * magnitudes fail loudly in every session mode.
+    */
+  def dsum(c: Column, scale: Int = SumScale): Column = {
+    val d = c.cast(s"decimal(38,$scale)")
+    val guarded = when(c.isNotNull && d.isNull,
+        raise_error(concat(
+          lit(s"StableAgg.dsum: |value| overflows decimal(38,$scale): "),
+          c.cast("string"))).cast(s"decimal(38,$scale)"))
+      .otherwise(d)
+    sum(guarded).cast("double")
+  }
 
   /** Exact-sum-based mean (null when no rows). */
   def davg(c: Column): Column = dsum(c) / count(c)
@@ -45,7 +68,7 @@ object StableAgg {
   def dstdSamp(c: Column): Column = {
     val n  = count(c).cast("double")
     val s1 = dsum(c)
-    val s2 = sum((c * c).cast(s"decimal(38,$SqScale)")).cast("double")
+    val s2 = dsum(c * c, SqScale)
     when(count(c) <= 1, lit(0.0))
       .otherwise(sqrt(greatest((s2 - s1 * s1 / n) / (n - lit(1.0)), lit(0.0))))
   }

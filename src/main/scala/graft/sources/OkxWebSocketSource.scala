@@ -125,14 +125,39 @@ class OkxMicroBatchStream(options: CaseInsensitiveStringMap)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxPerTrigger)
 
+  // Largest offset this incarnation has returned from latestOffset or seen
+  // as a planInputPartitions end. A start offset BEYOND this can only come
+  // from a recovered checkpoint of a previous incarnation — the rebase
+  // trigger. (A start merely beyond base+frames.size is NOT enough: the
+  // engine calls latestOffset(prevEnd) BEFORE source.commit(prevEnd), so
+  // un-dropped frames would satisfy that weaker test and be re-served at
+  // fresh offsets forever.)
+  private var handedOut = 0L
+
+  /** Restart-from-checkpoint rebase: a recovered start offset larger than
+    * anything this incarnation handed out means a previous incarnation
+    * committed up to `n` and this process restarted with an empty or
+    * freshly-refilled buffer (base=0). The in-flight data is gone
+    * (at-most-once, T5) — frames buffered since restart are NEW data, so
+    * re-anchor them at the recovered offset. Without this, latestOffset
+    * could return an end < start (offset regression → stuck recovery).
+    */
+  private def rebaseTo(n: Long): Unit = {
+    if (n > handedOut && base < n && n >= base + frames.size) base = n
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = lock.synchronized {
     val startN = start.asInstanceOf[FrameOffset].n
+    rebaseTo(startN)
     val available = base + frames.size
     val capped = limit match {
       case m: ReadMaxRows => math.min(available, startN + m.maxRows())
       case _              => available
     }
-    FrameOffset(capped)
+    // never regress behind start, even mid-rebase races
+    val end = math.max(startN, capped)
+    handedOut = math.max(handedOut, end)
+    FrameOffset(end)
   }
 
   override def reportLatestOffset(): Offset = lock.synchronized {
@@ -145,6 +170,11 @@ class OkxMicroBatchStream(options: CaseInsensitiveStringMap)
     val s = start.asInstanceOf[FrameOffset].n
     val e = end.asInstanceOf[FrameOffset].n
     val slice = lock.synchronized {
+      // A WAL-replayed batch after restart lands here before any
+      // latestOffset call: rebase so post-restart frames aren't served at
+      // stale offsets and then over-dropped by the following commit.
+      rebaseTo(s)
+      handedOut = math.max(handedOut, e)
       val from = math.max(0, (s - base).toInt)
       val until = math.max(from, math.min(frames.size, (e - base).toInt))
       frames.slice(from, until).toArray

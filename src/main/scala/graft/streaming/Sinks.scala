@@ -22,13 +22,17 @@ object Sinks {
     * [price, size, count] arrays with count as a bare integer, payload
     * shape keyed by event_type, compact separators. Spark's `to_json`
     * cannot mix int/double inside one JSON array, so the line is built
-    * from codegen'd string concatenation (still whole-stage codegen; no
-    * UDF). Double rendering is the JVM shortest round-trip form, which
-    * matches Python's repr for values < 1e7 (all realistic prices/sizes);
-    * symbols/sides/ids are assumed JSON-safe (they are in the OKX feed).
+    * from codegen'd string concatenation (no UDF). Doubles render through
+    * [[graft.functions.PyDoubleRepr]] — CPython-repr layout (plain decimal
+    * in [1e-4, 1e16), `1e-05`-style scientific outside), so sub-millesimal
+    * sizes and >=1e7 values stay byte-identical to json.dumps, not just
+    * the JVM's narrower plain range; symbols/sides/ids are assumed
+    * JSON-safe (they are in the OKX feed).
     */
   def jsonLine: Column = {
-    def d(c: Column): Column = c.cast("string")
+    def d(c: Column): Column = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.PyDoubleRepr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
     def levels(c: Column): Column = concat(lit("["),
       concat_ws(",", transform(c, l => concat(
         lit("["), d(l.getField("price")), lit(","), d(l.getField("size")),

@@ -36,6 +36,27 @@ class StableAggSpec extends SparkSpec {
     assert(one == 0.0)
   }
 
+  test("dsum overflow fails loudly instead of silently excluding rows") {
+    val huge = Seq(1.0, 1e33, 2.0) // 1e33 > decimal(38,6) capacity of ~1e31
+    val ex = intercept[Exception] {
+      huge.toDF("x").agg(StableAgg.dsum(col("x"))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    // ANSI sessions (Spark 4 default) raise from the cast itself;
+    // non-ANSI sessions hit the explicit raise_error guard.
+    assert(messages(ex).exists(m => m.contains("overflows decimal(38,6)") ||
+      m.contains("NUMERIC_VALUE_OUT_OF_RANGE")))
+  }
+
+  test("dsum quantization bound is explicit: sub-5e-7 addends vanish at default scale; scale=12 keeps them") {
+    val tiny = Seq(4e-7, 4e-7, 4e-7)
+    val atDefault = tiny.toDF("x").agg(StableAgg.dsum(col("x"))).collect().head.getDouble(0)
+    assert(atDefault == 0.0)
+    val atScale12 = tiny.toDF("x").agg(StableAgg.dsum(col("x"), 12)).collect().head.getDouble(0)
+    assert(math.abs(atScale12 - 1.2e-6) < 1e-18)
+  }
+
   test("lstdSamp exact on integers, 0.0 for singleton groups") {
     val longs = Seq(10L, 12L, 18L, 20L)
     val got = longs.toDF("x").agg(StableAgg.lstdSamp(col("x"))).collect().head.getDouble(0)
