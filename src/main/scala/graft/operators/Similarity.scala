@@ -81,7 +81,7 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nProbe: Int = 4): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.functions.array_to_vector
 
     val spark = corpus.sparkSession
     val corpusFv = corpus
@@ -97,14 +97,55 @@ object Similarity {
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
       .toDF("cell", "centroid")
 
-    // route each query to its nProbe nearest cells (euclidean, matching
-    // the quantizer's metric)
+    ivfProbeAndRank(assigned, centroids, queries, k, nProbe)
+  }
+
+  /** IVF with a deterministic sampled coarse quantizer: centroids are the
+    * corpus vectors at ids 0, step, 2·step, … (systematic sample, step =
+    * ⌊corpus/nlist⌋) and every vector joins its euclidean-nearest sampled
+    * centroid's cell. Sampling instead of training is a standard IVF
+    * shortcut (coarse quantizers are routinely trained on small samples;
+    * a plain sample is the degenerate case) — recall is below KMeans cells
+    * but the layout and probe path are identical, and because the
+    * centroids are pure data (no RNG, no iteration) the WHOLE index is
+    * reproducible in an external SQL engine, which is what lets the q34
+    * gate carry a full DuckDB oracle rather than a rows-only check.
+    */
+  def ivfSampledTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nProbe: Int = 4): DataFrame = {
+    val step = math.max(1L, corpus.count() / nlist) // index-build-time action
+    val centroids = corpus
+      .filter(col("id") % step === 0 && (col("id") / step) < nlist)
+      .select((col("id") / step).cast("int").as("cell"),
+        asDouble(col("vec")).as("centroid"))
+    // assign each corpus vector to its nearest sampled centroid
+    val assigned = corpus
+      .withColumn("v", asDouble(col("vec")))
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist", sqDist(col("v"), col("centroid")))
+      .withColumn("arank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy(asc("dist"), asc("cell"))))
+      .filter(col("arank") === 1)
+      .select(col("id"), col("vec"), col("cell"))
+    ivfProbeAndRank(assigned,
+      centroids.select(col("cell"), col("centroid")), queries, k, nProbe)
+  }
+
+  /** Left-to-right squared euclidean distance fold (bit-reproducible). */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, x) => acc + x)
+
+  /** Shared IVF probe path: route each query to its `nProbe` nearest cells
+    * (euclidean, matching the quantizer metric), rank exactly within them.
+    */
+  private def ivfProbeAndRank(assigned: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
     val qCells = queries
       .withColumn("qv", asDouble(col("qvec")))
       .crossJoin(broadcast(centroids))
-      .withColumn("dist", aggregate(
-        zip_with(col("qv"), col("centroid"), (x, y) => (x - y) * (x - y)),
-        lit(0.0d), (acc, x) => acc + x))
+      .withColumn("dist", sqDist(col("qv"), col("centroid")))
       .withColumn("crank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("qid").orderBy(asc("dist"), asc("cell"))))

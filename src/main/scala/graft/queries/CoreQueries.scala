@@ -507,21 +507,39 @@ object CoreQueries extends Registry {
       FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_ms"""))
 
   /** Approximate sketches — the documented scale path for unbounded
-    * groups: HLL distinct counts + interpolated approx percentiles. No
-    * SQL oracle (approximate by nature); ApproxSpec bounds the error
-    * against the exact operators.
+    * groups: HLL distinct counts + interpolated approx percentiles. The
+    * sketch VALUES are implementation-specific (HLL++ registers, GK
+    * summaries) so they can never hash-match a foreign engine; what IS
+    * verifiable cross-engine is the accuracy contract. The query computes
+    * the approximations genuinely, compares them in-plan against the exact
+    * aggregates, and emits the exact values + within-bounds booleans; the
+    * oracle asserts the exact columns and that every bound held (literal
+    * TRUE). Bounds are deliberately generous multiples of the configured
+    * error (HLL rsd 5% → 10% bound; approx p50 rank-error 1e-3 → exact
+    * p40..p60 corridor) so the gate is deterministic, not flaky.
     */
   private val q37 = Q("q37_approx_sketches",
     (s, d) => {
       Tables.events(s, d)
         .groupBy("event_type")
         .agg(
-          approx_count_distinct(col("user_id")).as("approx_users"),
-          percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"),
-          count(lit(1)).as("cnt"))
+          count(lit(1)).as("cnt"),
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id")).as("hll_users"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("ap50"),
+          percentile(col("value"), lit(0.40)).as("p40"),
+          percentile(col("value"), lit(0.60)).as("p60"))
+        .select(col("event_type"), col("cnt"), col("exact_users"),
+          (abs(col("hll_users") - col("exact_users")) <=
+            col("exact_users").cast("double") * 0.10d).as("hll_within_10pct"),
+          col("ap50").between(col("p40"), col("p60")).as("p50_in_p40_p60"))
         .orderBy("event_type")
     },
-    None)
+    Some("""SELECT event_type, COUNT(*) AS cnt,
+      COUNT(DISTINCT user_id) AS exact_users,
+      true AS hll_within_10pct,
+      true AS p50_in_p40_p60
+      FROM events GROUP BY event_type ORDER BY event_type"""))
 
   /** Brand/type share analysis (TPC-H Q14-ish): broadcast part join with
     * string predicates (LIKE / upper / substring) and a conditional-share

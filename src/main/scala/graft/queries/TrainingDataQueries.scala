@@ -381,9 +381,19 @@ object TrainingDataQueries extends Registry {
       SELECT doc_id, MIN(lbl) AS cluster_id FROM reach
       GROUP BY doc_id ORDER BY doc_id"""))
 
-  /** IVF ANN: KMeans coarse quantizer + per-cell exact ranking (the
-    * billion-scale layout; see Similarity.ivfTopK). No SQL oracle —
-    * nProbe=nlist equivalence to brute force is asserted in the spec.
+  /** Left-to-right squared-euclidean fold (mirrors Similarity.sqDist). */
+  private def duckSqDist(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a)+1), " +
+      s"i -> (CAST(($a)[i] AS DOUBLE) - CAST(($b)[i] AS DOUBLE)) " +
+      s"* (CAST(($a)[i] AS DOUBLE) - CAST(($b)[i] AS DOUBLE))), (acc, v) -> acc + v)"
+
+  /** IVF ANN over the deterministic sampled coarse quantizer
+    * (Similarity.ivfSampledTopK): centroids are a systematic id-sample of
+    * the corpus, so the entire index — assignment, probe routing, in-cell
+    * ranking — reproduces in DuckDB and the gate gets a full hash oracle.
+    * The KMeans quantizer path (Similarity.ivfTopK) stays the quality
+    * default and is anchored by the spec's nProbe=nlist == brute-force
+    * equivalence.
     */
   private val q34 = Q("q34_ann_ivf",
     (s, d) => {
@@ -391,15 +401,44 @@ object TrainingDataQueries extends Registry {
       val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Similarity.ivfTopK(corpus, queries, 10, nlist = 16, nProbe = 4)
+      Similarity.ivfSampledTopK(corpus, queries, 10, nlist = 16, nProbe = 4)
         .withColumn("rank", col("rank").cast("int"))
         .orderBy("qid", "rank")
     },
-    None)
+    Some(s"""WITH n AS (SELECT greatest(COUNT(*) // 16, 1) AS step FROM embeddings),
+      cents AS (
+        SELECT CAST(vec_id // step AS INTEGER) AS cell, embedding AS centroid
+        FROM embeddings, n WHERE vec_id % step = 0 AND vec_id // step < 16),
+      asg AS (
+        SELECT id, vec, cell FROM (
+          SELECT c.vec_id AS id, c.embedding AS vec, ct.cell,
+            row_number() OVER (PARTITION BY c.vec_id
+              ORDER BY ${duckSqDist("c.embedding", "ct.centroid")}, ct.cell) AS arank
+          FROM embeddings c CROSS JOIN cents ct)
+        WHERE arank = 1),
+      qc AS (
+        SELECT qid, qvec, cell FROM (
+          SELECT q.vec_id AS qid, q.embedding AS qvec, ct.cell,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY ${duckSqDist("q.embedding", "ct.centroid")}, ct.cell) AS crank
+          FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+          CROSS JOIN cents ct)
+        WHERE crank <= 4),
+      j AS (SELECT qid, qvec, id, vec FROM asg JOIN qc USING (cell) WHERE id <> qid),
+      sim AS (SELECT qid, id, ${duckCos("qvec", "vec")} AS cos_sim FROM j),
+      r AS (SELECT qid, id, cos_sim,
+        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, id)
+          AS INTEGER) AS rank FROM sim)
+      SELECT qid, rank, id AS neighbor_id, cos_sim
+      FROM r WHERE rank <= 10 ORDER BY qid, rank"""))
 
-  /** Multimodal decode/feature-extraction via per-partition batches
-    * (stubbed codec — see Multimodal.FakeDecoder; Spark-side plumbing is
-    * real). No SQL oracle; covered by MultimodalSpec.
+  /** Multimodal decode/feature-extraction via per-partition batches. The
+    * codec is a clearly-marked deterministic stub (no image libs in this
+    * environment — Multimodal.FakeDecoder), which is exactly what makes
+    * the full pipeline oracle-able: the DuckDB SQL below mirrors the
+    * stub's 31-polynomial checksum and byte-histogram feature over the
+    * (all-ASCII) payload bytes, so the mapPartitions plumbing — schema,
+    * batching, row streaming — is verified end to end, not rows-only.
     */
   private val q33 = Q("q33_multimodal_features",
     (s, d) => {
@@ -410,7 +449,20 @@ object TrainingDataQueries extends Registry {
           element_at(col("features"), 1).as("feat0"))
         .orderBy("doc_id")
     },
-    None)
+    Some("""WITH b AS (SELECT doc_id, text,
+        list_transform(range(1, length(text)+1),
+          i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS bytes
+        FROM documents)
+      SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS byte_len,
+        list_reduce(bytes, (acc, v) -> (acc * 31 + v) & 4294967295) AS checksum,
+        CAST(doc_id % 64 + 16 AS INTEGER) AS width,
+        CAST(doc_id % 48 + 16 AS INTEGER) AS height,
+        list_reduce(
+          list_transform(range(1, length(text)+1, 8),
+            i -> CAST(ascii(substr(text, i, 1)) AS DOUBLE) / CAST(255 AS DOUBLE)),
+          (acc, v) -> acc + v) AS feat0
+      FROM b ORDER BY doc_id"""))
 
   override val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q38)

@@ -97,6 +97,10 @@ class TrainingDataSpec extends SparkSpec {
       bruteCos.get((r.getLong(0), r.getLong(1)))
         .foreach(exp => assert(r.getDouble(2) == exp))
     }
+    // the deterministic sampled quantizer obeys the same anchor
+    val sampledFull = Similarity.ivfSampledTopK(corpus, queries, 10, nlist = 8, nProbe = 8)
+      .select("qid", "rank", "neighbor_id").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(sampledFull == brute)
   }
 
   test("multimodal feature extraction is deterministic and partition-invariant") {
