@@ -34,6 +34,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 39 queries x (warmup+timed) generate hundreds of Janino classes;
   // default 240 MB JIT code cache can fill and silently disable the JIT.
   "-XX:ReservedCodeCacheSize=512m",
+  // Long-lived session running many distinct generated plans: repeated
+  // deopts at shared Spark methods hit HotSpot's recompilation cutoffs
+  // (PerBytecodeRecompilationCutoff=200), after which the method runs
+  // INTERPRETED forever - observed as sporadic 10-20x stage slowdowns
+  // (a 2s-CPU scan stage re-running at 39s). Disable the give-up cutoffs.
+  "-XX:PerMethodRecompilationCutoff=-1",
+  "-XX:PerBytecodeRecompilationCutoff=-1",
 )
 // Dev profiling hook: GRAFT_EXTRA_JVM="-Xlog:gc:file=/tmp/gc.log" sbt ...
 javaOptions ++= sys.env.get("GRAFT_EXTRA_JVM").toSeq.flatMap(_.split("\\s+"))
