@@ -42,6 +42,20 @@ object Dedup {
         .as(s"mh$i")
     }
 
+  /** All `numHashes` minhash minima as ONE array column via the native
+    * [[graft.functions.MinHashSigs]] expression — identical values to
+    * [[minhashCols]] (a spec asserts it), one pass, ~3x less md5.
+    */
+  def minhashArray(shingles: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.MinHashSigs(
+      ColumnBridge.expression(shingles), numHashes))
+  }
+
+  /** mh0..mhN-1 projections over a [[minhashArray]] column. */
+  def minhashColsFromArray(arr: Column, numHashes: Int): Seq[Column] =
+    (0 until numHashes).map(i => element_at(arr, i + 1).as(s"mh$i"))
+
   /** LSH banding: group `numHashes` signature columns into bands of
     * `rowsPerBand`, hash each band. Docs sharing any band hash are
     * candidate near-duplicates.

@@ -53,17 +53,33 @@ object Similarity {
     * reproducible in any SQL engine (no RNG state, no engine-specific
     * base conversion), which is what lets the LSH-ANN query carry a full
     * external oracle.
+    *
+    * The components are CONSTANTS per (p, i), so they're computed once on
+    * the driver (same md5 → 32-bit → [-0.5,0.5) arithmetic, bit-identical
+    * to the in-plan form an external oracle mirrors) and shipped as array
+    * literals — the previous in-plan formulation re-ran numPlanes×dim md5
+    * calls per ROW (512/row at 8 planes × 64 dims), dominating the
+    * bucketing stage.
     */
-  private def planeComponent(p: Int, i: Column): Column =
-    (Dedup.hexHash32(md5(concat(lit(s"plane$p:"), i.cast("string"))))
-      .cast("double") / lit(4294967296.0d)) - lit(0.5d)
+  private def planeComponent(p: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane$p:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val u32 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    u32.toDouble / 4294967296.0d - 0.5d
+  }
 
-  /** Sign-bucket signature: bit p = (vec · plane_p) >= 0. */
-  def lshBucket(vec: Column, numPlanes: Int): Column = {
+  private def planeLit(p: Int, dim: Int): Column =
+    array((0 until dim).map(i => lit(planeComponent(p, i))): _*)
+
+  /** Sign-bucket signature: bit p = (vec · plane_p) >= 0.
+    * @param dim the embedding dimensionality (plane literals need a static
+    *            length; vectors must have exactly `dim` components)
+    */
+  def lshBucket(vec: Column, numPlanes: Int, dim: Int = 64): Column = {
     val bits = (0 until numPlanes).map { p =>
       val dot = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x * planeComponent(p, i)),
+        zip_with(vec, planeLit(p, dim), (x, c) => x * c),
         lit(0.0d), (acc, x) => acc + x)
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }
@@ -168,9 +184,9 @@ object Similarity {
     * bucket.
     */
   def lshBucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      numPlanes: Int = 8): DataFrame = {
-    val cb = corpus.withColumn("bucket", lshBucket(asDouble(col("vec")), numPlanes))
-    val qb = queries.withColumn("bucket", lshBucket(asDouble(col("qvec")), numPlanes))
+      numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val cb = corpus.withColumn("bucket", lshBucket(asDouble(col("vec")), numPlanes, dim))
+    val qb = queries.withColumn("bucket", lshBucket(asDouble(col("qvec")), numPlanes, dim))
     val joined = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col("id") =!= col("qid"))
       .withColumn("cos_sim", cosine(asDouble(col("qvec")), asDouble(col("vec"))))

@@ -46,15 +46,23 @@ object TrainingDataQueries extends Registry {
       COUNT(*) AS n_copies FROM documents
       GROUP BY md5(text) ORDER BY content_hash"""))
 
-  /** MinHash signatures: per-row HOF computation, shuffle-free. */
+  /** One-pass native minhash signatures shared by q21/q22/q38: the
+    * explode(array(...)) Generate is a collapse barrier, so shingling and
+    * the MinHashSigs pass run exactly once per row; the element_at
+    * projections after it are free. mhs[0] IS NULL ⇔ the shingle set was
+    * empty (mirrors the old filter(size(sh) > 0)).
+    */
+  private def minhashSigFrame(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), explode(array(Dedup.minhashArray(
+        TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3), NumHashes))).as("mhs"))
+      .filter(element_at(col("mhs"), 1).isNotNull)
+
+  /** MinHash signatures: per-row native one-pass computation, shuffle-free. */
   private val q21 = Q("q21_minhash_signatures",
     (s, d) => {
-      val docs = Tables.fanOut(Tables.documents(s, d))
-      docs
-        .select(col("doc_id"),
-          TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3).as("sh"))
-        .filter(size(col("sh")) > 0)
-        .select(col("doc_id") +: Dedup.minhashCols(col("sh"), NumHashes): _*)
+      minhashSigFrame(s, d)
+        .select(col("doc_id") +: Dedup.minhashColsFromArray(col("mhs"), NumHashes): _*)
         .orderBy("doc_id")
     },
     Some(s"""WITH t AS (SELECT doc_id, $duckToks AS w FROM documents),
@@ -68,12 +76,8 @@ object TrainingDataQueries extends Registry {
     */
   private val q22 = Q("q22_lsh_candidate_pairs",
     (s, d) => {
-      val docs = Tables.fanOut(Tables.documents(s, d))
-      val sigs = docs
-        .select(col("doc_id"),
-          TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3).as("sh"))
-        .filter(size(col("sh")) > 0)
-        .select(col("doc_id") +: Dedup.minhashCols(col("sh"), NumHashes): _*)
+      val sigs = minhashSigFrame(s, d)
+        .select(col("doc_id") +: Dedup.minhashColsFromArray(col("mhs"), NumHashes): _*)
         .select(col("doc_id") +: Dedup.bandCols(NumHashes, RowsPerBand): _*)
       Dedup.lshCandidatePairs(sigs, NumBands).orderBy("doc_id_a", "doc_id_b")
     },
@@ -343,12 +347,8 @@ object TrainingDataQueries extends Registry {
     */
   private val q38 = Q("q38_dup_clusters",
     (s, d) => {
-      val docs = Tables.fanOut(Tables.documents(s, d))
-      val sigs = docs
-        .select(col("doc_id"),
-          TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3).as("sh"))
-        .filter(size(col("sh")) > 0)
-        .select(col("doc_id") +: Dedup.minhashCols(col("sh"), NumHashes): _*)
+      val sigs = minhashSigFrame(s, d)
+        .select(col("doc_id") +: Dedup.minhashColsFromArray(col("mhs"), NumHashes): _*)
         .select(col("doc_id") +: Dedup.bandCols(NumHashes, RowsPerBand): _*)
       val pairs = Dedup.lshCandidatePairs(sigs, NumBands)
       Dedup.duplicateClusters(pairs).orderBy("doc_id")

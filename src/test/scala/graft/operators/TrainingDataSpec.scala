@@ -30,6 +30,45 @@ class TrainingDataSpec extends SparkSpec {
     assert(sigs(1L) != sigs(3L))
   }
 
+  test("native MinHashSigs matches the declarative minhashCols bit-for-bit on real docs") {
+    val docs = Tables.documents(spark, dir).limit(300)
+      .select(col("doc_id"), TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3).as("sh"))
+    val declarative = docs
+      .select(col("doc_id") +: Dedup.minhashCols(col("sh"), 6): _*)
+      .orderBy("doc_id").collect().toSeq
+    val native = docs
+      .select(col("doc_id"), Dedup.minhashArray(col("sh"), 6).as("mhs"))
+      .select(col("doc_id") +: Dedup.minhashColsFromArray(col("mhs"), 6): _*)
+      .orderBy("doc_id").collect().toSeq
+    assert(native.nonEmpty && native == declarative)
+    // empty shingle set → all-null minima (array_min-of-empty semantics)
+    val empty = Seq((9L, Seq.empty[String])).toDF("doc_id", "sh")
+      .select(Dedup.minhashArray(col("sh"), 6).as("mhs")).collect().head
+    assert(empty.getSeq[String](0).forall(_ == null))
+  }
+
+  test("literal-plane lshBucket matches the per-row md5 formulation") {
+    // the pre-r02 in-plan form, kept inline here as the cross-check
+    def planeComponentExpr(p: Int, i: org.apache.spark.sql.Column) =
+      (Dedup.hexHash32(md5(concat(lit(s"plane$p:"), i.cast("string"))))
+        .cast("double") / lit(4294967296.0d)) - lit(0.5d)
+    def bucketExpr(vec: org.apache.spark.sql.Column, numPlanes: Int) =
+      (0 until numPlanes).map { p =>
+        val dot = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, i) => x * planeComponentExpr(p, i)),
+          lit(0.0d), (acc, x) => acc + x)
+        when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val e = Tables.embeddings(spark, dir).limit(200)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val got = e.select(col("vec_id"),
+        Similarity.lshBucket(col("v"), 8).as("b_new"),
+        bucketExpr(col("v"), 8).as("b_old"))
+      .collect()
+    assert(got.nonEmpty && got.forall(r => r.getLong(1) == r.getLong(2)))
+  }
+
   test("jaccard: identity = 1.0, disjoint = 0.0") {
     val df = Seq((Seq("a b c", "b c d"), Seq("a b c", "b c d"), Seq("x y z", "z z z")))
       .toDF("s1", "s2", "s3")
