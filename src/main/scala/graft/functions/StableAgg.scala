@@ -48,12 +48,18 @@ object StableAgg {
     * magnitudes fail loudly in every session mode.
     */
   def dsum(c: Column, scale: Int = SumScale): Column = {
-    val d = c.cast(s"decimal(38,$scale)")
-    val guarded = when(c.isNotNull && d.isNull,
+    // Exact overflow predicate in cheap double arithmetic: decimal(38,s)
+    // holds up to 10^(38-s) - 10^-s, and no double lies strictly between
+    // that and 10^(38-s) (ulp there is ~1e16), so |x| >= 10^(38-s) <=>
+    // the rounded cast overflows. Checking the double (one compare per
+    // row) instead of null-testing a second decimal cast keeps the guard
+    // out of the aggregate's hot-path cost.
+    val limit = math.pow(10.0, (38 - scale).toDouble)
+    val guarded = when(c.isNotNull && abs(c) >= limit,
         raise_error(concat(
           lit(s"StableAgg.dsum: |value| overflows decimal(38,$scale): "),
           c.cast("string"))).cast(s"decimal(38,$scale)"))
-      .otherwise(d)
+      .otherwise(c.cast(s"decimal(38,$scale)"))
     sum(guarded).cast("double")
   }
 
