@@ -9,16 +9,26 @@ import graft.operators.{Derived, Normalizer}
 import graft.streaming.{MetricsStream, Sinks, StalenessStream}
 
 /** Live pipeline entry point — the analog of the reference's CLI
-  * (reference/src/app.py:150-233), Spark-first: one source, N independent
-  * streaming queries (K7 fan-out with per-sink isolation — each query has
-  * its own checkpoint and failure domain, improving on the reference's
-  * sequential per-event fan-out).
+  * (reference/src/app.py:150-233), Spark-first: one source definition, N
+  * independent streaming queries (K7 fan-out with per-sink isolation —
+  * each query has its own checkpoint and failure domain, improving on the
+  * reference's sequential per-event fan-out).
+  *
+  * Fan-out semantics: each started query instantiates its OWN
+  * MicroBatchStream from the source definition — with the live websocket
+  * provider that is one socket PER SINK (the reference multiplexes one
+  * socket). Deterministic providers (synthetic/replay) feed every sink
+  * identically; for live multi-sink deployments where one connection must
+  * feed all sinks, land frames in a replayable log (Kafka / captured
+  * JSONL → ReplaySource) and fan out from there — that is also the 100 TB
+  * shape, where ingest and analytics scale independently.
   *
   * Flags (mirroring src/app.py):
   *   --symbols BTC-USDT,ETH-USDT   --channels books5,trades
   *   --url wss://...               --provider websocket|synthetic
   *   --no-stdout  --no-jsonl       --jsonl-dir DIR
   *   --csv-export PATH             --csv-export-interval SECS
+  *   --max-buffer N (frame buffer per query; overflow drops, T6)
   *   --duration SECS (0 = forever; synthetic demos use a bound)
   */
 object Main {
@@ -28,6 +38,7 @@ object Main {
       "url" -> "wss://ws.okx.com:8443/ws/v5/public",
       "provider" -> "websocket", "jsonl-dir" -> "data/okx",
       "csv-export" -> "", "csv-export-interval" -> "30",
+      "max-buffer" -> "1024",
       "duration" -> "0", "stdout" -> "true", "jsonl" -> "true"))
 
     val spark = GraftSession.get("graft-pipeline")
@@ -38,6 +49,7 @@ object Main {
       .option("symbols", opts("symbols"))
       .option("channels", opts("channels"))
       .option("url", opts("url"))
+      .option("maxBuffer", opts("max-buffer"))
       .load()
 
     val events = Normalizer.normalize(raw)
