@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{MinHashSigs, ParseBookLevels, ParseOkxFrame, PyDoubleRepr}
+
+/** Session-extension injection point for the engine's native expressions —
+  * the supported way to ship a Catalyst expression library so plain SQL
+  * text resolves them:
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  *     ...
+  *   spark.sql("SELECT explode(parse_okx_frame(raw)) FROM frames")
+  * }}}
+  *
+  * `GraftSession` wires this automatically. Registered functions:
+  *
+  *  - `parse_okx_frame(raw)` — whole OKX frame → normalized event array
+  *  - `parse_book_levels(levels)` — [px,sz,_,cnt] string arrays → structs
+  *  - `minhash_sigs(shingles, n)` — n minhash minima in one pass
+  *  - `py_double_repr(x)` — CPython repr/json.dumps double rendering
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "4.0.0", "", "scala_udf")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("parse_okx_frame"),
+      info("parse_okx_frame", "raw OKX WebSocket frame -> array of normalized event structs"),
+      (exprs: Seq[Expression]) => ParseOkxFrame(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("parse_book_levels"),
+      info("parse_book_levels", "OKX [px,sz,liq,cnt] string levels -> array<struct<price,size,count>>"),
+      (exprs: Seq[Expression]) => ParseBookLevels(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("minhash_sigs"),
+      info("minhash_sigs", "minhash_sigs(shingles, n): n salted-md5 minhash minima in one pass"),
+      (exprs: Seq[Expression]) => MinHashSigs(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("py_double_repr"),
+      info("py_double_repr", "render a double exactly as CPython repr/json.dumps"),
+      (exprs: Seq[Expression]) => PyDoubleRepr(exprs.head)))
+  }
+}

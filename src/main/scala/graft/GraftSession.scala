@@ -26,6 +26,7 @@ object GraftSession {
     SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", parallelism)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

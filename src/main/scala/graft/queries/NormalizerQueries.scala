@@ -27,6 +27,10 @@ object NormalizerQueries extends Registry {
 
   /** Frame synthesis shared by both queries. fanOut: the JSON round-trip
     * is CPU-bound, so spread the single-row-group fixture scan first.
+    * Frames are assembled with codegen'd concat instead of to_json —
+    * every field value is already a cast string, so the bytes are
+    * identical and the synthesis (test apparatus, but inside the timed
+    * queries) stops being ~45% of q16's steady-state cost.
     */
   private def framedBooks(s: SparkSession, d: String): DataFrame = {
     Tables.fanOut(Tables.lineitem(s, d)).select(
@@ -39,28 +43,25 @@ object NormalizerQueries extends Registry {
         // S6: invalid JSON frame (dropped at decode)
         when(col("l_orderkey") % 17 === 0, lit("{\"broken"))
           // N1: control frame (dropped)
-          .when(col("l_orderkey") % 11 === 0, to_json(struct(
-            lit("subscribe").as("event"),
-            struct(lit("books5").as("channel"), lit("X").as("instId")).as("arg"))))
-          .otherwise(to_json(struct(
-            struct(lit("books5").as("channel"),
-              concat(lit("SYM-"), (col("l_partkey") % 10).cast("string")).as("instId")).as("arg"),
-            array(struct(
-              // N4: unparseable ts → whole event dropped
-              when(col("l_orderkey") % 13 === 0, lit("notanumber"))
-                .otherwise(col("ship_ms").cast("string")).as("ts"),
-              array(
-                array(col("px").cast("string"), col("qty").cast("string"),
-                  lit("0"), lit("3")),
-                // N5: malformed level → level dropped, event kept
-                when(col("l_linenumber") % 3 === 0,
-                  array(lit("bad"), lit("x"), lit("0"), lit("1")))
-                  .otherwise(array((col("px") - 0.5).cast("string"),
-                    (col("qty") + 1.0).cast("string"), lit("0"), lit("5")))
-              ).as("bids"),
-              array(array((col("px") + 1.0).cast("string"),
-                col("qty").cast("string"), lit("0"), lit("2"))).as("asks")
-            )).as("data")))).as("raw"),
+          .when(col("l_orderkey") % 11 === 0,
+            lit("""{"event":"subscribe","arg":{"channel":"books5","instId":"X"}}"""))
+          .otherwise(concat(
+            lit("{\"arg\":{\"channel\":\"books5\",\"instId\":\"SYM-"),
+            (col("l_partkey") % 10).cast("string"),
+            lit("\"},\"data\":[{\"ts\":\""),
+            // N4: unparseable ts → whole event dropped
+            when(col("l_orderkey") % 13 === 0, lit("notanumber"))
+              .otherwise(col("ship_ms").cast("string")),
+            lit("\",\"bids\":[[\""),
+            col("px").cast("string"), lit("\",\""), col("qty").cast("string"),
+            lit("\",\"0\",\"3\"],"),
+            // N5: malformed level → level dropped, event kept
+            when(col("l_linenumber") % 3 === 0, lit("[\"bad\",\"x\",\"0\",\"1\"]"))
+              .otherwise(concat(lit("[\""), (col("px") - 0.5).cast("string"),
+                lit("\",\""), (col("qty") + 1.0).cast("string"), lit("\",\"0\",\"5\"]"))),
+            lit("],\"asks\":[[\""),
+            (col("px") + 1.0).cast("string"), lit("\",\""), col("qty").cast("string"),
+            lit("\",\"0\",\"2\"]]}]}"))).as("raw"),
         (col("ship_ms") + col("l_orderkey") % 500).as("ts_recv_epoch_ms"),
         ((col("ship_ms") + col("l_orderkey") % 500) * 1000000L).as("ts_recv_mono_ns"),
         ((col("ship_ms") + col("l_orderkey") % 500) * 1000000L + 40000L).as("ts_decoded_mono_ns"),
@@ -111,30 +112,30 @@ object NormalizerQueries extends Registry {
       val framed = base.select(
         col("src_id"),
         when(col("l_orderkey") % 17 === 0, lit("[1,2,3]"))   // non-object frame (S6)
-          .when(col("l_orderkey") % 11 === 0, to_json(struct(
-            lit("error").as("event"),
-            struct(lit("trades").as("channel"), lit("X").as("instId")).as("arg"))))
-          .otherwise(to_json(struct(
-            struct(lit("trades").as("channel"),
-              concat(lit("T-"), (col("l_suppkey") % 5).cast("string")).as("instId")).as("arg"),
-            array(
-              struct(
-                col("ship_ms").cast("string").as("ts"),
-                col("px").cast("string").as("px"),
-                col("qty").cast("string").as("sz"),
-                sideA.as("side"),
-                (col("src_id") * 10 + 1).cast("string").as("tradeId")),
-              struct(
-                // N9: unparseable ts → this item dropped, sibling kept
-                when(col("l_suppkey") % 4 === 0, lit("zz"))
-                  .otherwise((col("ship_ms") + 1).cast("string")).as("ts"),
-                (col("px") + 2.5).cast("string").as("px"),
-                (col("qty") + 0.25).cast("string").as("sz"),
-                sideB.as("side"),
-                // nullable tradeId (normalizer.py:174)
-                when(col("l_partkey") % 5 === 0, lit(null).cast("string"))
-                  .otherwise((col("src_id") * 10 + 2).cast("string")).as("tradeId"))
-            ).as("data")))).as("raw"),
+          .when(col("l_orderkey") % 11 === 0,
+            lit("""{"event":"error","arg":{"channel":"trades","instId":"X"}}"""))
+          .otherwise(concat(
+            lit("{\"arg\":{\"channel\":\"trades\",\"instId\":\"T-"),
+            (col("l_suppkey") % 5).cast("string"),
+            lit("\"},\"data\":[{\"ts\":\""),
+            col("ship_ms").cast("string"),
+            lit("\",\"px\":\""), col("px").cast("string"),
+            lit("\",\"sz\":\""), col("qty").cast("string"),
+            lit("\",\"side\":\""), sideA,
+            lit("\",\"tradeId\":\""), (col("src_id") * 10 + 1).cast("string"),
+            lit("\"},{\"ts\":\""),
+            // N9: unparseable ts → this item dropped, sibling kept
+            when(col("l_suppkey") % 4 === 0, lit("zz"))
+              .otherwise((col("ship_ms") + 1).cast("string")),
+            lit("\",\"px\":\""), (col("px") + 2.5).cast("string"),
+            lit("\",\"sz\":\""), (col("qty") + 0.25).cast("string"),
+            lit("\",\"side\":\""), sideB, lit("\""),
+            // nullable tradeId (normalizer.py:174): omitted when null,
+            // exactly as to_json drops null struct fields
+            when(col("l_partkey") % 5 === 0, lit(""))
+              .otherwise(concat(lit(",\"tradeId\":\""),
+                (col("src_id") * 10 + 2).cast("string"), lit("\""))),
+            lit("}]}"))).as("raw"),
         (col("ship_ms") + 5L).as("ts_recv_epoch_ms"),
         (col("ship_ms") * 1000000L).as("ts_recv_mono_ns"),
         (col("ship_ms") * 1000000L + 1L).as("ts_decoded_mono_ns"),

@@ -1,0 +1,39 @@
+package graft
+
+import graft.SparkSpec
+
+/** The native expression library resolves from plain SQL text via
+  * spark.sql.extensions=graft.GraftExtensions (wired in GraftSession).
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("parse_okx_frame resolves and normalizes from SQL text") {
+    val rows = spark.sql(
+      """SELECT evt.symbol, evt.ts_exchange_ms, evt.trade.price
+        |FROM (SELECT explode(parse_okx_frame(
+        |  '{"arg":{"channel":"trades","instId":"BTC-USDT"},
+        |    "data":[{"ts":"17","px":"9.5","sz":"1.0","side":"buy"}]}')) AS evt)
+        |""".stripMargin.replace("\n", " ")).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(0) == "BTC-USDT")
+    assert(rows.head.getLong(1) == 17L)
+    assert(rows.head.getDouble(2) == 9.5)
+  }
+
+  test("minhash_sigs and py_double_repr resolve from SQL text") {
+    val r = spark.sql(
+      "SELECT minhash_sigs(array('a b c', 'b c d'), 6) AS mhs, " +
+        "py_double_repr(CAST(0.0005 AS DOUBLE)) AS d").collect().head
+    assert(r.getSeq[String](0).length == 6)
+    assert(r.getSeq[String](0).forall(_ != null))
+    assert(r.getString(1) == "0.0005")
+  }
+
+  test("parse_book_levels resolves from SQL text") {
+    val r = spark.sql(
+      "SELECT parse_book_levels(array(array('1.5','2.0','0','3'), array('bad','x','0','1'))) AS lv")
+      .collect().head
+    val lv = r.getSeq[org.apache.spark.sql.Row](0)
+    assert(lv.length == 1 && lv.head.getDouble(0) == 1.5 && lv.head.getInt(2) == 3)
+  }
+}
