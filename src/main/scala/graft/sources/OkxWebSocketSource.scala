@@ -241,12 +241,8 @@ class WebSocketFrameProvider(options: CaseInsensitiveStringMap) extends FramePro
   private val stopped = new AtomicBoolean(false)
   private var thread: Thread = _
 
-  private def subscribePayload: String = {
-    // S2: symbols × channels cross-product (okx_ws.py:43-45)
-    val args = for (c <- channels; s <- symbols)
-      yield s"""{"channel":"$c","instId":"$s"}"""
-    s"""{"op":"subscribe","args":[${args.mkString(",")}]}"""
-  }
+  private def subscribePayload: String =
+    WebSocketFrameProvider.subscribePayload(symbols, channels)
 
   override def start(emit: String => Unit): Unit = {
     thread = new Thread(() => {
@@ -259,9 +255,8 @@ class WebSocketFrameProvider(options: CaseInsensitiveStringMap) extends FramePro
           case _: InterruptedException => return
           case _: Throwable =>
             attempt += 1
-            val backoff = math.min(30.0, 0.25 * math.pow(2.0, attempt.toDouble))
-            val jitter = 0.8 + 0.4 * (System.nanoTime() % 1000) / 1000.0
-            Thread.sleep((backoff * jitter * 1000).toLong)
+            Thread.sleep(WebSocketFrameProvider.backoffMillis(attempt,
+              (System.nanoTime() % 1000) / 1000.0))
         }
       }
     }, "okx-ws-provider")
@@ -303,6 +298,27 @@ class WebSocketFrameProvider(options: CaseInsensitiveStringMap) extends FramePro
   override def close(): Unit = {
     stopped.set(true)
     if (thread != null) thread.interrupt()
+  }
+}
+
+object WebSocketFrameProvider {
+  /** S2: symbols × channels cross-product subscription (okx_ws.py:43-45;
+    * channel-major order as the reference iterates channels outermost).
+    */
+  def subscribePayload(symbols: Seq[String], channels: Seq[String]): String = {
+    val args = for (c <- channels; s <- symbols)
+      yield s"""{"channel":"$c","instId":"$s"}"""
+    s"""{"op":"subscribe","args":[${args.mkString(",")}]}"""
+  }
+
+  /** S4 reconnect backoff: min(30, 0.25·2^attempt) · (0.8 + 0.4·frac),
+    * frac ∈ [0, 1) (okx_ws.py:96-103) — capped exponential with ±20%
+    * jitter, in milliseconds.
+    */
+  def backoffMillis(attempt: Int, frac: Double): Long = {
+    val backoff = math.min(30.0, 0.25 * math.pow(2.0, attempt.toDouble))
+    val jitter = 0.8 + 0.4 * frac
+    (backoff * jitter * 1000).toLong
   }
 }
 

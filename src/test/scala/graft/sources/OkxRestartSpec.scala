@@ -27,6 +27,27 @@ class OkxRestartSpec extends AnyFunSuite {
     }
   }
 
+  test("S2 subscription payload is the channel-major symbols x channels cross-product") {
+    val p = WebSocketFrameProvider.subscribePayload(
+      Seq("BTC-USDT", "ETH-USDT"), Seq("books5", "trades"))
+    assert(p ==
+      """{"op":"subscribe","args":[{"channel":"books5","instId":"BTC-USDT"},""" +
+      """{"channel":"books5","instId":"ETH-USDT"},{"channel":"trades","instId":"BTC-USDT"},""" +
+      """{"channel":"trades","instId":"ETH-USDT"}]}""")
+  }
+
+  test("S4 backoff: capped exponential with +/-20% jitter (okx_ws.py:100-101)") {
+    assert(WebSocketFrameProvider.backoffMillis(1, 0.5) == 500L)   // 0.5s * 1.0
+    assert(WebSocketFrameProvider.backoffMillis(2, 0.0) == 800L)   // 1.0s * 0.8
+    assert(WebSocketFrameProvider.backoffMillis(3, 1.0) == 2400L)  // 2.0s * 1.2
+    // cap at 30s regardless of attempt; jitter still applies
+    assert(WebSocketFrameProvider.backoffMillis(20, 0.0) == 24000L)
+    assert(WebSocketFrameProvider.backoffMillis(20, 1.0) == 36000L)
+    // monotone non-decreasing below the cap at fixed jitter
+    val seq = (1 to 10).map(WebSocketFrameProvider.backoffMillis(_, 0.5))
+    assert(seq == seq.sorted)
+  }
+
   test("latestOffset never returns an end behind a recovered start") {
     val s = newStream(40)
     try {
