@@ -321,7 +321,14 @@ object ParseOkxFrame {
     }
 
     val p = factory.createParser(bytes)
-    try scan(p, processData = true) finally p.close()
+    try {
+      scan(p, processData = true)
+      // strict decode (msgspec, okx_ws.py:72-83): content after the root
+      // object makes the whole frame undecodable → dropped. (from_json's
+      // Jackson-based parse is lenient here — a documented difference of
+      // the declarative cross-check path.)
+      if (p.nextToken() != null) throw MalformedFrame
+    } finally p.close()
 
     if (dataBeforeArg && !controlEvent &&
         (channel == CH_BOOKS5 || channel == CH_TRADES)) {

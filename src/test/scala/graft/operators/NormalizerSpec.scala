@@ -95,6 +95,14 @@ class NormalizerSpec extends SparkSpec {
     assert(ids == Set("a"))
   }
 
+  test("trailing garbage after the root object drops the frame (strict msgspec decode)") {
+    val valid = """{"arg":{"channel":"trades","instId":"Q"},"data":[{"ts":"5","px":"1","sz":"1","side":"buy"}]}"""
+    assert(Normalizer.normalize(framesOf(valid)).count() == 1)
+    assert(Normalizer.normalize(framesOf(valid + " garbage")).count() == 0)
+    assert(Normalizer.normalize(framesOf(valid + "{}")).count() == 0)
+    assert(Normalizer.normalize(framesOf(valid + "   ")).count() == 1) // whitespace ok
+  }
+
   test("missing ts field maps to ts_exchange_ms=0, not a drop (d.get('ts','0'))") {
     val out = Normalizer.normalize(framesOf(
       """{"arg":{"channel":"books5","instId":"X"},"data":[{"bids":[["1.0","2.0","0","1"]],"asks":[]}]}""",
