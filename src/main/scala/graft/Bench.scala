@@ -33,31 +33,41 @@ object Bench {
       val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
       if (sib.isDirectory) sib.getPath else sfDir
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // Two-step warmup: tiny SF compiles the generated code cheaply, then
-      // one untimed pass at the target SF lets the JIT reach steady state
-      // (C2 needs thousands of row-loop invocations — a 600-row warmup
-      // leaves the first full-scale run 3-6x slower than warm).
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    def runOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String): Double = {
+      val t0 = System.nanoTime()
+      // noop sink forces full materialization of every output column
+      // (a bare .count() would let Catalyst prune the computed columns
+      // away and under-report the real work).
+      try fn(spark, dir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // Two-step warmup per query: tiny SF compiles the generated code
+    // cheaply, then one untimed pass at the target SF lets the JIT reach
+    // steady state (C2 needs thousands of row-loop invocations — a
+    // 600-row warmup leaves the first full-scale run 3-6x slower).
+    ordered.foreach { case (name, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
-      // Best-of-2 timed runs (JMH-style): a long-lived JVM running 39
-      // distinct plans suffers sporadic JIT deopt storms (a stage
-      // measured at 2 s CPU can re-run at interpreter speed, 39 s, until
-      // recompiled). The minimum is the steady-state number a resident
-      // cluster session delivers; a single sample is a lottery.
-      val times = (0 until 2).map { _ =>
-        val t0 = System.nanoTime()
-        // noop sink forces full materialization of every output column
-        // (a bare .count() would let Catalyst prune the computed columns
-        // away and under-report the real work).
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
-      }
+      runOnce(name, fn, sfDir)
+    }
+    // Best-of-2 timed samples, INTERLEAVED round-robin (JMH-style min):
+    // the JVM suffers sporadic time-localized slowdowns (JIT deopt storms,
+    // host CPU-steal windows) that can last several seconds — consecutive
+    // samples of one query land in the same storm, but samples a full
+    // sweep apart don't, so min-per-query across separated rounds measures
+    // the steady state a resident cluster session delivers.
+    val sampleRounds = (0 until 2).map { _ =>
+      ordered.map { case (name, fn) => name -> runOnce(name, fn, sfDir) }.toMap
+    }
+    val results = ordered.map { case (name, _) =>
+      val times = sampleRounds.map(_(name))
       val sec = times.min
       System.err.println(f"[bench-q] $name $sec%.2f s (samples ${times.map(t => f"$t%.2f").mkString("/")})")
       name -> sec
