@@ -108,9 +108,11 @@ object Normalizer {
       // N1: control events dropped (subscribe/unsubscribe/error)
       .filter(col("msg.event").isNull ||
         !col("msg.event").isin("subscribe", "unsubscribe", "error"))
-      // N2: envelope validation
-      .filter(col("msg.arg.channel").isNotNull &&
-        col("msg.arg.instId").isNotNull &&
+      // N2: envelope validation — Python truthiness (normalizer.py:73,77):
+      // empty-string channel/instId drop the frame too, not just null
+      // (the r02 fuzz caught the =!= "" halves missing here)
+      .filter(col("msg.arg.channel").isNotNull && col("msg.arg.channel") =!= "" &&
+        col("msg.arg.instId").isNotNull && col("msg.arg.instId") =!= "" &&
         col("msg.data").isNotNull && size(col("msg.data")) > 0)
   }
 
@@ -134,8 +136,13 @@ object Normalizer {
 
   /** The declarative (pure Spark built-ins) normalizer: `from_json` +
     * higher-order functions. Same semantics as [[normalize]] on the wire
-    * domain; kept as the cross-check reference and for environments where
-    * custom expressions are unwanted.
+    * domain (a 3000-frame fuzz asserts agreement); kept as the
+    * cross-check reference and for environments where custom expressions
+    * are unwanted. Known inexpressible corners where [[normalize]] is
+    * reference-true and this path deviates: trailing content after the
+    * JSON root is accepted (from_json is lenient; msgspec drops), and a
+    * non-array element inside bids/asks nulls the WHOLE side under
+    * PERMISSIVE parsing (the reference skips just that level).
     */
   def normalizeDeclarative(raw: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
     org.apache.spark.sql.graftbridge.FunctionRegistryBridge.register(

@@ -95,6 +95,20 @@ class NormalizerSpec extends SparkSpec {
     assert(ids == Set("a"))
   }
 
+  test("non-array book level is skipped individually, siblings kept (native path)") {
+    // reference normalizer.py:101-102: `if not isinstance(level, list): continue`.
+    // The declarative from_json path can't express this (PERMISSIVE nulls
+    // the whole side on a conversion failure) — documented divergence of
+    // the cross-check path; the production native path is reference-true.
+    val out = Normalizer.normalize(framesOf(
+      """{"arg":{"channel":"books5","instId":"X"},"data":[{"ts":"5",
+        |"bids":[7,["375.2","1.0","0","3"]],"asks":[]}]}""".stripMargin.replace("\n", "")))
+    val book = out.collect().head.getAs[org.apache.spark.sql.Row]("book")
+    assert(book.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("bids")
+      .map(_.getAs[Double]("price")) == Seq(375.2))
+    assert(book.getAs[Double]("best_bid") == 375.2)
+  }
+
   test("trailing garbage after the root object drops the frame (strict msgspec decode)") {
     val valid = """{"arg":{"channel":"trades","instId":"Q"},"data":[{"ts":"5","px":"1","sz":"1","side":"buy"}]}"""
     assert(Normalizer.normalize(framesOf(valid)).count() == 1)
