@@ -126,18 +126,30 @@ object TrainingDataQueries extends Registry {
       FROM t ORDER BY doc_id"""
     })
 
-  /** n-gram Jaccard between consecutive docs (1-1 sort-merge join; the
-    * set algebra runs on distinct shingle arrays per row).
+  /** n-gram Jaccard between consecutive docs. A naive self-join on
+    * doc_id+1 scans and shingles the corpus TWICE and shuffles both
+    * sides; instead each doc emits itself under two pair keys (as the
+    * left of pair doc_id and the right of pair doc_id-1) from ONE scan —
+    * a Generate, a single shuffle by pair key, and a 2-row groupBy
+    * replace the join entirely. Same rows/values (oracle unchanged).
     */
   private val q24 = Q("q24_ngram_jaccard",
     (s, d) => {
-      val sh = Tables.fanOut(Tables.documents(s, d))
+      val keyed = Tables.fanOut(Tables.documents(s, d))
         .select(col("doc_id"),
           array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)).as("sh"))
         .filter(size(col("sh")) > 0)
-      val a = sh.as("a")
-      val b = sh.as("b")
-      a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
+        .select(explode(array(
+          struct(col("doc_id").as("k"), lit(true).as("is_left"),
+            col("doc_id"), col("sh")),
+          struct((col("doc_id") - 1).as("k"), lit(false).as("is_left"),
+            col("doc_id"), col("sh")))).as("e"))
+        .select(col("e.k"), col("e.is_left"), col("e.doc_id"), col("e.sh"))
+      keyed.groupBy("k")
+        .agg(
+          max(when(col("is_left"), struct(col("doc_id"), col("sh")))).as("a"),
+          max(when(!col("is_left"), struct(col("doc_id"), col("sh")))).as("b"))
+        .filter(col("a").isNotNull && col("b").isNotNull)
         .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"),
           size(array_intersect(col("a.sh"), col("b.sh"))).cast("long").as("n_inter"),
           size(array_union(col("a.sh"), col("b.sh"))).cast("long").as("n_union"),
