@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinHashSigs, ParseBookLevels, ParseOkxFrame, PyDoubleRepr}
+import graft.functions.{MinHashSigs, ParseBookLevels, ParseOkxFrame, PyDoubleRepr, TokenHash32}
 
 /** Session-extension injection point for the engine's native expressions —
   * the supported way to ship a Catalyst expression library so plain SQL
@@ -23,6 +23,7 @@ import graft.functions.{MinHashSigs, ParseBookLevels, ParseOkxFrame, PyDoubleRep
   *  - `parse_book_levels(levels)` — [px,sz,_,cnt] string arrays → structs
   *  - `minhash_sigs(shingles, n)` — n minhash minima in one pass
   *  - `py_double_repr(x)` — CPython repr/json.dumps double rendering
+  *  - `token_hash32(tokens)` — 32-bit md5-derived token hashes
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -44,5 +45,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("py_double_repr"),
       info("py_double_repr", "render a double exactly as CPython repr/json.dumps"),
       (exprs: Seq[Expression]) => PyDoubleRepr(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("token_hash32"),
+      info("token_hash32", "array<string> tokens -> array<long> 32-bit md5-derived hashes"),
+      (exprs: Seq[Expression]) => TokenHash32(exprs.head)))
   }
 }

@@ -100,10 +100,23 @@ object Dedup {
     (1 to 8).map(p => shiftleft(nibble(p), (8 - p) * 4)).reduce(_ + _)
   }
 
+  /** All token hashes as one array column via the native
+    * [[graft.functions.TokenHash32]] expression — identical values to
+    * `hexHash32(md5(token))` per token (spec-asserted). Use behind an
+    * explode barrier when feeding [[simhash32]], whose 32 per-bit
+    * aggregates each reference the array.
+    */
+  def tokenHash32Array(tokens: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.TokenHash32(
+      ColumnBridge.expression(tokens)))
+  }
+
   /** 32-bit SimHash over a pre-hashed token array (`tok_hash`, from
-    * [[tokenHash32]]): for each bit position, sum ±1 votes; the sign of
-    * the sum sets the bit. Integer arithmetic only — bit-exact everywhere
-    * — and per-row (shuffle-free).
+    * [[tokenHash32Array]] or the declarative hexHash32∘md5 chain): for
+    * each bit position, sum ±1 votes; the sign of the sum sets the bit.
+    * Integer arithmetic only — bit-exact everywhere — and per-row
+    * (shuffle-free).
     */
   def simhash32(tokHash: Column): Column = {
     val bits = (0 until 32).map { b =>

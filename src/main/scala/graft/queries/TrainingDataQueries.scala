@@ -105,11 +105,11 @@ object TrainingDataQueries extends Registry {
     */
   private val q23 = Q("q23_simhash",
     (s, d) => {
+      // explode barrier: token_hash32 runs once per row; the 32 per-bit
+      // aggregates of simhash32 then read the bound array attribute
       Tables.fanOut(Tables.documents(s, d))
-        .select(col("doc_id"),
-          transform(TextAnalysis.tokens(col("text")), t => md5(t)).as("tok_md5"))
-        .select(col("doc_id"),
-          transform(col("tok_md5"), h => Dedup.hexHash32(h)).as("tok_hash"))
+        .select(col("doc_id"), explode(array(
+          Dedup.tokenHash32Array(TextAnalysis.tokens(col("text"))))).as("tok_hash"))
         .select(col("doc_id"), Dedup.simhash32(col("tok_hash")).as("simhash"))
         .orderBy("doc_id")
     },

@@ -29,6 +29,12 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getString(1) == "0.0005")
   }
 
+  test("token_hash32 resolves from SQL text and bounds to 32 bits") {
+    val r = spark.sql("SELECT token_hash32(array('alpha','beta')) AS h").collect().head
+    val hs = r.getSeq[Long](0)
+    assert(hs.length == 2 && hs.forall(h => h >= 0L && h <= 0xffffffffL))
+  }
+
   test("parse_book_levels resolves from SQL text") {
     val r = spark.sql(
       "SELECT parse_book_levels(array(array('1.5','2.0','0','3'), array('bad','x','0','1'))) AS lv")

@@ -47,6 +47,19 @@ class TrainingDataSpec extends SparkSpec {
     assert(empty.getSeq[String](0).forall(_ == null))
   }
 
+  test("native TokenHash32 matches hexHash32(md5(token)) bit-for-bit on real docs") {
+    val docs = Tables.documents(spark, dir).limit(300)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val declarative = docs
+      .select(col("doc_id"),
+        transform(col("toks"), t => Dedup.hexHash32(md5(t))).as("h"))
+      .orderBy("doc_id").collect().toSeq
+    val native = docs
+      .select(col("doc_id"), Dedup.tokenHash32Array(col("toks")).as("h"))
+      .orderBy("doc_id").collect().toSeq
+    assert(native.nonEmpty && native == declarative)
+  }
+
   test("literal-plane lshBucket matches the per-row md5 formulation") {
     // the pre-r02 in-plan form, kept inline here as the cross-check
     def planeComponentExpr(p: Int, i: org.apache.spark.sql.Column) =
