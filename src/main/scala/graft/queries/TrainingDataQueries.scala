@@ -476,6 +476,80 @@ object TrainingDataQueries extends Registry {
           (acc, v) -> acc + v) AS feat0
       FROM b ORDER BY doc_id"""))
 
+  /** Dedup RESOLUTION — the retention policy a training-data pipeline
+    * actually executes after clustering: every doc lands in a cluster
+    * (its LSH connected component, or itself if unpaired) and the
+    * highest-quality copy wins (tie → lowest doc_id). Composes q38's
+    * clustering with q29's quality scoring; the winner choice is a
+    * deterministic window rank so both engines agree bit-for-bit.
+    */
+  private val q41 = Q("q41_dedup_keep_best",
+    (s, d) => {
+      val docs = Tables.fanOut(Tables.documents(s, d))
+      val quality = docs.select(col("doc_id") +:
+        TextAnalysis.qualityColumns(col("text"), TextAnalysis.tokens(col("text"))): _*)
+        .select(col("doc_id"), col("quality_score"))
+      val sigs = minhashSigFrame(s, d)
+        .select(col("doc_id") +: Dedup.minhashColsFromArray(col("mhs"), NumHashes): _*)
+        .select(col("doc_id") +: Dedup.bandCols(NumHashes, RowsPerBand): _*)
+      val clusters = Dedup.duplicateClusters(Dedup.lshCandidatePairs(sigs, NumBands))
+      val withCluster = quality
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+      val rankW = w.orderBy(desc("quality_score"), asc("doc_id"))
+      withCluster
+        .withColumn("n_docs", count(lit(1)).over(w))
+        .withColumn("rn", row_number().over(rankW))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("keep_id"),
+          col("n_docs"), col("quality_score").as("best_quality"))
+        .orderBy("cluster_id")
+    },
+    Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $duckToks AS w FROM documents),
+      s AS (SELECT doc_id, ${duckShingles("w")} AS sh FROM t),
+      mh AS (SELECT doc_id,
+        ${(0 until NumHashes).map(i => s"${duckMh(i)} AS mh$i").mkString(", ")}
+        FROM s WHERE len(sh) > 0),
+      sig AS (SELECT doc_id,
+        ${(0 until NumBands).map(b =>
+          s"md5(mh${b * RowsPerBand} || '|' || mh${b * RowsPerBand + 1}) AS band$b")
+          .mkString(", ")}
+        FROM mh),
+      bands AS (${(0 until NumBands).map(b =>
+          s"SELECT doc_id, $b AS band_idx, band$b AS band_hash FROM sig")
+          .mkString("\n        UNION ALL ")}),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+          AND a.doc_id < b.doc_id),
+      edges AS (
+        SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+        UNION ALL SELECT doc_id_b, doc_id_a FROM pairs),
+      reach(doc_id, lbl) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.dst),
+      cc AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+      q AS (SELECT doc_id,
+        least(CAST(len(w) AS DOUBLE) / 100.0::DOUBLE, 1.0::DOUBLE) * 0.5::DOUBLE
+          + (CASE WHEN CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) >= 3.0::DOUBLE
+                   AND CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) <= 10.0::DOUBLE
+              THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) * 0.2::DOUBLE
+          + least((CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is','to','in','that'))) AS DOUBLE)
+              / len(w)) * 3.0::DOUBLE, 1.0::DOUBLE) * 0.3::DOUBLE AS quality_score
+        FROM (SELECT doc_id, text, $duckToks AS w FROM documents)),
+      wc AS (SELECT q.doc_id, coalesce(cc.cluster_id, q.doc_id) AS cluster_id,
+               quality_score
+             FROM q LEFT JOIN cc ON cc.doc_id = q.doc_id),
+      r AS (SELECT cluster_id, doc_id, quality_score,
+        COUNT(*) OVER (PARTITION BY cluster_id) AS n_docs,
+        row_number() OVER (PARTITION BY cluster_id
+          ORDER BY quality_score DESC, doc_id) AS rn FROM wc)
+      SELECT cluster_id, doc_id AS keep_id, n_docs, quality_score AS best_quality
+      FROM r WHERE rn = 1 ORDER BY cluster_id"""))
+
   override val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27,
-    q28, q29, q30, q31, q32, q33, q34, q38)
+    q28, q29, q30, q31, q32, q33, q34, q38, q41)
 }
