@@ -10,19 +10,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * so JSONL output stays byte-compatible outside the range where JVM and
   * CPython formatting happen to agree.
   *
-  * Both CPython and the JVM print the shortest decimal-digit string that
-  * round-trips to the same IEEE-754 double; they differ only in SURFACE
-  * form. Python uses plain decimal when the leading digit's power of ten
-  * `e` is in [-4, 16) and scientific (`1e-05`, `1.5e+20`: lowercase `e`,
-  * signed, >=2-digit exponent) otherwise; Java switches to `5.0E-4`-style
-  * scientific already below 1e-3 and at 1e7. This reformats the JVM's
-  * digits into the CPython layout.
-  *
-  * Digit-selection caveat: on JDK < 19 `Double.toString` (legacy
-  * FloatingDecimal) can pick a different same-length shortest candidate
-  * than CPython for a handful of subnormal values (e.g. 5e-324 →
-  * "4.9E-324" vs Python "5e-324"); normal-range wire values (prices,
-  * sizes, latencies) are identical.
+  * CPython prints the SHORTEST decimal-digit string that round-trips to
+  * the same IEEE-754 double, plain decimal when the leading digit's power
+  * of ten `e` is in [-4, 16) and scientific (`1e-05`, `1.5e+20`:
+  * lowercase `e`, signed, >=2-digit exponent) otherwise. JDK 17's legacy
+  * `Double.toString` is NOT always shortest (e.g. 2.13132399051318989E18
+  * where 15 digits suffice — a 32k-value golden corpus against CPython
+  * 3.12 caught this), so the digits are derived independently: the first
+  * k in 1..17 whose correctly-rounded k-significant-digit form parses
+  * back to the identical double. That string has no trailing zeros by
+  * construction (a trailing-zero k-digit form implies the (k-1)-digit
+  * form parses identically), and reading it back picks the same double
+  * CPython's shortest-repr guarantees. The corpus test pins all regimes
+  * including subnormals.
   *
   * NaN/±Infinity render as `NaN`/`Infinity`/`-Infinity` — json.dumps'
   * (non-standard-JSON) spellings, which the JVM shares.
@@ -48,27 +48,41 @@ case class PyDoubleRepr(child: Expression)
 
 object PyDoubleRepr {
 
+  private val contexts: Array[java.math.MathContext] =
+    (0 to 17).map(k => new java.math.MathContext(
+      math.max(k, 1), java.math.RoundingMode.HALF_EVEN)).toArray
+
+  /** Shortest round-trip digits of `v` (finite, non-zero): the first
+    * k in 1..17 whose CORRECTLY-ROUNDED (half-even, like dtoa — `%e`'s
+    * half-up differs on the exact decimal midpoints common among big
+    * integers) k-significant-digit decimal parses back to the identical
+    * double. Returns (digits-without-zeros-padding, exponent of the
+    * leading digit).
+    */
+  private def shortestDigits(v: Double): (String, Int) = {
+    val exact = new java.math.BigDecimal(v) // exact binary expansion
+    var k = 1
+    while (k <= 17) {
+      val r = exact.round(contexts(k))
+      if (r.doubleValue() == v) {
+        val st = r.stripTrailingZeros()
+        val digits = st.unscaledValue().abs().toString
+        // value = 0.d1d2... x 10^(precision - scale) => leading-digit e:
+        return (digits, st.precision() - st.scale() - 1)
+      }
+      k += 1
+    }
+    val st = exact.stripTrailingZeros() // unreachable: 17 digits round-trip
+    (st.unscaledValue().abs().toString, st.precision() - st.scale() - 1)
+  }
+
   /** CPython float repr of `v` (see class doc). */
   def repr(v: Double): String = {
     if (java.lang.Double.isNaN(v)) return "NaN"
     if (java.lang.Double.isInfinite(v)) return if (v > 0) "Infinity" else "-Infinity"
-    val s = java.lang.Double.toString(v) // shortest round-trip digits
-    val neg = s.charAt(0) == '-'
-    val body = if (neg) s.substring(1) else s
-    val eIdx = body.indexOf('E')
-    val (mant, exp) =
-      if (eIdx >= 0) (body.substring(0, eIdx), body.substring(eIdx + 1).toInt)
-      else (body, 0)
-    val dot = mant.indexOf('.')
-    var digits = mant.substring(0, dot) + mant.substring(dot + 1)
-    var e = exp + dot - 1 // value = d1.d2... * 10^e
-    var lead = 0
-    while (lead < digits.length - 1 && digits.charAt(lead) == '0') { lead += 1; e -= 1 }
-    digits = digits.substring(lead)
-    var end = digits.length
-    while (end > 1 && digits.charAt(end - 1) == '0') end -= 1
-    digits = digits.substring(0, end)
-    if (digits == "0") return if (neg) "-0.0" else "0.0"
+    if (v == 0.0) return if (1.0 / v < 0) "-0.0" else "0.0"
+    val neg = v < 0
+    val (digits, e) = shortestDigits(v)
     val sb = new java.lang.StringBuilder(26)
     if (neg) sb.append('-')
     if (e >= -4 && e < 16) {
