@@ -61,19 +61,18 @@ object PyDoubleRepr {
     */
   private def shortestDigits(v: Double): (String, Int) = {
     val exact = new java.math.BigDecimal(v) // exact binary expansion
-    var k = 1
-    while (k <= 17) {
-      val r = exact.round(contexts(k))
-      if (r.doubleValue() == v) {
-        val st = r.stripTrailingZeros()
-        val digits = st.unscaledValue().abs().toString
-        // value = 0.d1d2... x 10^(precision - scale) => leading-digit e:
-        return (digits, st.precision() - st.scale() - 1)
-      }
-      k += 1
+    // round-trip success is monotone in k (more digits → strictly smaller
+    // representation error), so binary-search the minimal k in [1, 17]
+    var lo = 1
+    var hi = 17
+    while (lo < hi) {
+      val mid = (lo + hi) / 2
+      if (exact.round(contexts(mid)).doubleValue() == v) hi = mid else lo = mid + 1
     }
-    val st = exact.stripTrailingZeros() // unreachable: 17 digits round-trip
-    (st.unscaledValue().abs().toString, st.precision() - st.scale() - 1)
+    val st = exact.round(contexts(lo)).stripTrailingZeros()
+    val digits = st.unscaledValue().abs().toString
+    // value = 0.d1d2... x 10^(precision - scale) => leading-digit e:
+    (digits, st.precision() - st.scale() - 1)
   }
 
   /** CPython float repr of `v` (see class doc). */
