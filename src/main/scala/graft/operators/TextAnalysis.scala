@@ -86,6 +86,20 @@ object TextAnalysis {
       .as("n_regex_tokens"),
     ceil(length(text).cast("double") / 4.0d).cast("long").as("n_bpe_est"))
 
+  /** Overlapping token-chunk start offsets (the RAG/training chunker):
+    * chunks of `chunkSize` tokens every `stride` tokens, last (possibly
+    * short) chunk included — k = 1 + ceil(max(n-chunkSize,0)/stride)
+    * chunks for an n-token doc (n >= 1). Requires stride <= chunkSize so
+    * every start offset lies inside the doc (no empty chunks). Integer
+    * values stay far below 2^53, so the double floor-division is exact.
+    */
+  def chunkStarts(nToks: Column, chunkSize: Int, stride: Int): Column = {
+    require(stride <= chunkSize && stride > 0)
+    val kMinus1 = ((greatest(nToks - chunkSize, lit(0)) + lit(stride - 1))
+      .cast("double") / stride).cast("int")
+    transform(sequence(lit(0), kMinus1), i => i * stride)
+  }
+
   /** Document fingerprints: full-content digest + a prefix digest (cheap
     * near-head dedup key), over whitespace-normalized lowercase text.
     */

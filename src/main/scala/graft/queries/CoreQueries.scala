@@ -571,6 +571,40 @@ object CoreQueries extends Registry {
       GROUP BY p_type, substr(p_brand, 7, 2)
       ORDER BY p_type, brand_code"""))
 
+  /** Interval (range) join: for each signup, count purchases by the same
+    * user in the trailing 10-minute window. The equi-key (user_id) carries
+    * the join — hash/sort-merge on user_id with the time band as a
+    * residual predicate — so the quadratic blowup is confined to within a
+    * user's events; no broadcast-nested-loop at any scale. (For band joins
+    * WITHOUT an equi-key, the scale pattern is bucketing ts into
+    * window-sized buckets and equi-joining on adjacent buckets.)
+    */
+  private val q46 = Q("q46_interval_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val l = ev.filter(col("event_type") === "signup")
+        .select("event_id", "user_id", "ts_ms")
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("r_user"), col("ts_ms").as("r_ts"))
+      l.join(r,
+          col("user_id") === col("r_user") &&
+          col("r_ts") > col("ts_ms") - 600000L && col("r_ts") <= col("ts_ms"),
+          "left")
+        .groupBy("event_id", "user_id", "ts_ms")
+        .agg(count(col("r_ts")).as("n_recent_purchases"))
+        .orderBy("event_id")
+    },
+    Some("""WITH s AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+        FROM events WHERE event_type = 'signup'),
+      p AS (SELECT user_id, epoch_ms(ts) AS ts_ms
+        FROM events WHERE event_type = 'purchase')
+      SELECT s.event_id, s.user_id, s.ts_ms,
+        COUNT(p.user_id) AS n_recent_purchases
+      FROM s LEFT JOIN p ON p.user_id = s.user_id
+        AND p.ts_ms > s.ts_ms - 600000 AND p.ts_ms <= s.ts_ms
+      GROUP BY s.event_id, s.user_id, s.ts_ms
+      ORDER BY s.event_id"""))
+
   override val all: Seq[Q] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
-    q11, q12, q13, q14, q15, q18, q19, q35, q36, q37, q40)
+    q11, q12, q13, q14, q15, q18, q19, q35, q36, q37, q40, q46)
 }

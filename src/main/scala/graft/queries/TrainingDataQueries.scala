@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Training-data-pipeline operators over `documents` / `embeddings`:
   * dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine),
@@ -550,6 +550,130 @@ object TrainingDataQueries extends Registry {
       SELECT cluster_id, doc_id AS keep_id, n_docs, quality_score AS best_quality
       FROM r WHERE rn = 1 ORDER BY cluster_id"""))
 
+  /** TF-IDF top terms per document. Scale shape: one explode feeds two
+    * partial-aggregated shuffles (tf by (doc,term), df by term — both
+    * map-side combined), the tf⋈df join shares the term shuffle key, the
+    * corpus size joins in as a broadcast scalar, and the final top-3 is a
+    * per-doc window rank. Scoring is log-free on purpose: tf·N/df keeps
+    * every intermediate an exactly-representable double (integer products
+    * < 2^53, one IEEE division), so ranking and hashes are bit-identical
+    * across engines — a libm `ln` would not be.
+    */
+  private val q42 = Q("q42_tfidf_top_terms",
+    (s, d) => {
+      val docs = Tables.fanOut(Tables.documents(s, d))
+      val toks = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+      tf.join(dfreq, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score", col("tf").cast("double") * col("n_docs") / col("df"))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", "df", "score")
+        .orderBy("doc_id", "rank")
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+      df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      sc AS (SELECT doc_id, term, tf, df,
+          CAST(tf AS DOUBLE) * n_docs / df AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n),
+      r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+          ORDER BY score DESC, term) AS INTEGER) AS rank FROM sc)
+      SELECT doc_id, rank, term, tf, df, score FROM r
+      WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
+  /** Hash-stratified sampling by language (corpus rebalancing): per-row
+    * salted-digest draw vs per-stratum keep-rate — deterministic across
+    * engines, partitionings, and retries (see operators.Sampling). No
+    * shuffle; at 100 TB this runs at scan speed and composes with any
+    * downstream op.
+    */
+  private val q43 = Q("q43_stratified_sample",
+    (s, d) => {
+      Sampling.stratified(Tables.fanOut(Tables.documents(s, d)),
+          key = col("doc_id"), stratum = col("lang"),
+          rates = Seq("en" -> 0.25, "de" -> 0.5), defaultRate = 1.0,
+          salt = "smp")
+        .select("doc_id", "lang", "sample_u")
+        .orderBy("doc_id")
+    },
+    Some {
+      val u = duckHash32("md5('smp:' || CAST(doc_id AS VARCHAR))")
+      s"""WITH t AS (SELECT doc_id, lang,
+          CAST($u AS DOUBLE) / 4294967296.0 AS sample_u FROM documents)
+        SELECT doc_id, lang, sample_u FROM t
+        WHERE sample_u < (CASE WHEN lang = 'en' THEN 0.25::DOUBLE
+                               WHEN lang = 'de' THEN 0.5::DOUBLE
+                               ELSE 1.0::DOUBLE END)
+        ORDER BY doc_id"""
+    })
+
+  /** Deterministic global shuffle of training examples: order by a salted
+    * digest of the stable row key, plus the hash-shard each row would land
+    * in when written as N shuffled output files. The sort is a range
+    * exchange (sampled boundaries, fully parallel) — the canonical way to
+    * produce a reproducible random permutation of a 100 TB corpus; no
+    * driver-side anything.
+    */
+  private val q44 = Q("q44_global_shuffle",
+    (s, d) => {
+      Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"),
+          md5(concat(lit("shuf:"), col("doc_id").cast("string"))).as("shuffle_key"))
+        .withColumn("shard",
+          pmod(Dedup.hexHash32(col("shuffle_key")), lit(64L)).cast("int"))
+        .orderBy("shuffle_key")
+    },
+    Some {
+      val keyed = "md5('shuf:' || CAST(doc_id AS VARCHAR))"
+      s"""WITH t AS (SELECT doc_id, $keyed AS shuffle_key FROM documents)
+        SELECT doc_id, shuffle_key,
+          CAST((${duckHash32("shuffle_key")}) % 64 AS INTEGER) AS shard
+        FROM t ORDER BY shuffle_key"""
+    })
+
+  /** Overlapping token chunking (32-token chunks, stride 24) — the
+    * RAG/embedding chunker. One Generate per doc (no shuffle); chunk
+    * content is carried as a digest so the verified output stays small
+    * while still pinning the exact token spans byte-for-byte.
+    */
+  private val q45 = Q("q45_doc_chunks",
+    (s, d) => {
+      val ChunkSize = 32
+      val Stride = 24
+      Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          posexplode(TextAnalysis.chunkStarts(size(col("toks")), ChunkSize, Stride))
+            .as(Seq("chunk_idx", "start_tok")))
+        .select(col("doc_id"),
+          col("chunk_idx").cast("int").as("chunk_idx"),
+          col("start_tok").cast("int").as("start_tok"),
+          size(slice(col("toks"), col("start_tok") + 1, lit(ChunkSize)))
+            .as("n_chunk_toks"),
+          md5(concat_ws(" ", slice(col("toks"), col("start_tok") + 1, lit(ChunkSize))))
+            .as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      k AS (SELECT doc_id, w,
+          1 + CAST(floor((greatest(len(w) - 32, 0) + 23) / 24.0) AS INTEGER) AS k
+        FROM t),
+      c AS (SELECT doc_id, w, unnest(range(0, k)) AS chunk_idx FROM k)
+      SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+        CAST(chunk_idx * 24 AS INTEGER) AS start_tok,
+        CAST(len(w[chunk_idx*24 + 1 : chunk_idx*24 + 32]) AS INTEGER) AS n_chunk_toks,
+        md5(array_to_string(w[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ')) AS chunk_md5
+      FROM c ORDER BY doc_id, chunk_idx"""))
+
   override val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27,
-    q28, q29, q30, q31, q32, q33, q34, q38, q41)
+    q28, q29, q30, q31, q32, q33, q34, q38, q41, q42, q43, q44, q45)
 }
