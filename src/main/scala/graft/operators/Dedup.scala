@@ -178,17 +178,18 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "nbr"),
           col("dst") === col("nbr"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
+      // Carry the old label through the update so convergence detection is
+      // a filter over the (already materialized) checkpoint — no extra
+      // join+shuffle per iteration. Labels only ever decrease (least), so
+      // changed ⇔ new < old.
       val updated = labels
         .join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("cluster_id").as("old_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint()
-      val changed = updated.as("n")
-        .join(labels.select(col("doc_id"), col("cluster_id").as("old_id")), "doc_id")
-        .filter(col("cluster_id") =!= col("old_id"))
-        .limit(1).count()
-      labels = updated
+      val changed = updated.filter(col("cluster_id") < col("old_id")).limit(1).count()
+      labels = updated.select("doc_id", "cluster_id")
       converged = changed == 0
     }
     labels

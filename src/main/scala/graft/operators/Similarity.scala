@@ -22,13 +22,31 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two double arrays, left-to-right fold. */
-  def cosine(a: Column, b: Column): Column = {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Cosine similarity of two double arrays — native one-pass kernel
+    * ([[graft.functions.VecCosine]]), bit-identical to
+    * [[cosineDeclarative]] (spec-asserted A/B).
+    */
+  def cosine(a: Column, b: Column): Column =
+    ColumnBridge.column(graft.functions.VecCosine(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** The declarative HOF form of [[cosine]] (what the DuckDB oracles
+    * mirror): left-to-right folds via aggregate/zip_with/transform. Kept
+    * as the cross-engine semantic reference and for the A/B spec.
+    */
+  def cosineDeclarative(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
     val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
     val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0d), (acc, x) => acc + x))
     dot / (na * nb)
   }
+
+  /** Native left-to-right dot product ([[graft.functions.VecDot]]). */
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(graft.functions.VecDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
@@ -78,10 +96,7 @@ object Similarity {
     */
   def lshBucket(vec: Column, numPlanes: Int, dim: Int = 64): Column = {
     val bits = (0 until numPlanes).map { p =>
-      val dot = aggregate(
-        zip_with(vec, planeLit(p, dim), (x, c) => x * c),
-        lit(0.0d), (acc, x) => acc + x)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+      when(dot(vec, planeLit(p, dim)) >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
@@ -130,28 +145,61 @@ object Similarity {
   def ivfSampledTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nProbe: Int = 4): DataFrame = {
     val step = math.max(1L, corpus.count() / nlist) // index-build-time action
-    val centroids = corpus
+    // Index build: the sampled coarse quantizer is nlist×dim doubles (KB)
+    // of pure data — collect it once and ship it to every task as array
+    // LITERALS, exactly like a real IVF broadcasts its quantizer. Cell
+    // assignment then becomes a per-row argmin over constants: no
+    // corpus×centroids join, no per-id window, no shuffle of vector rows
+    // (the previous formulation shuffled |corpus|·nlist wide rows to sort
+    // each id's candidates). Values are unchanged: same sqDist folds, and
+    // array_position's first-match rule reproduces the (dist asc, cell
+    // asc) tie-break.
+    val cents: Seq[Seq[Double]] = corpus
       .filter(col("id") % step === 0 && (col("id") / step) < nlist)
-      .select((col("id") / step).cast("int").as("cell"),
-        asDouble(col("vec")).as("centroid"))
-    // assign each corpus vector to its nearest sampled centroid
+      .orderBy((col("id") / step).cast("int"))
+      .select(asDouble(col("vec")))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    def centLit(c: Int): Column = array(cents(c).map(lit): _*)
+    def cellDists(v: Column): Column =
+      array((0 until cents.size).map(c => sqDist(v, centLit(c))): _*)
+    def argminCell(v: Column): Column = {
+      val d = cellDists(v)
+      (array_position(d, array_min(d)) - 1).cast("int")
+    }
+
     val assigned = corpus
-      .withColumn("v", asDouble(col("vec")))
-      .crossJoin(broadcast(centroids))
-      .withColumn("dist", sqDist(col("v"), col("centroid")))
-      .withColumn("arank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("id").orderBy(asc("dist"), asc("cell"))))
-      .filter(col("arank") === 1)
+      .withColumn("cell", argminCell(asDouble(col("vec"))))
       .select(col("id"), col("vec"), col("cell"))
-    ivfProbeAndRank(assigned,
-      centroids.select(col("cell"), col("centroid")), queries, k, nProbe)
+
+    // Probe routing: nProbe nearest cells per query via one sorted
+    // (dist, cell) struct array — same ordering the window rank produced.
+    val qCells = queries
+      .withColumn("ds", cellDists(asDouble(col("qvec"))))
+      .withColumn("probe", slice(array_sort(zip_with(
+        col("ds"),
+        array((0 until cents.size).map(c => lit(c)): _*),
+        (d, c) => struct(d.as("dist"), c.as("cell")))), 1, nProbe))
+      .select(col("qid"), col("qvec"), explode(col("probe.cell")).as("cell"))
+
+    val joined = assigned.join(broadcast(qCells), Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("cos_sim", cosine(asDouble(col("qvec")), asDouble(col("vec"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cos_sim"), asc("id"))
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor_id"), col("cos_sim"))
   }
 
-  /** Left-to-right squared euclidean distance fold (bit-reproducible). */
+  /** Squared euclidean distance — native left-to-right kernel
+    * ([[graft.functions.VecSqDist]]), bit-identical to the declarative
+    * `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0.0, _+_)` fold the
+    * oracles mirror.
+    */
   private def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0d), (acc, x) => acc + x)
+    ColumnBridge.column(graft.functions.VecSqDist(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Shared IVF probe path: route each query to its `nProbe` nearest cells
     * (euclidean, matching the quantizer metric), rank exactly within them.

@@ -485,7 +485,7 @@ object CoreQueries extends Registry {
     */
   private val q36 = Q("q36_session_windows",
     (s, d) => {
-      Tables.events(s, d)
+      Tables.fanOut(Tables.events(s, d))
         .groupBy(session_window(timestamp_millis(col("ts_ms")), "30 minutes").as("sw"),
           col("user_id"))
         .agg(count(lit(1)).as("cnt"), SA.dsum(col("value")).as("total_value"))
@@ -520,7 +520,10 @@ object CoreQueries extends Registry {
     */
   private val q37 = Q("q37_approx_sketches",
     (s, d) => {
-      Tables.events(s, d)
+      // percentile/HLL partials merge order-independently, so the fan-out
+      // repartition cannot change results; the one approx column
+      // (percentile_approx) only feeds a generous-corridor boolean.
+      Tables.fanOut(Tables.events(s, d))
         .groupBy("event_type")
         .agg(
           count(lit(1)).as("cnt"),

@@ -135,9 +135,13 @@ object TrainingDataQueries extends Registry {
     */
   private val q24 = Q("q24_ngram_jaccard",
     (s, d) => {
+      // explode(array(...)) barrier: without it the size(sh) > 0 filter
+      // pushes below the projection and the whole shingling chain is
+      // evaluated 3x per row (twice in the filter, once in the project)
+      // on the pre-fan-out single-task scan
       val keyed = Tables.fanOut(Tables.documents(s, d))
-        .select(col("doc_id"),
-          array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)).as("sh"))
+        .select(col("doc_id"), explode(array(
+          array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)))).as("sh"))
         .filter(size(col("sh")) > 0)
         .select(explode(array(
           struct(col("doc_id").as("k"), lit(true).as("is_left"),
@@ -565,7 +569,11 @@ object TrainingDataQueries extends Registry {
       val toks = docs.select(col("doc_id"),
         explode(TextAnalysis.tokens(col("text"))).as("term"))
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      // df(term) = |{doc: tf(doc,term) > 0}| — derived FROM tf, so the
+      // corpus is exploded once and the (doc_id, term) shuffle is shared
+      // by both sides of the join (ReusedExchange), instead of a second
+      // scan+explode+distinct pipeline.
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy(desc("score"), asc("term"))
@@ -674,6 +682,88 @@ object TrainingDataQueries extends Registry {
         md5(array_to_string(w[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ')) AS chunk_md5
       FROM c ORDER BY doc_id, chunk_idx"""))
 
+  /** Benchmark decontamination: fraction of each doc's distinct 3-gram
+    * shingles that appear anywhere in a benchmark suite (here: doc_id <
+    * 10); contaminated ⇔ overlap ≥ 0.5. Scale shape: the benchmark
+    * shingle set is tiny relative to the corpus → distinct once,
+    * broadcast, and each corpus doc's overlap is a map-side membership
+    * count — the 100 TB corpus is scanned once and never shuffled (only
+    * the per-doc counts move).
+    */
+  private val q47 = Q("q47_decontaminate",
+    (s, d) => {
+      // explode(array(...)) barrier (cf. minhashSigFrame): keeps the
+      // size(sh) > 0 filter from pushing below the projection, which would
+      // re-evaluate the shingling chain 3x per row before the fan-out
+      val docs = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), explode(array(
+          array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)))).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val benchSh = docs.filter(col("doc_id") < 10)
+        .select(explode(col("sh")).as("bsh")).distinct()
+      docs
+        .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
+          explode(col("sh")).as("s"))
+        .join(broadcast(benchSh), col("s") === col("bsh"), "left")
+        .groupBy("doc_id", "n_sh")
+        .agg(sum(when(col("bsh").isNotNull, 1L).otherwise(0L)).as("n_overlap"))
+        .withColumn("overlap_frac",
+          col("n_overlap").cast("double") / col("n_sh"))
+        .withColumn("contaminated", col("overlap_frac") >= 0.5d)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $duckToks AS w FROM documents),
+      s AS (SELECT doc_id, list_distinct(${duckShingles("w")}) AS sh FROM t),
+      f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+      bench AS (SELECT DISTINCT unnest(sh) AS bsh FROM f WHERE doc_id < 10),
+      ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS sg FROM f),
+      ov AS (SELECT doc_id, n_sh,
+          CAST(SUM(CASE WHEN b.bsh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_overlap
+        FROM ex LEFT JOIN bench b ON b.bsh = ex.sg
+        GROUP BY doc_id, n_sh)
+      SELECT doc_id, CAST(n_sh AS BIGINT) AS n_sh, n_overlap,
+        CAST(n_overlap AS DOUBLE) / n_sh AS overlap_frac,
+        CAST(n_overlap AS DOUBLE) / n_sh >= 0.5::DOUBLE AS contaminated
+      FROM ov ORDER BY doc_id"""))
+
+  /** Sequence packing (concat-and-chop, the standard LLM pretraining
+    * layout): per language stream, documents are concatenated in doc_id
+    * order and chopped into fixed 256-token blocks; each doc reports its
+    * token offset and the block span it lands in. One window cumsum per
+    * stream — at scale the stream key is the output shard, so packing is
+    * embarrassingly parallel across shards and needs no global order.
+    */
+  private val q48 = Q("q48_pack_sequences",
+    (s, d) => {
+      val Block = 256
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), col("lang"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+        .withColumn("cum", sum(col("n_toks")).over(w))
+        .select(col("doc_id"), col("lang"), col("n_toks"),
+          (col("cum") - col("n_toks")).as("tok_offset"),
+          floor((col("cum") - col("n_toks")) / Block).as("first_block"),
+          floor((col("cum") - 1) / Block).as("last_block"))
+        .withColumn("n_blocks", col("last_block") - col("first_block") + 1L)
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, lang,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks FROM documents),
+      c AS (SELECT doc_id, lang, n_toks,
+          CAST(SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM t)
+      SELECT doc_id, lang, n_toks,
+        cum - n_toks AS tok_offset,
+        (cum - n_toks) // 256 AS first_block,
+        (cum - 1) // 256 AS last_block,
+        (cum - 1) // 256 - (cum - n_toks) // 256 + 1 AS n_blocks
+      FROM c ORDER BY doc_id"""))
+
   override val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27,
-    q28, q29, q30, q31, q32, q33, q34, q38, q41, q42, q43, q44, q45)
+    q28, q29, q30, q31, q32, q33, q34, q38, q41, q42, q43, q44, q45, q47, q48)
 }
