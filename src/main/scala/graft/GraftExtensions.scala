@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinHashSigs, ParseBookLevels, ParseOkxFrame, PyDoubleRepr, TokenHash32}
+import graft.functions.{MinHashSigs, ParseBookLevels, ParseOkxFrame, PyDoubleRepr, TokenHash32, VecCosine, VecDot, VecSqDist}
 
 /** Session-extension injection point for the engine's native expressions —
   * the supported way to ship a Catalyst expression library so plain SQL
@@ -24,6 +24,8 @@ import graft.functions.{MinHashSigs, ParseBookLevels, ParseOkxFrame, PyDoubleRep
   *  - `minhash_sigs(shingles, n)` — n minhash minima in one pass
   *  - `py_double_repr(x)` — CPython repr/json.dumps double rendering
   *  - `token_hash32(tokens)` — 32-bit md5-derived token hashes
+  *  - `vec_dot(a, b)` / `vec_sqdist(a, b)` / `vec_cosine(a, b)` — dense-
+  *    vector kernels with exact left-to-right fold order
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -48,5 +50,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("token_hash32"),
       info("token_hash32", "array<string> tokens -> array<long> 32-bit md5-derived hashes"),
       (exprs: Seq[Expression]) => TokenHash32(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b): left-to-right dot product of two array<double>"),
+      (exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("vec_sqdist"),
+      info("vec_sqdist", "vec_sqdist(a, b): left-to-right squared euclidean distance"),
+      (exprs: Seq[Expression]) => VecSqDist(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("vec_cosine"),
+      info("vec_cosine", "vec_cosine(a, b): cosine similarity, exact fold order"),
+      (exprs: Seq[Expression]) => VecCosine(exprs.head, exprs(1))))
   }
 }

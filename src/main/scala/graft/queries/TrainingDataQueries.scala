@@ -764,6 +764,60 @@ object TrainingDataQueries extends Registry {
         (cum - 1) // 256 - (cum - n_toks) // 256 + 1 AS n_blocks
       FROM c ORDER BY doc_id"""))
 
+  /** SimHash near-dup pairs: byte-banding (4 bands × 8 bits) routes
+    * candidate generation — docs sharing any band byte meet in a bucket —
+    * then the full 32-bit hamming distance verifies (≤ 6 bits differ).
+    * Completes the SimHash path from signature (q23) to verified pairs.
+    * Scale shape mirrors MinHash-LSH: the join input is (band, byte,
+    * doc_id, simhash) rows — fixed-width, never documents — and the
+    * quadratic work is confined to byte buckets.
+    */
+  private val q50 = Q("q50_simhash_near_dup",
+    (s, d) => {
+      val sims = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), explode(array(
+          Dedup.tokenHash32Array(TextAnalysis.tokens(col("text"))))).as("th"))
+        .select(col("doc_id"), Dedup.simhash32(col("th")).as("simhash"))
+      val bands = sims.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band_idx"),
+          shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("band_val"))): _*)).as("b"))
+        .select(col("doc_id"), col("simhash"), col("b.band_idx"), col("b.band_val"))
+      val a = bands.as("a")
+      val bb = bands.as("b")
+      a.join(bb,
+          col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"),
+          Dedup.hamming64(col("a.simhash"), col("b.simhash")).cast("int").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 6)
+        .orderBy("doc_id_a", "doc_id_b")
+    },
+    Some {
+      val hash32 = duckHash32("h")
+      val bitTerms = (0 until 32).map { b =>
+        s"(CASE WHEN list_sum(list_transform(th, h -> ((h >> $b) & 1) * 2 - 1)) > 0 " +
+          s"THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }
+      s"""WITH t AS (SELECT doc_id,
+          list_transform(list_transform($duckToks, t -> md5(t)), h -> $hash32) AS th
+          FROM documents),
+        sh AS (SELECT doc_id, ${bitTerms.mkString("\n          + ")} AS simhash
+          FROM t),
+        bands AS (SELECT doc_id, simhash, b AS band_idx,
+            (simhash >> CAST(b * 8 AS INTEGER)) & 255 AS band_val
+          FROM sh, range(0, 4) r(b)),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+            AND a.doc_id < b.doc_id)
+        SELECT doc_id_a, doc_id_b, hamming FROM pairs
+        WHERE hamming <= 6 ORDER BY doc_id_a, doc_id_b"""
+    })
+
   override val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27,
-    q28, q29, q30, q31, q32, q33, q34, q38, q41, q42, q43, q44, q45, q47, q48)
+    q28, q29, q30, q31, q32, q33, q34, q38, q41, q42, q43, q44, q45, q47,
+    q48, q50)
 }

@@ -35,6 +35,17 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(hs.length == 2 && hs.forall(h => h >= 0L && h <= 0xffffffffL))
   }
 
+  test("vec_dot / vec_sqdist / vec_cosine resolve from SQL text") {
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+        "vec_sqdist(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS s, " +
+        "vec_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c").collect().head
+    assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 8.0 && r.getDouble(2) == 1.0)
+    // type check rejects non-double arrays with a clear message
+    val e = intercept[Exception](spark.sql("SELECT vec_dot(array('x'), array('y'))").collect())
+    assert(e.getMessage.contains("array<double>") || e.getMessage.toLowerCase.contains("type"))
+  }
+
   test("parse_book_levels resolves from SQL text") {
     val r = spark.sql(
       "SELECT parse_book_levels(array(array('1.5','2.0','0','3'), array('bad','x','0','1'))) AS lv")
