@@ -7,11 +7,11 @@ package graft
   * shape of double arithmetic applied to the exact totals.
   */
 object OracleSql {
-  def dsum(x: String): String =
-    s"CAST(SUM(CAST(($x) AS DECIMAL(38,6))) AS DOUBLE)"
+  def dsum(x: String, scale: Int = 6): String =
+    s"CAST(SUM(CAST(($x) AS DECIMAL(38,$scale))) AS DOUBLE)"
 
-  def davg(x: String): String =
-    s"(${dsum(x)} / COUNT($x))"
+  def davg(x: String, scale: Int = 6): String =
+    s"(${dsum(x, scale)} / COUNT($x))"
 
   def dstdSamp(x: String): String = {
     val n  = s"CAST(COUNT($x) AS DOUBLE)"

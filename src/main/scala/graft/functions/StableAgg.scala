@@ -63,8 +63,10 @@ object StableAgg {
     sum(guarded).cast("double")
   }
 
-  /** Exact-sum-based mean (null when no rows). */
-  def davg(c: Column): Column = dsum(c) / count(c)
+  /** Exact-sum-based mean (null when no rows). Pass `scale = 12` for
+    * unit-magnitude series (see [[dsum]]'s quantization contract).
+    */
+  def davg(c: Column, scale: Int = SumScale): Column = dsum(c, scale) / count(c)
 
   /** Sample standard deviation ((n-1) divisor — matches the reference's
     * rolling std, reference/src/metrics/rolling.py:180) computed from exact

@@ -817,7 +817,76 @@ object TrainingDataQueries extends Registry {
         WHERE hamming <= 6 ORDER BY doc_id_a, doc_id_b"""
     })
 
+  /** Intra-document repetition (a Gopher-style quality signal): fraction
+    * of a doc's word 2-grams that are repeats. Pure per-row array
+    * arithmetic behind an explode barrier (the 2-gram array is computed
+    * once, consumed by both size() and array_distinct()).
+    */
+  private val q51 = Q("q51_repetition",
+    (s, d) => {
+      val g2 = TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 2)
+      Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), explode(array(g2)).as("g"))
+        .select(col("doc_id"),
+          size(col("g")).cast("long").as("n_2grams"),
+          size(array_distinct(col("g"))).cast("long").as("n_distinct_2grams"))
+        .withColumn("dup_ratio", when(col("n_2grams") > 0,
+            (col("n_2grams") - col("n_distinct_2grams")).cast("double") / col("n_2grams"))
+          .otherwise(lit(0.0)))
+        .withColumn("flagged", col("dup_ratio") > 0.2d)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $duckToks AS w FROM documents),
+      g AS (SELECT doc_id,
+          list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' ')) AS g2
+        FROM t),
+      r AS (SELECT doc_id,
+          CAST(len(g2) AS BIGINT) AS n_2grams,
+          CAST(len(list_distinct(g2)) AS BIGINT) AS n_distinct_2grams,
+          CASE WHEN len(g2) > 0
+            THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+            ELSE 0.0::DOUBLE END AS dup_ratio
+        FROM g)
+      SELECT doc_id, n_2grams, n_distinct_2grams, dup_ratio,
+        dup_ratio > 0.2::DOUBLE AS flagged
+      FROM r ORDER BY doc_id"""))
+
+  /** Data-mixture report: per-source doc counts, token totals, and mean
+    * quality — the table every training-data pipeline publishes before a
+    * run. One partial-aggregated shuffle keyed by source; quality means go
+    * through the scale-12 stable-decimal route (unit-magnitude series).
+    */
+  private val q52 = Q("q52_source_mix",
+    (s, d) => {
+      import graft.functions.{StableAgg => SA}
+      val toks = TextAnalysis.tokens(col("text"))
+      Tables.fanOut(Tables.documents(s, d))
+        .select(col("source") +: (size(toks).cast("long").as("n_toks") +:
+          TextAnalysis.qualityColumns(col("text"), toks)): _*)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("total_toks"),
+          SA.davg(col("quality_score"), scale = 12).as("mean_quality"))
+        .orderBy("source")
+    },
+    Some {
+      val davg12 = graft.OracleSql.davg("quality_score", 12)
+      s"""WITH t AS (SELECT source, text, $duckToks AS w FROM documents),
+        q AS (SELECT source, CAST(len(w) AS BIGINT) AS n_toks,
+          least(CAST(len(w) AS DOUBLE) / 100.0::DOUBLE, 1.0::DOUBLE) * 0.5::DOUBLE
+            + (CASE WHEN CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) >= 3.0::DOUBLE
+                     AND CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) <= 10.0::DOUBLE
+                THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) * 0.2::DOUBLE
+            + least((CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is','to','in','that'))) AS DOUBLE)
+                / len(w)) * 3.0::DOUBLE, 1.0::DOUBLE) * 0.3::DOUBLE AS quality_score
+          FROM t)
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(n_toks) AS BIGINT) AS total_toks,
+          $davg12 AS mean_quality
+        FROM q GROUP BY source ORDER BY source"""
+    })
+
   override val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q38, q41, q42, q43, q44, q45, q47,
-    q48, q50)
+    q48, q50, q51, q52)
 }

@@ -76,6 +76,29 @@ class EventTimeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hash-stratified sampling makes identical decisions in streaming and batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sampling
+    val rows = (0L until 200L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+    val mem = MemoryStream[(Long, String)]
+    val streamed = Sampling.stratified(mem.toDF().toDF("doc_id", "lang"),
+      col("doc_id"), col("lang"), Seq("en" -> 0.3, "de" -> 0.6), 1.0, "s1")
+    val q = streamed.writeStream.format("memory").queryName("samp_out")
+      .outputMode("append").start()
+    try {
+      // deliver across 3 micro-batches — per-row decisions can't depend on
+      // batching because the operator is stateless and hash-deterministic
+      rows.grouped(70).foreach { g => mem.addData(g); q.processAllAvailable() }
+      val streamKept = spark.table("samp_out")
+        .select("doc_id").as[Long].collect().toSet
+      val batchKept = Sampling.stratified(rows.toDF("doc_id", "lang"),
+          col("doc_id"), col("lang"), Seq("en" -> 0.3, "de" -> 0.6), 1.0, "s1")
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamKept == batchKept && streamKept.nonEmpty &&
+        streamKept.size < rows.size)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops repeated content across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
