@@ -191,6 +191,7 @@ object Dedup {
       val changed = updated.filter(col("cluster_id") < col("old_id")).limit(1).count()
       labels = updated.select("doc_id", "cluster_id")
       converged = changed == 0
+      if (sys.env.contains("GRAFT_CC_DEBUG")) System.err.println(s"[cc] iteration changed=$changed")
     }
     labels
   }
