@@ -102,6 +102,38 @@ class CurationOpsSpec extends SparkSpec {
     assert(top2.head == "zebra")
   }
 
+  test("simhash byte-banding recall: every pair with hamming <= 3 is found (pigeonhole)") {
+    // 4 bands x 8 bits: <= 3 differing bits cannot touch all 4 bands, so
+    // at least one band byte matches and the pair lands in a bucket.
+    val docs = Tables.documents(spark, dir)
+    val sims = docs
+      .select(col("doc_id"), explode(array(
+        Dedup.tokenHash32Array(TextAnalysis.tokens(col("text"))))).as("th"))
+      .select(col("doc_id"), Dedup.simhash32(col("th")).as("simhash"))
+    val a = sims.as("a")
+    val b = sims.as("b")
+    val brute = a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"),
+        Dedup.hamming64(col("a.simhash"), col("b.simhash")).as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bands = sims.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(k => struct(lit(k).as("band_idx"),
+        shiftright(col("simhash"), k * 8).bitwiseAND(lit(255L)).as("band_val"))): _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.band_idx"), col("b.band_val"))
+    val banded = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"),
+        Dedup.hamming64(col("a.simhash"), col("b.simhash")).as("h"))
+      .distinct()
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture has no hamming<=3 pairs - property vacuous")
+    assert(banded == brute)
+  }
+
   test("global shuffle: permutation is total, deterministic, and spread over shards") {
     val out = Tables.documents(spark, dir)
       .select(col("doc_id"),
