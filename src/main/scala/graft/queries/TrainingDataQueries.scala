@@ -790,8 +790,11 @@ object TrainingDataQueries extends Registry {
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"),
           Dedup.hamming64(col("a.simhash"), col("b.simhash")).cast("int").as("hamming"))
-        .distinct()
+        // verify BEFORE distinct: hamming is pair-determined, so the
+        // result set is identical but the distinct's shuffle input drops
+        // from every banded candidate to just the near-dups
         .filter(col("hamming") <= 6)
+        .distinct()
         .orderBy("doc_id_a", "doc_id_b")
     },
     Some {
