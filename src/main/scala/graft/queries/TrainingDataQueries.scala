@@ -889,7 +889,60 @@ object TrainingDataQueries extends Registry {
         FROM q GROUP BY source ORDER BY source"""
     })
 
+  /** Train/valid/test split assignment (90/5/5): every row gets a split
+    * label from the same salted-digest uniform as q43 — deterministic,
+    * leak-free (a doc's split never depends on the rest of the corpus),
+    * and stable under reprocessing. Zero shuffle.
+    */
+  private val q53 = Q("q53_train_test_split",
+    (s, d) => {
+      Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), col("lang"),
+          Sampling.uniform(col("doc_id"), "split").as("split_u"))
+        .withColumn("split",
+          when(col("split_u") < 0.90d, lit("train"))
+            .when(col("split_u") < 0.95d, lit("valid"))
+            .otherwise(lit("test")))
+        .orderBy("doc_id")
+    },
+    Some {
+      val u = duckHash32("md5('split:' || CAST(doc_id AS VARCHAR))")
+      s"""WITH t AS (SELECT doc_id, lang,
+          CAST($u AS DOUBLE) / 4294967296.0 AS split_u FROM documents)
+        SELECT doc_id, lang, split_u,
+          CASE WHEN split_u < 0.90::DOUBLE THEN 'train'
+               WHEN split_u < 0.95::DOUBLE THEN 'valid'
+               ELSE 'test' END AS split
+        FROM t ORDER BY doc_id"""
+    })
+
+  /** Cross-table enrichment: documents ⋈ embeddings on the shared id,
+    * emitting the embedding L2 norm via the native vec kernel. The join
+    * is a plain equi-join on the key both tables share — at 100 TB both
+    * sides are big, so AQE picks shuffle-hash/sort-merge co-partitioned
+    * on the id (bucketing both tables by id makes it exchange-free).
+    */
+  private val q54 = Q("q54_doc_embedding_join",
+    (s, d) => {
+      val docs = Tables.fanOut(Tables.documents(s, d))
+        .select("doc_id", "lang", "n_chars")
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      docs.join(e, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          sqrt(Similarity.dot(col("v"), col("v"))).as("vec_norm"))
+        .orderBy("doc_id")
+    },
+    Some {
+      def dot(x: String, y: String) =
+        s"list_reduce(list_transform(range(1, len($x)+1), i -> CAST(($x)[i] AS DOUBLE) * CAST(($y)[i] AS DOUBLE)), (acc, v) -> acc + v)"
+      s"""SELECT doc_id, lang, n_chars,
+        sqrt(${dot("e.embedding", "e.embedding")}) AS vec_norm
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      ORDER BY doc_id"""
+    })
+
   override val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q38, q41, q42, q43, q44, q45, q47,
-    q48, q50, q51, q52)
+    q48, q50, q51, q52, q53, q54)
 }
