@@ -89,6 +89,13 @@ case class VecSqDist(left: Expression, right: Expression) extends VecFold {
   * accumulated left-to-right independently — the combining arithmetic
   * `dot / (sqrt(sa) * sqrt(sb))` matches the declarative form's shape
   * exactly.
+  *
+  * Division is IEEE (zero norm → NaN/±Inf), matching DuckDB — the oracle
+  * target — in EVERY session mode. This intentionally differs from the
+  * declarative Spark form in ANSI sessions, where `/` raises
+  * DIVIDE_BY_ZERO on a zero-norm vector: a data-dependent runtime error
+  * inside a 100 TB scan is the wrong behavior for a similarity kernel
+  * (spec-pinned, incl. the adversarial-values contract).
   */
 case class VecCosine(left: Expression, right: Expression) extends VecFold {
   override protected def fold(a: ArrayData, b: ArrayData, n: Int): Any = {

@@ -54,6 +54,45 @@ class VecOpsSpec extends SparkSpec {
     }
   }
 
+  test("bit parity holds for adversarial IEEE values: NaN, infinities, denormals, signed zero") {
+    val specials = Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      Double.MinPositiveValue, -0.0, 0.0, 1e308, -1e308, 4.9e-324)
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 100).map { i =>
+      val n = 1 + rnd.nextInt(8)
+      def v() = Seq.fill(n)(
+        if (rnd.nextInt(3) == 0) specials(rnd.nextInt(specials.size))
+        else rnd.nextDouble() - 0.5)
+      (i.toLong, v(), v())
+    }
+    val df = rows.toDF("id", "a", "b")
+    // the declarative divisor, computed WITHOUT dividing (no ANSI raise)
+    val divisor = sqrt(aggregate(transform(col("a"), x => x * x), lit(0.0d), (s, x) => s + x)) *
+      sqrt(aggregate(transform(col("b"), x => x * x), lit(0.0d), (s, x) => s + x))
+    val declCos = Similarity.cosineDeclarative(col("a"), col("b"))
+    // where the declarative form is defined (divisor != 0 under ANSI):
+    // native must match bit-for-bit
+    val defined = df.filter(divisor =!= 0.0d)
+      .select(col("id"), Similarity.cosine(col("a"), col("b")).as("nc"), declCos.as("dc"))
+      .orderBy("id").collect()
+    assert(defined.nonEmpty)
+    defined.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"nullness id=${r.getLong(0)}")
+      // doubleToLongBits (not Raw): NaN payload/sign may differ between the
+      // two evaluation paths — all NaNs are equal to the gate — while -0.0,
+      // denormals, and infinities still compare exactly
+      if (!r.isNullAt(1))
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(2)),
+          s"id=${r.getLong(0)}: ${r.getDouble(1)} vs ${r.getDouble(2)}")
+    }
+    // where ANSI division would raise (zero norm): the native kernel keeps
+    // IEEE semantics (NaN), like DuckDB — the documented contract
+    val zeroNorm = df.filter(divisor === 0.0d)
+      .select(Similarity.cosine(col("a"), col("b")).as("nc")).collect()
+    zeroNorm.foreach(r => assert(r.isNullAt(0) || r.getDouble(0).isNaN))
+  }
+
   test("null semantics mirror the HOF chains: null array, length mismatch, null element") {
     val df = Seq(
       (1L, Seq(1.0, 2.0), Seq(3.0, 4.0)),   // clean
