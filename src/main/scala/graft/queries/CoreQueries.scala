@@ -426,7 +426,7 @@ object CoreQueries extends Registry {
           coalesce(c_mktsegment, 'ALL') AS segment,
           coalesce(o_orderpriority, 'ALL') AS priority,
           CAST(GROUPING(c_mktsegment) * 2 + GROUPING(o_orderpriority) AS INT) AS gid,
-          ${O.dsum("o_totalprice")} AS total_sales,
+          ${O.dsumSparkSql("o_totalprice")} AS total_sales,
           COUNT(*) AS n_orders
         FROM orders_v JOIN customer_v ON o_custkey = c_custkey
         GROUP BY ROLLUP(c_mktsegment, o_orderpriority)
