@@ -942,7 +942,82 @@ object TrainingDataQueries extends Registry {
       ORDER BY doc_id"""
     })
 
+  /** Quantile-based length filtering (outlier trimming): keep docs whose
+    * word count lies inside the corpus's exact [p5, p95]. The classic
+    * two-pass shape — a tiny aggregate (2 numbers) computed once and
+    * broadcast against the full scan — so at 100 TB the corpus is read
+    * twice but never shuffled. Exact floor-index percentiles come from
+    * the engine's native ExactPercentile aggregate.
+    */
+  private val q55 = Q("q55_length_filter",
+    (s, d) => {
+      import graft.functions.ExactPercentile
+      val docs = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).cast("long").as("n_words"))
+      val bounds = docs.agg(
+        ExactPercentile(col("n_words").cast("double"), Seq(0.05, 0.95)).as("ps"))
+        .select(element_at(col("ps"), 1).as("p5"), element_at(col("ps"), 2).as("p95"))
+      docs.crossJoin(broadcast(bounds))
+        .filter(col("n_words") >= col("p5") && col("n_words") <= col("p95"))
+        .select("doc_id", "n_words", "p5", "p95")
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words FROM documents),
+      r AS (SELECT doc_id, n_words,
+        row_number() OVER (ORDER BY CAST(n_words AS DOUBLE)) - 1 AS rn,
+        COUNT(*) OVER () AS n FROM t),
+      b AS (SELECT
+        MAX(CASE WHEN rn = CAST(floor(0.05::DOUBLE * (n-1)) AS BIGINT)
+          THEN CAST(n_words AS DOUBLE) END) AS p5,
+        MAX(CASE WHEN rn = CAST(floor(0.95::DOUBLE * (n-1)) AS BIGINT)
+          THEN CAST(n_words AS DOUBLE) END) AS p95 FROM r)
+      SELECT doc_id, n_words, p5, p95 FROM t CROSS JOIN b
+      WHERE n_words >= p5 AND n_words <= p95
+      ORDER BY doc_id"""))
+
+  /** Token-budget selection: per language stream, take documents in
+    * quality order (best first) while the running token total stays
+    * within the budget — "select the best N tokens per stratum", the
+    * data-selection step of a curation pipeline. One window cumsum per
+    * stratum (embarrassingly parallel across strata at scale); the
+    * deterministic (quality desc, doc_id) order makes the greedy cut
+    * reproducible everywhere.
+    */
+  private val q56 = Q("q56_token_budget_select",
+    (s, d) => {
+      val Budget = 3000L
+      val toks = TextAnalysis.tokens(col("text"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(desc("quality_score"), asc("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), col("lang"),
+          size(toks).cast("long").as("n_toks"),
+          TextAnalysis.qualityColumns(col("text"), toks).last)
+        .withColumn("cum_toks", sum(col("n_toks")).over(w))
+        .filter(col("cum_toks") <= Budget)
+        .select("doc_id", "lang", "n_toks", "quality_score", "cum_toks")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, lang, text, $duckToks AS w FROM documents),
+      q AS (SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_toks,
+        least(CAST(len(w) AS DOUBLE) / 100.0::DOUBLE, 1.0::DOUBLE) * 0.5::DOUBLE
+          + (CASE WHEN CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) >= 3.0::DOUBLE
+                   AND CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) <= 10.0::DOUBLE
+              THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) * 0.2::DOUBLE
+          + least((CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is','to','in','that'))) AS DOUBLE)
+              / len(w)) * 3.0::DOUBLE, 1.0::DOUBLE) * 0.3::DOUBLE AS quality_score
+        FROM t),
+      c AS (SELECT doc_id, lang, n_toks, quality_score,
+          CAST(SUM(n_toks) OVER (PARTITION BY lang
+            ORDER BY quality_score DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks
+        FROM q)
+      SELECT doc_id, lang, n_toks, quality_score, cum_toks
+      FROM c WHERE cum_toks <= 3000 ORDER BY doc_id"""))
+
   override val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q38, q41, q42, q43, q44, q45, q47,
-    q48, q50, q51, q52, q53, q54)
+    q48, q50, q51, q52, q53, q54, q55, q56)
 }
