@@ -227,6 +227,34 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id").as("neighbor_id"), col("cos_sim"))
   }
 
+  /** Multi-probe LSH ANN: each query probes its own bucket AND every
+    * bucket at hamming distance 1 (flip each plane bit) — numPlanes+1
+    * probes per query. Recovers most of the recall lost to hyperplane
+    * boundary splits at the SAME index size/layout; the corpus side is
+    * identical to [[lshBucketedTopK]] (bucketed once, never re-hashed).
+    */
+  def lshMultiProbeTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val cb = corpus.withColumn("bucket", lshBucket(asDouble(col("vec")), numPlanes, dim))
+    val masks = array((lit(0L) +: (0 until numPlanes).map(p => lit(1L << p))): _*)
+    val qb = queries
+      .withColumn("bucket0", lshBucket(asDouble(col("qvec")), numPlanes, dim))
+      .withColumn("mask", explode(masks))
+      .withColumn("bucket", col("bucket0").bitwiseXOR(col("mask")))
+      .select(col("qid"), col("qvec"), col("bucket"))
+    val cand = cb.join(broadcast(qb), Seq("bucket"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"),  col("id"),
+        cosine(asDouble(col("qvec")), asDouble(col("vec"))).as("cos_sim"))
+      .distinct() // a candidate can surface via several probes
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cos_sim"), asc("id"))
+    cand
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor_id"), col("cos_sim"))
+  }
+
   /** ANN: exact ranking within LSH buckets. Corpus is bucketed once
     * (shuffle by bucket id — small keys); each query only scans its own
     * bucket.

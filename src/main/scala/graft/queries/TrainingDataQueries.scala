@@ -261,6 +261,49 @@ object TrainingDataQueries extends Registry {
       FROM r WHERE rank <= 10 ORDER BY qid, rank"""
     })
 
+  /** Multi-probe LSH ANN: same index as q27, but each query also probes
+    * the 8 hamming-distance-1 buckets — the standard recall knob that
+    * trades probe count (not index size) for recall. Fully oracled like
+    * q27: plane literals + xor-mask probe expansion reproduce in SQL.
+    */
+  private val q57 = Q("q57_ann_multiprobe",
+    (s, d) => {
+      val e = Tables.fanOut(Tables.embeddings(s, d))
+      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.lshMultiProbeTopK(corpus, queries, 10, numPlanes = 8)
+        .withColumn("rank", col("rank").cast("int"))
+        .orderBy("qid", "rank")
+    },
+    Some {
+      val mdExpr = "md5('plane' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR))"
+      s"""WITH pc AS (
+        SELECT p, i,
+          (CAST(${duckHash32(mdExpr)} AS DOUBLE) / 4294967296.0 - 0.5::DOUBLE) AS comp
+        FROM range(0, 8) t1(p), range(0, 64) t2(i)),
+      pl AS (SELECT p, list(comp ORDER BY i) AS comps FROM pc GROUP BY p),
+      c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+      cd AS (SELECT id, p,
+          list_reduce(list_transform(range(1, len(vec)+1),
+            i -> CAST(vec[i] AS DOUBLE) * comps[i]), (a, b) -> a + b) AS dot
+        FROM c CROSS JOIN pl),
+      cb AS (SELECT id,
+          SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
+        FROM cd GROUP BY id),
+      corp AS (SELECT cb.id, c.vec, bucket FROM cb JOIN c USING (id)),
+      qb0 AS (SELECT id AS qid, vec AS qvec, bucket AS b0 FROM corp WHERE id < 5),
+      qb AS (SELECT qid, qvec, xor(b0, m) AS bucket
+             FROM qb0, (SELECT unnest([0,1,2,4,8,16,32,64,128]) AS m) masks),
+      sim AS (SELECT DISTINCT qid, id, ${duckCos("qvec", "vec")} AS cos_sim
+              FROM qb JOIN corp USING (bucket) WHERE id <> qid),
+      r AS (SELECT qid, id, cos_sim,
+            CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, id)
+              AS INTEGER) AS rank FROM sim)
+      SELECT qid, rank, id AS neighbor_id, cos_sim
+      FROM r WHERE rank <= 10 ORDER BY qid, rank"""
+    })
+
   /** Language-ID heuristic: marker-lexicon hit counts + argmax. */
   private val q28 = Q("q28_lang_id",
     (s, d) => {
@@ -1019,5 +1062,5 @@ object TrainingDataQueries extends Registry {
 
   override val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q38, q41, q42, q43, q44, q45, q47,
-    q48, q50, q51, q52, q53, q54, q55, q56)
+    q48, q50, q51, q52, q53, q54, q55, q56, q57)
 }

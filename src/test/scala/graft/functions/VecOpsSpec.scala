@@ -107,6 +107,22 @@ class VecOpsSpec extends SparkSpec {
     assert(out(1).isNullAt(1) && out(2).isNullAt(1) && out(3).isNullAt(1))
   }
 
+  test("multi-probe LSH: candidates superset of single-probe, recall vs brute force no worse") {
+    val e = Tables.embeddings(spark, dir)
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(corpus, queries, 5))
+    val single = pairs(Similarity.lshBucketedTopK(corpus, queries, 5))
+    val multi = pairs(Similarity.lshMultiProbeTopK(corpus, queries, 5))
+    // more probes -> candidate superset -> recall can only improve
+    // (top-k CONTENTS may differ: better candidates displace worse ones)
+    assert((multi intersect brute).size >= (single intersect brute).size)
+    assert(multi.nonEmpty && brute.nonEmpty)
+  }
+
   test("ivfSampledTopK (literal quantizer) still matches brute force at nProbe = nlist") {
     val e = Tables.embeddings(spark, dir)
     val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
