@@ -543,14 +543,18 @@ object TrainingDataQueries extends Registry {
       val withCluster = quality
         .join(clusters, Seq("doc_id"), "left")
         .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
-      val rankW = w.orderBy(desc("quality_score"), asc("doc_id"))
+      // winner via ONE hash aggregation instead of two window passes
+      // (count + rank shared a partition but sorted twice): max of
+      // (quality, -doc_id) structs picks highest quality, ties -> lowest
+      // doc_id — the same deterministic rule the oracle's window mirrors.
       withCluster
-        .withColumn("n_docs", count(lit(1)).over(w))
-        .withColumn("rn", row_number().over(rankW))
-        .filter(col("rn") === 1)
-        .select(col("cluster_id"), col("doc_id").as("keep_id"),
-          col("n_docs"), col("quality_score").as("best_quality"))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_docs"),
+          max(struct(col("quality_score"), (-col("doc_id")).as("neg_id"))).as("best"))
+        .select(col("cluster_id"),
+          (-col("best.neg_id")).as("keep_id"),
+          col("n_docs"),
+          col("best.quality_score").as("best_quality"))
         .orderBy("cluster_id")
     },
     Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $duckToks AS w FROM documents),
