@@ -1064,7 +1064,31 @@ object TrainingDataQueries extends Registry {
       SELECT doc_id, lang, n_toks, quality_score, cum_toks
       FROM c WHERE cum_toks <= 3000 ORDER BY doc_id"""))
 
+  /** Incremental dedup: a new batch (odd doc_ids) anti-joined by content
+    * hash against the historical corpus (even doc_ids) — the shape every
+    * incremental ingestion run executes. Only hashes shuffle (anti-join
+    * on a 32-char key), never documents; at scale the history side is a
+    * bucketed/Bloom-backed hash table, and the anti-join is the exact
+    * batch analog of the streaming dropDuplicatesWithinWatermark path
+    * ([[Dedup.streamingExact]]).
+    */
+  private val q58 = Q("q58_incremental_dedup",
+    (s, d) => {
+      val docs = Tables.fanOut(Tables.documents(s, d))
+      val history = docs.filter(col("doc_id") % 2 === 0)
+        .select(md5(col("text")).as("h")).distinct()
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      batch.join(history, col("content_hash") === col("h"), "left_anti")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, md5(text) AS content_hash
+      FROM documents b WHERE doc_id % 2 = 1
+        AND NOT EXISTS (SELECT 1 FROM documents h
+          WHERE h.doc_id % 2 = 0 AND md5(h.text) = md5(b.text))
+      ORDER BY doc_id"""))
+
   override val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q38, q41, q42, q43, q44, q45, q47,
-    q48, q50, q51, q52, q53, q54, q55, q56, q57)
+    q48, q50, q51, q52, q53, q54, q55, q56, q57, q58)
 }
