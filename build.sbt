@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's one-line JSON from stdout. With the default
+// LoggedOutput strategy sbt prefixes every forked-process line with
+// "[info] "/"[error] ", so no line is raw JSON and BENCH_r{N}.json gets
+// parsed:null. StdoutOutput inherits the child's stdio directly.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

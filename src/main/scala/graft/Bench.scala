@@ -75,7 +75,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Drain stderr and lead with a newline so the JSON line cannot be
+    // corrupted by a partially-written diagnostic line when the consumer
+    // merges the two streams.
+    System.err.flush()
+    print(s"""\n{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}\n""")
+    System.out.flush()
     spark.stop()
   }
 }
