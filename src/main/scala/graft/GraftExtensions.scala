@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinHashSigs, ParseBookLevels, ParseOkxFrame, PyDoubleRepr, TokenHash32, VecCosine, VecDot, VecSqDist}
+import graft.functions.{MinHashSigs, ParseBookLevels, ParseOkxFrame, PyDoubleRepr, PyFormatFixed, TokenHash32, VecCosine, VecDot, VecSqDist}
 
 /** Session-extension injection point for the engine's native expressions —
   * the supported way to ship a Catalyst expression library so plain SQL
@@ -47,6 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("py_double_repr"),
       info("py_double_repr", "render a double exactly as CPython repr/json.dumps"),
       (exprs: Seq[Expression]) => PyDoubleRepr(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("py_format_fixed"),
+      info("py_format_fixed", "py_format_fixed(x, prec): CPython f'{x:.Nf}' fixed formatting (ties-to-even)"),
+      (exprs: Seq[Expression]) => PyFormatFixed(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction((FunctionIdentifier("token_hash32"),
       info("token_hash32", "array<string> tokens -> array<long> 32-bit md5-derived hashes"),
       (exprs: Seq[Expression]) => TokenHash32(exprs.head)))

@@ -14,7 +14,7 @@ import graft.queries._
 object SparkEntry {
 
   private val registries: Seq[Registry] =
-    Seq(CoreQueries, NormalizerQueries, TrainingDataQueries)
+    Seq(CoreQueries, NormalizerQueries, TrainingDataQueries, PipelineQueries)
 
   private lazy val qs: Seq[Q] = registries.flatMap(_.all)
 

@@ -38,23 +38,42 @@ object Derived {
       .withColumn("lat_recv_to_decode_ns", latRecvToDecodeNs)
       .withColumn("lat_decode_to_proc_ns", latDecodeToProcNs)
 
-  /** D6: the reference's per-event console line (stdout.py:22-32), built
-    * with codegen'd `format_string` — book and trade shapes.
+  /** CPython `f"{x:.precf}"` fixed formatting — see
+    * [[graft.functions.PyFormatFixed]]. Java's `format_string` rounds
+    * HALF_UP and so diverges from the reference's f-strings on dyadic
+    * midpoints (0.125 → "0.13" vs Python "0.12").
+    */
+  def pyFixed(c: Column, prec: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.PyFormatFixed(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c), prec))
+
+  /** D6: the reference's per-event console line (stdout.py:22-32), book
+    * and trade shapes, byte-identical to the Python f-strings (incl.
+    * ties-to-even fixed rounding via [[pyFixed]]).
     */
   val consoleLine: Column = {
-    val lat = Seq(
-      col("lat_ex_to_recv_ms"),
-      col("lat_recv_to_decode_ns") / 1000.0d,
-      col("lat_decode_to_proc_ns") / 1000.0d)
+    val latTail = concat(
+      lit(" | Ex→Recv="), col("lat_ex_to_recv_ms").cast("string"),
+      lit("ms Recv→Decode="), pyFixed(col("lat_recv_to_decode_ns") / 1000.0d, 3),
+      lit("us Decode→Proc="), pyFixed(col("lat_decode_to_proc_ns") / 1000.0d, 3),
+      lit("us"))
     when(col("event_type") === "book_topn",
-      format_string("%s | bid=%.2f ask=%.2f spread=%.2f | Ex→Recv=%dms Recv→Decode=%.3fus Decode→Proc=%.3fus",
-        (Seq(col("symbol"), col("book.best_bid"), col("book.best_ask"),
-          col("book.best_ask") - col("book.best_bid")) ++ lat): _*))
+      concat(col("symbol"), lit(" | bid="), pyFixed(col("book.best_bid"), 2),
+        lit(" ask="), pyFixed(col("book.best_ask"), 2),
+        lit(" spread="), pyFixed(col("book.best_ask") - col("book.best_bid"), 2),
+        latTail))
     .otherwise(
-      format_string("%s | trade %s price=%.2f size=%.6f | Ex→Recv=%dms Recv→Decode=%.3fus Decode→Proc=%.3fus",
-        (Seq(col("symbol"), col("trade.side"), col("trade.price"),
-          col("trade.size")) ++ lat): _*))
+      concat(col("symbol"), lit(" | trade "), col("trade.side"),
+        lit(" price="), pyFixed(col("trade.price"), 2),
+        lit(" size="), pyFixed(col("trade.size"), 6),
+        latTail))
   }
+
+  /** D7: CSV numeric formatting `%.3f` (rolling.py:203-211) — Python
+    * f-string semantics, same rationale as [[consoleLine]].
+    */
+  def csvNum(c: Column): Column = pyFixed(c, 3)
 
   /** D8: UTC ISO-8601 generated-at stamp (rolling.py:150). */
   val generatedAtUtc: Column =

@@ -192,6 +192,31 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id").as("neighbor_id"), col("cos_sim"))
   }
 
+  /** Cell assignment under the sampled literal quantizer — the same index
+    * build as [[ivfSampledTopK]] (centroids = systematic id-sample shipped
+    * as literals, per-row argmin over constants, no join/shuffle), but
+    * returning every vector's winning cell WITH its squared distance.
+    * This is the quantizer-build reporting view (cell occupancy +
+    * distortion) a k-means/IVF training step emits each Lloyd iteration.
+    */
+  def ivfAssignCells(corpus: DataFrame, nlist: Int = 16): DataFrame = {
+    val step = math.max(1L, corpus.count() / nlist)
+    val cents: Seq[Seq[Double]] = corpus
+      .filter(col("id") % step === 0 && (col("id") / step) < nlist)
+      .orderBy((col("id") / step).cast("int"))
+      .select(asDouble(col("vec")))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    def centLit(c: Int): Column = array(cents(c).map(lit): _*)
+    val ds = array((0 until cents.size).map(c =>
+      sqDist(asDouble(col("vec")), centLit(c))): _*)
+    corpus
+      .withColumn("ds", ds)
+      .withColumn("cell",
+        (array_position(col("ds"), array_min(col("ds"))) - 1).cast("int"))
+      .withColumn("dist", array_min(col("ds")))
+      .select(col("id"), col("vec"), col("cell"), col("dist"))
+  }
+
   /** Squared euclidean distance — native left-to-right kernel
     * ([[graft.functions.VecSqDist]]), bit-identical to the declarative
     * `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0.0, _+_)` fold the

@@ -107,7 +107,7 @@ object WindowStats {
     * %.3f-formatted, keys sorted.
     */
   def csvSnapshotFormatted(snapshot: DataFrame): DataFrame = {
-    def f3(c: String) = format_string("%.3f", col(c).cast("double")).as(c)
+    def f3(c: String) = graft.operators.Derived.csvNum(col(c).cast("double")).as(c)
     snapshot.select(
       graft.operators.Derived.generatedAtUtc,
       col("symbol"), col("channel"),

@@ -32,7 +32,7 @@ object NormalizerQueries extends Registry {
     * identical and the synthesis (test apparatus, but inside the timed
     * queries) stops being ~45% of q16's steady-state cost.
     */
-  private def framedBooks(s: SparkSession, d: String): DataFrame = {
+  private[queries] def framedBooks(s: SparkSession, d: String): DataFrame = {
     Tables.fanOut(Tables.lineitem(s, d)).select(
       (col("l_orderkey") * 10 + col("l_linenumber")).as("src_id"),
       col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
@@ -100,16 +100,16 @@ object NormalizerQueries extends Registry {
       WHERE l_orderkey % 17 <> 0 AND l_orderkey % 11 <> 0 AND l_orderkey % 13 <> 0
       ORDER BY src_id"""))
 
-  private val q17 = Q("q17_normalize_trades",
-    (s, d) => {
-      val base = Tables.fanOut(Tables.lineitem(s, d)).select(
-        (col("l_orderkey") * 10 + col("l_linenumber")).as("src_id"),
-        col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
-        col("l_extendedprice").as("px"), col("l_quantity").as("qty"),
-        unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms"))
-      val sideA = when(col("l_linenumber") % 2 === 0, lit("buy")).otherwise(lit("sell"))
-      val sideB = when(col("l_linenumber") % 2 === 0, lit("sell")).otherwise(lit("buy"))
-      val framed = base.select(
+  /** Trades-frame synthesis shared by q17 and the console-line queries. */
+  private[queries] def framedTrades(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.fanOut(Tables.lineitem(s, d)).select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("src_id"),
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+      col("l_extendedprice").as("px"), col("l_quantity").as("qty"),
+      unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms"))
+    val sideA = when(col("l_linenumber") % 2 === 0, lit("buy")).otherwise(lit("sell"))
+    val sideB = when(col("l_linenumber") % 2 === 0, lit("sell")).otherwise(lit("buy"))
+    base.select(
         col("src_id"),
         when(col("l_orderkey") % 17 === 0, lit("[1,2,3]"))   // non-object frame (S6)
           .when(col("l_orderkey") % 11 === 0,
@@ -140,7 +140,11 @@ object NormalizerQueries extends Registry {
         (col("ship_ms") * 1000000L).as("ts_recv_mono_ns"),
         (col("ship_ms") * 1000000L + 1L).as("ts_decoded_mono_ns"),
         (col("ship_ms") * 1000000L + 2L).as("ts_proc_mono_ns"))
-      Normalizer.normalize(framed, passthrough = Seq("src_id"))
+  }
+
+  private val q17 = Q("q17_normalize_trades",
+    (s, d) => {
+      Normalizer.normalize(framedTrades(s, d), passthrough = Seq("src_id"))
         .select(col("src_id"), col("symbol"), col("event_type"),
           col("ts_exchange_ms"),
           col("trade.price").as("price"),

@@ -22,21 +22,21 @@ object TrainingDataQueries extends Registry {
   private val NumBands = NumHashes / RowsPerBand
 
   // ---- shared DuckDB SQL fragments (mirror TextAnalysis/Dedup exactly) --
-  private val duckToks = "string_split(text, ' ')"
-  private def duckShingles(w: String): String =
+  private[queries] val duckToks = "string_split(text, ' ')"
+  private[queries] def duckShingles(w: String): String =
     s"list_transform(range(1, len($w)-1), i -> array_to_string(($w)[i:i+2], ' '))"
-  private def duckMh(i: Int): String =
+  private[queries] def duckMh(i: Int): String =
     s"list_aggregate(list_transform(sh, x -> substr(md5('${i / 3}:' || x), ${1 + (i % 3) * 10}, 10)), 'min')"
-  private def duckCos(a: String, b: String): String = {
+  private[queries] def duckCos(a: String, b: String): String = {
     def dot(x: String, y: String) =
       s"list_reduce(list_transform(range(1, len($x)+1), i -> CAST(($x)[i] AS DOUBLE) * CAST(($y)[i] AS DOUBLE)), (acc, v) -> acc + v)"
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
   }
-  private def duckNib(h: String, p: Int): String =
+  private[queries] def duckNib(h: String, p: Int): String =
     s"(CASE WHEN ascii(substr($h, $p, 1)) >= 97 " +
       s"THEN CAST(ascii(substr($h, $p, 1)) - 87 AS BIGINT) " +
       s"ELSE CAST(ascii(substr($h, $p, 1)) - 48 AS BIGINT) END)"
-  private def duckHash32(h: String): String =
+  private[queries] def duckHash32(h: String): String =
     (1 to 8).map(p => s"(${duckNib(h, p)} << ${(8 - p) * 4})").mkString(" + ")
 
   /** Exact dedup by content hash (hash-groupBy; one tiny shuffle). */
@@ -441,7 +441,7 @@ object TrainingDataQueries extends Registry {
       GROUP BY doc_id ORDER BY doc_id"""))
 
   /** Left-to-right squared-euclidean fold (mirrors Similarity.sqDist). */
-  private def duckSqDist(a: String, b: String): String =
+  private[queries] def duckSqDist(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a)+1), " +
       s"i -> (CAST(($a)[i] AS DOUBLE) - CAST(($b)[i] AS DOUBLE)) " +
       s"* (CAST(($a)[i] AS DOUBLE) - CAST(($b)[i] AS DOUBLE))), (acc, v) -> acc + v)"

@@ -100,12 +100,18 @@ object MetricsStream {
           s => concat(s.getField("symbol"), lit(":"), s.getField("c"))),
         ", ").as("msgs"))
     def seg(label: String, p: Column, unit: String, scale: Double, zero: Option[Column]) = {
-      val fmt = if (unit == "ms") "%.1f" else "%.3f"
-      val body = format_string(
-        s" | $label p50=$fmt$unit p95=$fmt$unit p99=$fmt$unit",
-        element_at(p, 1) / scale, element_at(p, 2) / scale, element_at(p, 3) / scale)
-      val z = zero.map(zc => format_string(" (zero=%.1f%%)",
-        zc.cast("double") / greatest(col("n"), lit(1L)) * 100.0d)).getOrElse(lit(""))
+      // Python f-string fixed rounding (ties-to-even), not Java HALF_UP —
+      // keeps the metrics line byte-identical to rolling.py:130-142
+      val prec = if (unit == "ms") 1 else 3
+      def f(c: Column) = graft.operators.Derived.pyFixed(c, prec)
+      val body = concat(
+        lit(s" | $label p50="), f(element_at(p, 1) / scale), lit(unit),
+        lit(" p95="), f(element_at(p, 2) / scale), lit(unit),
+        lit(" p99="), f(element_at(p, 3) / scale), lit(unit))
+      val z = zero.map(zc => concat(lit(" (zero="),
+        graft.operators.Derived.pyFixed(
+          zc.cast("double") / greatest(col("n"), lit(1L)) * 100.0d, 1),
+        lit("%)"))).getOrElse(lit(""))
       when(col("n") >= minSamples, concat(body, z)).otherwise(lit(""))
     }
     stats.crossJoin(msgs).select(concat(
