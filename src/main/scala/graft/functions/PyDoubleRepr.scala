@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -28,7 +28,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * (non-standard-JSON) spellings, which the JVM shares.
   */
 case class PyDoubleRepr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = child.nullable
@@ -40,6 +40,13 @@ case class PyDoubleRepr(child: Expression)
 
   override def nullSafeEval(input: Any): Any =
     UTF8String.fromString(PyDoubleRepr.repr(input.asInstanceOf[Double]))
+
+  // a real doGenCode (vs CodegenFallback) keeps the enclosing projection
+  // inside whole-stage codegen — one static call per row
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.PyDoubleRepr$$.MODULE$$.repr($c))")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

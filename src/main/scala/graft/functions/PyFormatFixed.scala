@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -24,7 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * non-finite values render as Python's `"nan"` / `"inf"` / `"-inf"`.
   */
 case class PyFormatFixed(child: Expression, prec: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = child.nullable
@@ -40,6 +40,13 @@ case class PyFormatFixed(child: Expression, prec: Int)
 
   override def nullSafeEval(input: Any): Any =
     UTF8String.fromString(PyFormatFixed.format(input.asInstanceOf[Double], prec))
+
+  // a real doGenCode (vs CodegenFallback) keeps the enclosing projection
+  // inside whole-stage codegen — one static call per row
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.PyFormatFixed$$.MODULE$$.format($c, $prec))")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

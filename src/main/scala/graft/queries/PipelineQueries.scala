@@ -150,27 +150,35 @@ object PipelineQueries extends Registry {
     (s, d) => {
       def bloomPos(sg: org.apache.spark.sql.Column, j: Int) =
         Dedup.hexHash32(substring(md5(sg), 1 + 8 * j, 8)) % 4096
-      def posArr(sg: org.apache.spark.sql.Column) =
-        array((0 until 4).map(j => bloomPos(sg, j)): _*)
       val docs = Tables.fanOut(Tables.documents(s, d))
         .select(col("doc_id"), explode(array(
           array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)))).as("sh"))
         .filter(size(col("sh")) > 0)
-      val benchPos = docs.filter(col("doc_id") < 10)
+      // Index build (like the IVF quantizer literals): the filter is pure
+      // fixed-size data — collect the set bit positions once and ship the
+      // m-entry bit table as a plan literal, so membership probing is a
+      // per-row O(k) lookup with NO join and NO per-shingle aggregation.
+      // (A production filter packs this into m/8 bytes; the flat 0/1
+      // table keeps the probe pure codegen'd `element_at`.)
+      val setBits = docs.filter(col("doc_id") < 10)
         .select(explode(col("sh")).as("bsh"))
-        .select(explode(posArr(col("bsh"))).as("pos"))
+        .select(array((0 until 4).map(j => bloomPos(col("bsh"), j)): _*).as("ps"))
+        .select(explode(col("ps")).as("pos"))
         .distinct()
-        .withColumn("hit", lit(1L))
+        .collect().map(_.getLong(0).toInt).toSet
+      val bitsLit = array((0 until 4096).map(p =>
+        lit(if (setBits(p)) 1 else 0)): _*)
+      val hit = (0 until 4)
+        .map(j => element_at(bitsLit, (bloomPos(col("sg"), j) + 1).cast("int")) === 1)
+        .reduce(_ && _)
       docs
         .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
           explode(col("sh")).as("sg"))
-        .select(col("doc_id"), col("n_sh"), col("sg"),
-          explode(posArr(col("sg"))).as("pos"))
-        .join(broadcast(benchPos), Seq("pos"), "left")
-        .groupBy("doc_id", "n_sh", "sg")
-        .agg(sum(coalesce(col("hit"), lit(0L))).as("m"))
+        // hit in a projection (not inside the agg) so codegen's
+        // subexpression elimination computes md5(sg) once, not 4x
+        .select(col("doc_id"), col("n_sh"), hit.as("hit"))
         .groupBy("doc_id", "n_sh")
-        .agg(sum(when(col("m") === 4, 1L).otherwise(0L)).as("n_bloom_hits"))
+        .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_bloom_hits"))
         .withColumn("hit_frac", col("n_bloom_hits").cast("double") / col("n_sh"))
         .withColumn("flagged", col("hit_frac") >= 0.5d)
         .orderBy("doc_id")
