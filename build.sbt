@@ -16,6 +16,11 @@ run / fork := true
 // "[info] "/"[error] ", so no line is raw JSON and BENCH_r{N}.json gets
 // parsed:null. StdoutOutput inherits the child's stdio directly.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and sbt's trailing "[success] Total time: ..." line would print AFTER
+// the JSON, so a last-line parser on the driver side still fails. Suppress
+// it so Bench's JSON is the final stdout line of the whole sbt invocation.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

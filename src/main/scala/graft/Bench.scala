@@ -75,12 +75,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // Drain stderr and lead with a newline so the JSON line cannot be
-    // corrupted by a partially-written diagnostic line when the consumer
-    // merges the two streams.
+    // The JSON line must be the LAST line of the process's combined output:
+    // a consumer that merges stdout+stderr and parses the final line would
+    // otherwise trip over Spark's stop/shutdown-hook logging. So: silence
+    // all logging, stop Spark (its stop-time log lines are now suppressed),
+    // drain stderr, THEN print the JSON.
+    org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+      org.apache.logging.log4j.Level.OFF)
+    spark.stop()
     System.err.flush()
     print(s"""\n{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}\n""")
     System.out.flush()
-    spark.stop()
   }
 }
