@@ -87,8 +87,13 @@ object Similarity {
     u32.toDouble / 4294967296.0d - 0.5d
   }
 
+  // One Literal NODE per constant array (not a dim-child CreateArray):
+  // the optimizer walks/clones every expression node on each analysis
+  // and optimization pass, so wide constant trees (64-dim planes, 16
+  // centroids, bitmask tables) turn into seconds of driver-side planning
+  // per run. A typedLit ships the same values as a single node.
   private def planeLit(p: Int, dim: Int): Column =
-    array((0 until dim).map(i => lit(planeComponent(p, i))): _*)
+    typedLit((0 until dim).map(i => planeComponent(p, i)).toArray)
 
   /** Sign-bucket signature: bit p = (vec · plane_p) >= 0.
     * @param dim the embedding dimensionality (plane literals need a static
@@ -159,7 +164,7 @@ object Similarity {
       .orderBy((col("id") / step).cast("int"))
       .select(asDouble(col("vec")))
       .collect().map(_.getSeq[Double](0).toSeq).toSeq
-    def centLit(c: Int): Column = array(cents(c).map(lit): _*)
+    def centLit(c: Int): Column = typedLit(cents(c).toArray)
     def cellDists(v: Column): Column =
       array((0 until cents.size).map(c => sqDist(v, centLit(c))): _*)
     def argminCell(v: Column): Column = {
@@ -177,7 +182,7 @@ object Similarity {
       .withColumn("ds", cellDists(asDouble(col("qvec"))))
       .withColumn("probe", slice(array_sort(zip_with(
         col("ds"),
-        array((0 until cents.size).map(c => lit(c)): _*),
+        typedLit((0 until cents.size).toArray),
         (d, c) => struct(d.as("dist"), c.as("cell")))), 1, nProbe))
       .select(col("qid"), col("qvec"), explode(col("probe.cell")).as("cell"))
 
@@ -206,7 +211,7 @@ object Similarity {
       .orderBy((col("id") / step).cast("int"))
       .select(asDouble(col("vec")))
       .collect().map(_.getSeq[Double](0).toSeq).toSeq
-    def centLit(c: Int): Column = array(cents(c).map(lit): _*)
+    def centLit(c: Int): Column = typedLit(cents(c).toArray)
     val ds = array((0 until cents.size).map(c =>
       sqDist(asDouble(col("vec")), centLit(c))): _*)
     corpus

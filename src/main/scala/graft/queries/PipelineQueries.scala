@@ -166,8 +166,11 @@ object PipelineQueries extends Registry {
         .select(explode(col("ps")).as("pos"))
         .distinct()
         .collect().map(_.getLong(0).toInt).toSet
-      val bitsLit = array((0 until 4096).map(p =>
-        lit(if (setBits(p)) 1 else 0)): _*)
+      // One Literal node, NOT a 4096-child CreateArray: the probe clones
+      // this table k=4 times, and a 16k-node constant tree costs seconds
+      // of driver-side planning/codegen per run (measured: ~7 s/run).
+      val bitsLit = typedLit((0 until 4096).map(p =>
+        if (setBits(p)) 1 else 0).toArray)
       val hit = (0 until 4)
         .map(j => element_at(bitsLit, (bloomPos(col("sg"), j) + 1).cast("int")) === 1)
         .reduce(_ && _)
