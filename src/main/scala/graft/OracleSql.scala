@@ -27,6 +27,12 @@ object OracleSql {
   def dsum(x: String, scale: Int = 6): String =
     s"CAST(CAST(SUM(CAST(printf('%.${scale + 4}f', $x) AS DECIMAL(38,$scale))) AS VARCHAR) AS DOUBLE)"
 
+  /** Windowed twin of [[dsum]]: the same exact decimal sum over a window
+    * frame. `over` is the full "(PARTITION BY … ROWS BETWEEN …)" text.
+    */
+  def dsumOver(x: String, over: String, scale: Int = 6): String =
+    s"CAST(CAST(SUM(CAST(printf('%.${scale + 4}f', $x) AS DECIMAL(38,$scale))) OVER $over AS VARCHAR) AS DOUBLE)"
+
   /** Spark-SQL-dialect twin of [[dsum]] for queries exercising the
     * engine's own SQL surface (q19): Spark's decimal cast is already
     * exact-value based, so the plain form IS the reference semantics.

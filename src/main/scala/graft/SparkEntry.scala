@@ -14,7 +14,8 @@ import graft.queries._
 object SparkEntry {
 
   private val registries: Seq[Registry] =
-    Seq(CoreQueries, NormalizerQueries, TrainingDataQueries, PipelineQueries)
+    Seq(CoreQueries, NormalizerQueries, TrainingDataQueries, PipelineQueries,
+      AnalyticsQueries)
 
   private lazy val qs: Seq[Q] = registries.flatMap(_.all)
 

@@ -47,20 +47,30 @@ object StableAgg {
     * answer) — the explicit guard below raises there too, so bad
     * magnitudes fail loudly in every session mode.
     */
-  def dsum(c: Column, scale: Int = SumScale): Column = {
-    // Exact overflow predicate in cheap double arithmetic: decimal(38,s)
-    // holds up to 10^(38-s) - 10^-s, and no double lies strictly between
-    // that and 10^(38-s) (ulp there is ~1e16), so |x| >= 10^(38-s) <=>
-    // the rounded cast overflows. Checking the double (one compare per
-    // row) instead of null-testing a second decimal cast keeps the guard
-    // out of the aggregate's hot-path cost.
+  def dsum(c: Column, scale: Int = SumScale): Column =
+    sum(guardedDecimal(c, scale)).cast("double")
+
+  /** Windowed twin of [[dsum]] — the exact decimal sum over a window frame
+    * (e.g. a trailing-N moving sum). Same quantization and overflow
+    * contracts; the oracle mirror is [[graft.OracleSql.dsumOver]].
+    */
+  def dsumOver(c: Column, w: org.apache.spark.sql.expressions.WindowSpec,
+      scale: Int = SumScale): Column =
+    sum(guardedDecimal(c, scale)).over(w).cast("double")
+
+  // Exact overflow predicate in cheap double arithmetic: decimal(38,s)
+  // holds up to 10^(38-s) - 10^-s, and no double lies strictly between
+  // that and 10^(38-s) (ulp there is ~1e16), so |x| >= 10^(38-s) <=>
+  // the rounded cast overflows. Checking the double (one compare per
+  // row) instead of null-testing a second decimal cast keeps the guard
+  // out of the aggregate's hot-path cost.
+  private def guardedDecimal(c: Column, scale: Int): Column = {
     val limit = math.pow(10.0, (38 - scale).toDouble)
-    val guarded = when(c.isNotNull && abs(c) >= limit,
+    when(c.isNotNull && abs(c) >= limit,
         raise_error(concat(
           lit(s"StableAgg.dsum: |value| overflows decimal(38,$scale): "),
           c.cast("string"))).cast(s"decimal(38,$scale)"))
       .otherwise(c.cast(s"decimal(38,$scale)"))
-    sum(guarded).cast("double")
   }
 
   /** Exact-sum-based mean (null when no rows). Pass `scale = 12` for

@@ -1,0 +1,353 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{OracleSql, Tables}
+import graft.functions.StableAgg
+import graft.operators.Normalizer
+
+/** Round-4 additions, part 2 — the market-analytics layer a trading
+  * pipeline builds ON TOP of the reference's normalized stream (OHLC
+  * candles, VWAP, book-depth imbalance), window-frame/pivot relational
+  * coverage, and the text-curation operators (PII redaction, markup
+  * stripping, boilerplate-paragraph dedup) of an LLM data pipeline.
+  *
+  * All market queries consume the FULL normalizer path (the same
+  * synthesized OKX frames as q16/q17 — reference/src/normalizer.py), so
+  * they gate end-to-end: frame decode → normalize → analytics.
+  */
+object AnalyticsQueries extends Registry {
+
+  /** Normalized trade stream (the q17 shape, flattened). */
+  private def trades(s: SparkSession, d: String): DataFrame =
+    Normalizer.normalize(NormalizerQueries.framedTrades(s, d), passthrough = Seq("src_id"))
+      .select(col("src_id"), col("symbol"), col("ts_exchange_ms"),
+        col("trade.price").as("price"), col("trade.size").as("sz"),
+        col("trade.side").as("side"))
+
+  /** A strictly-unique, order-preserving event key both engines sort
+    * identically: zero-padded decimal renders of (ts, src_id) compare
+    * lexicographically exactly like the numeric pair, which lets OHLC
+    * open/close be a single-shuffle min_by/max_by (no window sort).
+    */
+  private def seqKey: Column =
+    format_string("%020d|%012d", col("ts_exchange_ms"), col("src_id"))
+
+  /** The q17 trade relation in DuckDB SQL (src_id, symbol, ts, price, sz,
+    * side) — shared by the OHLC and VWAP oracles.
+    */
+  private val duckTrades: String =
+    """base AS (
+        SELECT (l_orderkey * 10 + l_linenumber) AS src_id,
+          'T-' || CAST(l_suppkey % 5 AS VARCHAR) AS symbol,
+          epoch_ms(l_shipdate) AS ship_ms,
+          l_extendedprice AS px, l_quantity AS qty,
+          l_linenumber, l_partkey, l_suppkey
+        FROM lineitem WHERE l_orderkey % 17 <> 0 AND l_orderkey % 11 <> 0),
+      tr AS (
+        SELECT src_id, symbol, ship_ms AS ts, px AS price, qty AS sz,
+          CASE WHEN l_linenumber % 2 = 0 THEN 'buy' ELSE 'sell' END AS side
+        FROM base
+        UNION ALL
+        SELECT src_id, symbol, ship_ms + 1, px + 2.5, qty + 0.25,
+          CASE WHEN l_linenumber % 2 = 0 THEN 'sell' ELSE 'buy' END
+        FROM base WHERE l_suppkey % 4 <> 0)"""
+
+  private val duckSeqKey = "printf('%020d|%012d', ts, src_id)"
+
+  /** OHLC bars (A-series extension): per (symbol, day) candle from the
+    * normalized trade stream. open/close are min_by/max_by over the
+    * unique event key — ONE hash aggregate, no per-key sort (at 100 TB a
+    * window row_number here would sort every partition; min_by keeps one
+    * (key, price) pair of state per group).
+    */
+  private val q66 = Q("q66_ohlc_bars",
+    (s, d) => {
+      trades(s, d)
+        .withColumn("day_bucket", expr("ts_exchange_ms div 86400000"))
+        .groupBy("symbol", "day_bucket")
+        .agg(
+          min_by(col("price"), seqKey).as("open"),
+          max(col("price")).as("high"),
+          min(col("price")).as("low"),
+          max_by(col("price"), seqKey).as("close"),
+          StableAgg.dsum(col("sz")).as("volume"),
+          count(lit(1)).as("n_trades"))
+        .orderBy("symbol", "day_bucket")
+    },
+    Some(s"""WITH $duckTrades
+      SELECT symbol, ts // 86400000 AS day_bucket,
+        arg_min(price, $duckSeqKey) AS open,
+        MAX(price) AS high, MIN(price) AS low,
+        arg_max(price, $duckSeqKey) AS close,
+        ${OracleSql.dsum("sz")} AS volume,
+        CAST(COUNT(*) AS BIGINT) AS n_trades
+      FROM tr GROUP BY symbol, day_bucket
+      ORDER BY symbol, day_bucket"""))
+
+  /** VWAP + side-split volume per symbol. The volume-weighted average
+    * price is the ratio of two exact decimal sums (notional / volume), so
+    * it is order-independent — a plain double sum here hash-mismatches
+    * under AQE/partition reordering. Notional products are formed in
+    * IEEE double (identically in both engines), then quantized.
+    */
+  private val q67 = Q("q67_vwap",
+    (s, d) => {
+      trades(s, d)
+        .groupBy("symbol")
+        .agg(
+          count(lit(1)).as("n_trades"),
+          StableAgg.dsum(col("sz")).as("volume"),
+          StableAgg.dsum(col("price") * col("sz")).as("notional"),
+          (StableAgg.dsum(col("price") * col("sz")) / StableAgg.dsum(col("sz"))).as("vwap"),
+          StableAgg.dsum(when(col("side") === "buy", col("sz")).otherwise(lit(0.0d))).as("buy_volume"),
+          StableAgg.dsum(when(col("side") === "sell", col("sz")).otherwise(lit(0.0d))).as("sell_volume"))
+        .orderBy("symbol")
+    },
+    Some(s"""WITH $duckTrades
+      SELECT symbol,
+        CAST(COUNT(*) AS BIGINT) AS n_trades,
+        ${OracleSql.dsum("sz")} AS volume,
+        ${OracleSql.dsum("price * sz")} AS notional,
+        (${OracleSql.dsum("price * sz")} / ${OracleSql.dsum("sz")}) AS vwap,
+        ${OracleSql.dsum("CASE WHEN side = 'buy' THEN sz ELSE 0.0::DOUBLE END")} AS buy_volume,
+        ${OracleSql.dsum("CASE WHEN side = 'sell' THEN sz ELSE 0.0::DOUBLE END")} AS sell_volume
+      FROM tr GROUP BY symbol ORDER BY symbol"""))
+
+  /** Book-depth imbalance per symbol from the normalized books5 stream:
+    * depth = left-to-right sum of up to 5 level sizes (missing levels add
+    * exact 0.0 — a no-op in IEEE), imbalance = bid_depth / total_depth.
+    * Unit-magnitude ratios use the scale-12 decimal route (NOTES rule).
+    */
+  private val q68 = Q("q68_book_imbalance",
+    (s, d) => {
+      val books = Normalizer.normalize(NormalizerQueries.framedBooks(s, d),
+        passthrough = Seq("src_id"))
+      def depth(side: String): Column =
+        (1 to 5).map(i =>
+          coalesce(try_element_at(col(s"book.$side"), lit(i)).getField("size"), lit(0.0d)))
+          .reduce(_ + _)
+      val bid = depth("bids")
+      val ask = depth("asks")
+      books
+        .select(col("symbol"),
+          (bid / (bid + ask)).as("imb"),
+          (col("book.best_ask") - col("book.best_bid")).as("spread"))
+        .groupBy("symbol")
+        .agg(count(lit(1)).as("n_books"),
+          StableAgg.davg(col("imb"), 12).as("avg_imbalance"),
+          min(col("imb")).as("min_imbalance"),
+          max(col("imb")).as("max_imbalance"),
+          StableAgg.davg(col("spread")).as("avg_spread"))
+        .orderBy("symbol")
+    },
+    Some {
+      // framedBooks synthesis (q16 oracle): bids = [qty] ++ [qty+1.0
+      // unless linenumber%3=0 (malformed level dropped)], asks = [qty].
+      val bid = "(qty + (CASE WHEN l_linenumber % 3 = 0 THEN 0.0::DOUBLE ELSE qty + 1.0 END))"
+      s"""WITH b AS (
+        SELECT 'SYM-' || CAST(l_partkey % 10 AS VARCHAR) AS symbol,
+          l_quantity AS qty, l_linenumber,
+          (l_extendedprice + 1.0) - l_extendedprice AS spread
+        FROM lineitem
+        WHERE l_orderkey % 17 <> 0 AND l_orderkey % 11 <> 0 AND l_orderkey % 13 <> 0),
+      i AS (SELECT symbol, $bid / ($bid + qty) AS imb, spread FROM b)
+      SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_books,
+        ${OracleSql.davg("imb", 12)} AS avg_imbalance,
+        MIN(imb) AS min_imbalance, MAX(imb) AS max_imbalance,
+        ${OracleSql.davg("spread")} AS avg_spread
+      FROM i GROUP BY symbol ORDER BY symbol"""
+    })
+
+  /** Window-frame coverage (SURVEY §2.7 gap list): per-customer order
+    * sequence with a trailing-5 moving sum/average (ROWS frame + exact
+    * decimal sum), lag with default, inter-order gap days, and the
+    * running first price — the standard account-activity feature set.
+    */
+  private val q69 = Q("q69_moving_order_stats",
+    (s, d) => {
+      val part = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val w5 = part.rowsBetween(-4, 0)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .withColumn("seq", row_number().over(part))
+        .withColumn("mv_sum5", StableAgg.dsumOver(col("o_totalprice"), w5))
+        .withColumn("mv_avg5", col("mv_sum5") / count(lit(1)).over(w5))
+        .withColumn("prev_price", lag(col("o_totalprice"), 1, 0.0d).over(part))
+        .withColumn("gap_days",
+          coalesce(datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(part)),
+            lit(0)).cast("int"))
+        .withColumn("first_price", first(col("o_totalprice")).over(part))
+        .select(col("o_custkey"), col("o_orderkey"), col("seq"), col("mv_sum5"),
+          col("mv_avg5"), col("prev_price"), col("gap_days"), col("first_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some {
+      val over = "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
+      val part = "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
+      s"""SELECT o_custkey, o_orderkey,
+        CAST(row_number() OVER $part AS INTEGER) AS seq,
+        ${OracleSql.dsumOver("o_totalprice", over)} AS mv_sum5,
+        ${OracleSql.dsumOver("o_totalprice", over)} / COUNT(*) OVER $over AS mv_avg5,
+        lag(o_totalprice, 1, 0.0::DOUBLE) OVER $part AS prev_price,
+        CAST(coalesce(date_diff('day', lag(o_orderdate, 1) OVER $part, o_orderdate), 0) AS INTEGER) AS gap_days,
+        first_value(o_totalprice) OVER $part AS first_price
+      FROM orders ORDER BY o_custkey, o_orderkey"""
+    })
+
+  /** PIVOT: order counts per priority spread across status columns — the
+    * wide-report shape. Spark's pivot with explicit values stays a single
+    * hash aggregate (each status becomes one conditional agg); never
+    * pivot on an unenumerated column at scale (it triggers a distinct
+    * scan just to discover the columns).
+    */
+  private val q70 = Q("q70_pivot_status",
+    (s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority").as("priority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("priority")
+    },
+    Some("""SELECT o_orderpriority AS priority,
+        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+      FROM orders GROUP BY o_orderpriority ORDER BY priority"""))
+
+  // ---- text curation (documents are digit/markup-free word streams, so
+  // each query deterministically plants the structures it scrubs — same
+  // synthesis in both engines, like the normalizer's frame fixtures).
+
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val idRe    = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  private val ipRe    = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII redaction: count and replace emails / SSN-shaped ids / IPv4s
+    * (replacement order matters: emails contain dotted digit runs, so
+    * they redact first). The md5 of the redacted text gates byte
+    * identity, not just counts. Patterns avoid Java/RE2 dialect
+    * divergence (no backrefs, no lookaround).
+    */
+  private val q71 = Q("q71_pii_redact",
+    (s, d) => {
+      val t = concat(col("text"),
+        lit(" Contact user"), col("doc_id").cast("string"), lit("@mail.example.com or 10."),
+        (col("doc_id") % 200).cast("string"), lit(".0."),
+        (col("doc_id") % 250).cast("string"), lit(" id 123-45-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit("."))
+      val redacted = regexp_replace(
+        regexp_replace(
+          regexp_replace(t, lit(emailRe), lit("<EMAIL>")),
+          lit(idRe), lit("<ID>")),
+        lit(ipRe), lit("<IP>"))
+      Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"),
+          size(regexp_extract_all(t, lit(emailRe), lit(0))).as("n_email"),
+          size(regexp_extract_all(t, lit(idRe), lit(0))).as("n_id"),
+          size(regexp_extract_all(t, lit(ipRe), lit(0))).as("n_ip"),
+          length(redacted).as("red_len"),
+          md5(redacted).as("red_md5"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val t = "text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com or 10.' || " +
+        "CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) || " +
+        "' id 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'"
+      s"""WITH t AS (SELECT doc_id, $t AS txt FROM documents),
+        r AS (SELECT doc_id, txt,
+          regexp_replace(regexp_replace(regexp_replace(txt,
+            '$emailRe', '<EMAIL>', 'g'), '$idRe', '<ID>', 'g'), '$ipRe', '<IP>', 'g') AS red
+        FROM t)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(txt, '$emailRe')) AS INTEGER) AS n_email,
+        CAST(len(regexp_extract_all(txt, '$idRe')) AS INTEGER) AS n_id,
+        CAST(len(regexp_extract_all(txt, '$ipRe')) AS INTEGER) AS n_ip,
+        CAST(length(red) AS INTEGER) AS red_len,
+        md5(red) AS red_md5
+      FROM r ORDER BY doc_id"""
+    })
+
+  /** Markup stripping: remove tags, collapse runs of spaces, trim — the
+    * standard HTML-to-text step. Tag count + stripped md5 gate bytes.
+    */
+  private val q72 = Q("q72_markup_strip",
+    (s, d) => {
+      val t = concat(lit("<p id=\""), col("doc_id").cast("string"), lit("\">"),
+        col("text"), lit("</p><br/><a href=\"https://ex.org/"),
+        col("doc_id").cast("string"), lit("\">doc "),
+        col("doc_id").cast("string"), lit("</a>"))
+      val stripped = trim(regexp_replace(
+        regexp_replace(t, lit("<[^>]+>"), lit(" ")), lit(" +"), lit(" ")))
+      Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"),
+          size(regexp_extract_all(t, lit("<[^>]+>"), lit(0))).as("n_tags"),
+          length(stripped).as("strip_len"),
+          md5(stripped).as("strip_md5"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val t = "'<p id=\"' || CAST(doc_id AS VARCHAR) || '\">' || text || " +
+        "'</p><br/><a href=\"https://ex.org/' || CAST(doc_id AS VARCHAR) || " +
+        "'\">doc ' || CAST(doc_id AS VARCHAR) || '</a>'"
+      s"""WITH t AS (SELECT doc_id, $t AS txt FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(txt, '<[^>]+>')) AS INTEGER) AS n_tags,
+        CAST(length(trim(regexp_replace(regexp_replace(txt, '<[^>]+>', ' ', 'g'), ' +', ' ', 'g'))) AS INTEGER) AS strip_len,
+        md5(trim(regexp_replace(regexp_replace(txt, '<[^>]+>', ' ', 'g'), ' +', ' ', 'g'))) AS strip_md5
+      FROM t ORDER BY doc_id"""
+    })
+
+  /** Paragraph-level dedup: each doc splits into 3 slices plus a shared
+    * boilerplate paragraph; the global first occurrence (by (doc_id,
+    * idx)) of each distinct paragraph survives. This is the
+    * boilerplate-removal step between exact-doc and near-dup dedup: the
+    * planted paragraph collapses 1-per-doc to 1-per-corpus.
+    */
+  private val q73 = Q("q73_paragraph_dedup",
+    (s, d) => {
+      val paras = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), posexplode(array(
+          substring(col("text"), 1, 120),
+          substring(col("text"), 121, 120),
+          substring(col("text"), 241, 120),
+          lit("This document is auto-generated boilerplate."))))
+        .toDF("doc_id", "pidx", "para")
+        .filter(length(col("para")) > 0)
+      val w = Window.partitionBy(md5(col("para")))
+        .orderBy(format_string("%012d|%02d", col("doc_id"), col("pidx")))
+      paras
+        .withColumn("rn", row_number().over(w))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_paras"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("kept_frac",
+          col("n_kept").cast("double") / col("n_paras").cast("double"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH p AS (
+        SELECT doc_id, 0 AS pidx, substr(text, 1, 120) AS para FROM documents
+        UNION ALL SELECT doc_id, 1, substr(text, 121, 120) FROM documents
+        UNION ALL SELECT doc_id, 2, substr(text, 241, 120) FROM documents
+        UNION ALL SELECT doc_id, 3, 'This document is auto-generated boilerplate.' FROM documents),
+      f AS (SELECT * FROM p WHERE length(para) > 0),
+      r AS (SELECT doc_id,
+          row_number() OVER (PARTITION BY md5(para)
+            ORDER BY printf('%012d|%02d', doc_id, pidx)) AS rn
+        FROM f)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+        CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS kept_frac
+      FROM r GROUP BY doc_id ORDER BY doc_id"""))
+
+  override val all: Seq[Q] =
+    Seq(q66, q67, q68, q69, q70, q71, q72, q73)
+}
