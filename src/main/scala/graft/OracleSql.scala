@@ -11,27 +11,34 @@ object OracleSql {
     * double↔decimal conversion paths (each diverges from Spark by 1 ulp at
     * sufficient magnitude — found at sf0.1 in q12's sum of squares):
     *
-    *  - addend quantization: DuckDB's CAST(DOUBLE AS DECIMAL) computes
-    *    x·10^scale IN DOUBLE then rounds — a scaled-double error relative
-    *    to Spark's exact-value rounding (scala BigDecimal(d) = DECIMAL128
-    *    of the exact binary value). `printf('%.{scale+4}f', x)` prints the
-    *    exact value correctly rounded with 4 guard digits; the string →
-    *    decimal parse then rounds HALF_UP at the target scale exactly like
-    *    Java (verified: '0.125'→0.13, '-0.125'→-0.13), so dyadic ties
-    *    (printf alone is half-even there) also agree.
+    *  - addend quantization: Spark's double→decimal cast quantizes the
+    *    SHORTEST ROUND-TRIP decimal form, not the exact binary value
+    *    (Decimal.set(Double) → scala BigDecimal(d) → java
+    *    BigDecimal.valueOf → Double.toString). DuckDB's native
+    *    CAST(DOUBLE AS DECIMAL) instead computes x·10^scale in double and
+    *    rounds (scaled-double error), and a printf('%.Nf') render
+    *    quantizes the EXACT expansion — both diverge from Spark where the
+    *    shortest repr's implicit trailing zeros differ from the exact
+    *    binary digits inside the target scale (found at q75's close²,
+    *    ~1e10 magnitude at scale 10: 836/12277 windows off by 1 ulp).
+    *    `CAST(x AS VARCHAR)` is DuckDB's shortest round-trip render — the
+    *    same digit string Double.toString yields — and the string →
+    *    decimal parse performs the ONE HALF_UP rounding at the target
+    *    scale exactly like Java's BigDecimal.setScale (verified:
+    *    '0.125'→0.13, '-0.125'→-0.13, 5e-07→0.000001).
     *  - sum → double: DuckDB's DECIMAL→DOUBLE is int128→double then
     *    /10^scale (two roundings); via VARCHAR it is exact digits + one
     *    correctly-rounded string→double, matching BigDecimal.doubleValue
     *    beyond 2^53.
     */
   def dsum(x: String, scale: Int = 6): String =
-    s"CAST(CAST(SUM(CAST(printf('%.${scale + 4}f', $x) AS DECIMAL(38,$scale))) AS VARCHAR) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST(CAST(($x) AS VARCHAR) AS DECIMAL(38,$scale))) AS VARCHAR) AS DOUBLE)"
 
   /** Windowed twin of [[dsum]]: the same exact decimal sum over a window
     * frame. `over` is the full "(PARTITION BY … ROWS BETWEEN …)" text.
     */
   def dsumOver(x: String, over: String, scale: Int = 6): String =
-    s"CAST(CAST(SUM(CAST(printf('%.${scale + 4}f', $x) AS DECIMAL(38,$scale))) OVER $over AS VARCHAR) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST(CAST(($x) AS VARCHAR) AS DECIMAL(38,$scale))) OVER $over AS VARCHAR) AS DOUBLE)"
 
   /** Spark-SQL-dialect twin of [[dsum]] for queries exercising the
     * engine's own SQL surface (q19): Spark's decimal cast is already
@@ -46,7 +53,7 @@ object OracleSql {
   def dstdSamp(x: String): String = {
     val n  = s"CAST(COUNT($x) AS DOUBLE)"
     val s1 = dsum(x)
-    val s2 = s"CAST(CAST(SUM(CAST(printf('%.14f', ($x) * ($x)) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+    val s2 = s"CAST(CAST(SUM(CAST(CAST(($x) * ($x) AS VARCHAR) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
     s"(CASE WHEN COUNT($x) <= 1 THEN 0.0 ELSE " +
       s"sqrt(greatest(($s2 - $s1 * $s1 / $n) / ($n - 1.0), 0.0)) END)"
   }

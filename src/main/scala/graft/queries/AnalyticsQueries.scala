@@ -348,6 +348,82 @@ object AnalyticsQueries extends Registry {
         CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS kept_frac
       FROM r GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** The full ranking-function family over a TIED ordering (n_chars
+    * repeats within a source): rank leaves gaps, dense_rank doesn't,
+    * percent_rank/cume_dist are the normalized forms. All four are
+    * tie-stable — every peer row gets the same value — so the result is
+    * deterministic without a unique sort key even though row_number here
+    * would not be. Output keyed by doc_id for a stable compare.
+    */
+  private val q74 = Q("q74_rank_suite",
+    (s, d) => {
+      val w = Window.partitionBy("source").orderBy("n_chars")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .withColumn("prnk", percent_rank().over(w))
+        .withColumn("cdist", cume_dist().over(w))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, source, n_chars,
+        CAST(rank() OVER w AS INTEGER) AS rnk,
+        CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        percent_rank() OVER w AS prnk,
+        cume_dist() OVER w AS cdist
+      FROM documents
+      WINDOW w AS (PARTITION BY source ORDER BY n_chars)
+      ORDER BY doc_id"""))
+
+  /** Bollinger bands over the q66 daily closes: trailing-20 moving mean
+    * and sample std from exact decimal frame sums (same two-sum identity
+    * as StableAgg.dstdSamp), bands at mean ± 2σ. sqrt and the ±2σ
+    * arithmetic are correctly-rounded IEEE ops, so the bands hash
+    * cross-engine. Two chained shuffles total: the bar aggregate, then
+    * the per-symbol window.
+    */
+  private val q75 = Q("q75_bollinger_bands",
+    (s, d) => {
+      val bars = trades(s, d)
+        .withColumn("day_bucket", expr("ts_exchange_ms div 86400000"))
+        .groupBy("symbol", "day_bucket")
+        .agg(max_by(col("price"), seqKey).as("close"))
+      val w20 = Window.partitionBy("symbol").orderBy("day_bucket").rowsBetween(-19, 0)
+      val n  = count(lit(1)).over(w20).cast("double")
+      val s1 = StableAgg.dsumOver(col("close"), w20)
+      val s2 = StableAgg.dsumOver(col("close") * col("close"), w20, 10)
+      val mid = s1 / n
+      val sd = when(count(lit(1)).over(w20) <= 1, lit(0.0d))
+        .otherwise(sqrt(greatest((s2 - s1 * s1 / n) / (n - 1.0d), lit(0.0d))))
+      bars
+        .withColumn("mid", mid)
+        .withColumn("sd", sd)
+        .withColumn("band_up", mid + sd * 2.0d)
+        .withColumn("band_dn", mid - sd * 2.0d)
+        .select(col("symbol"), col("day_bucket"), col("close"),
+          col("mid"), col("sd"), col("band_up"), col("band_dn"))
+        .orderBy("symbol", "day_bucket")
+    },
+    Some {
+      val over = "(PARTITION BY symbol ORDER BY day_bucket ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)"
+      val n  = s"CAST(COUNT(*) OVER $over AS DOUBLE)"
+      val s1 = OracleSql.dsumOver("close", over)
+      val s2 = s"CAST(CAST(SUM(CAST(CAST(close * close AS VARCHAR) AS DECIMAL(38,10))) OVER $over AS VARCHAR) AS DOUBLE)"
+      val sd = s"(CASE WHEN COUNT(*) OVER $over <= 1 THEN 0.0::DOUBLE ELSE " +
+        s"sqrt(greatest((($s2) - ($s1) * ($s1) / $n) / ($n - 1.0::DOUBLE), 0.0::DOUBLE)) END)"
+      s"""WITH $duckTrades,
+      bars AS (
+        SELECT symbol, ts // 86400000 AS day_bucket,
+          arg_max(price, $duckSeqKey) AS close
+        FROM tr GROUP BY symbol, day_bucket)
+      SELECT symbol, day_bucket, close,
+        ($s1) / $n AS mid,
+        $sd AS sd,
+        ($s1) / $n + ($sd) * 2.0::DOUBLE AS band_up,
+        ($s1) / $n - ($sd) * 2.0::DOUBLE AS band_dn
+      FROM bars ORDER BY symbol, day_bucket"""
+    })
+
   override val all: Seq[Q] =
-    Seq(q66, q67, q68, q69, q70, q71, q72, q73)
+    Seq(q66, q67, q68, q69, q70, q71, q72, q73, q74, q75)
 }
