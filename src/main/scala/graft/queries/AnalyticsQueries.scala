@@ -27,13 +27,17 @@ object AnalyticsQueries extends Registry {
         col("trade.price").as("price"), col("trade.size").as("sz"),
         col("trade.side").as("side"))
 
-  /** A strictly-unique, order-preserving event key both engines sort
-    * identically: zero-padded decimal renders of (ts, src_id) compare
-    * lexicographically exactly like the numeric pair, which lets OHLC
-    * open/close be a single-shuffle min_by/max_by (no window sort).
+  /** A strictly-unique event ordering key WITHIN a day bucket, packed
+    * into one BIGINT: (ts offset inside the day) ≤ 2^27 in the high bits,
+    * src_id (< 2^36 by construction of the fixture ids; ANSI overflow
+    * raises loudly otherwise) in the low 36. A primitive key keeps
+    * min_by/max_by's aggregation buffer fixed-width, so open/close stay
+    * inside a partial/final HashAggregate — a string or struct key here
+    * demotes the whole bar aggregate to SortAggregate (sort-by-group-key
+    * before BOTH partial and final: measured in the q66 plan audit).
     */
   private def seqKey: Column =
-    format_string("%020d|%012d", col("ts_exchange_ms"), col("src_id"))
+    (col("ts_exchange_ms") % 86400000L) * 68719476736L + col("src_id")
 
   /** The q17 trade relation in DuckDB SQL (src_id, symbol, ts, price, sz,
     * side) — shared by the OHLC and VWAP oracles.
@@ -55,7 +59,7 @@ object AnalyticsQueries extends Registry {
           CASE WHEN l_linenumber % 2 = 0 THEN 'sell' ELSE 'buy' END
         FROM base WHERE l_suppkey % 4 <> 0)"""
 
-  private val duckSeqKey = "printf('%020d|%012d', ts, src_id)"
+  private val duckSeqKey = "((ts % 86400000) * 68719476736 + src_id)"
 
   /** OHLC bars (A-series extension): per (symbol, day) candle from the
     * normalized trade stream. open/close are min_by/max_by over the

@@ -47,7 +47,17 @@ object PlanAudit {
     "q35_asof_join" ->
       "As-of join: union-then-window formulation — one shuffle by symbol, last_value over the interleaved stream, no range-join explosion.",
     "q38_dup_clusters" ->
-      "Connected components: per-iteration min-label propagation joins stay on the doc_id key; candidate-pair input is the LSH band join, quadratic work confined to buckets.")
+      "Connected components: per-iteration min-label propagation joins stay on the doc_id key; candidate-pair input is the LSH band join, quadratic work confined to buckets.",
+    "q60_cube_sales" ->
+      "CUBE (r04): Expand emits all 2^2 grouping sets map-side, then ONE partial/final hash aggregate pair — grouping sets never re-scan or re-shuffle per set.",
+    "q62_bloom_decontaminate" ->
+      "Bloom decontamination (r04): the 4096-bit filter ships as ONE array literal (512-byte equivalent) — membership is 4 codegen'd element_at probes per shingle, no join; only (doc, counts) shuffle. Constant index size at any benchmark scale, vs q47's exact set that grows with the benchmark.",
+    "q66_ohlc_bars" ->
+      "OHLC bars (r04): min_by/max_by on the zero-padded event key make open/close ordinary aggregate state — ONE partial/final hash aggregate after the normalizer Generate, no per-bar window sort.",
+    "q69_moving_order_stats" ->
+      "Window frames (r04): all five window functions (row_number, frame sum/count, lag x2, first_value) share one (custkey) partition spec — a single exchange + sort feeds every frame.",
+    "q75_bollinger_bands" ->
+      "Bollinger (r04): bar aggregate shuffles (symbol, day); the trailing-20 window re-partitions by symbol only — two exchanges total, decimal frame sums inside the window stage.")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get("plan-audit", "8")
