@@ -428,6 +428,137 @@ object AnalyticsQueries extends Registry {
       FROM bars ORDER BY symbol, day_bucket"""
     })
 
+  /** Daily-close bar relation shared by the indicator queries (the q66
+    * aggregate reduced to close only).
+    */
+  private def closeBars(s: SparkSession, d: String): DataFrame =
+    trades(s, d)
+      .withColumn("day_bucket", expr("ts_exchange_ms div 86400000"))
+      .groupBy("symbol", "day_bucket")
+      .agg(max_by(col("price"), seqKey).as("close"))
+
+  private val duckCloseBars =
+    s"""bars AS (
+        SELECT symbol, ts // 86400000 AS day_bucket,
+          arg_max(price, $duckSeqKey) AS close
+        FROM tr GROUP BY symbol, day_bucket)"""
+
+  /** 8-tap truncated EWMA over the close series. Every weight is a
+    * DYADIC literal (2^-(j+1)) so each product is an exact power-of-two
+    * scaling of the close, and the tap sum is an explicit left-to-right
+    * chain — bit-identical in any IEEE engine with no decimal route
+    * needed. The truncation norm (1 - 2^-m for m present taps) comes
+    * from a literal table, not pow() (libm is banned for parity).
+    */
+  private val q76 = Q("q76_ewma_close",
+    (s, d) => {
+      val part = Window.partitionBy("symbol").orderBy("day_bucket")
+      val taps = (0 until 8).map { j =>
+        val wgt = lit(math.pow(2.0, -(j + 1).toDouble)) // exact dyadic
+        if (j == 0) col("close") * wgt
+        else when(lag(col("close"), j).over(part).isNull, lit(0.0d))
+          .otherwise(lag(col("close"), j).over(part) * wgt)
+      }
+      val m = least(row_number().over(part), lit(8))
+      val norms = typedLit((1 to 8).map(k => 1.0 - math.pow(2.0, -k.toDouble)).toArray)
+      closeBars(s, d)
+        .withColumn("ewma_raw", taps.reduce(_ + _))
+        .withColumn("ewma", col("ewma_raw") / element_at(norms, m))
+        .select(col("symbol"), col("day_bucket"), col("close"), col("ewma"))
+        .orderBy("symbol", "day_bucket")
+    },
+    Some {
+      val part = "(PARTITION BY symbol ORDER BY day_bucket)"
+      val taps = (0 until 8).map { j =>
+        // explicit dyadic literals: 2^-(j+1), exact in double and decimal
+        val w = java.math.BigDecimal.valueOf(math.pow(2.0, -(j + 1).toDouble)).toPlainString
+        if (j == 0) s"(close * $w::DOUBLE)"
+        else s"(CASE WHEN lag(close, $j) OVER $part IS NULL THEN 0.0::DOUBLE " +
+          s"ELSE lag(close, $j) OVER $part * $w::DOUBLE END)"
+      }.reduce((a, b) => s"($a + $b)")
+      val norms = (1 to 8).map(k =>
+        java.math.BigDecimal.valueOf(1.0 - math.pow(2.0, -k.toDouble)).toPlainString + "::DOUBLE")
+        .mkString("[", ", ", "]")
+      s"""WITH $duckTrades, $duckCloseBars
+      SELECT symbol, day_bucket, close,
+        ($taps) / ($norms)[least(CAST(row_number() OVER $part AS INTEGER), 8)] AS ewma
+      FROM bars ORDER BY symbol, day_bucket"""
+    })
+
+  /** RSI-style gain/loss ratio: trailing-14 exact decimal sums of the
+    * up/down moves, rs = avg_gain/avg_loss (null on an all-gain window),
+    * rsi = 100 − 100/(1+rs). Deterministic division chain over exact
+    * sums; greatest(x, 0.0) keeps -0.0 out of the quantizer.
+    */
+  private val q77 = Q("q77_rsi_gain_loss",
+    (s, d) => {
+      val part = Window.partitionBy("symbol").orderBy("day_bucket")
+      val w14 = part.rowsBetween(-13, 0)
+      val diff = col("close") - lag(col("close"), 1).over(part)
+      val bars = closeBars(s, d)
+        .withColumn("gain", when(diff.isNull, lit(0.0d)).otherwise(greatest(diff, lit(0.0d))))
+        .withColumn("loss", when(diff.isNull, lit(0.0d)).otherwise(greatest(-diff, lit(0.0d))))
+      val ag = StableAgg.dsumOver(col("gain"), w14)
+      val al = StableAgg.dsumOver(col("loss"), w14)
+      bars
+        .withColumn("avg_gain", ag / count(lit(1)).over(w14))
+        .withColumn("avg_loss", al / count(lit(1)).over(w14))
+        .withColumn("rsi",
+          when(col("avg_loss") === 0.0d, lit(100.0d))
+            .otherwise(lit(100.0d) - lit(100.0d) / (lit(1.0d) + col("avg_gain") / col("avg_loss"))))
+        .select(col("symbol"), col("day_bucket"), col("close"),
+          col("avg_gain"), col("avg_loss"), col("rsi"))
+        .orderBy("symbol", "day_bucket")
+    },
+    Some {
+      val part = "(PARTITION BY symbol ORDER BY day_bucket)"
+      val over = "(PARTITION BY symbol ORDER BY day_bucket ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)"
+      val diff = s"(close - lag(close, 1) OVER $part)"
+      s"""WITH $duckTrades, $duckCloseBars,
+      g AS (
+        SELECT symbol, day_bucket, close,
+          (CASE WHEN $diff IS NULL THEN 0.0::DOUBLE ELSE greatest($diff, 0.0::DOUBLE) END) AS gain,
+          (CASE WHEN $diff IS NULL THEN 0.0::DOUBLE ELSE greatest(-$diff, 0.0::DOUBLE) END) AS loss
+        FROM bars),
+      a AS (
+        SELECT symbol, day_bucket, close,
+          ${OracleSql.dsumOver("gain", over)} / COUNT(*) OVER $over AS avg_gain,
+          ${OracleSql.dsumOver("loss", over)} / COUNT(*) OVER $over AS avg_loss
+        FROM g)
+      SELECT symbol, day_bucket, close, avg_gain, avg_loss,
+        (CASE WHEN avg_loss = 0.0::DOUBLE THEN 100.0::DOUBLE
+          ELSE 100.0::DOUBLE - 100.0::DOUBLE / (1.0::DOUBLE + avg_gain / avg_loss) END) AS rsi
+      FROM a ORDER BY symbol, day_bucket"""
+    })
+
+  /** Drawdown: running peak (cummax over the unbounded-preceding frame)
+    * minus close, plus the running max drawdown — pure comparisons and
+    * one subtraction, no FP-accumulation risk at all.
+    */
+  private val q78 = Q("q78_drawdown",
+    (s, d) => {
+      val cum = Window.partitionBy("symbol").orderBy("day_bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      closeBars(s, d)
+        .withColumn("peak", max(col("close")).over(cum))
+        .withColumn("dd", col("peak") - col("close"))
+        .withColumn("max_dd", max(col("peak") - col("close")).over(cum))
+        .select(col("symbol"), col("day_bucket"), col("close"),
+          col("peak"), col("dd"), col("max_dd"))
+        .orderBy("symbol", "day_bucket")
+    },
+    Some {
+      val cum = "(PARTITION BY symbol ORDER BY day_bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+      s"""WITH $duckTrades, $duckCloseBars,
+      p AS (
+        SELECT symbol, day_bucket, close, MAX(close) OVER $cum AS peak
+        FROM bars)
+      SELECT symbol, day_bucket, close, peak,
+        peak - close AS dd,
+        MAX(peak - close) OVER $cum AS max_dd
+      FROM p ORDER BY symbol, day_bucket"""
+    })
+
   override val all: Seq[Q] =
-    Seq(q66, q67, q68, q69, q70, q71, q72, q73, q74, q75)
+    Seq(q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78)
 }
