@@ -27,17 +27,25 @@ object AnalyticsQueries extends Registry {
         col("trade.price").as("price"), col("trade.size").as("sz"),
         col("trade.side").as("side"))
 
-  /** A strictly-unique event ordering key WITHIN a day bucket, packed
-    * into one BIGINT: (ts offset inside the day) ≤ 2^27 in the high bits,
-    * src_id (< 2^36 by construction of the fixture ids; ANSI overflow
-    * raises loudly otherwise) in the low 36. A primitive key keeps
-    * min_by/max_by's aggregation buffer fixed-width, so open/close stay
-    * inside a partial/final HashAggregate — a string or struct key here
-    * demotes the whole bar aggregate to SortAggregate (sort-by-group-key
-    * before BOTH partial and final: measured in the q66 plan audit).
+  /** Event ordering key for open/close selection: (ts, src_id, price) as
+    * one zero-padded string both engines order identically (fixed-width
+    * decimal renders compare lexicographically like the numeric tuple;
+    * prices here are positive and distinct beyond 1e-6).
+    *
+    * Price MUST be part of the key: the harness lineitem carries
+    * duplicate (orderkey, linenumber) pairs, so (ts, src_id) alone TIES
+    * for distinct trades and min_by/max_by on a tied key is
+    * evaluation-order-dependent — a latent nondeterminism that surfaced
+    * the first time the input's physical order changed. With price last,
+    * any remaining tie is between identical prices, so the answer is
+    * unique. The string key makes the aggregation buffer variable-width
+    * (SortAggregate, not HashAggregate) — the acceptable trade: partial
+    * sort-aggregation still combines map-side, so the exchange carries
+    * |bars|, and determinism is not negotiable.
     */
   private def seqKey: Column =
-    (col("ts_exchange_ms") % 86400000L) * 68719476736L + col("src_id")
+    format_string("%09d|%012d|%018.6f",
+      col("ts_exchange_ms") % 86400000L, col("src_id"), col("price"))
 
   /** The q17 trade relation in DuckDB SQL (src_id, symbol, ts, price, sz,
     * side) — shared by the OHLC and VWAP oracles.
@@ -59,13 +67,13 @@ object AnalyticsQueries extends Registry {
           CASE WHEN l_linenumber % 2 = 0 THEN 'sell' ELSE 'buy' END
         FROM base WHERE l_suppkey % 4 <> 0)"""
 
-  private val duckSeqKey = "((ts % 86400000) * 68719476736 + src_id)"
+  private val duckSeqKey = "printf('%09d|%012d|%018.6f', ts % 86400000, src_id, price)"
 
   /** OHLC bars (A-series extension): per (symbol, day) candle from the
     * normalized trade stream. open/close are min_by/max_by over the
-    * unique event key — ONE hash aggregate, no per-key sort (at 100 TB a
-    * window row_number here would sort every partition; min_by keeps one
-    * (key, price) pair of state per group).
+    * [[seqKey]] event key — ONE aggregation pass with one (key, price)
+    * pair of state per group (at 100 TB a window row_number here would
+    * sort and keep every trade; the partial aggregate ships |bars|).
     */
   private val q66 = Q("q66_ohlc_bars",
     (s, d) => {
@@ -429,13 +437,32 @@ object AnalyticsQueries extends Registry {
     })
 
   /** Daily-close bar relation shared by the indicator queries (the q66
-    * aggregate reduced to close only).
+    * aggregate reduced to close only). Built from the lineitem-derived
+    * trade relation DIRECTLY — q17's oracle already proves that relation
+    * equals the normalized stream value-for-value, so re-running the
+    * JSON round-trip here would re-gate nothing and triple the
+    * indicator queries' bench cost (q66-q68 keep the end-to-end
+    * normalize gate).
     */
-  private def closeBars(s: SparkSession, d: String): DataFrame =
-    trades(s, d)
+  private def closeBars(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.fanOut(Tables.lineitem(s, d))
+      .filter(col("l_orderkey") % 17 =!= 0 && col("l_orderkey") % 11 =!= 0)
+      .select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("src_id"),
+        concat(lit("T-"), (col("l_suppkey") % 5).cast("string")).as("symbol"),
+        unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms"),
+        col("l_extendedprice").as("px"), col("l_quantity").as("qty"),
+        col("l_suppkey"))
+    val t1 = base.select(col("src_id"), col("symbol"),
+      col("ship_ms").as("ts_exchange_ms"), col("px").as("price"))
+    val t2 = base.filter(col("l_suppkey") % 4 =!= 0)
+      .select(col("src_id"), col("symbol"),
+        (col("ship_ms") + 1L).as("ts_exchange_ms"), (col("px") + 2.5d).as("price"))
+    t1.unionAll(t2)
       .withColumn("day_bucket", expr("ts_exchange_ms div 86400000"))
       .groupBy("symbol", "day_bucket")
       .agg(max_by(col("price"), seqKey).as("close"))
+  }
 
   private val duckCloseBars =
     s"""bars AS (

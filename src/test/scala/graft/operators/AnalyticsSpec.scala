@@ -35,7 +35,7 @@ class AnalyticsSpec extends SparkSpec {
         col("trade.price").as("price"))
       .withColumn("day_bucket", expr("ts_exchange_ms div 86400000"))
     val w = Window.partitionBy("symbol", "day_bucket")
-      .orderBy(col("ts_exchange_ms"), col("src_id"))
+      .orderBy(col("ts_exchange_ms"), col("src_id"), col("price"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val expected = tr
       .withColumn("open", first(col("price")).over(w))
