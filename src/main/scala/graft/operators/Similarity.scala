@@ -285,6 +285,59 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id").as("neighbor_id"), col("cos_sim"))
   }
 
+  /** Product-quantization ANN (the memory-side scale path, complementing
+    * IVF's compute-side path): vectors split into `m` subspaces; each
+    * subspace has a `k`-codeword codebook (systematic id-sample, like the
+    * IVF quantizer — deterministic and oracle-reproducible); a vector
+    * compresses to m small codes (here 4 bytes vs 512 — the 128x
+    * compression that lets a billion-vector index live in RAM). Query
+    * distance is ADC: per-query lookup tables of subspace distances,
+    * approx dist = Σ_m lut[m][code_m].
+    *
+    * Scale shape: codebooks + encoded corpus build with NO shuffle
+    * (argmin over literal codewords at scan speed); queries broadcast
+    * with their LUTs as computed columns; top-k is the per-query window.
+    * Every arithmetic step is an ordered fold or an exact lookup, so the
+    * whole index hash-reproduces in DuckDB.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 4, sub: Int = 16, codebookK: Int = 16): DataFrame = {
+    val step = math.max(1L, corpus.count() / codebookK)
+    // codebookK × dim sampled codeword source vectors, collected once
+    val sampled: Array[Array[Double]] = corpus
+      .filter(col("id") % step === 0 && (col("id") / step) < codebookK)
+      .orderBy((col("id") / step).cast("int"))
+      .select(asDouble(col("vec")))
+      .collect().map(_.getSeq[Double](0).toArray)
+    def cwLit(mm: Int, kk: Int): Column =
+      typedLit(sampled(kk).slice(mm * sub, (mm + 1) * sub))
+    def subV(v: Column, mm: Int): Column = slice(v, mm * sub + 1, sub)
+    // per-subspace argmin code; array_position's first-match rule is the
+    // (dist asc, code asc) tie-break
+    def code(v: Column, mm: Int): Column = {
+      val ds = array((0 until codebookK).map(kk => sqDist(subV(v, mm), cwLit(mm, kk))): _*)
+      (array_position(ds, array_min(ds)) - 1).cast("int")
+    }
+    val enc = corpus
+      .withColumn("v", asDouble(col("vec")))
+      .select(col("id") +: (0 until m).map(mm => code(col("v"), mm).as(s"c$mm")): _*)
+    val qLut = queries
+      .withColumn("qv", asDouble(col("qvec")))
+      .select(col("qid") +:
+        (0 until m).map(mm => array((0 until codebookK).map(kk =>
+          sqDist(subV(col("qv"), mm), cwLit(mm, kk))): _*).as(s"lut$mm")): _*)
+    val adist = (0 until m).map(mm =>
+      element_at(col(s"lut$mm"), col(s"c$mm") + 1)).reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(asc("adist"), asc("id"))
+    enc.crossJoin(broadcast(qLut))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("adist", adist)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor_id"), col("adist"))
+  }
+
   /** ANN: exact ranking within LSH buckets. Corpus is bucketed once
     * (shuffle by bucket id — small keys); each query only scans its own
     * bucket.

@@ -1088,7 +1088,61 @@ object TrainingDataQueries extends Registry {
           WHERE h.doc_id % 2 = 0 AND md5(h.text) = md5(b.text))
       ORDER BY doc_id"""))
 
+  /** Product-quantization ANN (Similarity.pqTopK): 64-dim vectors → 4
+    * subspace codes from 16-codeword systematic-sample codebooks, query
+    * ranking by ADC lookup sums. The whole index (codebooks, encoding,
+    * LUTs, approx distances) reproduces in DuckDB: sampling is pure id
+    * arithmetic, argmin ties break by code order (row_number mirror of
+    * array_position's first-match), and the ADC sum is an explicit
+    * left-to-right 4-term chain in both engines.
+    */
+  private val q79 = Q("q79_ann_pq",
+    (s, d) => {
+      val e = Tables.fanOut(Tables.embeddings(s, d))
+      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.pqTopK(corpus, queries, 10)
+        .withColumn("rank", col("rank").cast("int"))
+        .orderBy("qid", "rank")
+    },
+    Some {
+      def sl(v: String, m: String) = s"($v)[(($m)*16+1):(($m)*16+16)]"
+      val encDist = duckSqDist(sl("e.embedding", "m.m"), sl("cb.embedding", "m.m"))
+      val lutDist = duckSqDist(sl("q.qvec", "m.m"), sl("cb.embedding", "m.m"))
+      def term(mm: Int) = s"MAX(CASE WHEN m = $mm THEN d END)"
+      s"""WITH n AS (SELECT greatest(COUNT(*) // 16, 1) AS step FROM embeddings),
+      cb AS (
+        SELECT CAST(vec_id // step AS INTEGER) AS k, embedding
+        FROM embeddings, n WHERE vec_id % step = 0 AND vec_id // step < 16),
+      ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+      enc0 AS (
+        SELECT e.vec_id AS id, m.m, cb.k, $encDist AS dist
+        FROM embeddings e CROSS JOIN ms m CROSS JOIN cb),
+      codes AS (
+        SELECT id, m, k AS code FROM (
+          SELECT id, m, k, row_number() OVER (PARTITION BY id, m
+            ORDER BY dist, k) AS rn FROM enc0) WHERE rn = 1),
+      q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+      lut AS (
+        SELECT q.qid, m.m, cb.k, $lutDist AS dist
+        FROM q CROSS JOIN ms m CROSS JOIN cb),
+      pair AS (
+        SELECT l.qid, c.id, c.m, l.dist AS d
+        FROM codes c JOIN lut l ON l.m = c.m AND l.k = c.code
+        WHERE c.id <> l.qid),
+      ad AS (
+        SELECT qid, id,
+          (((${term(0)} + ${term(1)}) + ${term(2)}) + ${term(3)}) AS adist
+        FROM pair GROUP BY qid, id),
+      r AS (SELECT qid, id, adist,
+        CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, id)
+          AS INTEGER) AS rank FROM ad)
+      SELECT qid, rank, id AS neighbor_id, adist
+      FROM r WHERE rank <= 10 ORDER BY qid, rank"""
+    })
+
   override val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q38, q41, q42, q43, q44, q45, q47,
-    q48, q50, q51, q52, q53, q54, q55, q56, q57, q58)
+    q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q79)
 }

@@ -155,6 +155,30 @@ class TrainingDataSpec extends SparkSpec {
     assert(sampledFull == brute)
   }
 
+  test("PQ ANN: with every vector a codeword, ADC degrades to exact sqdist ranking") {
+    val e = Tables.embeddings(spark, dir)
+    val n = 20
+    val corpus = e.filter(col("vec_id") < n)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // codebookK = |corpus| and step 1 ⇒ every vector IS its subspace
+    // codeword, so the 4 codes identify the vector and the ADC sum equals
+    // the exact subspace-decomposed squared distance
+    val pq = Similarity.pqTopK(corpus, queries, 5, m = 4, sub = 16, codebookK = n)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val exact = {
+      import org.apache.spark.sql.expressions.Window
+      val joined = corpus.crossJoin(queries).filter(col("id") =!= col("qid"))
+        .withColumn("d", expr(
+          "aggregate(zip_with(cast(vec as array<double>), cast(qvec as array<double>), (x, y) -> (x-y)*(x-y)), 0.0d, (acc, v) -> acc + v)"))
+      val w = Window.partitionBy("qid").orderBy(asc("d"), asc("id"))
+      joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank")) -> r.getAs[Long]("id")).toMap
+    }
+    assert(pq == exact, s"PQ identity-codebook ranking diverged:\n pq=$pq\n ex=$exact")
+  }
+
   test("multimodal feature extraction is deterministic and partition-invariant") {
     val docs = Tables.documents(spark, dir)
     def run(parts: Int) =
