@@ -453,12 +453,16 @@ object AnalyticsQueries extends Registry {
         unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms"),
         col("l_extendedprice").as("px"), col("l_quantity").as("qty"),
         col("l_suppkey"))
-    val t1 = base.select(col("src_id"), col("symbol"),
-      col("ship_ms").as("ts_exchange_ms"), col("px").as("price"))
-    val t2 = base.filter(col("l_suppkey") % 4 =!= 0)
+    // both trade shapes from ONE scan: a union of two selects over the
+    // same source plans two parquet scans; exploding a 2-struct array
+    // keeps it one scan + one Generate (the frame-synthesis shape)
+    base.select(col("src_id"), col("symbol"), explode(array(
+        struct(col("ship_ms").as("ts"), col("px").as("price"), lit(true).as("keep")),
+        struct((col("ship_ms") + 1L).as("ts"), (col("px") + 2.5d).as("price"),
+          (col("l_suppkey") % 4 =!= 0).as("keep")))).as("t"))
+      .filter(col("t.keep"))
       .select(col("src_id"), col("symbol"),
-        (col("ship_ms") + 1L).as("ts_exchange_ms"), (col("px") + 2.5d).as("price"))
-    t1.unionAll(t2)
+        col("t.ts").as("ts_exchange_ms"), col("t.price").as("price"))
       .withColumn("day_bucket", expr("ts_exchange_ms div 86400000"))
       .groupBy("symbol", "day_bucket")
       .agg(max_by(col("price"), seqKey).as("close"))
