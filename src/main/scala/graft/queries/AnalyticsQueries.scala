@@ -27,25 +27,25 @@ object AnalyticsQueries extends Registry {
         col("trade.price").as("price"), col("trade.size").as("sz"),
         col("trade.side").as("side"))
 
-  /** Event ordering key for open/close selection: (ts, src_id, price) as
-    * one zero-padded string both engines order identically (fixed-width
-    * decimal renders compare lexicographically like the numeric tuple;
-    * prices here are positive and distinct beyond 1e-6).
+  /** Event ordering key for open/close selection: the (ts, src_id)
+    * packed BIGINT with PRICE as the trailing struct field.
     *
-    * Price MUST be part of the key: the harness lineitem carries
+    * Price MUST be part of the ordering: the harness lineitem carries
     * duplicate (orderkey, linenumber) pairs, so (ts, src_id) alone TIES
-    * for distinct trades and min_by/max_by on a tied key is
+    * for distinct trades and a first/last selection on a tied key is
     * evaluation-order-dependent — a latent nondeterminism that surfaced
     * the first time the input's physical order changed. With price last,
     * any remaining tie is between identical prices, so the answer is
-    * unique. The string key makes the aggregation buffer variable-width
-    * (SortAggregate, not HashAggregate) — the acceptable trade: partial
-    * sort-aggregation still combines map-side, so the exchange carries
-    * |bars|, and determinism is not negotiable.
+    * unique. min/max over this struct replaces min_by/max_by: same
+    * single aggregation pass, and a 2-field primitive-struct compare
+    * costs nanoseconds where a zero-padded string key paid ~µs of
+    * Formatter work per row (measured: q66 3.3 s → see NOTES). The
+    * struct buffer keeps the aggregate on the SortAggregate path —
+    * partial combine still ships only |bars| per partition.
     */
   private def seqKey: Column =
-    format_string("%09d|%012d|%018.6f",
-      col("ts_exchange_ms") % 86400000L, col("src_id"), col("price"))
+    struct(((col("ts_exchange_ms") % 86400000L) * 68719476736L + col("src_id")).as("k"),
+      col("price").as("p"))
 
   /** The q17 trade relation in DuckDB SQL (src_id, symbol, ts, price, sz,
     * side) — shared by the OHLC and VWAP oracles.
@@ -70,10 +70,10 @@ object AnalyticsQueries extends Registry {
   private val duckSeqKey = "printf('%09d|%012d|%018.6f', ts % 86400000, src_id, price)"
 
   /** OHLC bars (A-series extension): per (symbol, day) candle from the
-    * normalized trade stream. open/close are min_by/max_by over the
-    * [[seqKey]] event key — ONE aggregation pass with one (key, price)
-    * pair of state per group (at 100 TB a window row_number here would
-    * sort and keep every trade; the partial aggregate ships |bars|).
+    * normalized trade stream. open/close are min/max over the [[seqKey]]
+    * (key, price) struct — ONE aggregation pass with one struct of state
+    * per group (at 100 TB a window row_number here would sort and keep
+    * every trade; the partial aggregate ships |bars|).
     */
   private val q66 = Q("q66_ohlc_bars",
     (s, d) => {
@@ -81,10 +81,10 @@ object AnalyticsQueries extends Registry {
         .withColumn("day_bucket", expr("ts_exchange_ms div 86400000"))
         .groupBy("symbol", "day_bucket")
         .agg(
-          min_by(col("price"), seqKey).as("open"),
+          min(seqKey).getField("p").as("open"),
           max(col("price")).as("high"),
           min(col("price")).as("low"),
-          max_by(col("price"), seqKey).as("close"),
+          max(seqKey).getField("p").as("close"),
           StableAgg.dsum(col("sz")).as("volume"),
           count(lit(1)).as("n_trades"))
         .orderBy("symbol", "day_bucket")
@@ -399,7 +399,7 @@ object AnalyticsQueries extends Registry {
       val bars = trades(s, d)
         .withColumn("day_bucket", expr("ts_exchange_ms div 86400000"))
         .groupBy("symbol", "day_bucket")
-        .agg(max_by(col("price"), seqKey).as("close"))
+        .agg(max(seqKey).getField("p").as("close"))
       val w20 = Window.partitionBy("symbol").orderBy("day_bucket").rowsBetween(-19, 0)
       val n  = count(lit(1)).over(w20).cast("double")
       val s1 = StableAgg.dsumOver(col("close"), w20)
@@ -465,7 +465,7 @@ object AnalyticsQueries extends Registry {
         col("t.ts").as("ts_exchange_ms"), col("t.price").as("price"))
       .withColumn("day_bucket", expr("ts_exchange_ms div 86400000"))
       .groupBy("symbol", "day_bucket")
-      .agg(max_by(col("price"), seqKey).as("close"))
+      .agg(max(seqKey).getField("p").as("close"))
   }
 
   private val duckCloseBars =
