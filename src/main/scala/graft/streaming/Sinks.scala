@@ -116,20 +116,32 @@ object Sinks {
       }
   }
 
-  /** Batch helper shared by the streaming sink and shutdown flush. */
+  /** Batch helper shared by the streaming sink and shutdown flush.
+    *
+    * The temp dir is unique PER INVOCATION: the periodic export and a
+    * shutdown flush may overlap, and a shared tmp path lets one
+    * invocation delete the directory out from under the other's write
+    * task (observed as a FileFormatWriter task abort at stop). With
+    * unique tmps each write is isolated and the atomic move keeps
+    * last-mover-wins snapshot semantics.
+    */
   def writeSnapshotCsv(df: DataFrame, outFile: String): Unit = {
     val out = Paths.get(outFile)
     if (out.getParent != null) Files.createDirectories(out.getParent)
-    val tmp = outFile + ".tmp"
-    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
-    val part = Files.list(Paths.get(tmp)).filter(_.getFileName.toString.startsWith("part-"))
-      .findFirst()
-    if (part.isPresent) {
-      Files.move(part.get, out, StandardCopyOption.REPLACE_EXISTING,
-        StandardCopyOption.ATOMIC_MOVE)
+    val tmp = outFile + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
+    try {
+      df.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+      val part = Files.list(Paths.get(tmp)).filter(_.getFileName.toString.startsWith("part-"))
+        .findFirst()
+      if (part.isPresent) {
+        Files.move(part.get, out, StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE)
+      }
+    } finally {
+      if (Files.exists(Paths.get(tmp))) {
+        Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
     }
-    // clean temp dir
-    Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => Files.deleteIfExists(p))
   }
 }
