@@ -53,7 +53,7 @@ object PlanAudit {
     "q62_bloom_decontaminate" ->
       "Bloom decontamination (r04): the 4096-bit filter ships as ONE array literal (512-byte equivalent) — membership is 4 codegen'd element_at probes per shingle, no join; only (doc, counts) shuffle. Constant index size at any benchmark scale, vs q47's exact set that grows with the benchmark.",
     "q66_ohlc_bars" ->
-      "OHLC bars (r04): min_by/max_by on the (ts, src_id, PRICE) event key make open/close ordinary aggregate state — one partial/final aggregate pass after the normalizer Generate; the string key costs SortAggregate (variable-width buffer) but the partial still combines map-side so the exchange ships |bars|, and the price tie-break keeps the answer unique under the fixture's duplicate (orderkey, linenumber) trades — determinism over buffer width.",
+      "OHLC bars (r04): open/close are min/max over a ((ts<<36|src_id), price) struct — one partial/final aggregate pass after the normalizer Generate with a 2-field struct of state per bar. The struct buffer costs SortAggregate (variable width), but the partial still combines map-side so the exchange ships |bars|; the trailing price field keeps the answer unique under the fixture's duplicate (orderkey, linenumber) trades — determinism over buffer width.",
     "q69_moving_order_stats" ->
       "Window frames (r04): all five window functions (row_number, frame sum/count, lag x2, first_value) share one (custkey) partition spec — a single exchange + sort feeds every frame.",
     "q75_bollinger_bands" ->
