@@ -62,4 +62,64 @@ object AsOfJoin {
     carried.filter(col("__is_right") === 0)
       .select(leftCols.map(col) ++ valueCols.map(c => col(s"__asof_$c").as(s"asof_$c")): _*)
   }
+
+  /** Forward as-of join with optional tolerance: for each left row, the
+    * EARLIEST right row with `right.ts >= left.ts` per key (pandas
+    * `merge_asof(direction='forward')`, DuckDB `ASOF JOIN ON l.ts <=
+    * r.ts`). The matched right timestamp is always carried as
+    * `asof_<tsCol>`; with `toleranceMs`, matches farther than the
+    * tolerance ahead are nulled out (same row count — a left join).
+    *
+    * Same single-shuffle shape as [[lastValueAsOf]], with the window
+    * traversal reversed: ordered by ts DESC (right rows first at equal
+    * ts, so `>=` includes equality), carrying `last(ignoreNulls)` — which
+    * in descending order is the minimum right ts at-or-after the left
+    * row. Duplicate right rows at one (key, ts) resolve to the least in
+    * `tieCol` order; pass a right-unique (key, ts) relation when exact
+    * cross-engine determinism is required.
+    */
+  def firstValueAsOfForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCols: Seq[String],
+      tieCol: String,
+      toleranceMs: Option[Long] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val nullOf: (String, DataFrame) => Column = (c, df) =>
+      lit(null).cast(df.schema(c).dataType).as(c)
+    val carriedCols = tsCol +: valueCols
+
+    val taggedRight = right.select(
+      (keys.map(col) :+ col(tsCol) :+ lit(1).as("__is_right") :+
+        col(tieCol).as("__tie")) ++
+        carriedCols.map(c => col(c).as(s"__asof_$c")) ++
+        leftCols.filterNot(c => keys.contains(c) || c == tsCol)
+          .map(c => nullOf(c, left)): _*)
+    val taggedLeft = left.select(
+      (keys.map(col) :+ col(tsCol) :+ lit(0).as("__is_right") :+
+        col(tieCol).as("__tie")) ++
+        carriedCols.map(c => nullOf(c, right).as(s"__asof_$c")) ++
+        leftCols.filterNot(c => keys.contains(c) || c == tsCol).map(col): _*)
+
+    val unioned = taggedRight.unionByName(taggedLeft)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).desc, col("__is_right").desc, col("__tie").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = carriedCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"__asof_$c", last(col(s"__asof_$c"), ignoreNulls = true).over(w))
+    }
+    val leftOnly = carried.filter(col("__is_right") === 0)
+    val bounded = toleranceMs match {
+      case Some(t) =>
+        val within = col(s"__asof_$tsCol") - col(tsCol) <= t
+        carriedCols.foldLeft(leftOnly) { (df, c) =>
+          df.withColumn(s"__asof_$c", when(within, col(s"__asof_$c")))
+        }
+      case None => leftOnly
+    }
+    bounded.select(
+      leftCols.map(col) ++ carriedCols.map(c => col(s"__asof_$c").as(s"asof_$c")): _*)
+  }
 }

@@ -1,0 +1,269 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{OracleSql => O, Tables}
+import graft.functions.StableAgg
+import graft.operators.Normalizer
+
+/** Round-4 additions, part 3 — completing the relational surface (the
+  * grouping family beyond ROLLUP/CUBE, UNPIVOT as the inverse of q70's
+  * pivot, RANGE window frames and the first/nth-value family) plus two
+  * exact-statistics operators (decimal-component Pearson correlation,
+  * equi-width histograms) and the time-weighted average price a market
+  * pipeline derives from the reference's book stream (the dwell-weighted
+  * extension of spread D4, reference/src/sinks/stdout.py:21).
+  *
+  * Scale notes: every query here is a single shuffle-aggregate or a
+  * single window pass over a pre-partitioned relation — no driver-side
+  * collection, no cross-join, no iteration. The correlation query ships
+  * six decimal partial sums per group (map-side combine); the histogram
+  * ships |buckets| rows; the TWAP's window sort co-partitions with the
+  * final per-symbol aggregate.
+  */
+object RelationalQueries extends Registry {
+
+  /** GROUPING SETS via the Dataset API (`Dataset.groupingSets`, a
+    * non-hierarchical subset CUBE/ROLLUP can't express: (priority,
+    * status) + (priority) + grand total, but NOT (status)). Same Expand +
+    * two-phase aggregate physical shape as q19/q60.
+    */
+  private val q80 = Q("q80_grouping_sets",
+    (s, d) => {
+      val p = col("o_orderpriority"); val st = col("o_orderstatus")
+      Tables.orders(s, d)
+        .groupingSets(Seq(Seq(p, st), Seq(p), Seq.empty), p, st)
+        .agg((grouping(p) * 2 + grouping(st)).cast("int").as("gid"),
+          count(lit(1)).as("n_orders"),
+          StableAgg.dsum(col("o_totalprice")).as("total_price"))
+        .select(coalesce(p, lit("ALL")).as("priority"),
+          coalesce(st, lit("ALL")).as("status"),
+          col("gid"), col("n_orders"), col("total_price"))
+        .orderBy("gid", "priority", "status")
+    },
+    Some(s"""SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+        coalesce(o_orderstatus, 'ALL') AS status,
+        CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS INTEGER) AS gid,
+        COUNT(*) AS n_orders,
+        ${O.dsum("o_totalprice")} AS total_price
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+      ORDER BY gid, priority, status"""))
+
+  /** UNPIVOT (wide → long, the inverse of q70's pivot) over a per-nation
+    * aggregate. The unpivot itself is a zero-shuffle Expand — rows
+    * multiply locally by the number of measure columns.
+    */
+  private val q81 = Q("q81_unpivot_metrics",
+    (s, d) => {
+      val agg = Tables.customer(s, d)
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).cast("double").as("cnt"),
+          StableAgg.dsum(col("c_acctbal")).as("sum_bal"),
+          max(col("c_acctbal")).as("max_bal"))
+      agg.unpivot(Array(col("n_name")),
+          Array(col("cnt"), col("sum_bal"), col("max_bal")), "metric", "value")
+        .orderBy("n_name", "metric")
+    },
+    Some(s"""WITH agg AS (
+        SELECT n_name, CAST(COUNT(*) AS DOUBLE) AS cnt,
+          ${O.dsum("c_acctbal")} AS sum_bal,
+          MAX(c_acctbal) AS max_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name)
+      SELECT n_name, metric, value
+      FROM (UNPIVOT agg ON cnt, sum_bal, max_bal INTO NAME metric VALUE value)
+      ORDER BY n_name, metric"""))
+
+  /** Exact-decimal Pearson correlation + sample covariance per group.
+    * Built-in `corr`/`covar_samp` accumulate doubles in partition order
+    * (non-deterministic across engines AND across partitionings of the
+    * same data); deriving both from six order-independent decimal sums
+    * gives bit-identical results on any cluster layout — the only way a
+    * 1000-executor run can reproduce a laptop run. sqrt/division are
+    * IEEE-exact, so the final double arithmetic is safe.
+    */
+  private val q82 = Q("q82_corr_covar",
+    (s, d) => {
+      val x = col("l_quantity"); val y = col("l_extendedprice")
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          StableAgg.dsum(x).as("sx"), StableAgg.dsum(y).as("sy"),
+          StableAgg.dsum(x * y).as("sxy"),
+          StableAgg.dsum(x * x).as("sxx"), StableAgg.dsum(y * y).as("syy"))
+        .withColumn("nd", col("n").cast("double"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("nd") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("nd") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("nd") * col("syy") - col("sy") * col("sy"))))
+            .as("corr_qty_price"),
+          ((col("sxy") - col("sx") * col("sy") / col("nd")) / (col("nd") - lit(1.0d)))
+            .as("covar_samp"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""WITH c AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+          ${O.dsum("l_quantity")} AS sx,
+          ${O.dsum("l_extendedprice")} AS sy,
+          ${O.dsum("l_quantity * l_extendedprice")} AS sxy,
+          ${O.dsum("l_quantity * l_quantity")} AS sxx,
+          ${O.dsum("l_extendedprice * l_extendedprice")} AS syy
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+        (CAST(n AS DOUBLE) * sxy - sx * sy) /
+          (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+           sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qty_price,
+        (sxy - sx * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0::DOUBLE) AS covar_samp
+      FROM c ORDER BY l_returnflag"""))
+
+  /** Value-based RANGE window frame (±30 days around each order by the
+    * SAME customer) — a frame kind q69's ROWS windows don't cover — plus
+    * the first_value/nth_value family over an explicit ROWS frame with a
+    * provably-unique ordering (d, o_orderkey). The range sum is
+    * tie-insensitive by construction (RANGE includes all peers).
+    */
+  private val q83 = Q("q83_range_frame",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("d",
+          datediff(col("o_orderdate").cast("date"), to_date(lit("1990-01-01"))).cast("long"))
+      val wRange = Window.partitionBy("o_custkey").orderBy("d").rangeBetween(-30, 30)
+      val wRows = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      o.select(col("o_orderkey"), col("o_custkey"), col("d"),
+          StableAgg.dsumOver(col("o_totalprice"), wRange).as("sum_60d"),
+          count(lit(1)).over(wRange).as("cnt_60d"),
+          first(col("o_totalprice")).over(wRows).as("first_price"),
+          nth_value(col("o_totalprice"), 2).over(wRows).as("second_price"))
+        .orderBy("o_custkey", "d", "o_orderkey")
+    },
+    Some {
+      val range = "(PARTITION BY o_custkey ORDER BY d RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING)"
+      val rows = "(PARTITION BY o_custkey ORDER BY d, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+      s"""WITH o AS (
+        SELECT o_orderkey, o_custkey,
+          date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS d,
+          o_totalprice
+        FROM orders)
+      SELECT o_orderkey, o_custkey, d,
+        ${O.dsumOver("o_totalprice", range)} AS sum_60d,
+        COUNT(*) OVER $range AS cnt_60d,
+        first_value(o_totalprice) OVER $rows AS first_price,
+        nth_value(o_totalprice, 2) OVER $rows AS second_price
+      FROM o ORDER BY o_custkey, d, o_orderkey"""
+    })
+
+  /** Equi-width histogram with cumulative counts and per-group fractions
+    * — the latency-distribution view the reference's percentile report
+    * (reference/src/metrics/rolling.py:99-111) approximates from the
+    * other direction. All-integer bucket arithmetic: floor(x/w) is one
+    * deterministic IEEE division, counts are exact, and the fractions
+    * divide two integer-derived doubles — no FP-accumulation anywhere.
+    */
+  private val q84 = Q("q84_value_histogram",
+    (s, d) => {
+      val b = Tables.events(s, d)
+        .select(col("event_type"), floor(col("value") / lit(5.0d)).cast("long").as("bucket"))
+        .groupBy("event_type", "bucket").agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy("event_type").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wTot = Window.partitionBy("event_type")
+      b.select(col("event_type"), col("bucket"), col("cnt"),
+          sum(col("cnt")).over(wCum).as("cum_cnt"),
+          (col("cnt").cast("double") / sum(col("cnt")).over(wTot).cast("double")).as("frac"))
+        .orderBy("event_type", "bucket")
+    },
+    Some("""WITH b AS (
+        SELECT event_type, CAST(floor(value / 5.0::DOUBLE) AS BIGINT) AS bucket,
+          COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2)
+      SELECT event_type, bucket, cnt,
+        CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt,
+        CAST(cnt AS DOUBLE) /
+          CAST(SUM(cnt) OVER (PARTITION BY event_type) AS DOUBLE) AS frac
+      FROM b ORDER BY event_type, bucket"""))
+
+  /** Time-weighted average mid price per symbol over the FULL normalizer
+    * path (frame decode → book parse → best bid/ask): each quote's mid is
+    * weighted by its dwell time (ms until the next update of the same
+    * symbol). The ordering key (ts, src_id, mid) ends in the weighted
+    * value itself, so duplicate fixture rows can't make the lead()
+    * assignment order-dependent (see NOTES — lineitem src_ids are NOT
+    * unique). One window pass + one aggregate, both partitioned by
+    * symbol: a single shuffle at any scale.
+    */
+  private val q85 = Q("q85_twap_mid",
+    (s, d) => {
+      val quotes = Normalizer
+        .normalize(NormalizerQueries.framedBooks(s, d), passthrough = Seq("src_id"))
+        .select(col("src_id"), col("symbol"), col("ts_exchange_ms").as("ts"),
+          ((col("book.best_bid") + col("book.best_ask")) / lit(2.0d)).as("mid"))
+      val w = Window.partitionBy("symbol").orderBy("ts", "src_id", "mid")
+      quotes
+        .withColumn("dwell", lead(col("ts"), 1).over(w) - col("ts"))
+        .where(col("dwell").isNotNull)
+        .groupBy("symbol")
+        .agg(StableAgg.dsum(col("mid") * col("dwell").cast("double")).as("wsum"),
+          sum(col("dwell")).as("tspan"),
+          count(lit(1)).as("n_updates"))
+        .select(col("symbol"), (col("wsum") / col("tspan").cast("double")).as("twap_mid"),
+          col("tspan"), col("n_updates"))
+        .orderBy("symbol")
+    },
+    Some(s"""WITH bk AS (
+        SELECT (l_orderkey * 10 + l_linenumber) AS src_id,
+          'SYM-' || CAST(l_partkey % 10 AS VARCHAR) AS symbol,
+          epoch_ms(l_shipdate) AS ts,
+          (l_extendedprice + (l_extendedprice + 1.0::DOUBLE)) / 2.0::DOUBLE AS mid
+        FROM lineitem
+        WHERE l_orderkey % 17 <> 0 AND l_orderkey % 11 <> 0 AND l_orderkey % 13 <> 0),
+      led AS (
+        SELECT symbol, mid,
+          lead(ts, 1) OVER (PARTITION BY symbol ORDER BY ts, src_id, mid) - ts AS dwell
+        FROM bk)
+      SELECT symbol,
+        ${O.dsum("mid * CAST(dwell AS DOUBLE)")} / CAST(CAST(SUM(dwell) AS BIGINT) AS DOUBLE) AS twap_mid,
+        CAST(SUM(dwell) AS BIGINT) AS tspan,
+        COUNT(*) AS n_updates
+      FROM led WHERE dwell IS NOT NULL
+      GROUP BY symbol ORDER BY symbol"""))
+
+  /** Forward as-of join with a 7-day tolerance (q35's mirror image): for
+    * each signup, the EARLIEST purchase at-or-after it by the same user,
+    * nulled when more than 7 days ahead. The right side is pre-aggregated
+    * to a unique (user_id, ts_ms) grid so the match is well-defined on
+    * any engine. Oracle: DuckDB's native ASOF LEFT JOIN — a fully
+    * independent implementation of the same semantics.
+    */
+  private val q86 = Q("q86_asof_forward",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val l = e.where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts_ms"), col("value").as("signup_value"))
+      val r = e.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_ms"))
+        .agg(max(col("value")).as("purchase_value"))
+      graft.operators.AsOfJoin.firstValueAsOfForward(
+          l, r, keys = Seq("user_id"), tsCol = "ts_ms",
+          valueCols = Seq("purchase_value"), tieCol = "ts_ms",
+          toleranceMs = Some(604800000L))
+        .orderBy("user_id", "ts_ms", "signup_value")
+    },
+    Some("""WITH l AS (
+        SELECT user_id, epoch_ms(ts) AS ts_ms, value AS signup_value
+        FROM events WHERE event_type = 'signup'),
+      r AS (
+        SELECT user_id, epoch_ms(ts) AS ts_ms, MAX(value) AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      SELECT l.user_id, l.ts_ms, l.signup_value,
+        CASE WHEN r.ts_ms - l.ts_ms <= 604800000 THEN r.ts_ms END AS asof_ts_ms,
+        CASE WHEN r.ts_ms - l.ts_ms <= 604800000 THEN r.purchase_value END AS asof_purchase_value
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_ms <= r.ts_ms
+      ORDER BY l.user_id, l.ts_ms, signup_value"""))
+
+  override val all: Seq[Q] = Seq(q80, q81, q82, q83, q84, q85, q86)
+}

@@ -24,8 +24,11 @@ def main(sf_dir: str, out_dir: str) -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
+        if only is not None and name not in only:
+            continue
         pq = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not pq:
             print(f"FAIL {name}: no spark output"); n_bad += 1; continue
