@@ -50,7 +50,7 @@ object AnalyticsQueries extends Registry {
   /** The q17 trade relation in DuckDB SQL (src_id, symbol, ts, price, sz,
     * side) — shared by the OHLC and VWAP oracles.
     */
-  private val duckTrades: String =
+  private[queries] val duckTrades: String =
     """base AS (
         SELECT (l_orderkey * 10 + l_linenumber) AS src_id,
           'T-' || CAST(l_suppkey % 5 AS VARCHAR) AS symbol,
@@ -444,7 +444,7 @@ object AnalyticsQueries extends Registry {
     * indicator queries' bench cost (q66-q68 keep the end-to-end
     * normalize gate).
     */
-  private def closeBars(s: SparkSession, d: String): DataFrame = {
+  private[queries] def closeBars(s: SparkSession, d: String): DataFrame = {
     val base = Tables.fanOut(Tables.lineitem(s, d))
       .filter(col("l_orderkey") % 17 =!= 0 && col("l_orderkey") % 11 =!= 0)
       .select(
@@ -468,7 +468,7 @@ object AnalyticsQueries extends Registry {
       .agg(max(seqKey).getField("p").as("close"))
   }
 
-  private val duckCloseBars =
+  private[queries] val duckCloseBars =
     s"""bars AS (
         SELECT symbol, ts // 86400000 AS day_bucket,
           arg_max(price, $duckSeqKey) AS close

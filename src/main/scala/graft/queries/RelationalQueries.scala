@@ -265,5 +265,70 @@ object RelationalQueries extends Registry {
       FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_ms <= r.ts_ms
       ORDER BY l.user_id, l.ts_ms, signup_value"""))
 
-  override val all: Seq[Q] = Seq(q80, q81, q82, q83, q84, q85, q86)
+  /** Calendar gap-fill + forward fill (last observation carried forward)
+    * over the daily close bars: every symbol gets a dense day range
+    * (sequence + explode), missing days join as null and inherit the
+    * previous close via `last(ignoreNulls)` — the standard
+    * continuity-restoring operator for bar series. One co-partitioned
+    * left join + one window pass, both keyed by symbol; the calendar
+    * explode is O(days) per symbol with no shuffle of its own.
+    */
+  private val q87 = Q("q87_gap_fill_locf",
+    (s, d) => {
+      val bars = AnalyticsQueries.closeBars(s, d)
+      val cal = bars.groupBy("symbol")
+        .agg(min("day_bucket").as("lo"), max("day_bucket").as("hi"))
+        .select(col("symbol"), explode(sequence(col("lo"), col("hi"))).as("day_bucket"))
+      val w = Window.partitionBy("symbol").orderBy("day_bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      cal.join(bars, Seq("symbol", "day_bucket"), "left")
+        .withColumn("close_ff", last(col("close"), ignoreNulls = true).over(w))
+        .withColumn("is_gap", col("close").isNull)
+        .select("symbol", "day_bucket", "close_ff", "is_gap")
+        .orderBy("symbol", "day_bucket")
+    },
+    Some(s"""WITH ${AnalyticsQueries.duckTrades}, ${AnalyticsQueries.duckCloseBars},
+      cal AS (
+        SELECT symbol, unnest(generate_series(min(day_bucket), max(day_bucket))) AS day_bucket
+        FROM bars GROUP BY symbol),
+      f AS (
+        SELECT cal.symbol, cal.day_bucket, bars.close
+        FROM cal LEFT JOIN bars USING (symbol, day_bucket))
+      SELECT symbol, day_bucket,
+        last_value(close IGNORE NULLS) OVER (PARTITION BY symbol ORDER BY day_bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ff,
+        (close IS NULL) AS is_gap
+      FROM f ORDER BY symbol, day_bucket"""))
+
+  /** Sliding event-time windows — the reference's 5s-window/1s-slide
+    * rolling metrics shape (reference/src/metrics/rolling.py:20-26,
+    * window/slide = 1h/15min here at daily-data scale): each event lands
+    * in length/slide windows via Spark's native `window()` slide
+    * expansion; count + exact sum + min/max per window. The oracle
+    * re-derives the window assignment arithmetically (slot - k for
+    * k < length/slide), so Spark's epoch-aligned slide semantics are
+    * what's being gated.
+    */
+  private val q88 = Q("q88_sliding_window_stats",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts_utc"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), StableAgg.dsum(col("value")).as("sum_value"),
+          min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+        .select(unix_millis(col("window.start")).as("ws"), col("event_type"),
+          col("cnt"), col("sum_value"), col("min_value"), col("max_value"))
+        .orderBy("ws", "event_type")
+    },
+    Some(s"""WITH x AS (
+        SELECT unnest(generate_series(epoch_ms(ts) // 900000 - 3, epoch_ms(ts) // 900000))
+            * 900000 AS ws,
+          event_type, value
+        FROM events)
+      SELECT ws, event_type, COUNT(*) AS cnt,
+        ${O.dsum("value")} AS sum_value,
+        MIN(value) AS min_value, MAX(value) AS max_value
+      FROM x GROUP BY ws, event_type
+      ORDER BY ws, event_type"""))
+
+  override val all: Seq[Q] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88)
 }

@@ -103,6 +103,33 @@ class RelationalExtSpec extends SparkSpec {
     }
   }
 
+  test("q87 gap fill: dense calendar per symbol; non-gap rows keep their close; gaps inherit backward") {
+    val rows = q("q87_gap_fill_locf").collect()
+    rows.groupBy(_.getString(0)).foreach { case (sym, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      val days = sorted.map(_.getLong(1))
+      assert(days.last - days.head + 1 == days.length, s"calendar not dense for $sym")
+      assert(!sorted.head.getBoolean(3), s"first day of $sym is a gap (no seed for LOCF)")
+      sorted.sliding(2).foreach {
+        case Array(prev, cur) if cur.getBoolean(3) =>
+          assert(cur.getDouble(2) == prev.getDouble(2),
+            s"gap row doesn't carry the previous close: $cur")
+        case _ =>
+      }
+    }
+  }
+
+  test("q88 sliding windows: every event lands in exactly length/slide windows") {
+    val rows = q("q88_sliding_window_stats").collect()
+    val totalEvents = graft.Tables.events(spark, sf).count()
+    val sumCnt = rows.map(_.getLong(2)).sum
+    assert(sumCnt == 4 * totalEvents, s"window multiplicity: $sumCnt != 4 * $totalEvents")
+    rows.foreach { r =>
+      assert(r.getLong(0) % 900000L == 0, s"window start not slide-aligned: $r")
+      assert(r.getDouble(4) <= r.getDouble(5), s"min > max: $r")
+    }
+  }
+
   test("q85 TWAP: within [min, max] mid; tspan equals the per-symbol ts span") {
     val quotes = NormalizerQueries.framedBooksPublic(spark, sf)
     val norm = graft.operators.Normalizer.normalize(quotes, passthrough = Seq("src_id"))
