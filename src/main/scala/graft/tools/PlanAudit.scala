@@ -57,7 +57,21 @@ object PlanAudit {
     "q69_moving_order_stats" ->
       "Window frames (r04): all five window functions (row_number, frame sum/count, lag x2, first_value) share one (custkey) partition spec — a single exchange + sort feeds every frame.",
     "q75_bollinger_bands" ->
-      "Bollinger (r04): bar aggregate shuffles (symbol, day); the trailing-20 window re-partitions by symbol only — two exchanges total, decimal frame sums inside the window stage.")
+      "Bollinger (r04): bar aggregate shuffles (symbol, day); the trailing-20 window re-partitions by symbol only — two exchanges total, decimal frame sums inside the window stage.",
+    "q80_grouping_sets" ->
+      "GROUPING SETS (r04): Expand emits the 3 declared sets map-side (not the 2^n cube), one partial/final aggregate pair — same single-shuffle shape as ROLLUP/CUBE.",
+    "q82_corr_covar" ->
+      "Exact correlation (r04): six decimal partial sums per group combine map-side; the exchange ships |groups| x 6 decimals, and the corr/covar doubles are computed post-aggregate — order-independent on any partitioning.",
+    "q83_range_frame" ->
+      "RANGE + ROWS frames (r04): both window specs partition by o_custkey — one exchange; the two sort orders (d) and (d, o_orderkey) each get a local sort, no re-shuffle.",
+    "q85_twap_mid" ->
+      "TWAP (r04): the lead() window and the final aggregate both key by symbol — the aggregate reuses the window's exchange; dwell weighting never leaves the partition.",
+    "q86_asof_forward" ->
+      "Forward as-of (r04): same union-then-window single-shuffle shape as q35, traversed descending; tolerance is a post-window per-row predicate, no second pass.",
+    "q87_gap_fill_locf" ->
+      "Gap fill (r04): the bars subplan appears under both the calendar-bounds branch and the join branch with byte-identical exchanges — AQE stage reuse runs it once (the q42 pattern); |bars| = symbols x days stays broadcastable at any fact scale, and the LOCF window keys by symbol.",
+    "q88_sliding_window_stats" ->
+      "Sliding windows (r04): Spark's window() Expand emits length/slide=4 rows per event map-side, then one partial/final aggregate — no self-join against a window table.")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get("plan-audit", "8")
