@@ -15,7 +15,7 @@ object SparkEntry {
 
   private val registries: Seq[Registry] =
     Seq(CoreQueries, NormalizerQueries, TrainingDataQueries, PipelineQueries,
-      AnalyticsQueries, RelationalQueries)
+      AnalyticsQueries, RelationalQueries, ExtendedQueries)
 
   private lazy val qs: Seq[Q] = registries.flatMap(_.all)
 

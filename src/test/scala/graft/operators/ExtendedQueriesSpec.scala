@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Invariants for the q89-q96 batch beyond the DuckDB hash gate:
+  * top-k group bounds, listagg ordering, island segmentation arithmetic,
+  * funnel path determinism, calendar coverage, resample balance bounds,
+  * filtered-aggregate consistency, and sweep-line concurrency sanity.
+  */
+class ExtendedQueriesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def q(name: String) = graft.SparkEntry.queries(name)(spark, sf)
+
+  test("q89 top-k: exactly 3 rows per segment, rank-ordered, balances non-increasing") {
+    val rows = q("q89_topk_per_group").collect()
+    val perSeg = rows.groupBy(_.getString(0))
+    perSeg.foreach { case (seg, rs) =>
+      assert(rs.length == 3, s"segment $seg has ${rs.length} rows")
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == Seq(1, 2, 3), s"ranks wrong for $seg")
+      val bals = sorted.map(_.getDouble(2)).toSeq
+      assert(bals == bals.sorted.reverse, s"balances not descending for $seg: $bals")
+    }
+  }
+
+  test("q90 listagg: segments string is sorted, comma-joined, count matches") {
+    q("q90_string_agg").collect().foreach { r =>
+      val parts = r.getString(1).split(",").toSeq
+      assert(parts == parts.sorted, s"unsorted listagg for ${r.getString(0)}")
+      assert(parts.distinct.size == parts.size, s"duplicate segment for ${r.getString(0)}")
+      assert(parts.size.toLong == r.getLong(2), s"n_segments mismatch: $r")
+    }
+  }
+
+  test("q91 islands: longest <= n_orders, n_islands <= n_orders, and a hand case segments correctly") {
+    q("q91_islands_gaps").collect().foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3), s"longest island exceeds order count: $r")
+      assert(r.getLong(1) <= r.getLong(3), s"more islands than orders: $r")
+      assert(r.getLong(1) >= 1 && r.getLong(2) >= 1)
+    }
+    // hand case: gaps 10d / 40d / 5d => islands {2 orders}, {2 orders}
+    import spark.implicits._
+    val hand = Seq(
+      (1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, 2L, java.sql.Timestamp.valueOf("2024-01-11 00:00:00")),
+      (1L, 3L, java.sql.Timestamp.valueOf("2024-02-20 00:00:00")),
+      (1L, 4L, java.sql.Timestamp.valueOf("2024-02-25 00:00:00")))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate")
+    val dir = java.nio.file.Files.createTempDirectory("q91hand").toString
+    hand.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = graft.SparkEntry.queries("q91_islands_gaps")(spark, dir).collect()
+    assert(r.length == 1 && r.head.getLong(1) == 2 && r.head.getLong(2) == 2 &&
+      r.head.getLong(3) == 4, s"hand case wrong: ${r.toSeq}")
+  }
+
+  test("q92 funnel: path has n_events tokens, every token a known type, converted consistent with path") {
+    val types = Set("view", "click", "purchase", "signup", "error")
+    q("q92_funnel_paths").collect().foreach { r =>
+      val path = r.getString(2).split(">").toSeq
+      assert(path.length.toLong == r.getLong(1), s"token count != n_events: $r")
+      assert(path.forall(types.contains), s"unknown event type in path: $r")
+      val v = path.indexOf("view"); val p = path.indexOf("purchase")
+      val expect = if (v >= 0 && p > v) 1 else 0
+      assert(r.getInt(3) == expect, s"converted flag wrong: $r")
+    }
+  }
+
+  test("q93 calendar profile: dow in 1..7, hod in 0..23, counts sum to table size") {
+    val rows = q("q93_dow_hour_profile").collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) >= 1 && r.getInt(0) <= 7 && r.getInt(1) >= 0 && r.getInt(1) <= 23)
+    }
+    val total = rows.map(_.getLong(2)).sum
+    assert(total == graft.Tables.events(spark, sf).count(), "profile loses events")
+  }
+
+  test("q94 resample: every class lands within a factor of 2 of the target; copy indices dense from 1") {
+    val rows = q("q94_balanced_resample").collect()
+    val perLang = rows.groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    val target = perLang.values.max
+    perLang.foreach { case (lang, n) =>
+      // floor(target/cnt) replication yields cnt*floor(target/cnt) in (target/2, target]
+      assert(n > target / 2 && n <= target, s"$lang resampled to $n vs target $target")
+    }
+    rows.groupBy(r => r.getLong(0)).foreach { case (doc, rs) =>
+      val idx = rs.map(_.getLong(2)).sorted.toSeq
+      assert(idx == (1L to idx.length.toLong), s"copy_idx not dense for doc $doc")
+    }
+  }
+
+  test("q95 filtered aggregates: flags consistent with counts") {
+    q("q95_conditional_agg").collect().foreach { r =>
+      val nNeg = r.getLong(1)
+      assert(r.getBoolean(2) == (nNeg > 0), s"any_neg inconsistent: $r")
+      if (r.getBoolean(3)) assert(nNeg == 0, s"all_pos but negatives exist: $r")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(5) <= 0.0)
+    }
+  }
+
+  test("q96 concurrency: peak >= 1 and <= total events of that type") {
+    val totals = graft.Tables.events(spark, sf)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = q("q96_max_concurrency").collect()
+    assert(rows.map(_.getString(0)).toSet == totals.keySet)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= totals(r.getString(0)), s"peak out of bounds: $r")
+    }
+  }
+}
