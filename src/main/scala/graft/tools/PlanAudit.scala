@@ -71,7 +71,15 @@ object PlanAudit {
     "q87_gap_fill_locf" ->
       "Gap fill (r04): the bars subplan appears under both the calendar-bounds branch and the join branch with byte-identical exchanges — AQE stage reuse runs it once (the q42 pattern); |bars| = symbols x days stays broadcastable at any fact scale, and the LOCF window keys by symbol.",
     "q88_sliding_window_stats" ->
-      "Sliding windows (r04): Spark's window() Expand emits length/slide=4 rows per event map-side, then one partial/final aggregate — no self-join against a window table.")
+      "Sliding windows (r04): Spark's window() Expand emits length/slide=4 rows per event map-side, then one partial/final aggregate — no self-join against a window table.",
+    "q89_topk_per_group" ->
+      "Per-group top-k (r04): the rank filter compiles to WindowGroupLimit Partial BEFORE the exchange — each map task keeps 3 rows per group, so the shuffle ships |groups| x k rows regardless of scan size.",
+    "q91_islands_gaps" ->
+      "Gaps-and-islands (r04): the lag window, the running-sum window, and BOTH island aggregates all key by o_custkey — one hash exchange feeds the whole chain; island ids never leave their partition.",
+    "q94_balanced_resample" ->
+      "Balanced resample (r04): per-class replication factors are a tiny aggregate (|classes| rows) broadcast back onto the pruned 2-column scan; the explode(sequence) Generate is zero-shuffle, so output volume ~ |classes| x majority-class size is the only cost at any corpus scale.",
+    "q96_max_concurrency" ->
+      "Sweep-line concurrency (r04): +1/-1 deltas collapse map-side per (type, instant) before any shuffle (partial_sum in the Union stage); the running sum's ordering key is unique by construction, making the window deterministic on any partitioning.")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get("plan-audit", "8")
