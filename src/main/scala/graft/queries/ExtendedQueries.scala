@@ -279,5 +279,123 @@ object ExtendedQueries extends Registry {
       SELECT event_type, MAX(open) AS peak_concurrency
       FROM opened GROUP BY event_type ORDER BY event_type"""))
 
-  override val all: Seq[Q] = Seq(q89, q90, q91, q92, q93, q94, q95, q96)
+  /** Cohort retention: users grouped by first-active day, activity rolled
+    * up to week offsets — the standard retention triangle. Two aggregates
+    * joined on user_id (both sides shuffle-partition by user at scale; AQE
+    * broadcasts the cohort side when it fits), then one |cohorts × offsets|
+    * aggregate. countDistinct stays partial-aggregable because the join
+    * output is already user-keyed.
+    */
+  private val q97 = Q("q97_cohort_retention",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts_utc")).as("d"))
+      val firsts = ev.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
+      ev.join(firsts, "user_id")
+        .groupBy(col("cohort_day"),
+          expr("CAST(datediff(d, cohort_day) div 7 AS BIGINT)").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("week_offset"), col("active_users"))
+        .orderBy("cohort_day", "week_offset")
+    },
+    Some("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        firsts AS (SELECT user_id, MIN(d) AS cohort_day FROM ev GROUP BY user_id)
+      SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+        CAST(date_diff('day', cohort_day, d) // 7 AS BIGINT) AS week_offset,
+        COUNT(DISTINCT ev.user_id) AS active_users
+      FROM ev JOIN firsts ON ev.user_id = firsts.user_id
+      GROUP BY firsts.cohort_day, 2 ORDER BY cohort_day, week_offset"""))
+
+  /** Edit-distance near-dup audit over consecutive doc pairs (the q24
+    * pair-key shape: one scan, explode to (k, left/right), 2-row groupBy —
+    * no self-join). Levenshtein on an 80-char prefix bounds per-pair cost
+    * at O(80²) independent of document length; both engines compute
+    * character-based unit-cost edit distance.
+    */
+  private val q98 = Q("q98_edit_distance",
+    (s, d) => {
+      val t = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), substring(col("text"), 1, 80).as("t80"))
+      val dist = levenshtein(col("a.t80"), col("b.t80"))
+      t.select(explode(array(
+          struct(col("doc_id").as("k"), lit(true).as("is_left"),
+            col("doc_id"), col("t80")),
+          struct((col("doc_id") - 1).as("k"), lit(false).as("is_left"),
+            col("doc_id"), col("t80")))).as("e"))
+        .select(col("e.k"), col("e.is_left"), col("e.doc_id"), col("e.t80"))
+        .groupBy("k")
+        .agg(
+          max(when(col("is_left"), struct(col("doc_id"), col("t80")))).as("a"),
+          max(when(!col("is_left"), struct(col("doc_id"), col("t80")))).as("b"))
+        .filter(col("a").isNotNull && col("b").isNotNull)
+        .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"),
+          dist.as("edit_dist"),
+          (lit(1.0d) - dist.cast("double") /
+            greatest(length(col("a.t80")), length(col("b.t80")), lit(1)).cast("double"))
+            .as("similarity"))
+        .orderBy("doc_id_a")
+    },
+    Some("""WITH t AS (SELECT doc_id, substr(text, 1, 80) AS t80 FROM documents)
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        CAST(levenshtein(a.t80, b.t80) AS INTEGER) AS edit_dist,
+        1.0::DOUBLE - CAST(levenshtein(a.t80, b.t80) AS DOUBLE)
+          / CAST(greatest(length(a.t80), length(b.t80), 1) AS DOUBLE) AS similarity
+      FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+      ORDER BY doc_id_a"""))
+
+  /** Bitwise aggregate family (bit_or / bit_and / bit_xor) — order- and
+    * partition-independent by algebra, so they combine map-side with zero
+    * determinism caveats; xor doubles as an order-insensitive membership
+    * digest.
+    */
+  private val q99 = Q("q99_bit_aggregates",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          expr("bit_or(user_id)").as("or_bits"),
+          expr("bit_and(user_id)").as("and_bits"),
+          expr("bit_xor(user_id)").as("xor_bits"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type,
+        CAST(bit_or(user_id) AS BIGINT) AS or_bits,
+        CAST(bit_and(user_id) AS BIGINT) AS and_bits,
+        CAST(bit_xor(user_id) AS BIGINT) AS xor_bits,
+        COUNT(*) AS n
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Content checksum per partition key — the migration-validation
+    * primitive for a 100 TB copy: row identity hashes (first 8 hex chars of
+    * md5 over the '|'-joined key columns, the [[graft.operators.Dedup]]
+    * hexHash32 convention) summed per group. Order-independent, combines
+    * map-side, ships one (flag, checksum, count) row per group; comparing
+    * source and destination checksums localizes any divergence to a
+    * partition without moving data.
+    */
+  private val q100 = Q("q100_table_checksum",
+    (s, d) => {
+      import graft.operators.Dedup
+      val rowKey = concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_linestatus"))
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(sum(Dedup.hexHash32(md5(rowKey))).as("checksum"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    },
+    Some {
+      val h = "substr(md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), " +
+        "CAST(l_linenumber AS VARCHAR), l_returnflag, l_linestatus)), 1, 8)"
+      s"""WITH hashed AS (SELECT l_returnflag, ${TrainingDataQueries.duckHash32(h)} AS h32
+          FROM lineitem)
+        SELECT l_returnflag, CAST(SUM(h32) AS BIGINT) AS checksum,
+          COUNT(*) AS n_rows
+        FROM hashed GROUP BY l_returnflag ORDER BY l_returnflag"""
+    })
+
+  override val all: Seq[Q] =
+    Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100)
 }

@@ -100,6 +100,69 @@ class ExtendedQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q97 retention: offset-0 cohort sizes sum to total users; actives never exceed cohort size") {
+    val rows = q("q97_cohort_retention").collect()
+    val week0 = rows.filter(_.getLong(1) == 0L)
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val totalUsers = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(week0.values.sum == totalUsers, "week-0 cohorts don't partition the user base")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0, s"negative week offset: $r")
+      assert(r.getLong(2) <= week0(r.getString(0)),
+        s"more active than cohort members: $r")
+    }
+  }
+
+  test("q98 edit distance: zero iff equal prefixes, bounded by longer prefix, similarity in [0,1]") {
+    val rows = q("q98_edit_distance").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dist = r.getInt(2); val sim = r.getDouble(3)
+      assert(r.getLong(1) == r.getLong(0) + 1, s"not consecutive: $r")
+      assert(dist >= 0 && dist <= 80, s"distance out of bounds: $r")
+      assert(sim >= 0.0 && sim <= 1.0, s"similarity out of range: $r")
+    }
+    // hand case via the registered query over a synthetic table
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q98hand").toString
+    Seq((1L, "kitten"), (2L, "sitting")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val hand = graft.SparkEntry.queries("q98_edit_distance")(spark, dir).collect()
+    assert(hand.length == 1 && hand.head.getInt(2) == 3, s"kitten/sitting != 3: ${hand.toSeq}")
+  }
+
+  test("q99 bit aggregates: and <= every id's bits, or >= them, xor of even multiset cancels") {
+    q("q99_bit_aggregates").collect().foreach { r =>
+      val or = r.getLong(1); val and = r.getLong(2)
+      assert((and & or) == and, s"bit_and not a subset of bit_or: $r")
+    }
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q99hand").toString
+    // duplicate ids: xor cancels to 0; ts column required by the loader
+    Seq((1L, 5L, "a", 1.0), (2L, 5L, "a", 1.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("ts", lit(1700000000000000000L))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val hand = graft.SparkEntry.queries("q99_bit_aggregates")(spark, dir).collect()
+    assert(hand.head.getLong(3) == 0L, s"xor of duplicate ids not 0: ${hand.toSeq}")
+  }
+
+  test("q100 checksum: invariant to input partitioning, counts match the table") {
+    val base = q("q100_table_checksum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val total = graft.Tables.lineitem(spark, sf).count()
+    assert(base.map(_._3).sum == total, "checksum group counts lose rows")
+    // same data repartitioned: identical checksums (order independence)
+    val reshuffled = graft.Tables.lineitem(spark, sf).repartition(7)
+    val dir = java.nio.file.Files.createTempDirectory("q100hand").toString
+    reshuffled.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val again = graft.SparkEntry.queries("q100_table_checksum")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(base.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq,
+      "checksum depends on physical layout")
+  }
+
   test("q96 concurrency: peak >= 1 and <= total events of that type") {
     val totals = graft.Tables.events(spark, sf)
       .groupBy("event_type").count().collect()
