@@ -396,6 +396,109 @@ object ExtendedQueries extends Registry {
         FROM hashed GROUP BY l_returnflag ORDER BY l_returnflag"""
     })
 
+  /** Market-basket co-purchase pairs: distinct parts per order self-joined
+    * on the order key (i < j), pair counts, deterministic top-20. The
+    * self-join co-partitions on l_orderkey — one shuffle per side and the
+    * quadratic blow-up is confined to per-order basket size (≤ 7 lines in
+    * TPC-H shape); the full (desc count, part_a, part_b) ordering makes the
+    * LIMIT a TakeOrderedAndProject (per-partition heaps), never a global
+    * sort.
+    */
+  private val q101 = Q("q101_copurchase_pairs",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(desc("n_orders"), col("part_a"), col("part_b"))
+        .limit(20)
+    },
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        COUNT(*) AS n_orders
+      FROM li a JOIN li b
+        ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      ORDER BY n_orders DESC, part_a, part_b LIMIT 20"""))
+
+  /** Weighted systematic sampling: documents selected where their
+    * char-weight cumulative sum crosses a stride boundary — the
+    * deterministic, single-pass alternative to ln(u)/w weighted reservoirs
+    * (whose transcendental draws can't hash cross-engine, NOTES rule).
+    * Integer arithmetic end to end: weights are char counts, cumsums and
+    * strides are BIGINT, so selection is bit-identical on any engine. The
+    * cumsum windows partition by lang — per-stream sampling keyed like the
+    * corpus, no global single-partition window.
+    */
+  private val q102 = Q("q102_weighted_sample",
+    (s, d) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      val cum = sum(col("n_chars")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      val total = sum(col("n_chars")).over(Window.partitionBy("lang"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          cum.as("cum_w"), total.as("total_w"))
+        .withColumn("stride", expr("greatest(CAST(1 AS BIGINT), total_w div 16)"))
+        .filter(expr("cum_w div stride") > expr("(cum_w - n_chars) div stride"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          expr("CAST(cum_w div stride AS BIGINT)").as("bucket"))
+        .orderBy("lang", "doc_id")
+    },
+    Some("""WITH c AS (
+        SELECT doc_id, lang, n_chars,
+          SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+          greatest(1, CAST(SUM(n_chars) OVER (PARTITION BY lang) AS BIGINT) // 16) AS stride
+        FROM documents)
+      SELECT doc_id, lang, n_chars,
+        CAST(cum_w // stride AS BIGINT) AS bucket
+      FROM c
+      WHERE cum_w // stride > (cum_w - n_chars) // stride
+      ORDER BY lang, doc_id"""))
+
+  /** Join-key skew audit: the pre-flight a 100 TB join wants — per-key
+    * frequency distribution of a prospective join key (count stats, exact
+    * p50/p99 via the floor-index percentile aggregate, and the share of
+    * the hottest key). Two aggregate levels: the per-key counts collapse
+    * map-side, the second level reduces |keys| rows to one — nothing
+    * else moves. Feeds the q49 salting decision.
+    */
+  private val q103 = Q("q103_skew_report",
+    (s, d) => {
+      import graft.functions.ExactPercentile
+      val counts = Tables.lineitem(s, d)
+        .groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+      counts.agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("cnt")).as("n_rows"),
+          max(col("cnt")).as("max_cnt"),
+          ExactPercentile(col("cnt").cast("double"), Seq(0.5, 0.99)).as("pcts"))
+        .select(col("n_keys"), col("n_rows"), col("max_cnt"),
+          element_at(col("pcts"), 1).as("p50_cnt"),
+          element_at(col("pcts"), 2).as("p99_cnt"),
+          (col("max_cnt").cast("double") / col("n_rows").cast("double"))
+            .as("top1_share"))
+    },
+    Some("""WITH c AS (SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+      r AS (SELECT cnt,
+              row_number() OVER (ORDER BY CAST(cnt AS DOUBLE)) - 1 AS rn,
+              COUNT(*) OVER () AS n
+            FROM c)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        MAX(cnt) AS max_cnt,
+        MAX(CASE WHEN rn = CAST(floor(0.50::DOUBLE * (n-1)) AS BIGINT)
+          THEN CAST(cnt AS DOUBLE) END) AS p50_cnt,
+        MAX(CASE WHEN rn = CAST(floor(0.99::DOUBLE * (n-1)) AS BIGINT)
+          THEN CAST(cnt AS DOUBLE) END) AS p99_cnt,
+        CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS top1_share
+      FROM r"""))
+
   override val all: Seq[Q] =
-    Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100)
+    Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
+      q101, q102, q103)
 }

@@ -163,6 +163,39 @@ class ExtendedQueriesSpec extends SparkSpec {
       "checksum depends on physical layout")
   }
 
+  test("q101 co-purchase: pairs ordered (a < b), counts descending, at most 20 rows") {
+    val rows = q("q101_copurchase_pairs").collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) < r.getLong(1), s"unordered pair: $r"))
+    val counts = rows.map(_.getLong(2)).toSeq
+    assert(counts == counts.sorted.reverse, "not sorted by count desc")
+  }
+
+  test("q102 weighted sample: boundary crossings only, buckets strictly increase per lang") {
+    val rows = q("q102_weighted_sample").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(1)).foreach { case (lang, rs) =>
+      val buckets = rs.sortBy(_.getLong(0)).map(_.getLong(3)).toSeq
+      assert(buckets == buckets.sorted && buckets.distinct.size == buckets.size,
+        s"buckets not strictly increasing for $lang: $buckets")
+      // stride targets 16 samples; off-by-boundary tolerance
+      assert(rs.length >= 1 && rs.length <= 17, s"$lang sampled ${rs.length} docs")
+    }
+  }
+
+  test("q103 skew report: consistency with a direct recount") {
+    val r = q("q103_skew_report").collect().head
+    val counts = graft.Tables.lineitem(spark, sf)
+      .groupBy("l_partkey").count().collect().map(_.getLong(1))
+    assert(r.getLong(0) == counts.length.toLong, "n_keys wrong")
+    assert(r.getLong(1) == counts.sum, "n_rows wrong")
+    assert(r.getLong(2) == counts.max, "max_cnt wrong")
+    val sorted = counts.sorted.map(_.toDouble)
+    assert(r.getDouble(3) == sorted((0.5 * (sorted.length - 1)).floor.toInt), "p50 wrong")
+    assert(r.getDouble(4) == sorted((0.99 * (sorted.length - 1)).floor.toInt), "p99 wrong")
+    assert(r.getDouble(5) == counts.max.toDouble / counts.sum.toDouble, "top1_share wrong")
+  }
+
   test("q96 concurrency: peak >= 1 and <= total events of that type") {
     val totals = graft.Tables.events(spark, sf)
       .groupBy("event_type").count().collect()
