@@ -79,7 +79,13 @@ object PlanAudit {
     "q94_balanced_resample" ->
       "Balanced resample (r04): per-class replication factors are a tiny aggregate (|classes| rows) broadcast back onto the pruned 2-column scan; the explode(sequence) Generate is zero-shuffle, so output volume ~ |classes| x majority-class size is the only cost at any corpus scale.",
     "q96_max_concurrency" ->
-      "Sweep-line concurrency (r04): +1/-1 deltas collapse map-side per (type, instant) before any shuffle (partial_sum in the Union stage); the running sum's ordering key is unique by construction, making the window deterministic on any partitioning.")
+      "Sweep-line concurrency (r04): +1/-1 deltas collapse map-side per (type, instant) before any shuffle (partial_sum in the Union stage); the running sum's ordering key is unique by construction, making the window deterministic on any partitioning.",
+    "q100_table_checksum" ->
+      "Table checksum (r04): per-row identity hashes sum inside a partial/final hash aggregate — order- and layout-invariant by algebra (spec-asserted via repartition), ships one row per partition key; the 100 TB migration-validation primitive.",
+    "q101_copurchase_pairs" ->
+      "Co-purchase pairs (r04): at this SF the deduped basket side fits the broadcast threshold (BroadcastHashJoin below); past it the same plan becomes a SortMergeJoin co-partitioned on l_orderkey — one shuffle per side, quadratic work confined to per-order baskets. Pair counts collapse map-side and the full-order LIMIT compiles to TakeOrderedAndProject — per-partition heaps, no global sort.",
+    "q103_skew_report" ->
+      "Skew audit (r04): two aggregate levels — per-key counts (partial/final) then a single-row summary with the exact-percentile buffer over |keys| counts, not |rows|; the pre-flight for the q49 salting decision.")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get("plan-audit", "8")
