@@ -498,7 +498,47 @@ object ExtendedQueries extends Registry {
         CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS top1_share
       FROM r"""))
 
+  /** Corpus duplication-rate report: the dedup-QA numbers a training-data
+    * pipeline publishes after a cleaning pass — how many 3-gram
+    * occurrences are repeats, and how many distinct 3-grams cross
+    * document boundaries. One explode + two aggregate levels; the shingle
+    * shuffle collapses map-side to (shingle, count). At 100 TB the exact
+    * report runs over a hash-sample of the shingle space (the q43 salted
+    * draw composes directly: `WHERE hash32(sh) < p·2^32`) — the plan shape
+    * is unchanged.
+    */
+  private val q104 = Q("q104_corpus_dup_stats",
+    (s, d) => {
+      import graft.operators.TextAnalysis
+      val sh = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"),
+          explode(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)).as("sh"))
+      sh.groupBy("sh")
+        .agg(count(lit(1)).as("occ"), countDistinct(col("doc_id")).as("n_docs"))
+        .agg(
+          count(lit(1)).as("n_distinct_shingles"),
+          sum(col("occ")).as("n_occurrences"),
+          sum(when(col("occ") > 1, col("occ") - 1).otherwise(0L))
+            .as("n_dup_occurrences"),
+          count_if(col("n_docs") > 1).as("n_cross_doc_shingles"))
+        .select(col("n_distinct_shingles"), col("n_occurrences"),
+          col("n_dup_occurrences"), col("n_cross_doc_shingles"),
+          (col("n_dup_occurrences").cast("double") /
+            col("n_occurrences").cast("double")).as("dup_rate"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, ${TrainingDataQueries.duckToks} AS w FROM documents),
+        raw AS (SELECT doc_id, unnest(${TrainingDataQueries.duckShingles("w")}) AS sh FROM t),
+        per AS (SELECT sh, COUNT(*) AS occ, COUNT(DISTINCT doc_id) AS n_docs
+                FROM raw GROUP BY sh)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_shingles,
+        CAST(SUM(occ) AS BIGINT) AS n_occurrences,
+        CAST(SUM(CASE WHEN occ > 1 THEN occ - 1 ELSE 0 END) AS BIGINT) AS n_dup_occurrences,
+        CAST(COUNT(*) FILTER (WHERE n_docs > 1) AS BIGINT) AS n_cross_doc_shingles,
+        CAST(SUM(CASE WHEN occ > 1 THEN occ - 1 ELSE 0 END) AS DOUBLE)
+          / CAST(SUM(occ) AS DOUBLE) AS dup_rate
+      FROM per"""))
+
   override val all: Seq[Q] =
     Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
-      q101, q102, q103)
+      q101, q102, q103, q104)
 }

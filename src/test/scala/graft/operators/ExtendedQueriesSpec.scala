@@ -196,6 +196,23 @@ class ExtendedQueriesSpec extends SparkSpec {
     assert(r.getDouble(5) == counts.max.toDouble / counts.sum.toDouble, "top1_share wrong")
   }
 
+  test("q104 dup stats: arithmetic identities hold; hand case with a planted duplicate") {
+    val r = q("q104_corpus_dup_stats").collect().head
+    val (distinct, occ, dup, cross) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(distinct + dup == occ, "distinct + duplicate occurrences != total")
+    assert(cross <= distinct && dup >= cross, s"cross-doc bounds violated: $r")
+    assert(r.getDouble(4) == dup.toDouble / occ.toDouble)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q104hand").toString
+    // "a b c" appears in both docs (cross-doc); "x y z w" adds 2 unique shingles
+    Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z w"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val h = graft.SparkEntry.queries("q104_corpus_dup_stats")(spark, dir).collect().head
+    assert((h.getLong(0), h.getLong(1), h.getLong(2), h.getLong(3)) == ((3L, 4L, 1L, 1L)),
+      s"hand case wrong: $h")
+  }
+
   test("q96 concurrency: peak >= 1 and <= total events of that type") {
     val totals = graft.Tables.events(spark, sf)
       .groupBy("event_type").count().collect()
