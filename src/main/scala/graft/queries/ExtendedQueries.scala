@@ -538,7 +538,73 @@ object ExtendedQueries extends Registry {
           / CAST(SUM(occ) AS DOUBLE) AS dup_rate
       FROM per"""))
 
+  /** SCD type-2 merge expressed Spark-first: CDC updates (here a derived
+    * change set: every 10th customer gets a balance adjustment) union the
+    * current dimension, then one per-key window assigns validity ranges —
+    * the MERGE-free pattern for versioned dimensions on plain parquet.
+    * One shuffle keyed by the business key; at 100 TB the update set is
+    * typically a small fraction and AQE broadcasts it into the union's
+    * scan stage.
+    */
+  private val q105 = Q("q105_scd2_merge",
+    (s, d) => {
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"), lit(1).as("version"))
+      val updates = Tables.customer(s, d)
+        .filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), (col("c_acctbal") + 100.0d).as("c_acctbal"),
+          lit(2).as("version"))
+      val w = Window.partitionBy("c_custkey").orderBy("version")
+      base.unionAll(updates)
+        .withColumn("valid_to",
+          coalesce(lead(col("version"), 1).over(w), lit(Int.MaxValue)))
+        .withColumn("is_current", (col("valid_to") === Int.MaxValue).cast("int"))
+        .orderBy("c_custkey", "version")
+    },
+    Some(s"""WITH merged AS (
+        SELECT c_custkey, c_acctbal, 1 AS version FROM customer
+        UNION ALL
+        SELECT c_custkey, c_acctbal + 100.0::DOUBLE, 2 AS version
+        FROM customer WHERE c_custkey % 10 = 0)
+      SELECT c_custkey, c_acctbal, CAST(version AS INTEGER) AS version,
+        CAST(coalesce(lead(version) OVER (PARTITION BY c_custkey ORDER BY version),
+          2147483647) AS INTEGER) AS valid_to,
+        CAST(CASE WHEN coalesce(lead(version) OVER (PARTITION BY c_custkey
+          ORDER BY version), 2147483647) = 2147483647 THEN 1 ELSE 0 END AS INTEGER)
+          AS is_current
+      FROM merged ORDER BY c_custkey, version"""))
+
+  /** PERCENTILE_CONT (R-7 linear interpolation) — the interpolated twin of
+    * q9's floor-index exact percentiles, over integral-valued quantities so
+    * the interpolation arithmetic is exact in both engines. Spark's
+    * percentile() buffers each group's values exactly like q9's native
+    * aggregate; the sketch path (q37) remains the unbounded-cardinality
+    * answer.
+    */
+  private val q106 = Q("q106_percentile_cont",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(percentile(col("l_quantity"), array(lit(0.25), lit(0.5), lit(0.75), lit(0.9)))
+          .as("pcts"),
+          count(lit(1)).as("cnt"))
+        .select(col("l_returnflag"),
+          element_at(col("pcts"), 1).as("p25"),
+          element_at(col("pcts"), 2).as("p50"),
+          element_at(col("pcts"), 3).as("p75"),
+          element_at(col("pcts"), 4).as("p90"),
+          col("cnt"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.25) AS p25,
+        quantile_cont(l_quantity, 0.5) AS p50,
+        quantile_cont(l_quantity, 0.75) AS p75,
+        quantile_cont(l_quantity, 0.9) AS p90,
+        COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   override val all: Seq[Q] =
     Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
-      q101, q102, q103, q104)
+      q101, q102, q103, q104, q105, q106)
 }

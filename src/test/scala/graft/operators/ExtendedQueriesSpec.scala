@@ -213,6 +213,39 @@ class ExtendedQueriesSpec extends SparkSpec {
       s"hand case wrong: $h")
   }
 
+  test("q105 SCD2: exactly one current row per key; updated keys carry two versions with closed ranges") {
+    val rows = q("q105_scd2_merge").collect()
+    val perKey = rows.groupBy(_.getLong(0))
+    perKey.foreach { case (k, rs) =>
+      assert(rs.count(_.getInt(4) == 1) == 1, s"key $k: current-row count != 1")
+      val expectedVersions = if (k % 10 == 0) Seq(1, 2) else Seq(1)
+      assert(rs.map(_.getInt(2)).sorted.toSeq == expectedVersions, s"key $k versions wrong")
+      if (k % 10 == 0) {
+        val v1 = rs.find(_.getInt(2) == 1).get
+        assert(v1.getInt(3) == 2 && v1.getInt(4) == 0, s"key $k v1 not closed by v2")
+        val v2 = rs.find(_.getInt(2) == 2).get
+        assert(v2.getDouble(1) == v1.getDouble(1) + 100.0, s"key $k update not applied")
+      }
+    }
+  }
+
+  test("q106 percentile_cont: monotone across probabilities, within [min,max], exact on a hand case") {
+    q("q106_percentile_cont").collect().foreach { r =>
+      val ps = Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(ps == ps.sorted, s"percentiles not monotone: $r")
+    }
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q106hand").toString
+    // values 1..4: R-7 p50 = 2.5, p25 = 1.75, p75 = 3.25, p90 = 3.7
+    Seq((1L,1L,1L,1,1.0), (2L,1L,1L,1,2.0), (3L,1L,1L,1,3.0), (4L,1L,1L,1,4.0))
+      .toDF("l_orderkey","l_partkey","l_suppkey","l_linenumber","l_quantity")
+      .withColumn("l_returnflag", lit("A"))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val h = graft.SparkEntry.queries("q106_percentile_cont")(spark, dir).collect().head
+    assert((h.getDouble(1), h.getDouble(2), h.getDouble(3), h.getDouble(4)) ==
+      ((1.75, 2.5, 3.25, 3.7000000000000002)), s"R-7 hand case wrong: $h")
+  }
+
   test("q96 concurrency: peak >= 1 and <= total events of that type") {
     val totals = graft.Tables.events(spark, sf)
       .groupBy("event_type").count().collect()
