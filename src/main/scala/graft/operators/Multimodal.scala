@@ -10,10 +10,18 @@ import org.apache.spark.sql.types._
   * analog of a pandas-batched UDF: one decoder instantiation per
   * partition, streaming row iterators, no driver involvement).
   *
-  * The actual byte decoders (JPEG/PNG/audio codecs) are NOT available in
-  * this environment — [[FakeDecoder]] is a clearly-marked deterministic
-  * stand-in. The Spark-side contract (schema, batching, partitioning) is
-  * real and tested; swapping in a real codec is a one-function change.
+  * Two decode paths:
+  *  - [[ImageCodec]]: a REAL image codec (`javax.imageio.ImageIO`, ships
+  *    in the JDK — no external deps). [[synthesizeImages]] encodes a
+  *    deterministic grayscale pattern per doc to actual PNG bytes;
+  *    [[decodeImages]] decodes those bytes back through the codec and
+  *    extracts pixel-level features. Because the pixel pattern is a pure
+  *    function of (doc_id, x, y), the decoded sums/checksums have a full
+  *    closed-form DuckDB oracle — a lossy or faked round-trip fails the
+  *    hash gate (q107).
+  *  - [[ByteStats]]: codec-free feature extraction over opaque payload
+  *    bytes (histogram moments + rolling checksum), for media types with
+  *    no JVM decoder; same mapPartitions batching contract (q33).
   */
 object Multimodal {
 
@@ -45,11 +53,105 @@ object Multimodal {
         (pmod(col("doc_id"), lit(64)) + 16).cast("int").as("declared_width"),
         (pmod(col("doc_id"), lit(48)) + 16).cast("int").as("declared_height")))
 
-  /** STUB decoder — deterministic fake standing in for an image codec.
-    * Real deployments replace `decode` with e.g. a JNI JPEG decoder; the
-    * signature (bytes → dims + feature vector) is the integration seam.
+  /** Real JVM image codec: PNG via `javax.imageio.ImageIO` (JDK-builtin).
+    * Synthesis writes an 8-bit grayscale pattern `g(x,y) = (7x + 13y +
+    * 31·doc_id) mod 256` through the PNG encoder; decode reads raw raster
+    * samples back (no color-space conversion — `Raster.getSample`, not
+    * `getRGB`). PNG is lossless, so decoded pixels must equal the
+    * closed-form pattern bit-for-bit; q107's DuckDB oracle recomputes the
+    * pixel sum / rolling checksum from the formula and hash-compares.
     */
-  object FakeDecoder {
+  object ImageCodec {
+    def grayAt(docId: Long, x: Int, y: Int): Int =
+      ((x * 7L + y * 13L + docId * 31L) % 256L).toInt
+
+    def synthesizePng(docId: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, grayAt(docId, x, y)); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    final case class Decoded(width: Int, height: Int, pixSum: Long,
+        pixChecksum: Long, meanGray: Double)
+
+    def decode(bytes: Array[Byte]): Decoded = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val raster = img.getRaster
+      val w = img.getWidth
+      val h = img.getHeight
+      var sum = 0L
+      var c = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = raster.getSample(x, y, 0)
+          sum += g
+          c = (c * 31 + g) & 0xffffffffL
+          x += 1
+        }
+        y += 1
+      }
+      Decoded(w, h, sum, c, sum.toDouble / (w.toLong * h * 255).toDouble)
+    }
+  }
+
+  /** Deterministic per-doc image dimensions (shared by synthesis and the
+    * oracle): width = doc_id%64 + 16, height = doc_id%48 + 16.
+    */
+  private def dimCols: Seq[org.apache.spark.sql.Column] = Seq(
+    (pmod(col("doc_id"), lit(64)) + 16).cast("int").as("w"),
+    (pmod(col("doc_id"), lit(48)) + 16).cast("int").as("h"))
+
+  /** Encode a real PNG per document (per-partition ImageIO batching). */
+  def synthesizeImages(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("media_bytes", BinaryType),
+      StructField("media_type", StringType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    docs.select(col("doc_id") +: dimCols: _*)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, ImageCodec.synthesizePng(id, r.getInt(1), r.getInt(2)), "image/png")
+        }
+      }(enc)
+  }
+
+  /** Decode PNG bytes through ImageIO into pixel-level features. */
+  def decodeImages(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("pix_sum", LongType),
+      StructField("pix_checksum", LongType),
+      StructField("mean_gray", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select(col("doc_id"), col("media_bytes"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val d = ImageCodec.decode(r.getAs[Array[Byte]]("media_bytes"))
+          Row(r.getLong(0), d.width, d.height, d.pixSum, d.pixChecksum, d.meanGray)
+        }
+      }(enc)
+  }
+
+  /** Codec-free byte-level feature extraction for opaque payloads with no
+    * JVM decoder (deterministic: rolling checksum + byte-histogram
+    * moments); the generic fallback arm of the decode seam.
+    */
+  object ByteStats {
     def decode(docId: Long, bytes: Array[Byte], w: Int, h: Int): Row = {
       var checksum = 0L
       var i = 0
@@ -102,7 +204,7 @@ object Multimodal {
       .mapPartitions { rows =>
         // decoder init happens here, once per partition
         rows.map { r =>
-          FakeDecoder.decode(r.getAs[Long]("doc_id"),
+          ByteStats.decode(r.getAs[Long]("doc_id"),
             r.getAs[Array[Byte]]("media_bytes"),
             r.getAs[Int]("w"), r.getAs[Int]("h"))
         }

@@ -491,13 +491,13 @@ object TrainingDataQueries extends Registry {
       SELECT qid, rank, id AS neighbor_id, cos_sim
       FROM r WHERE rank <= 10 ORDER BY qid, rank"""))
 
-  /** Multimodal decode/feature-extraction via per-partition batches. The
-    * codec is a clearly-marked deterministic stub (no image libs in this
-    * environment — Multimodal.FakeDecoder), which is exactly what makes
-    * the full pipeline oracle-able: the DuckDB SQL below mirrors the
-    * stub's 31-polynomial checksum and byte-histogram feature over the
+  /** Multimodal feature-extraction via per-partition batches, codec-free
+    * arm (Multimodal.ByteStats): deterministic byte-level features for
+    * payloads with no JVM decoder. The DuckDB SQL mirrors the
+    * 31-polynomial checksum and byte-histogram feature over the
     * (all-ASCII) payload bytes, so the mapPartitions plumbing — schema,
     * batching, row streaming — is verified end to end, not rows-only.
+    * The real-codec arm (ImageIO PNG round-trip) is q107.
     */
   private val q33 = Q("q33_multimodal_features",
     (s, d) => {
@@ -522,6 +522,38 @@ object TrainingDataQueries extends Registry {
             i -> CAST(ascii(substr(text, i, 1)) AS DOUBLE) / CAST(255 AS DOUBLE)),
           (acc, v) -> acc + v) AS feat0
       FROM b ORDER BY doc_id"""))
+
+  /** Multimodal decode through a REAL image codec (javax.imageio, JDK
+    * PNG): synthesize a deterministic grayscale pattern per doc, encode
+    * to actual PNG bytes, decode back through ImageIO, and extract
+    * pixel-level features. The pattern g(x,y) = (7x + 13y + 31·doc_id)
+    * mod 256 is a pure closed form, so the oracle recomputes the decoded
+    * pixel sum / rolling checksum / mean directly — any lossy or faked
+    * round-trip hash-mismatches. Dims come from doc_id (w=doc_id%64+16,
+    * h=doc_id%48+16), matching q32's declared metadata.
+    */
+  private val q107 = Q("q107_image_decode",
+    (s, d) => {
+      val media = Multimodal.synthesizeImages(Tables.fanOut(Tables.documents(s, d)))
+      Multimodal.decodeImages(media).orderBy("doc_id")
+    },
+    Some("""WITH dims AS (
+        SELECT doc_id,
+          CAST(doc_id % 64 + 16 AS INTEGER) AS width,
+          CAST(doc_id % 48 + 16 AS INTEGER) AS height
+        FROM documents),
+      pix AS (
+        SELECT doc_id, width, height,
+          flatten(list_transform(range(0, CAST(height AS BIGINT)),
+            y -> list_transform(range(0, CAST(width AS BIGINT)),
+              x -> (x*7 + y*13 + doc_id*31) % 256))) AS g
+        FROM dims)
+      SELECT doc_id, width, height,
+        CAST(list_sum(g) AS BIGINT) AS pix_sum,
+        list_reduce(g, (acc, v) -> (acc*31 + v) & 4294967295) AS pix_checksum,
+        CAST(CAST(list_sum(g) AS BIGINT) AS DOUBLE)
+          / CAST(CAST(width AS BIGINT) * height * 255 AS DOUBLE) AS mean_gray
+      FROM pix ORDER BY doc_id"""))
 
   /** Dedup RESOLUTION — the retention policy a training-data pipeline
     * actually executes after clustering: every doc lands in a cluster
@@ -1143,6 +1175,6 @@ object TrainingDataQueries extends Registry {
     })
 
   override val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27,
-    q28, q29, q30, q31, q32, q33, q34, q38, q41, q42, q43, q44, q45, q47,
+    q28, q29, q30, q31, q32, q33, q34, q38, q41, q42, q43, q44, q45, q47, q107,
     q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q79)
 }

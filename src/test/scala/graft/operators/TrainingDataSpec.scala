@@ -187,6 +187,30 @@ class TrainingDataSpec extends SparkSpec {
     assert(run(2) == run(7))
   }
 
+  test("ImageCodec PNG round-trip is lossless and decode matches the closed form") {
+    // local codec check: encode → decode must reproduce the exact pattern
+    val bytes = Multimodal.ImageCodec.synthesizePng(42L, 20, 12)
+    assert(bytes.length > 8 &&
+      (bytes(1) & 0xff) == 'P' && (bytes(2) & 0xff) == 'N' && (bytes(3) & 0xff) == 'G',
+      "synthesized payload is not a PNG")
+    val d = Multimodal.ImageCodec.decode(bytes)
+    assert(d.width == 20 && d.height == 12)
+    var expSum = 0L; var expC = 0L
+    for (y <- 0 until 12; x <- 0 until 20) {
+      val g = Multimodal.ImageCodec.grayAt(42L, x, y)
+      expSum += g; expC = (expC * 31 + g) & 0xffffffffL
+    }
+    assert(d.pixSum == expSum && d.pixChecksum == expC)
+    assert(d.meanGray == expSum.toDouble / (20L * 12 * 255).toDouble)
+
+    // distributed path: partition-invariant through the real codec
+    val docs = Tables.documents(spark, dir).limit(60)
+    def run(parts: Int) =
+      Multimodal.decodeImages(Multimodal.synthesizeImages(docs.repartition(parts)))
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(run(2) == run(5))
+  }
+
   test("multimodal resize and frame-sample plans are deterministic metadata") {
     val docs = Tables.documents(spark, dir).limit(10)
     val media = Multimodal.withMediaColumns(docs)
