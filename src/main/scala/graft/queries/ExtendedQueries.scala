@@ -604,7 +604,72 @@ object ExtendedQueries extends Registry {
         COUNT(*) AS cnt
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  private val q108Runs = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Streaming-state gate: the reference's per-key staleness tracker
+    * (reference/src/metrics/rolling.py:34-35,85-94) executed through the
+    * REAL Structured Streaming path — MemoryStream → flatMapGroupsWithState
+    * (state store) across 4 replayed micro-batches — then aggregated to
+    * exactly q8's per-key stats and checked against q8's DuckDB oracle.
+    * This promotes the spec-only streaming state path into the hash-match
+    * correctness gate: every gap comes out of state carried across
+    * micro-batch boundaries, not a batch window function.
+    *
+    * The driver-side collect is the replay HARNESS (building the ordered
+    * arrival fixture), not the operator: arrival clock = global
+    * (ts_ms, event_id) rank, so the stream's per-key arrival order
+    * reproduces the batch lag ordering. The operator under test is the
+    * flatMapGroupsWithState pipeline, whose state is one Long per key.
+    */
+  private val q108 = Q("q108_streaming_staleness",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val arrived = Tables.events(s, d)
+        .select(col("user_id").cast("string").as("symbol"),
+          col("ts_ms"), col("event_id"))
+        .orderBy("ts_ms", "event_id")
+        .collect()
+      val rows: Seq[(String, String, Long, Long)] =
+        arrived.iterator.zipWithIndex.map { case (r, i) =>
+          (r.getString(0), "events", r.getLong(1), i.toLong)
+        }.toSeq
+      val mem = MemoryStream[(String, String, Long, Long)]
+      val events = mem.toDF()
+        .toDF("symbol", "channel", "ts_exchange_ms", "ts_recv_mono_ns")
+      val gaps = graft.streaming.StalenessStream.gaps(events)
+      val sinkName = s"q108_gaps_${q108Runs.incrementAndGet()}"
+      val query = gaps.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try {
+        rows.grouped(math.max(1, (rows.size + 3) / 4)).foreach { chunk =>
+          mem.addData(chunk: _*)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      s.table(sinkName)
+        .groupBy(col("symbol").cast("bigint").as("user_id"))
+        .agg(count(lit(1)).as("stale_count"),
+          StableAgg.lavg(col("stale_ms")).as("stale_mean_ms"),
+          StableAgg.lstdSamp(col("stale_ms")).as("stale_std_ms"),
+          min("stale_ms").as("stale_min_ms"),
+          max("stale_ms").as("stale_max_ms"))
+        .orderBy("user_id")
+    },
+    Some(s"""WITH g AS (
+        SELECT user_id,
+          epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+            (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap_ms
+        FROM events)
+      SELECT user_id, COUNT(*) AS stale_count,
+        ${O.lavg("gap_ms")} AS stale_mean_ms,
+        ${O.lstdSamp("gap_ms")} AS stale_std_ms,
+        MIN(gap_ms) AS stale_min_ms, MAX(gap_ms) AS stale_max_ms
+      FROM g WHERE gap_ms IS NOT NULL
+      GROUP BY user_id ORDER BY user_id"""))
+
   override val all: Seq[Q] =
     Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
-      q101, q102, q103, q104, q105, q106)
+      q101, q102, q103, q104, q105, q106, q108)
 }
