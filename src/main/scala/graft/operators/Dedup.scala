@@ -154,45 +154,101 @@ object Dedup {
       .dropDuplicatesWithinWatermark("content_hash")
 
   /** Duplicate-cluster resolution: connected components over the LSH
-    * candidate-pair graph via iterative min-label propagation — each doc's
-    * cluster id becomes the smallest doc_id in its component (the
-    * canonical representative to keep).
+    * candidate-pair graph — each doc's cluster id becomes the smallest
+    * doc_id in its component (the canonical representative to keep).
     *
-    * Scale: the standard pre-GraphFrames distributed CC — per iteration
-    * one join + one aggregation on the edge list, converging in
-    * O(component diameter) rounds (near-dup clusters are shallow);
-    * `localCheckpoint` truncates lineage so plans don't grow with
-    * iterations.
+    * Algorithm: the large-star/small-star alternation of Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond" (SoCC'14) — public
+    * paper, re-expressed as DataFrame joins/aggregations:
+    *  - large-star(u): with m = min(Γ(u) ∪ {u}), link every neighbor
+    *    v > u to m;
+    *  - small-star(u): over smaller neighbors N = {v : (u,v), v < u},
+    *    with m = min(N), link u and every v ∈ N\{m} to m.
+    * Both preserve connectivity; the alternation converges in O(log n)
+    * rounds to one star per component rooted at the component minimum —
+    * vs O(diameter) for plain min-label propagation, and without the
+    * propagation join's single hot `dst` key on a mega-cluster: here the
+    * heavy per-node state is a partial-aggregatable `min` (map-side
+    * combine), and the one hub-keyed join is a 1-row probe that AQE
+    * skew-split handles.
+    *
+    * `localCheckpoint` truncates lineage so plans don't grow per round.
     */
-  def duplicateClusters(pairs: DataFrame): DataFrame = {
-    val edges = pairs
-      .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
-      .unionByName(pairs.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint()
-    var converged = false
-    while (!converged) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "nbr"),
-          col("dst") === col("nbr"))
-        .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
-      // Carry the old label through the update so convergence detection is
-      // a filter over the (already materialized) checkpoint — no extra
-      // join+shuffle per iteration. Labels only ever decrease (least), so
-      // changed ⇔ new < old.
-      val updated = labels
-        .join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
-        .select(col("doc_id"), col("cluster_id").as("old_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
-        .localCheckpoint()
-      val changed = updated.filter(col("cluster_id") < col("old_id")).limit(1).count()
-      labels = updated.select("doc_id", "cluster_id")
-      converged = changed == 0
-      if (sys.env.contains("GRAFT_CC_DEBUG")) System.err.println(s"[cc] iteration changed=$changed")
+  def duplicateClusters(pairs: DataFrame): DataFrame =
+    duplicateClustersWithRounds(pairs)._1
+
+  /** [[duplicateClusters]] plus the number of large+small alternation
+    * rounds taken (exposed for the O(log n) convergence spec).
+    */
+  private[graft] def duplicateClustersWithRounds(pairs: DataFrame): (DataFrame, Int) = {
+    // Invariant: edges oriented src > dst, distinct, no self-loops.
+    val nodes = pairs.select(col("doc_id_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_id_b").as("doc_id")))
+      .distinct().localCheckpoint()
+    var edges = pairs
+      .select(greatest(col("doc_id_a"), col("doc_id_b")).as("src"),
+        least(col("doc_id_a"), col("doc_id_b")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+
+    // large-star: undirected neighborhoods; m = min(Γ(u) ∪ {u}); emit
+    // (v, m) for v ∈ Γ(u), v > u. Emitted edges keep src > dst because
+    // v > u ≥ m.
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.select(col("src").as("u"), col("dst").as("v"))
+        .unionByName(e.select(col("dst").as("u"), col("src").as("v")))
+      val m = und.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      und.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
     }
-    labels
+
+    // small-star: per src over its (all-smaller) dst neighbors N with
+    // m = min(N): emit (v, m) for v ∈ N\{m} and (src, m).
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("src").agg(min(col("dst")).as("m"))
+      val relink = e.join(m, "src")
+        .filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+      relink.unionByName(m.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    // Converged when a full large+small round leaves the edge set
+    // unchanged (then every component is a star rooted at its minimum).
+    // Set-equality check is an order-insensitive signature: count plus
+    // two independent xxhash64 XOR folds (XOR never overflows under ANSI
+    // mode) — one tiny aggregation per round instead of a join-shaped
+    // except().
+    def sig(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(
+        count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L)),
+        coalesce(expr("bit_xor(xxhash64(dst, src, 7))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+
+    var curSig = sig(edges)
+    var rounds = 0
+    var converged = edges.isEmpty
+    while (!converged) {
+      rounds += 1
+      require(rounds <= 64, "large-star/small-star CC failed to converge in 64 rounds")
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSig = sig(next)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round=$rounds edges=${nextSig._1}")
+      converged = nextSig == curSig
+      edges = next
+      curSig = nextSig
+    }
+    val labels = nodes
+      .join(edges.groupBy(col("src")).agg(min(col("dst")).as("parent")),
+        nodes("doc_id") === col("src"), "left")
+      .select(col("doc_id"), coalesce(col("parent"), col("doc_id")).as("cluster_id"))
+    (labels, rounds)
   }
 }

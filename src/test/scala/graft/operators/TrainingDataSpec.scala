@@ -122,13 +122,27 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
-  test("duplicate clusters: min-label propagation finds connected components") {
+  test("duplicate clusters: large-star/small-star finds connected components") {
     // components: {1,2,3,9} (chain 1-2, 2-3, 3-9), {5,6}, singleton pairs absent
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L))
       .toDF("doc_id_a", "doc_id_b")
     val got = Dedup.duplicateClusters(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("duplicate clusters: chain of diameter 256 converges in O(log n) rounds") {
+    // A 257-node path 0-1-2-...-256: min-label propagation needs ~256
+    // rounds; the large-star/small-star alternation must land well under
+    // 2·log2(n) + c. Also checks edge orientation handling (reversed input
+    // pairs) and that every node labels to the component min.
+    val pairs = (0L until 256L).map(i => if (i % 2 == 0) (i, i + 1) else (i + 1, i))
+      .toDF("doc_id_a", "doc_id_b")
+    val (labels, rounds) = Dedup.duplicateClustersWithRounds(pairs)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 257 && got.values.forall(_ == 0L),
+      s"labels wrong: ${got.filter(_._2 != 0L).take(5)}")
+    assert(rounds <= 20, s"took $rounds rounds for a 257-node chain (expected O(log n))")
   }
 
   test("IVF ANN with nProbe = nlist is exactly brute force; partial probe is a consistent subset") {
