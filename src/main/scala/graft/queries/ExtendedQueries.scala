@@ -669,7 +669,89 @@ object ExtendedQueries extends Registry {
       FROM g WHERE gap_ms IS NOT NULL
       GROUP BY user_id ORDER BY user_id"""))
 
+  /** Window-aggregate closure: percentile_disc and mode as WINDOW
+    * aggregates (the two gaps a mature engine's window surface still had
+    * vs DuckDB/Postgres). Spark has no percentile_disc/mode window
+    * builtins, so both are composed from window primitives:
+    *  - percentile_disc(q) = min value whose cume_dist ≥ q (the
+    *    PostgreSQL definition) — two window passes, one ordered for
+    *    cume_dist, one whole-partition for the conditional min;
+    *  - mode = first value ordered by (frequency desc, value asc) over
+    *    the whole partition — the tie-break is explicit because the
+    *    fixture really does tie ('view' has two users at max count), and
+    *    engine-native mode() is tie-nondeterministic.
+    * The oracle uses DuckDB's NATIVE quantile_disc in window form (a real
+    * cross-engine semantic check, verified equal to the cume_dist
+    * construction), plus the same deterministic mode construction.
+    *
+    * Scale: both passes partition by event_type — the same shuffle key —
+    * so this is one exchange + two in-partition sorts; no driver state.
+    */
+  private val q109 = Q("q109_window_disc_mode",
+    (s, d) => {
+      val wOrd = Window.partitionBy("event_type").orderBy("value")
+      val wAll = Window.partitionBy("event_type")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wUser = Window.partitionBy("event_type", "user_id")
+      val wMode = Window.partitionBy("event_type")
+        .orderBy(col("cnt").desc, col("user_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .withColumn("cd", cume_dist().over(wOrd))
+        .withColumn("cnt", count(lit(1)).over(wUser))
+        .withColumn("p50_disc", min(when(col("cd") >= 0.5, col("value"))).over(wAll))
+        .withColumn("p90_disc", min(when(col("cd") >= 0.9, col("value"))).over(wAll))
+        .withColumn("mode_user", first("user_id").over(wMode))
+        .select("event_type", "p50_disc", "p90_disc", "mode_user")
+        .distinct()
+        .orderBy("event_type")
+    },
+    Some("""WITH b AS (
+        SELECT event_type, value, user_id,
+          quantile_disc(value, 0.5) OVER (PARTITION BY event_type) AS p50_disc,
+          quantile_disc(value, 0.9) OVER (PARTITION BY event_type) AS p90_disc,
+          COUNT(*) OVER (PARTITION BY event_type, user_id) AS cnt
+        FROM events),
+      m AS (
+        SELECT event_type, p50_disc, p90_disc,
+          FIRST_VALUE(user_id) OVER (PARTITION BY event_type
+            ORDER BY cnt DESC, user_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS mode_user
+        FROM b)
+      SELECT DISTINCT event_type, p50_disc, p90_disc, mode_user
+      FROM m ORDER BY event_type"""))
+
+  /** FILTER (WHERE) aggregate modifiers — the ANSI aggregate-filter
+    * clause, engine-parsed (spark.sql, not a CASE-WHEN rewrite), incl.
+    * the FILTER + DISTINCT combination. All selected aggregates are
+    * exact-typed (counts, date min, double max — no FP summation), so
+    * the oracle is the same SQL text.
+    *
+    * Scale: a single partial/final hash aggregation; FILTER predicates
+    * evaluate pre-shuffle so the exchange still ships |groups| rows.
+    */
+  private val q110 = Q("q110_filtered_agg",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("q110_orders")
+      s.sql("""SELECT o_orderpriority,
+          COUNT(*) AS n_orders,
+          COUNT(*) FILTER (WHERE o_totalprice > 150000.0) AS n_big,
+          COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'F') AS n_f_customers,
+          MAX(o_totalprice) FILTER (WHERE o_orderstatus = 'O') AS max_open_price,
+          MIN(o_orderdate) FILTER (WHERE o_totalprice > 200000.0) AS first_big_date
+        FROM q110_orders
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    },
+    Some("""SELECT o_orderpriority,
+        COUNT(*) AS n_orders,
+        COUNT(*) FILTER (WHERE o_totalprice > 150000.0) AS n_big,
+        COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'F') AS n_f_customers,
+        MAX(o_totalprice) FILTER (WHERE o_orderstatus = 'O') AS max_open_price,
+        MIN(o_orderdate) FILTER (WHERE o_totalprice > 200000.0) AS first_big_date
+      FROM orders
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   override val all: Seq[Q] =
     Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
-      q101, q102, q103, q104, q105, q106, q108)
+      q101, q102, q103, q104, q105, q106, q108, q109, q110)
 }
