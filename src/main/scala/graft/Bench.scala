@@ -1,42 +1,54 @@
 package graft
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.get("graft-bench", cpus)
-    // Dev observability (stderr only): per-stage wall/CPU/GC summary for
-    // stages slower than 2 s, to localize erratic slow queries.
-    if (sys.env.contains("GRAFT_BENCH_STAGES")) {
-      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onStageCompleted(
-            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-          val si = sc.stageInfo
+
+    // Per-query stage attribution via job groups: every stage is credited
+    // to the (query, round) job group that launched it, so each bench run
+    // ships a stage-level profile (bench_stages.json) that separates plan
+    // cost (stage-sum ≈ wall) from driver/planning overhead or host
+    // CPU-steal (stage-sum ≪ wall) without a rerun.
+    val stageGroup = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    // group -> [stageWallSec, runMs, cpuMs, gcMs, nStages]
+    val prof = new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        val g = Option(j.properties).map(_.getProperty("spark.jobGroup.id")).orNull
+        if (g != null) j.stageIds.foreach(sid => stageGroup.put(sid, g))
+      }
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val g = stageGroup.get(si.stageId)
+        if (g != null) {
           val wall = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3
-          if (wall > 2.0) {
-            val m = si.taskMetrics
-            System.err.println(f"[stage] id=${si.stageId} wall=$wall%.1fs tasks=${si.numTasks} " +
+          val m = si.taskMetrics
+          prof.compute(g, (_, old) => {
+            val a = if (old == null) new Array[Double](5) else old
+            a(0) += wall
+            a(1) += m.executorRunTime.toDouble
+            a(2) += m.executorCpuTime / 1e6
+            a(3) += m.jvmGCTime.toDouble
+            a(4) += 1
+            a
+          })
+          if (sys.env.contains("GRAFT_BENCH_STAGES") && wall > 2.0)
+            System.err.println(f"[stage] id=${si.stageId} group=$g wall=$wall%.1fs " +
               f"runMs=${m.executorRunTime} cpuMs=${m.executorCpuTime / 1000000} " +
-              f"gcMs=${m.jvmGCTime} spillMB=${m.memoryBytesSpilled / 1048576} " +
-              f"shRead=${m.shuffleReadMetrics.totalBytesRead / 1048576}MB " +
-              f"shWrite=${m.shuffleWriteMetrics.bytesWritten / 1048576}MB  " +
-              si.rddInfos.map(_.name).mkString("<-").take(160))
-          }
+              f"gcMs=${m.jvmGCTime}")
         }
-      })
-    }
-    // Untimed per-query warmup at the smallest SF: compiles each query's
-    // generated code + JIT so the timed run measures steady-state data
-    // processing (what a long-lived cluster session sees), not one-time
-    // codegen compilation.
-    val warmDir = {
-      val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
-      if (sib.isDirectory) sib.getPath else sfDir
-    }
+      }
+    })
+
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
 
     def runOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
-        dir: String): Double = {
+        dir: String, tag: String): Double = {
+      spark.sparkContext.setJobGroup(tag, name, interruptOnCancel = false)
       val t0 = System.nanoTime()
       // noop sink forces full materialization of every output column
       // (a bare .count() would let Catalyst prune the computed columns
@@ -45,36 +57,63 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
+      finally spark.sparkContext.clearJobGroup()
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Two-step warmup per query: tiny SF compiles the generated code
-    // cheaply, then one untimed pass at the target SF lets the JIT reach
-    // steady state (C2 needs thousands of row-loop invocations — a
-    // 600-row warmup leaves the first full-scale run 3-6x slower).
-    ordered.foreach { case (name, fn) =>
-      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
-      runOnce(name, fn, sfDir)
+    // Untimed warmup at the smallest SF only: compiles each query's
+    // generated code so timed rounds measure data processing, not one-time
+    // codegen. (The former per-query untimed pass at the TARGET SF is
+    // dropped — with min-of-3 interleaved rounds below, the first timed
+    // round doubles as the JIT warm pass and the min discards it.)
+    val warmDir = {
+      val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (sib.isDirectory) sib.getPath else sfDir
     }
-    // Best-of-2 timed samples, INTERLEAVED round-robin (JMH-style min):
+    ordered.foreach { case (name, fn) => runOnce(name, fn, warmDir, s"$name@w") }
+
+    // Min-of-3 timed samples, INTERLEAVED round-robin (JMH-style min):
     // the JVM suffers sporadic time-localized slowdowns (JIT deopt storms,
     // host CPU-steal windows) that can last several seconds — consecutive
     // samples of one query land in the same storm, but samples a full
     // sweep apart don't, so min-per-query across separated rounds measures
     // the steady state a resident cluster session delivers.
-    val sampleRounds = (0 until 2).map { _ =>
-      ordered.map { case (name, fn) => name -> runOnce(name, fn, sfDir) }.toMap
+    val nRounds = 3
+    val sampleRounds = (0 until nRounds).map { r =>
+      ordered.map { case (name, fn) => name -> runOnce(name, fn, sfDir, s"$name@r$r") }.toMap
     }
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val results = ordered.map { case (name, _) =>
       val times = sampleRounds.map(_(name))
       val sec = times.min
-      System.err.println(f"[bench-q] $name $sec%.2f s (samples ${times.map(t => f"$t%.2f").mkString("/")})")
+      System.err.println(s"[bench-q] $name ${f3(sec)} s (samples ${times.map(f3).mkString("/")})")
       name -> sec
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+
+    // Persist full artifacts next to the repo (the captured process tail
+    // retains only ~2 KB, which truncates a 109-query map): bench_out.json
+    // is the complete result line; bench_stages.json attributes every
+    // (query, round) to its stage-level profile so a wall-time delta can
+    // be classified as plan change vs host noise in one read.
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")
+      val stages = ordered.map { case (name, _) =>
+        val rounds = (0 until nRounds).map { r =>
+          val a = prof.getOrDefault(s"$name@r$r", new Array[Double](5))
+          s"""{"wall":${f3(sampleRounds(r)(name))},"stage_wall":${f3(a(0))},""" +
+            s""""run_ms":${a(1).toLong},"cpu_ms":${a(2).toLong},"gc_ms":${a(3).toLong},"n_stages":${a(4).toInt}}"""
+        }.mkString("[", ",", "]")
+        s""""$name":$rounds"""
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_stages.json"), stages + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
+    }
+
     // The JSON line must be the LAST line of the process's combined output:
     // a consumer that merges stdout+stderr and parses the final line would
     // otherwise trip over Spark's stop/shutdown-hook logging. So: silence
@@ -84,7 +123,7 @@ object Bench {
       org.apache.logging.log4j.Level.OFF)
     spark.stop()
     System.err.flush()
-    print(s"""\n{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}\n""")
+    print(s"\n$json\n")
     System.out.flush()
   }
 }
