@@ -23,8 +23,21 @@ object Tables {
     * is adequate.
     */
   def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // Estimate the scan's split count WITHOUT converting the plan to an
+    // RDD on the driver (the old `df.rdd.getNumPartitions` forced full
+    // physical planning per call): splits ≈ max(file count,
+    // bytes / maxPartitionBytes) — parquet can't split below row-group
+    // granularity, so file count lower-bounds, and byte-based splitting
+    // upper-bounds exactly the way FilePartition packing does. Any real
+    // multi-file/multi-row-group dataset at scale clears `target` and
+    // this stays a no-op.
+    val maxPartBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val sizeBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estSplits = math.max(df.inputFiles.length.toLong,
+      (sizeBytes / BigInt(math.max(1L, maxPartBytes))).toLong)
+    if (estSplits < target) df.repartition(target) else df
   }
 
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")

@@ -65,6 +65,12 @@ object Multimodal {
     def grayAt(docId: Long, x: Int, y: Int): Int =
       ((x * 7L + y * 13L + docId * 31L) % 256L).toInt
 
+    // ImageIO's default ImageInputStream/ImageOutputStream cache is a
+    // TEMP FILE per encode/decode call (~tens of ms of filesystem work
+    // per image — 10-100× the actual codec time on small rasters);
+    // in-memory cache streams make the codec CPU-bound as it should be.
+    javax.imageio.ImageIO.setUseCache(false)
+
     def synthesizePng(docId: Long, w: Int, h: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
