@@ -751,7 +751,78 @@ object ExtendedQueries extends Registry {
       FROM orders
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  private val q111Runs = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Streaming sessionization gate (companion to q108): 30-minute-gap
+    * session windows computed by the REAL streaming session-window
+    * operator — MemoryStream replay in event-time order across 4
+    * micro-batches, watermark-driven append emission, sessions merging
+    * across batch boundaries in the state store — checked against q36's
+    * batch DuckDB oracle (gaps-and-islands).
+    *
+    * Append-mode session aggregation only emits a session once the
+    * watermark passes its end, so after the real data two far-future
+    * sentinel events (user_id -1, filtered from the output) advance the
+    * watermark in two final batches: batch k's max event time becomes
+    * the watermark DURING batch k+1, hence two pushes flush every real
+    * session. State per key is bounded by the watermark horizon — the
+    * production-shape config, not a test shortcut.
+    */
+  private val q111 = Q("q111_streaming_sessions",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val arrived = Tables.events(s, d)
+        .select(col("user_id"), col("ts_ms"), col("value"))
+        .orderBy("ts_ms")
+        .collect()
+      val rows: Seq[(Long, Long, Double)] = arrived.iterator
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val maxTs = if (rows.nonEmpty) rows.iterator.map(_._2).max else 0L
+      val mem = MemoryStream[(Long, Long, Double)]
+      val src = mem.toDF().toDF("user_id", "ts_ms", "value")
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+        .withWatermark("ts", "0 seconds")
+      val sess = src
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"), StableAgg.dsum(col("value")).as("total_value"))
+        .select(col("user_id"),
+          unix_millis(col("sw.start")).as("session_start_ms"),
+          unix_millis(col("sw.end")).as("session_end_ms"),
+          col("cnt"), col("total_value"))
+      val sinkName = s"q111_sessions_${q111Runs.incrementAndGet()}"
+      val query = sess.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try {
+        rows.grouped(math.max(1, (rows.size + 3) / 4)).foreach { chunk =>
+          mem.addData(chunk: _*)
+          query.processAllAvailable()
+        }
+        // two watermark pushes: sentinel k's event time is the watermark
+        // during sentinel k+1's batch, so the second push flushes
+        // everything that closed before the first sentinel
+        mem.addData((-1L, maxTs + 7200000L, 0.0))
+        query.processAllAvailable()
+        mem.addData((-1L, maxTs + 14400000L, 0.0))
+        query.processAllAvailable()
+      } finally query.stop()
+      s.table(sinkName)
+        .filter(col("user_id") >= 0)
+        .orderBy("user_id", "session_start_ms")
+    },
+    Some(s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, value FROM events),
+      m AS (SELECT *, CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+              OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) >= 1800000
+              THEN 1 ELSE 0 END AS new_s FROM e),
+      g AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
+      SELECT user_id, MIN(ms) AS session_start_ms,
+        MAX(ms) + 1800000 AS session_end_ms,
+        COUNT(*) AS cnt, ${O.dsum("value")} AS total_value
+      FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_ms"""))
+
   override val all: Seq[Q] =
     Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
-      q101, q102, q103, q104, q105, q106, q108, q109, q110)
+      q101, q102, q103, q104, q105, q106, q108, q109, q110, q111)
 }
