@@ -111,6 +111,112 @@ object Multimodal {
     }
   }
 
+  /** RGB (multi-band) arm of [[ImageCodec]]: 3-channel truecolor PNG
+    * round-trip with per-channel closed-form patterns — decode reads
+    * semantic band indices (0=R, 1=G, 2=B) from the raster, so a
+    * band-order bug (e.g. treating the BGR byte layout as band order)
+    * hash-mismatches q112's oracle.
+    */
+  object RgbCodec {
+    def rAt(docId: Long, x: Int, y: Int): Int = ((x * 7L + y * 13L + docId * 31L) % 256L).toInt
+    def gAt(docId: Long, x: Int, y: Int): Int = ((x * 11L + y * 5L + docId * 17L) % 256L).toInt
+    def bAt(docId: Long, x: Int, y: Int): Int = ((x * 3L + y * 19L + docId * 23L) % 256L).toInt
+
+    def synthesizePng(docId: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, rAt(docId, x, y))
+          raster.setSample(x, y, 1, gAt(docId, x, y))
+          raster.setSample(x, y, 2, bAt(docId, x, y))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    final case class Decoded(width: Int, height: Int, sumR: Long, sumG: Long,
+        sumB: Long, pixChecksum: Long, meanLuma: Double)
+
+    def decode(bytes: Array[Byte]): Decoded = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val raster = img.getRaster
+      val w = img.getWidth
+      val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var c = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = raster.getSample(x, y, 0)
+          val g = raster.getSample(x, y, 1)
+          val b = raster.getSample(x, y, 2)
+          sr += r; sg += g; sb += b
+          c = (c * 31 + r) & 0xffffffffL
+          c = (c * 31 + g) & 0xffffffffL
+          c = (c * 31 + b) & 0xffffffffL
+          x += 1
+        }
+        y += 1
+      }
+      Decoded(w, h, sr, sg, sb, c,
+        (sr + sg + sb).toDouble / (3L * w * h * 255).toDouble)
+    }
+  }
+
+  /** Smaller deterministic dims for the 3-band arm (3× the samples per
+    * pixel): width = doc_id%32 + 8, height = doc_id%24 + 8.
+    */
+  private def rgbDimCols: Seq[org.apache.spark.sql.Column] = Seq(
+    (pmod(col("doc_id"), lit(32)) + 8).cast("int").as("w"),
+    (pmod(col("doc_id"), lit(24)) + 8).cast("int").as("h"))
+
+  /** Encode a real RGB PNG per document. */
+  def synthesizeRgbImages(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("media_bytes", BinaryType),
+      StructField("media_type", StringType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    docs.select(col("doc_id") +: rgbDimCols: _*)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, RgbCodec.synthesizePng(id, r.getInt(1), r.getInt(2)), "image/png")
+        }
+      }(enc)
+  }
+
+  /** Decode RGB PNG bytes into per-channel features. */
+  def decodeRgbImages(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sum_r", LongType),
+      StructField("sum_g", LongType),
+      StructField("sum_b", LongType),
+      StructField("pix_checksum", LongType),
+      StructField("mean_luma", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select(col("doc_id"), col("media_bytes"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val d = RgbCodec.decode(r.getAs[Array[Byte]]("media_bytes"))
+          Row(r.getLong(0), d.width, d.height, d.sumR, d.sumG, d.sumB,
+            d.pixChecksum, d.meanLuma)
+        }
+      }(enc)
+  }
+
   /** Deterministic per-doc image dimensions (shared by synthesis and the
     * oracle): width = doc_id%64 + 16, height = doc_id%48 + 16.
     */

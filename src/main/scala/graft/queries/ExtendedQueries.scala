@@ -822,7 +822,44 @@ object ExtendedQueries extends Registry {
         COUNT(*) AS cnt, ${O.dsum("value")} AS total_value
       FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_ms"""))
 
+  /** Sliding-frame discrete percentiles (q109's partition-wide
+    * percentile_disc taken to bounded moving frames): trailing-20-row
+    * p25/p50/p75 per user. Spark has no framed percentile_disc, so the
+    * frame's multiset is materialized per row (collect_list over ROWS
+    * BETWEEN 19 PRECEDING AND CURRENT ROW — O(frame) state, constant per
+    * row), sorted, and indexed at ceil(q·n) — the index rule DuckDB's
+    * native framed quantile_disc uses (probed: n=4/10 across q values).
+    * The q values 0.25/0.5/0.75 are binary-exact, so ceil(q·n) computes
+    * identically in double and exact arithmetic — a 0.3-style q would
+    * NOT be safe cross-engine.
+    *
+    * Scale: one shuffle on user_id, one in-partition sort, per-row work
+    * bounded by the 20-row frame; no driver state.
+    */
+  private val q113 = Q("q113_sliding_disc_percentile",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+      def disc(arr: org.apache.spark.sql.Column, q: Double) =
+        element_at(arr, ceil(size(arr) * lit(q)).cast("int"))
+      Tables.events(s, d)
+        .withColumn("arr", array_sort(collect_list(col("value")).over(w)))
+        .select(col("event_id"), col("user_id"),
+          disc(col("arr"), 0.25).as("p25_disc"),
+          disc(col("arr"), 0.5).as("p50_disc"),
+          disc(col("arr"), 0.75).as("p75_disc"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id,
+        quantile_disc(value, 0.25) OVER w AS p25_disc,
+        quantile_disc(value, 0.5) OVER w AS p50_disc,
+        quantile_disc(value, 0.75) OVER w AS p75_disc
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""))
+
   override val all: Seq[Q] =
     Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
-      q101, q102, q103, q104, q105, q106, q108, q109, q110, q111)
+      q101, q102, q103, q104, q105, q106, q108, q109, q110, q111, q113)
 }

@@ -555,6 +555,49 @@ object TrainingDataQueries extends Registry {
           / CAST(CAST(width AS BIGINT) * height * 255 AS DOUBLE) AS mean_gray
       FROM pix ORDER BY doc_id"""))
 
+  /** Multi-band (RGB truecolor) image decode through the real codec:
+    * 3-channel PNG round-trip with independent per-channel closed-form
+    * patterns. Decode reads semantic raster bands (0=R,1=G,2=B); the
+    * interleaved r,g,b checksum makes a band-order mistake (e.g.
+    * confusing the BGR byte layout with band order) hash-mismatch.
+    */
+  private val q112 = Q("q112_image_rgb_decode",
+    (s, d) => {
+      val media = Multimodal.synthesizeRgbImages(Tables.fanOut(Tables.documents(s, d)))
+      Multimodal.decodeRgbImages(media).orderBy("doc_id")
+    },
+    Some("""WITH dims AS (
+        SELECT doc_id,
+          CAST(doc_id % 32 + 8 AS INTEGER) AS width,
+          CAST(doc_id % 24 + 8 AS INTEGER) AS height
+        FROM documents),
+      pix AS (
+        SELECT doc_id, width, height,
+          flatten(list_transform(range(0, CAST(height AS BIGINT)),
+            y -> list_transform(range(0, CAST(width AS BIGINT)),
+              x -> (x*7 + y*13 + doc_id*31) % 256))) AS rs,
+          flatten(list_transform(range(0, CAST(height AS BIGINT)),
+            y -> list_transform(range(0, CAST(width AS BIGINT)),
+              x -> (x*11 + y*5 + doc_id*17) % 256))) AS gs,
+          flatten(list_transform(range(0, CAST(height AS BIGINT)),
+            y -> list_transform(range(0, CAST(width AS BIGINT)),
+              x -> (x*3 + y*19 + doc_id*23) % 256))) AS bs,
+          flatten(list_transform(range(0, CAST(height AS BIGINT)),
+            y -> flatten(list_transform(range(0, CAST(width AS BIGINT)),
+              x -> [(x*7 + y*13 + doc_id*31) % 256,
+                    (x*11 + y*5 + doc_id*17) % 256,
+                    (x*3 + y*19 + doc_id*23) % 256])))) AS inter
+        FROM dims)
+      SELECT doc_id, width, height,
+        CAST(list_sum(rs) AS BIGINT) AS sum_r,
+        CAST(list_sum(gs) AS BIGINT) AS sum_g,
+        CAST(list_sum(bs) AS BIGINT) AS sum_b,
+        list_reduce(inter, (acc, v) -> (acc*31 + v) & 4294967295) AS pix_checksum,
+        CAST(CAST(list_sum(rs) AS BIGINT) + CAST(list_sum(gs) AS BIGINT)
+          + CAST(list_sum(bs) AS BIGINT) AS DOUBLE)
+          / CAST(3 * CAST(width AS BIGINT) * height * 255 AS DOUBLE) AS mean_luma
+      FROM pix ORDER BY doc_id"""))
+
   /** Dedup RESOLUTION — the retention policy a training-data pipeline
     * actually executes after clustering: every doc lands in a cluster
     * (its LSH connected component, or itself if unpaired) and the
@@ -1175,6 +1218,6 @@ object TrainingDataQueries extends Registry {
     })
 
   override val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27,
-    q28, q29, q30, q31, q32, q33, q34, q38, q41, q42, q43, q44, q45, q47, q107,
+    q28, q29, q30, q31, q32, q33, q34, q38, q41, q42, q43, q44, q45, q47, q107, q112,
     q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q79)
 }

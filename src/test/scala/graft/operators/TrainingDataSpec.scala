@@ -225,6 +225,24 @@ class TrainingDataSpec extends SparkSpec {
     assert(run(2) == run(5))
   }
 
+  test("RgbCodec 3-band PNG round-trip is lossless with semantic band order") {
+    val bytes = Multimodal.RgbCodec.synthesizePng(7L, 10, 6)
+    val d = Multimodal.RgbCodec.decode(bytes)
+    assert(d.width == 10 && d.height == 6)
+    var sr = 0L; var sg = 0L; var sb = 0L; var c = 0L
+    for (y <- 0 until 6; x <- 0 until 10) {
+      val r = Multimodal.RgbCodec.rAt(7L, x, y)
+      val g = Multimodal.RgbCodec.gAt(7L, x, y)
+      val b = Multimodal.RgbCodec.bAt(7L, x, y)
+      sr += r; sg += g; sb += b
+      c = (c * 31 + r) & 0xffffffffL
+      c = (c * 31 + g) & 0xffffffffL
+      c = (c * 31 + b) & 0xffffffffL
+    }
+    assert(d.sumR == sr && d.sumG == sg && d.sumB == sb)
+    assert(d.pixChecksum == c, "interleaved checksum mismatch — band order?")
+  }
+
   test("multimodal resize and frame-sample plans are deterministic metadata") {
     val docs = Tables.documents(spark, dir).limit(10)
     val media = Multimodal.withMediaColumns(docs)
