@@ -1,9 +1,10 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, HeavyHitters, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Training-data-pipeline operators over `documents` / `embeddings`:
   * dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine),
@@ -597,6 +598,30 @@ object TrainingDataQueries extends Registry {
           + CAST(list_sum(bs) AS BIGINT) AS DOUBLE)
           / CAST(3 * CAST(width AS BIGINT) * height * 255 AS DOUBLE) AS mean_luma
       FROM pix ORDER BY doc_id"""))
+
+  /** Heavy hitters over the token stream (vocabulary head / stopword
+    * mining): exact top-25 tokens via per-partition Misra-Gries candidate
+    * summaries + broadcast recount — the shuffle ships candidate matches
+    * only, never the full vocabulary (see HeavyHitters scaladoc for the
+    * containment guarantee). The oracle computes the true top-25 by full
+    * aggregation, so the gate verifies the exactness claim, and the spec
+    * asserts partition-invariance (candidates vary with partitioning;
+    * the recounted top-k must not).
+    */
+  private val q114 = Q("q114_heavy_hitters",
+    (s, d) => {
+      val toks = Tables.fanOut(Tables.documents(s, d))
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      HeavyHitters.topKExact(toks, "tok", 25)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cnt").desc, col("item").asc)).cast("int"))
+    },
+    Some("""WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS item FROM documents),
+      c AS (SELECT item, COUNT(*) AS cnt FROM tok GROUP BY item)
+      SELECT item, cnt,
+        CAST(row_number() OVER (ORDER BY cnt DESC, item ASC) AS INTEGER) AS rank
+      FROM c ORDER BY cnt DESC, item ASC LIMIT 25"""))
 
   /** Dedup RESOLUTION — the retention policy a training-data pipeline
     * actually executes after clustering: every doc lands in a cluster
@@ -1218,6 +1243,6 @@ object TrainingDataQueries extends Registry {
     })
 
   override val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27,
-    q28, q29, q30, q31, q32, q33, q34, q38, q41, q42, q43, q44, q45, q47, q107, q112,
+    q28, q29, q30, q31, q32, q33, q34, q38, q41, q42, q43, q44, q45, q47, q107, q112, q114,
     q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q79)
 }

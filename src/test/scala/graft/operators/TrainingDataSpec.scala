@@ -193,6 +193,26 @@ class TrainingDataSpec extends SparkSpec {
     assert(pq == exact, s"PQ identity-codebook ranking diverged:\n pq=$pq\n ex=$exact")
   }
 
+  test("Misra-Gries guarantees containment; heavy-hitter top-k is partition-invariant") {
+    // local MG: capacity-2 summary of a stream where 'a' dominates must
+    // retain 'a' (freq 5 > 9/(2+1)=3)
+    val stream = Seq("a", "b", "a", "c", "a", "d", "a", "e", "a")
+    val cands = HeavyHitters.misraGries(stream.iterator, 2).toSet
+    assert(cands.contains("a"), s"MG lost the dominant item: $cands")
+
+    // distributed: candidates vary with partitioning, the recounted
+    // top-k must not
+    val toks = Tables.documents(spark, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    def run(parts: Int) =
+      HeavyHitters.topKExact(toks.repartition(parts), "tok", 10, capacity = 64)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val a = run(2)
+    val b = run(7)
+    assert(a == b, s"top-k changed with partitioning:\n $a\n $b")
+    assert(a.size == 10 && a.sliding(2).forall(p => p.head._2 >= p.last._2))
+  }
+
   test("multimodal feature extraction is deterministic and partition-invariant") {
     val docs = Tables.documents(spark, dir)
     def run(parts: Int) =
