@@ -85,7 +85,15 @@ object PlanAudit {
     "q101_copurchase_pairs" ->
       "Co-purchase pairs (r04): at this SF the deduped basket side fits the broadcast threshold (BroadcastHashJoin below); past it the same plan becomes a SortMergeJoin co-partitioned on l_orderkey — one shuffle per side, quadratic work confined to per-order baskets. Pair counts collapse map-side and the full-order LIMIT compiles to TakeOrderedAndProject — per-partition heaps, no global sort.",
     "q103_skew_report" ->
-      "Skew audit (r04): two aggregate levels — per-key counts (partial/final) then a single-row summary with the exact-percentile buffer over |keys| counts, not |rows|; the pre-flight for the q49 salting decision.")
+      "Skew audit (r04): two aggregate levels — per-key counts (partial/final) then a single-row summary with the exact-percentile buffer over |keys| counts, not |rows|; the pre-flight for the q49 salting decision.",
+    "q107_image_decode" ->
+      "Real-codec decode (r05): two SerializeFromObject/MapPartitions stages (PNG encode, then decode) pipelined scan-side — no shuffle anywhere; the codec instantiates per partition and the fan-out repartition is the only exchange.",
+    "q109_window_disc_mode" ->
+      "percentile_disc/mode windows (r05): all four window specs partition by event_type (two add orderings, one adds user_id) — the event_type exchange is paid once; distinct collapses the per-row window outputs to |partitions| rows map-side first.",
+    "q113_sliding_disc_percentile" ->
+      "Framed disc percentile (r05): ONE exchange on user_id + one in-partition sort feeds the trailing-20 collect_list; frame state is O(20) per row and the three quantile probes are per-row array ops after the window stage.",
+    "q114_heavy_hitters" ->
+      "Heavy hitters (r05): MG candidates come out of a MapPartitions directly on the token Generate; the recount joins via BroadcastHashJoin (candidate set, KB-sized) so the only aggregation shuffle ships candidate matches — never the vocabulary.")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get("plan-audit", "8")
