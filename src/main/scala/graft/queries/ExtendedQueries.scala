@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{OracleSql => O, Tables}
 import graft.functions.StableAgg
+import graft.operators.GraphOps
 
 /** Round-4 additions, part 4 — the remaining relational/sequence surface:
   * per-group top-k (WindowGroupLimit pushdown), ordered string aggregation,
@@ -859,7 +860,52 @@ object ExtendedQueries extends Registry {
         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
       ORDER BY event_id"""))
 
+  /** Fixed-point PageRank (5 damped iterations) over the bipartite
+    * customer↔supplier trade graph (distinct (o_custkey, l_suppkey)
+    * pairs via the orderkey join, symmetrized; node ids namespaced
+    * 2k / 2k+1). Integer-only arithmetic (GraphOps.pageRankFixed) makes
+    * the iteration bit-exact on any partitioning and lets the oracle
+    * unroll the identical recurrence in SQL — an iterative-graph-family
+    * gate with a full hash oracle, no FP accumulation-order caveats.
+    * The readable score is one exact division at the end.
+    */
+  private val q116 = Q("q116_pagerank_fixed",
+    (s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val raw = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = raw.unionByName(raw.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      GraphOps.pageRankFixed(edges, 5)
+        .select(col("node"), col("rank"),
+          (col("rank").cast("double") / lit(1000000000000.0)).as("score"))
+        .orderBy("node")
+    },
+    Some {
+      val it = (1 to 5).map { i =>
+        s"""c$i AS (SELECT e.dst AS node, SUM(r.rank // d.deg) AS inflow
+          FROM e JOIN deg d USING (src) JOIN r${i - 1} r ON r.node = e.src
+          GROUP BY e.dst),
+        r$i AS (SELECT n.node,
+          CAST(150000000000 + (85 * COALESCE(c.inflow, 0)) // 100 AS BIGINT) AS rank
+          FROM nodes n LEFT JOIN c$i c USING (node))"""
+      }.mkString(",\n        ")
+      s"""WITH eraw AS (
+        SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      e AS (SELECT src, dst FROM eraw
+        UNION SELECT dst, src FROM eraw),
+      deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+      nodes AS (SELECT DISTINCT src AS node FROM e),
+      r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM nodes),
+      $it
+      SELECT node, rank, CAST(rank AS DOUBLE) / 1000000000000.0 AS score
+      FROM r5 ORDER BY node"""
+    })
+
   override val all: Seq[Q] =
     Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
-      q101, q102, q103, q104, q105, q106, q108, q109, q110, q111, q113)
+      q101, q102, q103, q104, q105, q106, q108, q109, q110, q111, q113, q116)
 }

@@ -623,6 +623,36 @@ object TrainingDataQueries extends Registry {
         CAST(row_number() OVER (ORDER BY cnt DESC, item ASC) AS INTEGER) AS rank
       FROM c ORDER BY cnt DESC, item ASC LIMIT 25"""))
 
+  /** Inverted-index build (term → posting list): per-term document
+    * frequency, total term frequency, and the first 10 postings in
+    * doc_id order (flattened to CSV so the gate's column compare stays
+    * scalar). Two aggregations: (term, doc) term frequencies collapse
+    * map-side first, then per-term assembly — the exchange after the
+    * first aggregate ships |distinct (term, doc)| rows, not the token
+    * stream, and posting arrays are built per term (bounded by the
+    * slice), never on the driver.
+    */
+  private val q115 = Q("q115_inverted_index",
+    (s, d) => {
+      val toks = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      toks.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          sum(col("tf")).as("tf_total"),
+          array_join(transform(
+            slice(array_sort(collect_list(col("doc_id"))), 1, 10),
+            _.cast("string")), ",").as("postings10"))
+        .orderBy("term")
+    },
+    Some("""WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY term, doc_id)
+      SELECT term, COUNT(*) AS df,
+        CAST(SUM(tf) AS BIGINT) AS tf_total,
+        array_to_string(list_sort(list(doc_id))[1:10], ',') AS postings10
+      FROM tf GROUP BY term ORDER BY term"""))
+
   /** Dedup RESOLUTION — the retention policy a training-data pipeline
     * actually executes after clustering: every doc lands in a cluster
     * (its LSH connected component, or itself if unpaired) and the
@@ -1243,6 +1273,6 @@ object TrainingDataQueries extends Registry {
     })
 
   override val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27,
-    q28, q29, q30, q31, q32, q33, q34, q38, q41, q42, q43, q44, q45, q47, q107, q112, q114,
+    q28, q29, q30, q31, q32, q33, q34, q38, q41, q42, q43, q44, q45, q47, q107, q112, q114, q115,
     q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q79)
 }

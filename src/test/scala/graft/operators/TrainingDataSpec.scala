@@ -213,6 +213,23 @@ class TrainingDataSpec extends SparkSpec {
     assert(a.size == 10 && a.sliding(2).forall(p => p.head._2 >= p.last._2))
   }
 
+  test("fixed-point PageRank: hub of a star outranks leaves; partition-invariant") {
+    // star: hub 0 <-> leaves 1..6 (symmetrized)
+    val raw = (1L to 6L).map(i => (0L, i))
+    val edges = (raw ++ raw.map(_.swap)).toDF("src", "dst")
+    def run(parts: Int) =
+      GraphOps.pageRankFixed(edges.repartition(parts), 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ranks = run(2)
+    assert(ranks.size == 7)
+    val hub = ranks(0L)
+    (1L to 6L).foreach(i => assert(hub > ranks(i), s"hub $hub <= leaf ${ranks(i)}"))
+    // leaves are symmetric — identical ranks, and the iteration is
+    // partition-invariant (integer arithmetic has no accumulation order)
+    assert((1L to 6L).map(ranks).toSet.size == 1)
+    assert(run(5) == ranks)
+  }
+
   test("multimodal feature extraction is deterministic and partition-invariant") {
     val docs = Tables.documents(spark, dir)
     def run(parts: Int) =
