@@ -905,7 +905,77 @@ object ExtendedQueries extends Registry {
       FROM r5 ORDER BY node"""
     })
 
+  /** Triangle counting over the supplier co-supply graph (suppliers
+    * sharing an order), the classic graph-analytics benchmark: canonical
+    * a<b edges, wedges anchored at each triangle's smallest vertex
+    * (b<c over two edges from a), closed by a third edge lookup — each
+    * triangle counted exactly once, per-node counts via the 3-way
+    * unpivot. At 100 TB the id-ordered orientation swaps for
+    * degree-ordered orientation (orient low-degree → high-degree), the
+    * standard hub-skew bound that caps wedge fan-out at O(sqrt(|E|))
+    * per vertex; the join pattern is identical. Oracle: same canonical
+    * construction as a 3-way SQL self-join.
+    */
+  private val q117 = Q("q117_triangle_count",
+    (s, d) => {
+      val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val e = l.as("x").join(l.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
+        .distinct()
+      val wedges = e.as("e1").join(e.as("e2"),
+          col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+        .select(col("e1.a").as("w"), col("e1.b").as("u"), col("e2.b").as("v"))
+      val tris = wedges.join(e.as("e3"),
+          col("u") === col("e3.a") && col("v") === col("e3.b"))
+        .select(col("w"), col("u"), col("v"))
+      tris.select(explode(array(col("w"), col("u"), col("v"))).as("suppkey"))
+        .groupBy("suppkey").agg(count(lit(1)).as("n_triangles"))
+        .orderBy("suppkey")
+    },
+    Some("""WITH e AS (
+        SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+        FROM lineitem x JOIN lineitem y
+          ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
+      tri AS (
+        SELECT e1.a AS w, e1.b AS u, e2.b AS v
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+      n AS (SELECT w AS suppkey FROM tri
+        UNION ALL SELECT u FROM tri
+        UNION ALL SELECT v FROM tri)
+      SELECT suppkey, COUNT(*) AS n_triangles
+      FROM n GROUP BY suppkey ORDER BY suppkey"""))
+
+  /** LATERAL correlated subquery through the SQL parser (per-customer
+    * top-2 orders by price): the ANSI lateral-join surface, planned as
+    * a WindowGroupLimit-style per-group limit rather than a
+    * nested-loop — the DataFrame twin is q89's rank filter. Totally
+    * ordered inner sort (price desc, orderkey) so both engines pick
+    * identical rows.
+    */
+  private val q118 = Q("q118_lateral_topn",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("q118_customer")
+      Tables.orders(s, d).createOrReplaceTempView("q118_orders")
+      s.sql("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM q118_customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM q118_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+    },
+    Some("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      ORDER BY c_custkey, o_totalprice DESC, o_orderkey"""))
+
   override val all: Seq[Q] =
     Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
-      q101, q102, q103, q104, q105, q106, q108, q109, q110, q111, q113, q116)
+      q101, q102, q103, q104, q105, q106, q108, q109, q110, q111, q113, q116,
+      q117, q118)
 }
