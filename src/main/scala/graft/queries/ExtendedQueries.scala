@@ -905,16 +905,20 @@ object ExtendedQueries extends Registry {
       FROM r5 ORDER BY node"""
     })
 
-  /** Triangle counting over the supplier co-supply graph (suppliers
-    * sharing an order), the classic graph-analytics benchmark: canonical
-    * a<b edges, wedges anchored at each triangle's smallest vertex
-    * (b<c over two edges from a), closed by a third edge lookup — each
-    * triangle counted exactly once, per-node counts via the 3-way
-    * unpivot. At 100 TB the id-ordered orientation swaps for
-    * degree-ordered orientation (orient low-degree → high-degree), the
-    * standard hub-skew bound that caps wedge fan-out at O(sqrt(|E|))
-    * per vertex; the join pattern is identical. Oracle: same canonical
-    * construction as a 3-way SQL self-join.
+  /** Triangle counting over the MIN-SUPPORT supplier co-supply graph
+    * (an edge = the pair co-supplied ≥ 8 distinct orders — the standard
+    * support threshold of association/similarity graph construction;
+    * without it the fixture's co-occurrence graph is a 90%-dense
+    * near-clique at sf0.1 whose ~10^8 triangles are a property of the
+    * graph, not the algorithm). Canonical a<b edges, wedges anchored at
+    * each triangle's smallest vertex (b<c over two edges from a),
+    * closed by a third edge lookup — each triangle counted exactly
+    * once, per-node counts via the 3-way unpivot. At 100 TB the
+    * id-ordered orientation swaps for degree-ordered orientation
+    * (orient low-degree → high-degree), the standard hub-skew bound
+    * that caps wedge fan-out at O(sqrt(|E|)) per vertex; the join
+    * pattern is identical. Oracle: same construction as a 3-way SQL
+    * self-join.
     */
   private val q117 = Q("q117_triangle_count",
     (s, d) => {
@@ -922,8 +926,12 @@ object ExtendedQueries extends Registry {
       val e = l.as("x").join(l.as("y"),
           col("x.l_orderkey") === col("y.l_orderkey") &&
           col("x.l_suppkey") < col("y.l_suppkey"))
-        .select(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
+        .select(col("x.l_orderkey").as("ok"),
+          col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
         .distinct()
+        .groupBy("a", "b").agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 8)
+        .select("a", "b")
       val wedges = e.as("e1").join(e.as("e2"),
           col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
         .select(col("e1.a").as("w"), col("e1.b").as("u"), col("e2.b").as("v"))
@@ -934,10 +942,12 @@ object ExtendedQueries extends Registry {
         .groupBy("suppkey").agg(count(lit(1)).as("n_triangles"))
         .orderBy("suppkey")
     },
-    Some("""WITH e AS (
-        SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+    Some("""WITH pi AS (
+        SELECT DISTINCT x.l_orderkey AS ok, x.l_suppkey AS a, y.l_suppkey AS b
         FROM lineitem x JOIN lineitem y
           ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
+      e AS (
+        SELECT a, b FROM pi GROUP BY a, b HAVING COUNT(*) >= 8),
       tri AS (
         SELECT e1.a AS w, e1.b AS u, e2.b AS v
         FROM e e1
