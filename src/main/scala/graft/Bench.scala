@@ -123,7 +123,17 @@ object Bench {
       org.apache.logging.log4j.Level.OFF)
     spark.stop()
     System.err.flush()
+    // Print the full line first (complete-capture consumers), then a
+    // compact final line guaranteed to fit a ~2 KB tail capture: the
+    // 118-name full map is ~3.2 KB, which truncated every BENCH_r0*.json
+    // to parsed:null — the compact line carries the total, the 20
+    // slowest queries, and a pointer to bench_out.json for the rest.
+    val top = results.sortBy(-_._2).take(20)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     print(s"\n$json\n")
+    print(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$top,""" +
+      s""""queries_truncated":true,"n_queries":${results.size},""" +
+      s""""queries_file":"bench_out.json","sf":"$sfDir"}\n""")
     System.out.flush()
   }
 }
