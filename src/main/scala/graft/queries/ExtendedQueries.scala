@@ -984,8 +984,124 @@ object ExtendedQueries extends Registry {
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
       ORDER BY c_custkey, o_totalprice DESC, o_orderkey"""))
 
+  private val q119Runs = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Streaming OHLC gate (the third spec-only streaming path promoted
+    * into the hash gate, after q108/q111): streaming/Bars run under
+    * append mode with a 0-second watermark over a 4-micro-batch
+    * event-time-ordered replay of the T-0 normalized trade stream —
+    * bars whose days straddle batch boundaries merge decimal partials
+    * in the state store — checked against q66's oracle restricted to
+    * the same symbol. The replay assigns each trade a per-timestamp
+    * arrival seq (sorted by src_id, price, sz), making Bars' packed
+    * (ts, seq) min_by/max_by key unique, and ranking identically to the
+    * oracle's (src_id, price) string key (full-key ties are
+    * equal-price, hence value-identical — the NOTES §2 rule).
+    */
+  private val q119 = Q("q119_streaming_bars",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val tr = graft.operators.Normalizer
+        .normalize(NormalizerQueries.framedTrades(s, d), passthrough = Seq("src_id"))
+        .select(col("src_id"), col("symbol"), col("ts_exchange_ms"),
+          col("trade.price").as("price"), col("trade.size").as("sz"))
+        .filter(col("symbol") === "T-0")
+        .orderBy("ts_exchange_ms", "src_id", "price", "sz")
+        .collect()
+      val rows = new scala.collection.mutable.ArrayBuffer[(String, Long, Double, Double, Long)](tr.length)
+      var lastTs = Long.MinValue
+      var seq = 0L
+      tr.foreach { r =>
+        val ts = r.getLong(2)
+        seq = if (ts == lastTs) seq + 1 else 0L
+        lastTs = ts
+        rows += ((r.getString(1), ts, r.getDouble(3), r.getDouble(4), seq))
+      }
+      val maxTs = if (rows.nonEmpty) rows.last._2 else 0L
+      val mem = MemoryStream[(String, Long, Double, Double, Long)]
+      val src = mem.toDF()
+        .toDF("symbol", "ts_exchange_ms", "price", "sz", "seq")
+        .withColumn("event_time", timestamp_millis(col("ts_exchange_ms")))
+        .withWatermark("event_time", "0 seconds")
+      val bars = graft.streaming.Bars.ohlc(src, col("seq"), "1 day")
+      val sinkName = s"q119_bars_${q119Runs.incrementAndGet()}"
+      val query = bars.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try {
+        rows.grouped(math.max(1, (rows.size + 3) / 4)).foreach { chunk =>
+          mem.addData(chunk.toSeq: _*)
+          query.processAllAvailable()
+        }
+        mem.addData(("SENTINEL", maxTs + 2 * 86400000L, 0.0, 0.0, 0L))
+        query.processAllAvailable()
+        mem.addData(("SENTINEL", maxTs + 4 * 86400000L, 0.0, 0.0, 0L))
+        query.processAllAvailable()
+      } finally query.stop()
+      s.table(sinkName)
+        .filter(col("symbol") =!= "SENTINEL")
+        .select(col("symbol"), expr("bar_start_ms div 86400000").as("day_bucket"),
+          col("open"), col("high"), col("low"), col("close"),
+          col("volume"), col("n_trades"))
+        .orderBy("symbol", "day_bucket")
+    },
+    Some(s"""WITH ${AnalyticsQueries.duckTrades}
+      SELECT symbol, ts // 86400000 AS day_bucket,
+        arg_min(price, printf('%09d|%012d|%018.6f', ts % 86400000, src_id, price)) AS open,
+        MAX(price) AS high, MIN(price) AS low,
+        arg_max(price, printf('%09d|%012d|%018.6f', ts % 86400000, src_id, price)) AS close,
+        ${O.dsum("sz")} AS volume,
+        CAST(COUNT(*) AS BIGINT) AS n_trades
+      FROM tr WHERE symbol = 'T-0' GROUP BY symbol, day_bucket
+      ORDER BY symbol, day_bucket"""))
+
+  private val q120Runs = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Streaming exact-dedup gate: Dedup.streamingExact
+    * (dropDuplicatesWithinWatermark on the content hash) over a
+    * 4-micro-batch arrival-ordered replay of events, watermark horizon
+    * wider than the stream so nothing ages out — the state store must
+    * emit each distinct props payload EXACTLY once across batch
+    * boundaries (first arrival wins; later copies in later batches are
+    * suppressed by state). The gate compares the emitted hash set —
+    * per-row identity within the first batch containing a hash is
+    * engine-arbitrary, the emitted set is not.
+    */
+  private val q120 = Q("q120_streaming_dedup",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val arrived = Tables.events(s, d)
+        .select(col("event_id"), col("ts_ms"), col("props"))
+        .orderBy("ts_ms", "event_id")
+        .collect()
+      val rows: Seq[(Long, Long, String)] = arrived.iterator
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      val mem = MemoryStream[(Long, Long, String)]
+      val src = mem.toDF().toDF("event_id", "ts_ms", "props")
+        .withColumn("ts_utc", timestamp_millis(col("ts_ms")))
+      val deduped = graft.operators.Dedup.streamingExact(src, "props", "ts_utc", "3650 days")
+      val sinkName = s"q120_dedup_${q120Runs.incrementAndGet()}"
+      val query = deduped.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try {
+        rows.grouped(math.max(1, (rows.size + 3) / 4)).foreach { chunk =>
+          mem.addData(chunk: _*)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      s.table(sinkName)
+        .select(col("content_hash"))
+        .orderBy("content_hash")
+    },
+    Some("""SELECT md5(props) AS content_hash
+      FROM (SELECT DISTINCT props FROM events)
+      ORDER BY content_hash"""))
+
   override val all: Seq[Q] =
     Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
       q101, q102, q103, q104, q105, q106, q108, q109, q110, q111, q113, q116,
-      q117, q118)
+      q117, q118, q119, q120)
 }
