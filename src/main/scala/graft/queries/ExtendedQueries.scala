@@ -1007,7 +1007,7 @@ object ExtendedQueries extends Registry {
         .normalize(NormalizerQueries.framedTrades(s, d), passthrough = Seq("src_id"))
         .select(col("src_id"), col("symbol"), col("ts_exchange_ms"),
           col("trade.price").as("price"), col("trade.size").as("sz"))
-        .filter(col("symbol") === "T-0")
+        .filter(col("symbol") === "T-0" && col("src_id") % 4 === 0)
         .orderBy("ts_exchange_ms", "src_id", "price", "sz")
         .collect()
       val rows = new scala.collection.mutable.ArrayBuffer[(String, Long, Double, Double, Long)](tr.length)
@@ -1053,7 +1053,8 @@ object ExtendedQueries extends Registry {
         arg_max(price, printf('%09d|%012d|%018.6f', ts % 86400000, src_id, price)) AS close,
         ${O.dsum("sz")} AS volume,
         CAST(COUNT(*) AS BIGINT) AS n_trades
-      FROM tr WHERE symbol = 'T-0' GROUP BY symbol, day_bucket
+      FROM tr WHERE symbol = 'T-0' AND src_id % 4 = 0
+      GROUP BY symbol, day_bucket
       ORDER BY symbol, day_bucket"""))
 
   private val q120Runs = new java.util.concurrent.atomic.AtomicLong()
