@@ -78,13 +78,24 @@ object Bench {
     // samples of one query land in the same storm, but samples a full
     // sweep apart don't, so min-per-query across separated rounds measures
     // the steady state a resident cluster session delivers.
+    //
+    // The streaming-state gates skip the middle round (min-of-2, rounds
+    // 0 and 2): their wall is dominated by fixed per-micro-batch
+    // state-store latency (bench_stages shows stage_wall ≪ wall), not by
+    // any plan under perf scrutiny — a third sample buys no signal and
+    // costs ~25 s, while a single round-0 sample reports JIT-cold numbers.
+    val sparseSampled = Set("q108_streaming_staleness", "q111_streaming_sessions",
+      "q119_streaming_bars", "q120_streaming_dedup")
     val nRounds = 3
     val sampleRounds = (0 until nRounds).map { r =>
-      ordered.map { case (name, fn) => name -> runOnce(name, fn, sfDir, s"$name@r$r") }.toMap
+      ordered.flatMap { case (name, fn) =>
+        if (r == 1 && sparseSampled(name)) None
+        else Some(name -> runOnce(name, fn, sfDir, s"$name@r$r"))
+      }.toMap
     }
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val results = ordered.map { case (name, _) =>
-      val times = sampleRounds.map(_(name))
+      val times = sampleRounds.flatMap(_.get(name))
       val sec = times.min
       System.err.println(s"[bench-q] $name ${f3(sec)} s (samples ${times.map(f3).mkString("/")})")
       name -> sec
@@ -102,10 +113,12 @@ object Bench {
     try {
       java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")
       val stages = ordered.map { case (name, _) =>
-        val rounds = (0 until nRounds).map { r =>
-          val a = prof.getOrDefault(s"$name@r$r", new Array[Double](5))
-          s"""{"wall":${f3(sampleRounds(r)(name))},"stage_wall":${f3(a(0))},""" +
-            s""""run_ms":${a(1).toLong},"cpu_ms":${a(2).toLong},"gc_ms":${a(3).toLong},"n_stages":${a(4).toInt}}"""
+        val rounds = (0 until nRounds).flatMap { r =>
+          sampleRounds(r).get(name).map { wall =>
+            val a = prof.getOrDefault(s"$name@r$r", new Array[Double](5))
+            s"""{"wall":${f3(wall)},"stage_wall":${f3(a(0))},""" +
+              s""""run_ms":${a(1).toLong},"cpu_ms":${a(2).toLong},"gc_ms":${a(3).toLong},"n_stages":${a(4).toInt}}"""
+          }
         }.mkString("[", ",", "]")
         s""""$name":$rounds"""
       }.mkString("{", ",", "}")

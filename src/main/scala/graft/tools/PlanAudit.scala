@@ -93,7 +93,15 @@ object PlanAudit {
     "q113_sliding_disc_percentile" ->
       "Framed disc percentile (r05): ONE exchange on user_id + one in-partition sort feeds the trailing-20 collect_list; frame state is O(20) per row and the three quantile probes are per-row array ops after the window stage.",
     "q114_heavy_hitters" ->
-      "Heavy hitters (r05): MG candidates come out of a MapPartitions directly on the token Generate; the recount joins via BroadcastHashJoin (candidate set, KB-sized) so the only aggregation shuffle ships candidate matches — never the vocabulary.")
+      "Heavy hitters (r05): MG candidates come out of a MapPartitions directly on the token Generate; the recount joins via BroadcastHashJoin (candidate set, KB-sized) so the only aggregation shuffle ships candidate matches — never the vocabulary.",
+    "q115_inverted_index" ->
+      "Inverted index (r05): tokens Generate at scan speed; tf collapses (term, doc_id) partial/final so the term-level exchange ships postings, not token occurrences; per-term agg state is O(df) — that IS the index being built, and at 100 TB the term key is the natural range-partition for the posting shards.",
+    "q116_pagerank_fixed" ->
+      "PageRank (r05): integer fixed-point ranks make the result bit-exact on any partitioning; edges+degrees localCheckpoint once, each of the 5 rounds is one (src) join + one (node) aggregate, and the per-round localCheckpoint truncates lineage so plan size stays O(1) across iterations instead of O(iters).",
+    "q117_triangle_count" ->
+      "Triangle count (r05): the support threshold prunes the co-supply graph BEFORE wedge generation, so quadratic fan-out is confined to thresholded adjacency; wedges anchor at each triangle's min vertex and close via an (u,v) edge hash join — canonical a<b edges are the only shuffle payload. At 100 TB the id orientation swaps for degree orientation (same join pattern, O(sqrt(E)) wedge bound).",
+    "q118_lateral_topn" ->
+      "LATERAL top-n (r05): Catalyst decorrelates the per-customer LIMIT subquery into a ROW_NUMBER window with WindowGroupLimit pushed BEFORE the exchange — map tasks keep 2 rows per customer, so the shuffle ships |customers| x 2 regardless of the orders scan size; no nested-loop re-execution per outer row.")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get("plan-audit", "8")
