@@ -1101,8 +1101,173 @@ object ExtendedQueries extends Registry {
       FROM (SELECT DISTINCT props FROM events)
       ORDER BY content_hash"""))
 
+  private val q121Runs = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Streaming rolling-percentile gate — the reference's HEADLINE
+    * computation (rolling 5 s windows of a latency series with exact
+    * floor-index p50/p95/p99 and the ≥20-sample gate,
+    * reference/src/metrics/rolling.py:100-145) executed through the
+    * streaming state store: MetricsStream.latencyPercentiles (the T2
+    * event-time variant) over a 4-micro-batch event-time-ordered replay
+    * of the events series, 0 s watermark, append mode — sliding windows
+    * that straddle micro-batch boundaries must merge their
+    * ExactPercentile buffers in the state store before emission.
+    *
+    * The harness fixture is ~4 events/hour — far too sparse for any 5 s
+    * window to clear the 20-sample gate — so the replay runs on a 4000×
+    * accelerated clock (`ts_ms div 4000`, exact BIGINT division mirrored
+    * in the oracle), putting ~75 events in each 5 s window: the
+    * reference's own live cadence (~22 events per window at 4.4 msg/s,
+    * README.md:179) at bench scale. (At sf0.001 the fixture is 10× too
+    * sparse even accelerated — every window falls to the sample gate and
+    * both engines agree on the empty result; the driver gates at sf0.01,
+    * where 651 windows carry the hash.) One sentinel event 10 s past the
+    * horizon advances the watermark past every real window's end (its
+    * own windows hold 1 sample and fall to the ≥20 gate), so append mode
+    * emits exactly the closed windows the batch oracle enumerates.
+    *
+    * Scale: the operator under test shuffles (window) partial buffers —
+    * state is |active windows| × O(samples-in-window) bounded by the
+    * watermark horizon; the collect is the MemoryStream replay HARNESS
+    * (same caveat as q108), not the operator.
+    */
+  private val q121 = Q("q121_streaming_metrics",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val arrived = Tables.events(s, d)
+        .select(expr("ts_ms div 4000").as("tms"), col("value"), col("event_id"))
+        .orderBy("tms", "event_id")
+        .collect()
+      val rows: Seq[(Long, Double)] = arrived.iterator
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val maxTs = if (rows.nonEmpty) rows.last._1 else 0L
+      val mem = MemoryStream[(Long, Double)]
+      val src = mem.toDF().toDF("tms", "value")
+        .withColumn("event_time", timestamp_millis(col("tms")))
+        .withWatermark("event_time", "0 seconds")
+      val report = graft.streaming.MetricsStream
+        .latencyPercentiles(src, "value", col("event_time"))
+      val sinkName = s"q121_metrics_${q121Runs.incrementAndGet()}"
+      val query = report.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try {
+        rows.grouped(math.max(1, (rows.size + 3) / 4)).foreach { chunk =>
+          mem.addData(chunk: _*)
+          query.processAllAvailable()
+        }
+        mem.addData((maxTs + 10000L, 0.0))
+        query.processAllAvailable()
+      } finally query.stop()
+      s.table(sinkName)
+        .select(unix_millis(col("window_start")).as("window_start_ms"),
+          col("p50"), col("p95"), col("p99"), col("cnt"))
+        .orderBy("window_start_ms")
+    },
+    Some("""WITH e AS (
+        SELECT epoch_ms(ts) // 4000 AS tms, value FROM events),
+      wins AS (
+        SELECT (tms // 1000 - t.i) * 1000 AS window_start_ms, value
+        FROM e, range(5) AS t(i)),
+      r AS (
+        SELECT window_start_ms, value,
+          row_number() OVER (PARTITION BY window_start_ms ORDER BY value) - 1 AS rn,
+          COUNT(*) OVER (PARTITION BY window_start_ms) AS n
+        FROM wins)
+      SELECT window_start_ms,
+        MAX(CASE WHEN rn = CAST(floor(0.50::DOUBLE * (n-1)) AS BIGINT) THEN value END) AS p50,
+        MAX(CASE WHEN rn = CAST(floor(0.95::DOUBLE * (n-1)) AS BIGINT) THEN value END) AS p95,
+        MAX(CASE WHEN rn = CAST(floor(0.99::DOUBLE * (n-1)) AS BIGINT) THEN value END) AS p99,
+        CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM r GROUP BY window_start_ms HAVING COUNT(*) >= 20
+      ORDER BY window_start_ms"""))
+
+  private val q122Runs = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Streaming cumulative zero-rate gate (A4, the reference's since-start
+    * zero-latency counters, reference/src/metrics/rolling.py:68-79,156-163):
+    * MetricsStream.zeroRates — an UNGROUPED running aggregate — over a
+    * 4-micro-batch replay in complete mode. MemoryStream feeds each row
+    * exactly once, so the emitted totals are correct ONLY if the
+    * aggregation state accumulates across micro-batches in the state
+    * store; the complete-mode memory sink truncates per trigger, so the
+    * final table is the last emission = the whole-stream counters, and
+    * the batch oracle is exact equality. The replayed series is
+    * floor(value) div 20 (~33 % exact zeros — a latency-bucket stand-in
+    * with a meaningful zero mass, mirrored verbatim in the oracle).
+    */
+  private val q122 = Q("q122_streaming_zero_rates",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val arrived = Tables.events(s, d)
+        .select(expr("CAST(floor(value) AS BIGINT) div 20").as("lat"), col("event_id"))
+        .orderBy("event_id")
+        .collect()
+      val rows: Seq[Long] = arrived.iterator.map(_.getLong(0)).toSeq
+      val mem = MemoryStream[Long]
+      val src = mem.toDF().toDF("lat")
+      val rates = graft.streaming.MetricsStream.zeroRates(src, "lat")
+      val sinkName = s"q122_zr_${q122Runs.incrementAndGet()}"
+      val query = rates.writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete").start()
+      try {
+        rows.grouped(math.max(1, (rows.size + 3) / 4)).foreach { chunk =>
+          mem.addData(chunk: _*)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      s.table(sinkName).select("total", "zeros", "zero_rate_pct")
+    },
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS total,
+      CAST(SUM(CASE WHEN CAST(floor(value) AS BIGINT) // 20 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros,
+      CAST(SUM(CASE WHEN CAST(floor(value) AS BIGINT) // 20 = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        / greatest(COUNT(*), 1) * 100.0 AS zero_rate_pct
+      FROM events"""))
+
+  private val q123Runs = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Streaming per-key cumulative count gate (A7/A8, the reference's
+    * per-symbol message counters, reference/src/metrics/rolling.py:81-84,
+    * 144-145): MetricsStream.msgCounts — a KEYED running aggregate — over
+    * a 4-micro-batch replay in complete mode. Same state-store
+    * accumulation argument as q122, per key: a symbol whose messages
+    * span several micro-batches emits its total only if the grouped
+    * state merges across batches. Batch oracle = q11's per-user counts.
+    */
+  private val q123 = Q("q123_streaming_msg_counts",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val arrived = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"))
+        .orderBy("event_id")
+        .collect()
+      val rows: Seq[Long] = arrived.iterator.map(_.getLong(0)).toSeq
+      val mem = MemoryStream[Long]
+      val src = mem.toDF().toDF("symbol")
+      val counts = graft.streaming.MetricsStream.msgCounts(src)
+      val sinkName = s"q123_mc_${q123Runs.incrementAndGet()}"
+      val query = counts.writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete").start()
+      try {
+        rows.grouped(math.max(1, (rows.size + 3) / 4)).foreach { chunk =>
+          mem.addData(chunk: _*)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      s.table(sinkName)
+        .select(col("symbol").as("user_id"), col("msg_count"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, COUNT(*) AS msg_count FROM events
+      GROUP BY user_id ORDER BY user_id"""))
+
   override val all: Seq[Q] =
     Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
       q101, q102, q103, q104, q105, q106, q108, q109, q110, q111, q113, q116,
-      q117, q118, q119, q120)
+      q117, q118, q119, q120, q121, q122, q123)
 }
