@@ -1272,7 +1272,45 @@ object TrainingDataQueries extends Registry {
       FROM r WHERE rank <= 10 ORDER BY qid, rank"""
     })
 
+  /** BPE vocabulary induction, the counting step: adjacent-token pair
+    * frequencies over the corpus with the top-200 merge candidates —
+    * the inner loop of byte-pair-encoding tokenizer training (count
+    * pairs → merge the most frequent → recount), which at corpus scale
+    * is THE distributed primitive (single-node BPE trainers sample;
+    * this counts the whole corpus). One scan: pairs are
+    * [[graft.operators.TextAnalysis.shingles]] 2-grams (codegen'd
+    * slice/transform, no shuffle before aggregation), pair counts
+    * collapse map-side, and the top-200 compiles to
+    * TakeOrderedAndProject (per-partition heaps of 200, no global
+    * sort) — the exchange ships |distinct pairs| partials and the
+    * driver sees 200 rows regardless of corpus size. The (cnt DESC,
+    * pair ASC) ordering is total, so the cut is deterministic
+    * cross-engine. Iterating the merge loop re-runs this query with
+    * the learned merges applied — each round is the same one-scan
+    * shape.
+    */
+  private val q124 = Q("q124_bpe_pair_counts",
+    (s, d) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      Tables.fanOut(Tables.documents(s, d))
+        .select(explode(TextAnalysis.shingles(toks, 2)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(200)
+    },
+    Some("""WITH tok AS (
+        SELECT doc_id,
+          unnest(string_split(text, ' ')) AS tok,
+          unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+        FROM documents),
+      p AS (
+        SELECT tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS pair
+        FROM tok)
+      SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM p WHERE pair IS NOT NULL
+      GROUP BY pair ORDER BY cnt DESC, pair LIMIT 200"""))
+
   override val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q38, q41, q42, q43, q44, q45, q47, q107, q112, q114, q115,
-    q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q79)
+    q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q79, q124)
 }

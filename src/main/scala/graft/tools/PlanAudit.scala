@@ -101,7 +101,9 @@ object PlanAudit {
     "q117_triangle_count" ->
       "Triangle count (r05): the support threshold prunes the co-supply graph BEFORE wedge generation, so quadratic fan-out is confined to thresholded adjacency; wedges anchor at each triangle's min vertex and close via an (u,v) edge hash join — canonical a<b edges are the only shuffle payload. At 100 TB the id orientation swaps for degree orientation (same join pattern, O(sqrt(E)) wedge bound).",
     "q118_lateral_topn" ->
-      "LATERAL top-n (r05): Catalyst decorrelates the per-customer LIMIT subquery into a ROW_NUMBER window with WindowGroupLimit pushed BEFORE the exchange — map tasks keep 2 rows per customer, so the shuffle ships |customers| x 2 regardless of the orders scan size; no nested-loop re-execution per outer row.")
+      "LATERAL top-n (r05): Catalyst decorrelates the per-customer LIMIT subquery into a ROW_NUMBER window with WindowGroupLimit pushed BEFORE the exchange — map tasks keep 2 rows per customer, so the shuffle ships |customers| x 2 regardless of the orders scan size; no nested-loop re-execution per outer row.",
+    "q124_bpe_pair_counts" ->
+      "BPE pair counting (r05): adjacent 2-grams are a codegen'd slice/transform Generate at scan speed (no shuffle before aggregation), pair counts collapse map-side, and the top-200 merge candidates compile to TakeOrderedAndProject — per-partition heaps, the driver sees 200 rows at any corpus scale.")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get("plan-audit", "8")
