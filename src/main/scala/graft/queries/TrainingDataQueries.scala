@@ -1310,7 +1310,56 @@ object TrainingDataQueries extends Registry {
       FROM p WHERE pair IS NOT NULL
       GROUP BY pair ORDER BY cnt DESC, pair LIMIT 200"""))
 
+  /** Vocabulary sizing — q124's companion decision report: the minimum
+    * vocab size whose cumulative token-frequency share reaches 50/90/99 %
+    * of corpus occurrences (the Zipf-coverage cut every tokenizer design
+    * starts from). Token counts collapse map-side (|vocab| partials on
+    * the exchange); the ranking pass is ONE unpartitioned window over
+    * |vocab| rows — millions at 100 TB, a single comfortable partition
+    * for a driver-bound report (the same deliberate shape as q96's
+    * sweep-line; for 100M+ vocabs the cut moves to a two-pass quantile
+    * probe). Ordering (cnt DESC, tok ASC) is total, so rank, cumsum and
+    * every coverage boundary are deterministic cross-engine; the share
+    * compare divides BIGINTs as doubles identically in both engines.
+    */
+  private val q125 = Q("q125_vocab_coverage",
+    (s, d) => {
+      val wOrd = Window.orderBy(col("cnt").desc, col("tok").asc)
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val ranked = Tables.fanOut(Tables.documents(s, d))
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .select(
+          row_number().over(wOrd).as("rank"),
+          sum("cnt").over(wCum).as("cum"),
+          sum("cnt").over(wAll).as("total"))
+        .withColumn("cum_share", col("cum").cast("double") / col("total"))
+      ranked.agg(
+        min(when(col("cum_share") >= 0.5, col("rank"))).as("vocab_50"),
+        min(when(col("cum_share") >= 0.9, col("rank"))).as("vocab_90"),
+        min(when(col("cum_share") >= 0.99, col("rank"))).as("vocab_99"),
+        max(col("rank")).as("vocab_full"),
+        max(col("total")).as("total_tokens"))
+    },
+    Some("""WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      c AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+      r AS (SELECT
+          CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS INTEGER) AS rank,
+          CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tok ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+          CAST(SUM(cnt) OVER () AS BIGINT) AS total
+        FROM c)
+      SELECT
+        MIN(CASE WHEN CAST(cum AS DOUBLE)/total >= 0.5::DOUBLE THEN rank END) AS vocab_50,
+        MIN(CASE WHEN CAST(cum AS DOUBLE)/total >= 0.9::DOUBLE THEN rank END) AS vocab_90,
+        MIN(CASE WHEN CAST(cum AS DOUBLE)/total >= 0.99::DOUBLE THEN rank END) AS vocab_99,
+        MAX(rank) AS vocab_full,
+        CAST(MAX(total) AS BIGINT) AS total_tokens
+      FROM r"""))
+
   override val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q38, q41, q42, q43, q44, q45, q47, q107, q112, q114, q115,
-    q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q79, q124)
+    q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q79, q124, q125)
 }
