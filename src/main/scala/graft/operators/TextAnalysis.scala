@@ -23,6 +23,28 @@ object TextAnalysis {
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Apply one learned BPE merge (x, y) → m to a token array: every
+    * adjacent occurrence of x followed by y collapses into the single
+    * token m. Requires x != y — then no two occurrences can share a
+    * token (positions i and i+1 both matching would force x == y), so
+    * "merge all matches" equals the tokenizer's greedy left-to-right
+    * pass and the result is deterministic on any partitioning. Pure
+    * higher-order-function expression (`get` is null-safe at the array
+    * edges): per-row, no shuffle, codegen'd — the merge loop's apply
+    * step runs at scan speed over a 100 TB corpus.
+    */
+  def bpeMerge(toks: Column, x: String, y: String, m: String): Column = {
+    require(x != y, "bpeMerge requires x != y (overlap-free application)")
+    val merged = filter(
+      transform(sequence(lit(0), size(toks) - 1), i =>
+        when(get(toks, i) === x && get(toks, i + 1) === y, lit(m))
+          .when(get(toks, i - 1) === x && get(toks, i) === y,
+            lit(null).cast("string"))
+          .otherwise(get(toks, i))),
+      c => c.isNotNull)
+    when(size(toks) >= 2, merged).otherwise(toks)
+  }
+
   /** Tiny deterministic per-language marker lexicons for the n-gram/
     * stopword language-ID heuristic. Public-knowledge function-word lists.
     */

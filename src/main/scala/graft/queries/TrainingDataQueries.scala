@@ -1359,7 +1359,98 @@ object TrainingDataQueries extends Registry {
         CAST(MAX(total) AS BIGINT) AS total_tokens
       FROM r"""))
 
+  /** Iterated BPE merge loop — the full tokenizer-training inner loop
+    * (count pairs → pick the most frequent → APPLY the merge → recount),
+    * three rounds, closing VERDICT r4 / NOTES round-6 candidate "iterated
+    * BPE merge loop". Round r's pair counts are computed over the corpus
+    * WITH rounds 1..r-1's merges applied ([[TextAnalysis.bpeMerge]], a
+    * scan-local HOF expression), so the gate verifies merge APPLICATION,
+    * not just counting: a wrong apply step changes round-2/3 frequencies
+    * and the hash. Selection is restricted to pairs x != y — then every
+    * occurrence merges (no overlap is possible) and application order
+    * cannot matter, which is what makes the loop deterministic on any
+    * partitioning AND cross-engine (classic BPE's greedy left-to-right
+    * tie-walk over x==x runs is partition-order-dependent; a distributed
+    * trainer needs this restriction or a segment-stitching pass).
+    *
+    * Scale: per round, ONE corpus scan → map-side-combined pair counts
+    * (|distinct pairs| partials on the exchange) → TakeOrderedAndProject
+    * top-1 to the driver. The collected state is the learned merge table
+    * (KB — index-build pattern, like the IVF quantizer); the corpus is
+    * never collected, and `tokens_after` is derived arithmetically
+    * (merges applied == pair count when x != y). At 100 TB you would
+    * checkpoint the merged corpus every ~10 rounds to cap lineage depth;
+    * three rounds of nested HOF expressions stay comfortably codegen'd.
+    */
+  private val q126 = Q("q126_bpe_merge_loop",
+    (s, d) => {
+      import s.implicits._
+      val base = Tables.fanOut(Tables.documents(s, d))
+        .select(TextAnalysis.tokens(col("text")).as("toks"))
+      val tokens0 = base.agg(sum(size(col("toks")))).as[Long].head()
+      var toks = base
+      var remaining = tokens0
+      val learned = Seq.newBuilder[(Int, String, Long, Long)]
+      for (r <- 1 to 3) {
+        val sp = split(col("pair"), " ", 2)
+        val top = toks
+          .select(explode(TextAnalysis.shingles(col("toks"), 2)).as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("cnt"))
+          .filter(element_at(sp, 1) =!= element_at(sp, 2))
+          .orderBy(col("cnt").desc, col("pair").asc)
+          .limit(1)
+          .as[(String, Long)].head()
+        val Array(x, y) = top._1.split(" ", 2)
+        remaining -= top._2
+        learned += ((r, top._1, top._2, remaining))
+        toks = toks.withColumn("toks",
+          TextAnalysis.bpeMerge(col("toks"), x, y, x + "_" + y))
+      }
+      learned.result().toDF("round", "pair", "cnt", "tokens_after")
+        .orderBy("round")
+    },
+    Some {
+      def round(r: Int): String = {
+        val prev = s"t${r - 1}"
+        s"""p$r AS (SELECT tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS pair
+          FROM $prev),
+        c$r AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM p$r WHERE pair IS NOT NULL GROUP BY pair),
+        m$r AS (SELECT pair, cnt,
+            string_split(pair, ' ')[1] AS x, string_split(pair, ' ')[2] AS y
+          FROM c$r WHERE string_split(pair, ' ')[1] <> string_split(pair, ' ')[2]
+          ORDER BY cnt DESC, pair LIMIT 1),
+        t$r AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i, tok
+          FROM (
+            SELECT t.doc_id, t.i,
+              CASE WHEN t.tok = m.x AND lead(t.tok) OVER (PARTITION BY t.doc_id ORDER BY t.i) = m.y
+                     THEN m.x || '_' || m.y
+                   WHEN lag(t.tok) OVER (PARTITION BY t.doc_id ORDER BY t.i) = m.x AND t.tok = m.y
+                     THEN NULL
+                   ELSE t.tok END AS tok
+            FROM $prev t CROSS JOIN m$r m)
+          WHERE tok IS NOT NULL)"""
+      }
+      s"""WITH t0 AS (SELECT doc_id, i, tok FROM (
+          SELECT doc_id,
+            unnest(string_split(text, ' ')) AS tok,
+            unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+          FROM documents) u),
+        n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t0),
+        ${round(1)},
+        ${round(2)},
+        ${round(3)}
+      SELECT CAST(round AS INTEGER) AS round, pair, cnt, tokens_after FROM (
+        SELECT 1 AS round, m1.pair AS pair, m1.cnt AS cnt,
+          n0.n - m1.cnt AS tokens_after FROM m1, n0
+        UNION ALL SELECT 2, m2.pair, m2.cnt,
+          n0.n - m1.cnt - m2.cnt FROM m1, m2, n0
+        UNION ALL SELECT 3, m3.pair, m3.cnt,
+          n0.n - m1.cnt - m2.cnt - m3.cnt FROM m1, m2, m3, n0) z
+      ORDER BY round"""
+    })
+
   override val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q38, q41, q42, q43, q44, q45, q47, q107, q112, q114, q115,
-    q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q79, q124, q125)
+    q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q79, q124, q125, q126)
 }

@@ -301,6 +301,30 @@ class TrainingDataSpec extends SparkSpec {
     wide.foreach(row => assert(row.getBoolean(3)))
   }
 
+  test("bpeMerge: merges every non-overlapping occurrence, edge-safe") {
+    val docs = Seq(
+      (1L, Seq("a", "b", "c")),          // interior match
+      (2L, Seq("a", "b", "a", "b")),     // repeated match, both merge
+      (3L, Seq("b", "a", "b", "b")),     // match not at start; trailing b kept
+      (4L, Seq("a")),                    // shorter than a pair — unchanged
+      (5L, Seq.empty[String]),           // empty — unchanged
+      (6L, Seq("x", "a", "y", "b"))      // no adjacency — unchanged
+    ).toDF("doc_id", "toks")
+    val out = docs
+      .select(col("doc_id"), TextAnalysis.bpeMerge(col("toks"), "a", "b", "a_b").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("a_b", "c"))
+    assert(out(2L) == Seq("a_b", "a_b"))
+    assert(out(3L) == Seq("b", "a_b", "b"))
+    assert(out(4L) == Seq("a"))
+    assert(out(5L) == Seq.empty[String])
+    assert(out(6L) == Seq("x", "a", "y", "b"))
+    // x == y is rejected: overlap-free application cannot be guaranteed
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeMerge(col("toks"), "a", "a", "a_a")
+    }
+  }
+
   test("language-ID picks the lexicon with most marker hits") {
     val docs = Seq(
       (1L, "der hund und die katze ist nicht hier"),
