@@ -338,6 +338,34 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id").as("neighbor_id"), col("adist"))
   }
 
+  /** Pre-bucketed LSH index over a corpus: the build side of the
+    * streaming ANN lookup. At scale this is written out partitioned by
+    * `bucket` so per-batch lookups prune to matching buckets.
+    */
+  def lshIndex(corpus: DataFrame, numPlanes: Int = 8, dim: Int = 64): DataFrame =
+    corpus.withColumn("bucket", lshBucket(asDouble(col("vec")), numPlanes, dim))
+
+  /** Streaming ANN candidate lookup: query vectors arrive on a stream;
+    * each micro-batch is LSH-bucketed with the SAME plane literals as the
+    * batch index and joined stream-static on `bucket` against the
+    * pre-bucketed corpus. STATELESS append — no watermark, no state
+    * store: every candidate pair for a query is emitted in the
+    * micro-batch that carried the query, so per-query ranking (a plain
+    * window over qid) can run inside `foreachBatch` on each batch's
+    * output without cross-batch state. At scale the static index is
+    * bucket-partitioned storage, the per-batch query set is tiny, and
+    * the join prunes to the probed buckets — per-batch work is
+    * O(queries × avg bucket size), independent of corpus size.
+    */
+  def lshStreamCandidates(index: DataFrame, queryStream: DataFrame,
+      numPlanes: Int = 8, dim: Int = 64): DataFrame =
+    queryStream
+      .withColumn("bucket", lshBucket(asDouble(col("qvec")), numPlanes, dim))
+      .join(index, Seq("bucket"))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("cos_sim", cosine(asDouble(col("qvec")), asDouble(col("vec"))))
+      .select(col("qid"), col("id"), col("cos_sim"))
+
   /** ANN: exact ranking within LSH buckets. Corpus is bucketed once
     * (shuffle by bucket id — small keys); each query only scans its own
     * bucket.

@@ -235,7 +235,13 @@ object TrainingDataQueries extends Registry {
         .withColumn("rank", col("rank").cast("int"))
         .orderBy("qid", "rank")
     },
-    Some {
+    Some(lshTopKOracle))
+
+  /** Shared oracle for the LSH-bucketed top-10 lookup (q27 batch, q127
+    * streaming): plane literals from md5 nibble arithmetic, sign-bit
+    * buckets, exact cosine ranking within buckets.
+    */
+  private lazy val lshTopKOracle: String = {
       val mdExpr = "md5('plane' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR))"
       s"""WITH pc AS (
         SELECT p, i,
@@ -260,7 +266,7 @@ object TrainingDataQueries extends Registry {
               AS INTEGER) AS rank FROM sim)
       SELECT qid, rank, id AS neighbor_id, cos_sim
       FROM r WHERE rank <= 10 ORDER BY qid, rank"""
-    })
+  }
 
   /** Multi-probe LSH ANN: same index as q27, but each query also probes
     * the 8 hamming-distance-1 buckets — the standard recall knob that
@@ -1450,7 +1456,57 @@ object TrainingDataQueries extends Registry {
       ORDER BY round"""
     })
 
+  private val q127Runs = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Streaming ANN gate (NOTES round-6 candidate "streaming ANN"): query
+    * vectors replayed over a 3-micro-batch MemoryStream, LSH-bucketed
+    * per batch and joined STREAM-STATIC on `bucket` against the
+    * pre-bucketed corpus index ([[Similarity.lshStreamCandidates]] —
+    * stateless append, no watermark). The candidate pairs cross the
+    * streaming execution path; every candidate for a query is confined
+    * to the micro-batch that carried the query, so the post-stream
+    * top-10 ranking over the sink table is exactly the per-batch
+    * `foreachBatch` ranking a production lookup would run — and the
+    * whole result must equal the BATCH lookup's (q27's oracle,
+    * verbatim): a wrong bucket, a missed candidate, or a duplicate
+    * emission across batches all break the hash.
+    */
+  private val q127 = Q("q127_streaming_ann",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val e = Tables.embeddings(s, d)
+      val index = Similarity.lshIndex(
+        e.select(col("vec_id").as("id"), col("embedding").as("vec")), numPlanes = 8)
+      val qrows: Seq[(Long, Seq[Float])] = e.filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding"))
+        .orderBy("vec_id")
+        .collect().iterator
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val src = mem.toDF().toDF("qid", "qvec")
+      val cand = Similarity.lshStreamCandidates(index, src, numPlanes = 8)
+      val sinkName = s"q127_ann_${q127Runs.incrementAndGet()}"
+      val query = cand.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try {
+        qrows.grouped(2).foreach { chunk =>
+          mem.addData(chunk: _*)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      val w = Window.partitionBy("qid").orderBy(desc("cos_sim"), asc("id"))
+      s.table(sinkName)
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("rank"), col("id").as("neighbor_id"), col("cos_sim"))
+        .orderBy("qid", "rank")
+    },
+    Some(lshTopKOracle))
+
   override val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q38, q41, q42, q43, q44, q45, q47, q107, q112, q114, q115,
-    q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q79, q124, q125, q126)
+    q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q79, q124, q125, q126,
+    q127)
 }
