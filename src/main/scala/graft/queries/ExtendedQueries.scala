@@ -1266,8 +1266,105 @@ object ExtendedQueries extends Registry {
     Some("""SELECT user_id, COUNT(*) AS msg_count FROM events
       GROUP BY user_id ORDER BY user_id"""))
 
+  /** Recursive CTE (Spark 4.1's `WITH RECURSIVE`, planned as UnionLoop):
+    * hierarchy walk from every customer up a synthetic reporting chain
+    * (parent = custkey div 10 — a decimal-digit org chart derived from
+    * the fixture, depth ≤ 5) to its single-digit root, emitting (node,
+    * root, depth). Execution is the textbook distributed fixpoint: each
+    * iteration is one distributed batch over the frontier (no driver
+    * loop, no collect), terminating when the recursive arm is empty —
+    * O(depth) rounds exactly like the q116 PageRank loop, but expressed
+    * through the SQL surface and planned/de-duplicated by Catalyst.
+    * DuckDB runs the identical query with `//` for integer division.
+    */
+  private val q128 = Q("q128_recursive_cte",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("q128_customer")
+      s.sql("""WITH RECURSIVE up AS (
+          SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth
+          FROM q128_customer WHERE c_custkey < 200
+          UNION ALL
+          SELECT node, cur DIV 10, depth + 1 FROM up WHERE cur >= 10)
+        SELECT node, cur AS root, CAST(depth AS INT) AS depth
+        FROM up WHERE cur < 10 ORDER BY node""")
+    },
+    Some("""WITH RECURSIVE up AS (
+        SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth
+        FROM customer WHERE c_custkey < 200
+        UNION ALL
+        SELECT node, cur // 10, depth + 1 FROM up WHERE cur >= 10)
+      SELECT node, cur AS root, CAST(depth AS INTEGER) AS depth
+      FROM up WHERE cur < 10 ORDER BY node"""))
+
+  /** UNPIVOT (wide → long relational reshape, `Dataset.unpivot` →
+    * Catalyst Expand): per-order item metrics melted into (orderkey,
+    * metric, value) triples — the standard feature-table → feature-store
+    * reshape. Expand is scan-local (no shuffle beyond the one
+    * aggregation); all melted metrics are integral-valued doubles, so
+    * the values are exact in both engines. DuckDB mirrors with its
+    * native UNPIVOT clause.
+    */
+  private val q129 = Q("q129_unpivot_metrics",
+    (s, d) => {
+      val wide = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 200)
+        .groupBy("l_orderkey")
+        .agg(
+          count(lit(1)).cast("double").as("n_items"),
+          sum(col("l_quantity")).cast("double").as("sum_qty"),
+          max(col("l_quantity")).cast("double").as("max_qty"))
+      wide.unpivot(
+          Array(col("l_orderkey")),
+          Array(col("n_items"), col("sum_qty"), col("max_qty")),
+          "metric", "value")
+        .orderBy("l_orderkey", "metric")
+    },
+    Some("""WITH wide AS (
+        SELECT l_orderkey,
+          CAST(COUNT(*) AS DOUBLE) AS n_items,
+          CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+          CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+        FROM lineitem WHERE l_orderkey < 200 GROUP BY l_orderkey)
+      SELECT l_orderkey, metric, value
+      FROM (UNPIVOT wide ON n_items, sum_qty, max_qty
+            INTO NAME metric VALUE value)
+      ORDER BY l_orderkey, metric"""))
+
+  /** GROUPING SETS closure (cube q60 and rollup q19 cover the derived
+    * forms; this is the explicit set list, including a set that is not
+    * a rollup prefix): per-(nation, segment), per-segment, and grand
+    * total in ONE pass — Catalyst's Expand replicates each input row
+    * once per set before a single partial/final aggregation, so the
+    * exchange ships |groups| partials and no second scan is needed.
+    * GROUPING() disambiguates real values from set-placeholder NULLs
+    * exactly as in q19.
+    */
+  private val q130 = Q("q130_grouping_sets",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("q130_customer")
+      Tables.nation(s, d).createOrReplaceTempView("q130_nation")
+      s.sql(s"""SELECT
+          coalesce(n_name, 'ALL') AS nation,
+          coalesce(c_mktsegment, 'ALL') AS segment,
+          CAST(GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS INT) AS gid,
+          COUNT(*) AS n_customers,
+          ${O.dsumSparkSql("c_acctbal")} AS total_balance
+        FROM q130_customer JOIN q130_nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name, c_mktsegment), (c_mktsegment), ())
+        ORDER BY gid, nation, segment""")
+    },
+    Some(s"""SELECT
+        coalesce(n_name, 'ALL') AS nation,
+        coalesce(c_mktsegment, 'ALL') AS segment,
+        CAST(GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS INTEGER) AS gid,
+        COUNT(*) AS n_customers,
+        ${O.dsum("c_acctbal")} AS total_balance
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY GROUPING SETS ((n_name, c_mktsegment), (c_mktsegment), ())
+      ORDER BY gid, nation, segment"""))
+
   override val all: Seq[Q] =
     Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
       q101, q102, q103, q104, q105, q106, q108, q109, q110, q111, q113, q116,
-      q117, q118, q119, q120, q121, q122, q123)
+      q117, q118, q119, q120, q121, q122, q123, q128, q129, q130)
 }
