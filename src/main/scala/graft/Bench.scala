@@ -86,7 +86,8 @@ object Bench {
     // costs ~25 s, while a single round-0 sample reports JIT-cold numbers.
     val sparseSampled = Set("q108_streaming_staleness", "q111_streaming_sessions",
       "q119_streaming_bars", "q120_streaming_dedup", "q121_streaming_metrics",
-      "q122_streaming_zero_rates", "q123_streaming_msg_counts")
+      "q122_streaming_zero_rates", "q123_streaming_msg_counts",
+      "q127_streaming_ann")
     val nRounds = 3
     val sampleRounds = (0 until nRounds).map { r =>
       ordered.flatMap { case (name, fn) =>
