@@ -47,6 +47,10 @@ object OracleSql {
   def dsumSparkSql(x: String, scale: Int = 6): String =
     s"CAST(SUM(CAST(($x) AS DECIMAL(38,$scale))) AS DOUBLE)"
 
+  /** Windowed twin of [[dsumSparkSql]] (Spark SQL dialect, q132). */
+  def dsumSparkSqlOver(x: String, over: String, scale: Int = 6): String =
+    s"CAST(SUM(CAST(($x) AS DECIMAL(38,$scale))) OVER $over AS DOUBLE)"
+
   def davg(x: String, scale: Int = 6): String =
     s"(${dsum(x, scale)} / COUNT($x))"
 

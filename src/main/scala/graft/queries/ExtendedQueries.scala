@@ -1363,8 +1363,175 @@ object ExtendedQueries extends Registry {
       GROUP BY GROUPING SETS ((n_name, c_mktsegment), (c_mktsegment), ())
       ORDER BY gid, nation, segment"""))
 
+  private val q131Runs = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Stream-STREAM join gate — the one Structured Streaming operator
+    * family not yet crossed by q108/q111/q119-q123 (which cover keyed
+    * state, sessions, windows, dedup): [[graft.streaming.Joins
+    * .attribution]], an event-time interval join of an impressions
+    * stream against a clicks stream (even/odd split of the events
+    * fixture), replayed over 4 interleaved micro-batch pairs in arrival
+    * order. Pairs whose impression and click land in DIFFERENT
+    * micro-batches only match if both sides buffer correctly in the
+    * join state store — a batch-window implementation or dropped state
+    * changes the pair set and fails the hash. The gate's watermark is
+    * wider than the replay (same device as q120) so no state ages out
+    * and the batch oracle enumerates the exact pair set; production
+    * uses a tight watermark and the state bound documented on the
+    * operator.
+    */
+  private val q131 = Q("q131_streaming_join",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts_ms"))
+        .filter(col("user_id") < 50)
+        .orderBy("ts_ms", "event_id")
+        .collect()
+      def side(parity: Long): Seq[(Long, Long, Long)] = ev.iterator
+        .filter(_.getLong(0) % 2 == parity)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val imps = side(0L)
+      val clks = side(1L)
+      val memI = MemoryStream[(Long, Long, Long)]
+      val memC = MemoryStream[(Long, Long, Long)]
+      val iDf = memI.toDF().toDF("imp_id", "i_user", "i_ts")
+        .withColumn("i_time", timestamp_millis(col("i_ts")))
+        .withWatermark("i_time", "3650 days")
+      val cDf = memC.toDF().toDF("clk_id", "c_user", "c_ts")
+        .withColumn("c_time", timestamp_millis(col("c_ts")))
+        .withWatermark("c_time", "3650 days")
+      val joined = graft.streaming.Joins.attribution(iDf, cDf, "24 hours")
+      val sinkName = s"q131_join_${q131Runs.incrementAndGet()}"
+      val query = joined.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try {
+        val iChunks = imps.grouped(math.max(1, (imps.size + 3) / 4)).toSeq
+        val cChunks = clks.grouped(math.max(1, (clks.size + 3) / 4)).toSeq
+        (0 until math.max(iChunks.size, cChunks.size)).foreach { i =>
+          if (i < iChunks.size) memI.addData(iChunks(i): _*)
+          if (i < cChunks.size) memC.addData(cChunks(i): _*)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      s.table(sinkName).orderBy("imp_id", "clk_id")
+    },
+    Some("""SELECT i.event_id AS imp_id, c.event_id AS clk_id, i.user_id
+      FROM events i JOIN events c ON i.user_id = c.user_id
+        AND i.event_id % 2 = 0 AND c.event_id % 2 = 1
+        AND epoch_ms(c.ts) BETWEEN epoch_ms(i.ts) AND epoch_ms(i.ts) + 86400000
+      WHERE i.user_id < 50
+      ORDER BY imp_id, clk_id"""))
+
+  /** Calendar-interval RANGE frames: per-customer trailing-30-day order
+    * revenue over the ACTUAL order dates (q81's numeric RANGE frame uses
+    * day-integers; this is the native `RANGE BETWEEN INTERVAL` form over
+    * a DATE order key — value-based frames where ROWS frames would be
+    * wrong under irregular spacing). One shuffle on o_custkey; frame
+    * state is O(rows inside 30 days) per customer. Sums ride the
+    * decimal window route (dsumOver) for cross-engine bit-equality.
+    */
+  private val q132 = Q("q132_range_interval_frame",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("q132_orders")
+      s.sql(s"""SELECT o_custkey, o_orderdate, o_orderkey,
+          ${O.dsumSparkSqlOver("o_totalprice",
+            """(PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL '30' DAY PRECEDING AND CURRENT ROW)""")}
+            AS rev_30d,
+          COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+            RANGE BETWEEN INTERVAL '30' DAY PRECEDING AND CURRENT ROW)
+            AS n_30d
+        FROM q132_orders WHERE o_custkey < 200
+        ORDER BY o_custkey, o_orderdate, o_orderkey""")
+    },
+    Some(s"""SELECT o_custkey, o_orderdate, o_orderkey,
+        ${O.dsumOver("o_totalprice",
+          """(PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)""")}
+          AS rev_30d,
+        CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+          RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS n_30d
+      FROM orders WHERE o_custkey < 200
+      ORDER BY o_custkey, o_orderdate, o_orderkey"""))
+
+  private val q133Runs = new java.util.concurrent.atomic.AtomicLong()
+
+  /** transformWithState gate — q108's per-key staleness fold re-expressed
+    * on Spark 4's StatefulProcessor API ([[graft.streaming.StalenessStream
+    * .GapsProcessor]]: a named, typed ValueState[Long] per key) and run
+    * under the RocksDB state store provider, which the API requires —
+    * this is the production configuration for the new arbitrary-state
+    * surface, promoted into the hash gate (RocksDBStateStoreSpec covers
+    * the legacy-API paths). Same 4-micro-batch arrival-ordered replay and
+    * the SAME DuckDB oracle as q108: both state APIs and both providers
+    * must agree bit-for-bit on the aggregated gap stats. The provider
+    * conf is restored after the stream stops (it is read at query start,
+    * so other queries on the shared session are unaffected).
+    */
+  private val q133 = Q("q133_streaming_tws_staleness",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val arrived = Tables.events(s, d)
+        .select(col("user_id").cast("string").as("symbol"),
+          col("ts_ms"), col("event_id"))
+        .orderBy("ts_ms", "event_id")
+        .collect()
+      val rows: Seq[(String, String, Long, Long)] =
+        arrived.iterator.zipWithIndex.map { case (r, i) =>
+          (r.getString(0), "events", r.getLong(1), i.toLong)
+        }.toSeq
+      val mem = MemoryStream[(String, String, Long, Long)]
+      val events = mem.toDF()
+        .toDF("symbol", "channel", "ts_exchange_ms", "ts_recv_mono_ns")
+      val gaps = graft.streaming.StalenessStream.gapsTws(events)
+      val sinkName = s"q133_tws_${q133Runs.incrementAndGet()}"
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val query = gaps.writeStream.format("memory").queryName(sinkName)
+          .outputMode("append").start()
+        try {
+          rows.grouped(math.max(1, (rows.size + 3) / 4)).foreach { chunk =>
+            mem.addData(chunk: _*)
+            query.processAllAvailable()
+          }
+        } finally query.stop()
+      } finally prevProvider match {
+        case Some(p) => s.conf.set(providerKey, p)
+        case None    => s.conf.unset(providerKey)
+      }
+      s.table(sinkName)
+        .groupBy(col("symbol").cast("bigint").as("user_id"))
+        .agg(count(lit(1)).as("stale_count"),
+          StableAgg.lavg(col("stale_ms")).as("stale_mean_ms"),
+          StableAgg.lstdSamp(col("stale_ms")).as("stale_std_ms"),
+          min("stale_ms").as("stale_min_ms"),
+          max("stale_ms").as("stale_max_ms"))
+        .orderBy("user_id")
+    },
+    Some(s"""WITH g AS (
+        SELECT user_id,
+          epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+            (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap_ms
+        FROM events)
+      SELECT user_id, COUNT(*) AS stale_count,
+        ${O.lavg("gap_ms")} AS stale_mean_ms,
+        ${O.lstdSamp("gap_ms")} AS stale_std_ms,
+        MIN(gap_ms) AS stale_min_ms, MAX(gap_ms) AS stale_max_ms
+      FROM g WHERE gap_ms IS NOT NULL
+      GROUP BY user_id ORDER BY user_id"""))
+
   override val all: Seq[Q] =
     Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
       q101, q102, q103, q104, q105, q106, q108, q109, q110, q111, q113, q116,
-      q117, q118, q119, q120, q121, q122, q123, q128, q129, q130)
+      q117, q118, q119, q120, q121, q122, q123, q128, q129, q130, q131, q132,
+      q133)
 }
