@@ -641,8 +641,10 @@ object ExtendedQueries extends Registry {
         .toDF("symbol", "channel", "ts_exchange_ms", "ts_recv_mono_ns")
       val gaps = graft.streaming.StalenessStream.gaps(events)
       val sinkName = s"q108_gaps_${q108Runs.incrementAndGet()}"
-      val query = gaps.writeStream.format("memory").queryName(sinkName)
-        .outputMode("append").start()
+      val query = StreamGate.withStatePartitions(s) {
+        gaps.writeStream.format("memory").queryName(sinkName)
+          .outputMode("append").start()
+      }
       try {
         rows.grouped(math.max(1, (rows.size + 3) / 4)).foreach { chunk =>
           mem.addData(chunk: _*)
@@ -793,8 +795,10 @@ object ExtendedQueries extends Registry {
           unix_millis(col("sw.end")).as("session_end_ms"),
           col("cnt"), col("total_value"))
       val sinkName = s"q111_sessions_${q111Runs.incrementAndGet()}"
-      val query = sess.writeStream.format("memory").queryName(sinkName)
-        .outputMode("append").start()
+      val query = StreamGate.withStatePartitions(s) {
+        sess.writeStream.format("memory").queryName(sinkName)
+          .outputMode("append").start()
+      }
       try {
         rows.grouped(math.max(1, (rows.size + 3) / 4)).foreach { chunk =>
           mem.addData(chunk: _*)
@@ -1027,8 +1031,10 @@ object ExtendedQueries extends Registry {
         .withWatermark("event_time", "0 seconds")
       val bars = graft.streaming.Bars.ohlc(src, col("seq"), "1 day")
       val sinkName = s"q119_bars_${q119Runs.incrementAndGet()}"
-      val query = bars.writeStream.format("memory").queryName(sinkName)
-        .outputMode("append").start()
+      val query = StreamGate.withStatePartitions(s) {
+        bars.writeStream.format("memory").queryName(sinkName)
+          .outputMode("append").start()
+      }
       try {
         rows.grouped(math.max(1, (rows.size + 3) / 4)).foreach { chunk =>
           mem.addData(chunk.toSeq: _*)
@@ -1085,8 +1091,10 @@ object ExtendedQueries extends Registry {
         .withColumn("ts_utc", timestamp_millis(col("ts_ms")))
       val deduped = graft.operators.Dedup.streamingExact(src, "props", "ts_utc", "3650 days")
       val sinkName = s"q120_dedup_${q120Runs.incrementAndGet()}"
-      val query = deduped.writeStream.format("memory").queryName(sinkName)
-        .outputMode("append").start()
+      val query = StreamGate.withStatePartitions(s) {
+        deduped.writeStream.format("memory").queryName(sinkName)
+          .outputMode("append").start()
+      }
       try {
         rows.grouped(math.max(1, (rows.size + 3) / 4)).foreach { chunk =>
           mem.addData(chunk: _*)
@@ -1150,8 +1158,10 @@ object ExtendedQueries extends Registry {
       val report = graft.streaming.MetricsStream
         .latencyPercentiles(src, "value", col("event_time"))
       val sinkName = s"q121_metrics_${q121Runs.incrementAndGet()}"
-      val query = report.writeStream.format("memory").queryName(sinkName)
-        .outputMode("append").start()
+      val query = StreamGate.withStatePartitions(s) {
+        report.writeStream.format("memory").queryName(sinkName)
+          .outputMode("append").start()
+      }
       try {
         rows.grouped(math.max(1, (rows.size + 3) / 4)).foreach { chunk =>
           mem.addData(chunk: _*)
@@ -1211,8 +1221,10 @@ object ExtendedQueries extends Registry {
       val src = mem.toDF().toDF("lat")
       val rates = graft.streaming.MetricsStream.zeroRates(src, "lat")
       val sinkName = s"q122_zr_${q122Runs.incrementAndGet()}"
-      val query = rates.writeStream.format("memory").queryName(sinkName)
-        .outputMode("complete").start()
+      val query = StreamGate.withStatePartitions(s) {
+        rates.writeStream.format("memory").queryName(sinkName)
+          .outputMode("complete").start()
+      }
       try {
         rows.grouped(math.max(1, (rows.size + 3) / 4)).foreach { chunk =>
           mem.addData(chunk: _*)
@@ -1251,8 +1263,10 @@ object ExtendedQueries extends Registry {
       val src = mem.toDF().toDF("symbol")
       val counts = graft.streaming.MetricsStream.msgCounts(src)
       val sinkName = s"q123_mc_${q123Runs.incrementAndGet()}"
-      val query = counts.writeStream.format("memory").queryName(sinkName)
-        .outputMode("complete").start()
+      val query = StreamGate.withStatePartitions(s) {
+        counts.writeStream.format("memory").queryName(sinkName)
+          .outputMode("complete").start()
+      }
       try {
         rows.grouped(math.max(1, (rows.size + 3) / 4)).foreach { chunk =>
           mem.addData(chunk: _*)
@@ -1405,8 +1419,10 @@ object ExtendedQueries extends Registry {
         .withWatermark("c_time", "3650 days")
       val joined = graft.streaming.Joins.attribution(iDf, cDf, "24 hours")
       val sinkName = s"q131_join_${q131Runs.incrementAndGet()}"
-      val query = joined.writeStream.format("memory").queryName(sinkName)
-        .outputMode("append").start()
+      val query = StreamGate.withStatePartitions(s) {
+        joined.writeStream.format("memory").queryName(sinkName)
+          .outputMode("append").start()
+      }
       try {
         val iChunks = imps.grouped(math.max(1, (imps.size + 3) / 4)).toSeq
         val cChunks = clks.grouped(math.max(1, (clks.size + 3) / 4)).toSeq
@@ -1496,8 +1512,10 @@ object ExtendedQueries extends Registry {
       s.conf.set(providerKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
-        val query = gaps.writeStream.format("memory").queryName(sinkName)
-          .outputMode("append").start()
+        val query = StreamGate.withStatePartitions(s) {
+          gaps.writeStream.format("memory").queryName(sinkName)
+            .outputMode("append").start()
+        }
         try {
           rows.grouped(math.max(1, (rows.size + 3) / 4)).foreach { chunk =>
             mem.addData(chunk: _*)

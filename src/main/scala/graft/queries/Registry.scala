@@ -14,3 +14,34 @@ case class Q(
 trait Registry {
   def all: Seq[Q]
 }
+
+/** Shared harness for the streaming replay gates (q108, q111, q119-q123,
+  * q127, q131, q133).
+  */
+private[queries] object StreamGate {
+
+  /** Clamp shuffle (= streaming state-store) partitions around a replay
+    * gate's stream. Each stateful operator loads and commits one state
+    * store instance PER PARTITION PER MICRO-BATCH — a fixed cost that
+    * dwarfs the KB of state the replay fixtures actually carry: at the
+    * session default of 32 partitions the gates spent ~1-3 s per batch
+    * on pure store churn (bench_stages shows stage_wall ≪ wall). 8
+    * keeps every gated operator distributed — they are partition-
+    * invariant by design — while cutting the fixed per-batch cost 4x.
+    * Production sizing is the opposite trade: state partitions scale
+    * with executor count and amortize over seconds-long batches, which
+    * is why this clamps only the gate's stream, not the session.
+    * Wrapping `.start()` alone is sufficient AND complete: Structured
+    * Streaming clones the session synchronously at query start
+    * (StreamExecution.sparkSessionForStream) and every micro-batch
+    * plans against the clone, so the immediate restore cannot leak into
+    * the stream, and the post-stream batch aggregation over the sink
+    * table runs at full session parallelism.
+    */
+  def withStatePartitions[A](s: SparkSession, n: Int = 8)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+}

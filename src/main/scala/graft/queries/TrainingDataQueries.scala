@@ -1488,8 +1488,10 @@ object TrainingDataQueries extends Registry {
       val src = mem.toDF().toDF("qid", "qvec")
       val cand = Similarity.lshStreamCandidates(index, src, numPlanes = 8)
       val sinkName = s"q127_ann_${q127Runs.incrementAndGet()}"
-      val query = cand.writeStream.format("memory").queryName(sinkName)
-        .outputMode("append").start()
+      val query = StreamGate.withStatePartitions(s) {
+        cand.writeStream.format("memory").queryName(sinkName)
+          .outputMode("append").start()
+      }
       try {
         qrows.grouped(2).foreach { chunk =>
           mem.addData(chunk: _*)
