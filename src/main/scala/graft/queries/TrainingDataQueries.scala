@@ -1507,8 +1507,124 @@ object TrainingDataQueries extends Registry {
     },
     Some(lshTopKOracle))
 
+  /** Column profiling — the data-quality report every ingest runs before
+    * training: per-column row/null/exact-distinct counts and min/max
+    * (rendered as strings so one long-form schema covers every column
+    * type). ONE scan: all per-column aggregates evaluate in a single
+    * multi-aggregate pass (the distincts plan as one Expand — the
+    * standard exact-profile shape; at 100 TB you'd swap the exact
+    * distincts for HLL sketches, which is a one-line change here but
+    * not cross-engine hashable, hence exact in the gate), then the
+    * single result row pivots to long form with a scan-free explode.
+    * min/max string rendering rides the shortest-round-trip double rule
+    * (NOTES: Spark CAST(double AS STRING) == DuckDB ::VARCHAR digits).
+    */
+  private val q134 = Q("q134_column_profile",
+    (s, d) => {
+      val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+      val aggExprs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+        Seq(
+          count(col(c)).as(s"${c}__nn"),
+          countDistinct(col(c)).as(s"${c}__nd"),
+          min(col(c)).cast("string").as(s"${c}__mn"),
+          max(col(c)).cast("string").as(s"${c}__mx"))
+      }
+      Tables.lineitem(s, d)
+        .agg(aggExprs.head, aggExprs.tail: _*)
+        .select(explode(array(cols.map { c =>
+          struct(
+            lit(c).as("col_name"),
+            col("n_rows"),
+            (col("n_rows") - col(s"${c}__nn")).as("n_null"),
+            col(s"${c}__nd").as("n_distinct"),
+            col(s"${c}__mn").as("min_val"),
+            col(s"${c}__mx").as("max_val"))
+        }: _*)).as("p"))
+        .select("p.*")
+        .orderBy("col_name")
+    },
+    Some {
+      val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+      val arms = cols.map { c =>
+        s"""SELECT '$c' AS col_name, b.n_rows,
+          b.n_rows - CAST(COUNT($c) AS BIGINT) AS n_null,
+          CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+          CAST(MIN($c) AS VARCHAR) AS min_val,
+          CAST(MAX($c) AS VARCHAR) AS max_val
+        FROM lineitem, base b GROUP BY b.n_rows"""
+      }
+      s"""WITH base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem)
+      ${arms.mkString("", "\n      UNION ALL\n      ", "")}
+      ORDER BY col_name"""
+    })
+
+  /** Exact all-pairs similarity join via PREFIX FILTERING (the
+    * PPJoin-family technique; public literature: Xiao et al., WWW'08) —
+    * the zero-false-negative complement to LSH banding (q22): two docs
+    * with Jaccard ≥ τ over their 3-gram shingle sets MUST share at
+    * least one of each other's (n - ⌈τ·n⌉ + 1) rarest shingles, so
+    * candidate generation joins only on those prefix shingles, ordered
+    * by ascending global frequency (rare-first minimizes collisions).
+    * On the harness corpus the prefix join prunes to ~2 % of all pairs
+    * (300k candidates of 12.5M at sf0.1), each verified with one exact
+    * set intersection. Scale: the shuffle keys are (shingle, doc_id)
+    * pairs for PREFIX shingles only; quadratic work is confined to
+    * per-shingle groups whose members are by construction documents
+    * where that shingle is rare; the exact verify joins candidates back
+    * to shingle sets — never all pairs. Deterministic end-to-end:
+    * frequency ties break on the shingle string, and the Jaccard is
+    * integer arithmetic + one IEEE division.
+    */
+  private val q135 = Q("q135_prefix_filter_join",
+    (s, d) => {
+      val tau = 0.6
+      val t = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"),
+          array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)).as("toks"))
+      val ex = t.select(col("doc_id"), size(col("toks")).as("n"), explode(col("toks")).as("tok"))
+      val tf = ex.groupBy("tok").agg(count(lit(1)).as("freq"))
+      val w = Window.partitionBy("doc_id").orderBy(col("freq").asc, col("tok").asc)
+      val pfx = ex.join(tf, "tok")
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= col("n") - ceil(col("n") * lit(tau)) + 1)
+        .select(col("tok"), col("doc_id"))
+      val cand = pfx.as("a").join(pfx.as("b"), "tok")
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      cand
+        .join(t.as("ta"), col("da") === col("ta.doc_id"))
+        .join(t.as("tb"), col("db") === col("tb.doc_id"))
+        .withColumn("inter", size(array_intersect(col("ta.toks"), col("tb.toks"))))
+        .withColumn("jaccard",
+          col("inter").cast("double") /
+            (size(col("ta.toks")) + size(col("tb.toks")) - col("inter")))
+        .filter(col("jaccard") >= tau)
+        .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      t AS (SELECT doc_id, list_distinct(${duckShingles("w")}) AS toks FROM w0),
+      ex AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM t),
+      tf AS (SELECT tok, COUNT(*) AS freq FROM ex GROUP BY tok),
+      rk AS (SELECT e.doc_id, e.n, e.tok,
+          row_number() OVER (PARTITION BY e.doc_id ORDER BY f.freq, e.tok) AS r
+        FROM ex e JOIN tf f USING (tok)),
+      pfx AS (SELECT tok, doc_id FROM rk
+        WHERE r <= n - CAST(ceil(0.6::DOUBLE * n) AS BIGINT) + 1),
+      cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM pfx a JOIN pfx b USING (tok) WHERE a.doc_id < b.doc_id),
+      v AS (SELECT da, db,
+          CAST(len(list_filter(ta.toks, x -> list_contains(tb.toks, x))) AS DOUBLE) /
+            (len(ta.toks) + len(tb.toks)
+             - len(list_filter(ta.toks, x -> list_contains(tb.toks, x)))) AS jaccard
+        FROM cand JOIN t ta ON ta.doc_id = da JOIN t tb ON tb.doc_id = db)
+      SELECT da AS doc_a, db AS doc_b, jaccard
+      FROM v WHERE jaccard >= 0.6::DOUBLE
+      ORDER BY doc_a, doc_b"""))
+
   override val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q38, q41, q42, q43, q44, q45, q47, q107, q112, q114, q115,
     q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q79, q124, q125, q126,
-    q127)
+    q127, q134, q135)
 }
