@@ -1547,9 +1547,61 @@ object ExtendedQueries extends Registry {
       FROM g WHERE gap_ms IS NOT NULL
       GROUP BY user_id ORDER BY user_id"""))
 
+  private val q136Runs = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Source/sink format closure: the engine's parquet-native tables
+    * round-tripped through ORC and through header CSV (write → read back
+    * with explicit schema → aggregate), both read paths gated against
+    * the parquet-derived oracle — a wrong type mapping, a lossy double
+    * render, or a date formatting drift in EITHER format breaks the
+    * hash. Doubles survive CSV because Spark writes shortest-round-trip
+    * digits and the reader parses them back to the identical bits (the
+    * same rule the NOTES cross-engine contract is built on). The
+    * round-trip files are per-run temp dirs (KB at gate scale) — at
+    * production scale both writes are distributed and the read-back
+    * scans split per file exactly like the parquet path.
+    */
+  private val q136 = Q("q136_format_roundtrip",
+    (s, d) => {
+      val base = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 1000)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+          "l_shipdate")
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q136_${ProcessHandle.current().pid()}_${q136Runs.incrementAndGet()}")
+      dir.deleteOnExit()
+      val orcPath = new java.io.File(dir, "orc").getPath
+      val csvPath = new java.io.File(dir, "csv").getPath
+      base.write.mode("overwrite").orc(orcPath)
+      base.write.mode("overwrite").option("header", "true").csv(csvPath)
+      val orc = s.read.orc(orcPath)
+      val csv = s.read.schema(base.schema).option("header", "true").csv(csvPath)
+      def profile(df: DataFrame, fmt: String): DataFrame =
+        df.agg(
+          count(lit(1)).as("n_rows"),
+          StableAgg.dsum(col("l_quantity")).as("sum_qty"),
+          countDistinct(col("l_returnflag")).as("n_flags"),
+          max(col("l_shipdate")).cast("string").as("max_ship"))
+          .select(lit(fmt).as("format"), col("n_rows"), col("sum_qty"),
+            col("n_flags"), col("max_ship"))
+      profile(csv, "csv").unionAll(profile(orc, "orc")).orderBy("format")
+    },
+    Some {
+      def arm(fmt: String) =
+        s"""SELECT '$fmt' AS format, CAST(COUNT(*) AS BIGINT) AS n_rows,
+          ${O.dsum("l_quantity")} AS sum_qty,
+          CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_flags,
+          CAST(MAX(l_shipdate) AS VARCHAR) AS max_ship
+        FROM lineitem WHERE l_orderkey < 1000"""
+      s"""${arm("csv")}
+      UNION ALL
+      ${arm("orc")}
+      ORDER BY format"""
+    })
+
   override val all: Seq[Q] =
     Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
       q101, q102, q103, q104, q105, q106, q108, q109, q110, q111, q113, q116,
       q117, q118, q119, q120, q121, q122, q123, q128, q129, q130, q131, q132,
-      q133)
+      q133, q136)
 }
