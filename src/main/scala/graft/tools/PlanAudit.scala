@@ -103,7 +103,13 @@ object PlanAudit {
     "q118_lateral_topn" ->
       "LATERAL top-n (r05): Catalyst decorrelates the per-customer LIMIT subquery into a ROW_NUMBER window with WindowGroupLimit pushed BEFORE the exchange — map tasks keep 2 rows per customer, so the shuffle ships |customers| x 2 regardless of the orders scan size; no nested-loop re-execution per outer row.",
     "q124_bpe_pair_counts" ->
-      "BPE pair counting (r05): adjacent 2-grams are a codegen'd slice/transform Generate at scan speed (no shuffle before aggregation), pair counts collapse map-side, and the top-200 merge candidates compile to TakeOrderedAndProject — per-partition heaps, the driver sees 200 rows at any corpus scale.")
+      "BPE pair counting (r05): adjacent 2-grams are a codegen'd slice/transform Generate at scan speed (no shuffle before aggregation), pair counts collapse map-side, and the top-200 merge candidates compile to TakeOrderedAndProject — per-partition heaps, the driver sees 200 rows at any corpus scale.",
+    "q128_recursive_cte" ->
+      "Recursive CTE (r06): WITH RECURSIVE plans as UnionLoop — a Catalyst-managed distributed fixpoint whose recursive arm re-executes per iteration over the shrinking frontier only; no driver loop, no collected state, O(depth) rounds.",
+    "q134_column_profile" ->
+      "Column profile (r06): four exact COUNT(DISTINCT)s plus min/max/null counts evaluate in ONE multi-aggregate pass — Expand replicates rows per distinct column map-side, a single partial/final pair follows, and the long-form pivot is a zero-scan explode of the one result row.",
+    "q135_prefix_filter_join" ->
+      "Prefix-filter similarity join (r06): candidate generation self-joins ONLY each doc's (n - ceil(tau*n) + 1) rarest shingles — the exchange ships prefix (shingle, doc_id) pairs, quadratic work is confined to per-shingle groups that are small by construction (prefixes are rare-first), and the exact Jaccard verify joins candidates back to shingle sets, never all pairs.")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get("plan-audit", "8")
