@@ -325,6 +325,32 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("bpeMerge equals sequential greedy left-to-right merge on random corpora") {
+    // the q126 determinism claim: for x != y, "merge every match" (the
+    // distributed, partition-order-free form) == the tokenizer's
+    // sequential greedy pass — exercised over adversarial alternations
+    // like [a b a b], [a a b b], [b a b b] from a 3-token alphabet
+    def greedy(toks: Seq[String], x: String, y: String, m: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == x && toks(i + 1) == y) { out += m; i += 2 }
+        else { out += toks(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(42)
+    val alphabet = Vector("a", "b", "c")
+    val docs = (1 to 300).map { id =>
+      (id.toLong, Seq.fill(rnd.nextInt(14))(alphabet(rnd.nextInt(3))))
+    }
+    val expected = docs.map { case (id, t) => id -> greedy(t, "a", "b", "a_b") }.toMap
+    val got = docs.toDF("doc_id", "toks")
+      .select(col("doc_id"), TextAnalysis.bpeMerge(col("toks"), "a", "b", "a_b").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got == expected)
+  }
+
   test("language-ID picks the lexicon with most marker hits") {
     val docs = Seq(
       (1L, "der hund und die katze ist nicht hier"),
