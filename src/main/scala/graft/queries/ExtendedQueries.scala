@@ -1599,9 +1599,87 @@ object ExtendedQueries extends Registry {
       ORDER BY format"""
     })
 
+  private val q137Runs = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Streaming LEFT OUTER stream-stream join gate — the semantically
+    * hardest join mode streaming has: an unconverted impression emits
+    * its null-click row ONLY once the global watermark passes
+    * `i_time + horizon` (before that, a matching click could still
+    * arrive), so correct results REQUIRE watermark-driven state
+    * eviction — q131's infinite-watermark device cannot express this.
+    * The replay uses a 0-second watermark delay on both sides, feeds 4
+    * interleaved chunk pairs in event-time order, then advances BOTH
+    * watermarks past every impression's horizon with two sentinel
+    * rounds (q111's device; the global watermark is the MIN across
+    * inputs, so both streams need the push): matched pairs stream out
+    * as they join, unmatched impressions flush as null-click rows, and
+    * the total must equal the batch LEFT JOIN the oracle runs.
+    * Late-arrival caveat: with a 0 s delay, a click whose event time
+    * precedes the already-advanced watermark would be dropped — the
+    * replay feeds strictly in event-time order so nothing is late;
+    * production picks the delay from observed disorder.
+    */
+  private val q137 = Q("q137_streaming_outer_join",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts_ms"))
+        .filter(col("user_id") < 50)
+        .orderBy("ts_ms", "event_id")
+        .collect()
+      def side(parity: Long): Seq[(Long, Long, Long)] = ev.iterator
+        .filter(_.getLong(0) % 2 == parity)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val imps = side(0L)
+      val clks = side(1L)
+      val maxTs = ev.iterator.map(_.getLong(2)).max
+      val horizonMs = 86400000L
+      val memI = MemoryStream[(Long, Long, Long)]
+      val memC = MemoryStream[(Long, Long, Long)]
+      val iDf = memI.toDF().toDF("imp_id", "i_user", "i_ts")
+        .withColumn("i_time", timestamp_millis(col("i_ts")))
+        .withWatermark("i_time", "0 seconds")
+      val cDf = memC.toDF().toDF("clk_id", "c_user", "c_ts")
+        .withColumn("c_time", timestamp_millis(col("c_ts")))
+        .withWatermark("c_time", "0 seconds")
+      val joined = graft.streaming.Joins
+        .attribution(iDf, cDf, "24 hours", joinType = "leftOuter")
+      val sinkName = s"q137_oj_${q137Runs.incrementAndGet()}"
+      val query = StreamGate.withStatePartitions(s) {
+        joined.writeStream.format("memory").queryName(sinkName)
+          .outputMode("append").start()
+      }
+      try {
+        val iChunks = imps.grouped(math.max(1, (imps.size + 3) / 4)).toSeq
+        val cChunks = clks.grouped(math.max(1, (clks.size + 3) / 4)).toSeq
+        (0 until math.max(iChunks.size, cChunks.size)).foreach { i =>
+          if (i < iChunks.size) memI.addData(iChunks(i): _*)
+          if (i < cChunks.size) memC.addData(cChunks(i): _*)
+          query.processAllAvailable()
+        }
+        (1 to 2).foreach { k =>
+          val sentinelTs = maxTs + horizonMs + k * 3600000L
+          memI.addData((-1L, -1L, sentinelTs))
+          memC.addData((-1L, -1L, sentinelTs))
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      s.table(sinkName)
+        .filter(col("user_id") >= 0)
+        .orderBy("imp_id", "clk_id")
+    },
+    Some("""SELECT i.event_id AS imp_id, c.event_id AS clk_id, i.user_id
+      FROM (SELECT * FROM events WHERE event_id % 2 = 0 AND user_id < 50) i
+      LEFT JOIN (SELECT * FROM events WHERE event_id % 2 = 1) c
+        ON i.user_id = c.user_id
+        AND epoch_ms(c.ts) BETWEEN epoch_ms(i.ts) AND epoch_ms(i.ts) + 86400000
+      ORDER BY imp_id, clk_id"""))
+
   override val all: Seq[Q] =
     Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
       q101, q102, q103, q104, q105, q106, q108, q109, q110, q111, q113, q116,
       q117, q118, q119, q120, q121, q122, q123, q128, q129, q130, q131, q132,
-      q133, q136)
+      q133, q136, q137)
 }

@@ -1529,7 +1529,7 @@ object TrainingDataQueries extends Registry {
           min(col(c)).cast("string").as(s"${c}__mn"),
           max(col(c)).cast("string").as(s"${c}__mx"))
       }
-      Tables.lineitem(s, d)
+      Tables.fanOut(Tables.lineitem(s, d))
         .agg(aggExprs.head, aggExprs.tail: _*)
         .select(explode(array(cols.map { c =>
           struct(

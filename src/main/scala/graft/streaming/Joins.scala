@@ -24,11 +24,21 @@ object Joins {
     * watermark on `i_time`; `clicks` has (clk_id, c_user, c_time) with a
     * watermark on `c_time`. Emits one row per (impression, click) pair
     * with `c_time` in `[i_time, i_time + horizon]`, in append mode.
+    *
+    * `joinType = "leftOuter"` adds the unconverted impressions: an
+    * impression with no click in its horizon emits ONCE with a null
+    * click — but only after the global watermark (the min across both
+    * inputs) passes `i_time + horizon`, the point at which no future
+    * click can still match it. That deferred-null emission is the
+    * semantic difference between a streaming and a batch outer join,
+    * and exactly what q137 gates.
     */
-  def attribution(imps: DataFrame, clicks: DataFrame, horizon: String): DataFrame =
+  def attribution(imps: DataFrame, clicks: DataFrame, horizon: String,
+      joinType: String = "inner"): DataFrame =
     imps.join(clicks,
       col("i_user") === col("c_user") &&
         col("c_time") >= col("i_time") &&
-        col("c_time") <= col("i_time") + expr(s"interval $horizon"))
+        col("c_time") <= col("i_time") + expr(s"interval $horizon"),
+      joinType)
       .select(col("imp_id"), col("clk_id"), col("i_user").as("user_id"))
 }
