@@ -66,11 +66,22 @@ object Bench {
     // codegen. (The former per-query untimed pass at the TARGET SF is
     // dropped — with min-of-3 interleaved rounds below, the first timed
     // round doubles as the JIT warm pass and the min discards it.)
+    val sparseSampled = Set("q108_streaming_staleness", "q111_streaming_sessions",
+      "q119_streaming_bars", "q120_streaming_dedup", "q121_streaming_metrics",
+      "q122_streaming_zero_rates", "q123_streaming_msg_counts",
+      "q127_streaming_ann", "q131_streaming_join", "q137_streaming_outer_join")
+
     val warmDir = {
       val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
       if (sib.isDirectory) sib.getPath else sfDir
     }
-    ordered.foreach { case (name, fn) => runOnce(name, fn, warmDir, s"$name@w") }
+    // The streaming replay gates skip the warmup too: their wall is fixed
+    // micro-batch/state-store machinery (bench_stages: stage_wall ≪ wall),
+    // so JIT-cold codegen is noise against it and the warmup pass costs
+    // 2-4 s of real machinery per gate.
+    ordered.foreach { case (name, fn) =>
+      if (!sparseSampled(name)) runOnce(name, fn, warmDir, s"$name@w")
+    }
 
     // Min-of-3 timed samples, INTERLEAVED round-robin (JMH-style min):
     // the JVM suffers sporadic time-localized slowdowns (JIT deopt storms,
@@ -84,10 +95,6 @@ object Bench {
     // state-store latency (bench_stages shows stage_wall ≪ wall), not by
     // any plan under perf scrutiny — a third sample buys no signal and
     // costs ~25 s, while a single round-0 sample reports JIT-cold numbers.
-    val sparseSampled = Set("q108_streaming_staleness", "q111_streaming_sessions",
-      "q119_streaming_bars", "q120_streaming_dedup", "q121_streaming_metrics",
-      "q122_streaming_zero_rates", "q123_streaming_msg_counts",
-      "q127_streaming_ann", "q131_streaming_join", "q137_streaming_outer_join")
     val nRounds = 3
     val sampleRounds = (0 until nRounds).map { r =>
       ordered.flatMap { case (name, fn) =>
