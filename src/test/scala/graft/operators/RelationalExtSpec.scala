@@ -149,4 +149,25 @@ class RelationalExtSpec extends SparkSpec {
       assert(r.getLong(2) == span, s"tspan ${r.getLong(2)} != ts span $span")
     }
   }
+
+  test("recursive CTE (UnionLoop) sustains deep recursion and terminates exactly") {
+    // q128's fixture depth is ≤ 5; prove the fixpoint machinery holds at
+    // depth 120 — past Spark's default iteration limit of 100, so the
+    // limit conf is raised explicitly — and that the loop terminates with
+    // exactly one frontier row per level (the count pins both termination
+    // and per-round arity).
+    val prev = spark.conf.getOption("spark.sql.cteRecursionLevelLimit")
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "200")
+    try {
+      val rows = spark.sql("""WITH RECURSIVE chain AS (
+          SELECT 0 AS n
+          UNION ALL
+          SELECT n + 1 FROM chain WHERE n < 120)
+        SELECT COUNT(*) AS cnt, MAX(n) AS deepest FROM chain""").collect()
+      assert(rows.head.getLong(0) == 121L && rows.head.getInt(1) == 120)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.cteRecursionLevelLimit", v)
+      case None    => spark.conf.unset("spark.sql.cteRecursionLevelLimit")
+    }
+  }
 }
