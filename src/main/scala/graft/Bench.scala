@@ -69,7 +69,8 @@ object Bench {
     val sparseSampled = Set("q108_streaming_staleness", "q111_streaming_sessions",
       "q119_streaming_bars", "q120_streaming_dedup", "q121_streaming_metrics",
       "q122_streaming_zero_rates", "q123_streaming_msg_counts",
-      "q127_streaming_ann", "q131_streaming_join", "q137_streaming_outer_join")
+      "q127_streaming_ann", "q131_streaming_join", "q137_streaming_outer_join",
+      "q138_streaming_tws_sessions")
 
     val warmDir = {
       val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")

@@ -1677,9 +1677,82 @@ object ExtendedQueries extends Registry {
         AND epoch_ms(c.ts) BETWEEN epoch_ms(i.ts) AND epoch_ms(i.ts) + 86400000
       ORDER BY imp_id, clk_id"""))
 
+  private val q138Runs = new java.util.concurrent.atomic.AtomicLong()
+
+  /** transformWithState EVENT-TIME TIMER gate — the API surface q133's
+    * ValueState fold doesn't reach: gap sessionization where the tail
+    * session of every key can only close when the WATERMARK passes its
+    * gap horizon, via `registerTimer`/`handleExpiredTimer`
+    * ([[graft.streaming.SessionsTws]], RocksDB provider as TWS
+    * requires). Mid-stream sessions close from input (a later event
+    * proves the gap); tail sessions close from timers armed at
+    * `end + gap` and fired by the two sentinel watermark pushes — and
+    * the event/timer close paths must not double-emit when they collide
+    * at a batch boundary (the processor's horizon re-check). Checked
+    * against q36's session_window oracle: same sessions, counts, and
+    * decimal value totals as the engine's native sessionization.
+    */
+  private val q138 = Q("q138_streaming_tws_sessions",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val arrived = Tables.events(s, d)
+        .select(col("user_id"), col("ts_ms"), col("value"))
+        .orderBy("ts_ms", "user_id")
+        .collect()
+      val rows: Seq[(Long, Long, Double)] = arrived.iterator
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val maxTs = if (rows.nonEmpty) rows.map(_._2).max else 0L
+      val mem = MemoryStream[(Long, Long, Double)]
+      val src = mem.toDF().toDF("user_id", "ts_ms", "value")
+        .withColumn("event_time", timestamp_millis(col("ts_ms")))
+        .withWatermark("event_time", "0 seconds")
+      val sess = graft.streaming.SessionsTws.sessions(src)
+      val sinkName = s"q138_tws_${q138Runs.incrementAndGet()}"
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val query = StreamGate.withStatePartitions(s) {
+          sess.toDF().writeStream.format("memory").queryName(sinkName)
+            .outputMode("append").start()
+        }
+        try {
+          rows.grouped(math.max(1, (rows.size + 3) / 4)).foreach { chunk =>
+            mem.addData(chunk: _*)
+            query.processAllAvailable()
+          }
+          (1 to 2).foreach { k =>
+            mem.addData((-1L, maxTs + 1800000L + k * 3600000L, 0.0))
+            query.processAllAvailable()
+          }
+        } finally query.stop()
+      } finally prevProvider match {
+        case Some(p) => s.conf.set(providerKey, p)
+        case None    => s.conf.unset(providerKey)
+      }
+      s.table(sinkName)
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("session_start_ms"), col("session_end_ms"),
+          col("cnt"), col("total_value"))
+        .orderBy("user_id", "session_start_ms")
+    },
+    Some(s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, value FROM events),
+      m AS (SELECT *, CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+              OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) >= 1800000
+              THEN 1 ELSE 0 END AS new_s FROM e),
+      g AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
+      SELECT user_id, MIN(ms) AS session_start_ms,
+        MAX(ms) + 1800000 AS session_end_ms,
+        CAST(COUNT(*) AS BIGINT) AS cnt, ${O.dsum("value")} AS total_value
+      FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_ms"""))
+
   override val all: Seq[Q] =
     Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
       q101, q102, q103, q104, q105, q106, q108, q109, q110, q111, q113, q116,
       q117, q118, q119, q120, q121, q122, q123, q128, q129, q130, q131, q132,
-      q133, q136, q137)
+      q133, q136, q137, q138)
 }
