@@ -1750,9 +1750,53 @@ object ExtendedQueries extends Registry {
         CAST(COUNT(*) AS BIGINT) AS cnt, ${O.dsum("value")} AS total_value
       FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_ms"""))
 
+  private val q139Runs = new java.util.concurrent.atomic.AtomicLong()
+
+  /** FILE streaming source gate — every other replay gate drives
+    * MemoryStream; this one drives the production file source: the
+    * events fixture is re-written as four parquet files into a spool
+    * directory, `readStream.parquet` discovers them with
+    * `maxFilesPerTrigger=1` (four real micro-batches through file
+    * discovery, schema enforcement, and exactly-once file tracking),
+    * and the keyed running count accumulates across those batches in
+    * complete-mode state — q123's semantics through a different source
+    * implementation, same oracle. This is the 100 TB landing pattern
+    * the WebSocket source's scaladoc points at: frames land in a
+    * replayable spool and the engine fans out from there.
+    */
+  private val q139 = Q("q139_streaming_file_source",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"))
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q139_${ProcessHandle.current().pid()}_${q139Runs.incrementAndGet()}")
+      dir.deleteOnExit()
+      val spool = new java.io.File(dir, "spool").getPath
+      (0 until 4).foreach { i =>
+        ev.filter(pmod(col("event_id"), lit(4)) === i)
+          .coalesce(1).write.mode("append").parquet(spool)
+      }
+      val src = s.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(spool)
+      val counts = graft.streaming.MetricsStream
+        .msgCounts(src.select(col("user_id").as("symbol")))
+      val sinkName = s"q139_fs_${q139Runs.get()}"
+      val query = StreamGate.withStatePartitions(s) {
+        counts.writeStream.format("memory").queryName(sinkName)
+          .outputMode("complete").start()
+      }
+      try query.processAllAvailable() finally query.stop()
+      s.table(sinkName)
+        .select(col("symbol").as("user_id"), col("msg_count"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, COUNT(*) AS msg_count FROM events
+      GROUP BY user_id ORDER BY user_id"""))
+
   override val all: Seq[Q] =
     Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
       q101, q102, q103, q104, q105, q106, q108, q109, q110, q111, q113, q116,
       q117, q118, q119, q120, q121, q122, q123, q128, q129, q130, q131, q132,
-      q133, q136, q137, q138)
+      q133, q136, q137, q138, q139)
 }
