@@ -259,6 +259,122 @@ object Multimodal {
       }(enc)
   }
 
+  /** Real JVM audio codec: WAV (RIFF/WAVE, PCM signed 16-bit LE mono) via
+    * `javax.sound.sampled.AudioSystem` (JDK-builtin, no external deps and
+    * no audio device needed — pure file-format I/O). Synthesis writes the
+    * closed-form waveform `s(i) = ((7i + 31·doc_id) mod 65536) − 32768`
+    * through the WAV encoder; decode parses the RIFF header back through
+    * `AudioSystem.getAudioInputStream` (sample rate / channels / bit depth
+    * come from the DECODED header, not assumptions) and reads the PCM
+    * frames. PCM is lossless, so decoded samples must equal the formula
+    * bit-for-bit; q146's DuckDB oracle recomputes the sums/checksum from
+    * the closed form and hash-compares — a header-parse or endianness bug
+    * fails the gate.
+    */
+  object AudioCodec {
+    val SampleRate = 8000
+    def sampleAt(docId: Long, i: Int): Int =
+      ((i * 7L + docId * 31L) % 65536L).toInt - 32768
+
+    def synthesizeWav(docId: Long, nSamples: Int): Array[Byte] = {
+      val pcm = new Array[Byte](nSamples * 2)
+      var i = 0
+      while (i < nSamples) {
+        val v = sampleAt(docId, i)
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        SampleRate.toFloat, 16, 1, /*signed=*/ true, /*bigEndian=*/ false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    final case class Decoded(sampleRate: Int, channels: Int, bits: Int,
+        nSamples: Long, sampleSum: Long, absSum: Long, sampleChecksum: Long,
+        meanAbs: Double)
+
+    def decode(bytes: Array[Byte]): Decoded = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      val pcm = in.readAllBytes()
+      in.close()
+      val bytesPerSample = fmt.getSampleSizeInBits / 8
+      val frameSize = fmt.getFrameSize
+      val n = pcm.length / frameSize
+      var sum = 0L
+      var abs = 0L
+      var c = 0L
+      var i = 0
+      while (i < n) {
+        val off = i * frameSize // channel 0 of each frame
+        val v =
+          if (fmt.isBigEndian)
+            ((pcm(off) << 8) | (pcm(off + 1) & 0xff)).toShort.toInt
+          else
+            ((pcm(off + bytesPerSample - 1) << 8) | (pcm(off) & 0xff)).toShort.toInt
+        sum += v
+        abs += math.abs(v)
+        c = (c * 31 + (v + 32768)) & 0xffffffffL
+        i += 1
+      }
+      Decoded(fmt.getSampleRate.toInt, fmt.getChannels,
+        fmt.getSampleSizeInBits, n, sum, abs, c,
+        abs.toDouble / (n.toDouble * 32768.0d))
+    }
+  }
+
+  /** Deterministic per-doc sample counts: n = doc_id%480 + 240. */
+  private def audioDimCol: org.apache.spark.sql.Column =
+    (pmod(col("doc_id"), lit(480)) + 240).cast("int").as("n")
+
+  /** Encode a real WAV per document (per-partition codec batching). */
+  def synthesizeAudio(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("media_bytes", BinaryType),
+      StructField("media_type", StringType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    docs.select(col("doc_id"), audioDimCol)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, AudioCodec.synthesizeWav(id, r.getInt(1)), "audio/wav")
+        }
+      }(enc)
+  }
+
+  /** Decode WAV bytes through the javax.sound codec into sample-level
+    * features (header fields + PCM sums/checksum).
+    */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("bits", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("sample_sum", LongType),
+      StructField("abs_sum", LongType),
+      StructField("sample_checksum", LongType),
+      StructField("mean_abs", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select(col("doc_id"), col("media_bytes"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val d = AudioCodec.decode(r.getAs[Array[Byte]]("media_bytes"))
+          Row(r.getLong(0), d.sampleRate, d.channels, d.bits, d.nSamples,
+            d.sampleSum, d.absSum, d.sampleChecksum, d.meanAbs)
+        }
+      }(enc)
+  }
+
   /** Codec-free byte-level feature extraction for opaque payloads with no
     * JVM decoder (deterministic: rolling checksum + byte-histogram
     * moments); the generic fallback arm of the decode seam.

@@ -1623,8 +1623,246 @@ object TrainingDataQueries extends Registry {
       FROM v WHERE jaccard >= 0.6::DOUBLE
       ORDER BY doc_a, doc_b"""))
 
+  /** Gopher-style quality-filter rule suite (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", §A1.1 — published rule thresholds):
+    * per-document boolean verdicts for word-count bounds, mean-word-length
+    * band, alphabetic-word fraction, and stop-word presence, plus the
+    * conjunction. Differs from q29 (a weighted SCORE) — this is the
+    * FILTER surface: each rule is its own auditable column, which is what
+    * a corpus-curation pipeline ships (per-rule rejection stats drive
+    * threshold tuning). All columns are scan-local array arithmetic behind
+    * one tokenize; no shuffle before the gate's orderBy.
+    */
+  private val q140 = Q("q140_gopher_rules",
+    (s, d) => {
+      val stop = Seq("the", "a", "of", "and", "is", "to", "in", "that")
+      Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.tokens(col("text")).as("w"))
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_words"),
+          ((length(col("text")) - (size(col("w")) - 1)).cast("double") /
+            size(col("w"))).as("mean_word_len"),
+          (size(filter(col("w"), t => t.rlike("[a-z]"))).cast("double") /
+            size(col("w"))).as("alpha_frac"),
+          size(filter(col("w"), t => t.isin(stop: _*))).cast("long").as("n_stopwords"))
+        .withColumn("r_word_count", col("n_words") >= 50 && col("n_words") <= 100000)
+        .withColumn("r_mean_word_len", col("mean_word_len") >= 3.0d && col("mean_word_len") <= 10.0d)
+        .withColumn("r_alpha", col("alpha_frac") >= 0.8d)
+        .withColumn("r_stopwords", col("n_stopwords") >= 2)
+        .withColumn("passes_gopher",
+          col("r_word_count") && col("r_mean_word_len") && col("r_alpha") && col("r_stopwords"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, text, $duckToks AS w FROM documents),
+      m AS (SELECT doc_id,
+        CAST(len(w) AS BIGINT) AS n_words,
+        CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) AS mean_word_len,
+        CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+          / len(w) AS alpha_frac,
+        CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is','to','in','that'))) AS BIGINT)
+          AS n_stopwords
+        FROM t)
+      SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stopwords,
+        (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+        (mean_word_len >= 3.0::DOUBLE AND mean_word_len <= 10.0::DOUBLE) AS r_mean_word_len,
+        (alpha_frac >= 0.8::DOUBLE) AS r_alpha,
+        (n_stopwords >= 2) AS r_stopwords,
+        ((n_words >= 50 AND n_words <= 100000)
+          AND (mean_word_len >= 3.0::DOUBLE AND mean_word_len <= 10.0::DOUBLE)
+          AND alpha_frac >= 0.8::DOUBLE AND n_stopwords >= 2) AS passes_gopher
+      FROM m ORDER BY doc_id"""))
+
+  /** Domain-mixture reweighting: given target language shares, compute the
+    * largest corpus achievable WITHOUT upsampling (budget = min over
+    * languages of tokens_l / share_l), then each language's sampling rate
+    * and expected token yield. This is the planning table a pretraining
+    * run publishes before sampling (the actual draw is q43's stratified
+    * sampler, whose rates this computes). One partial-aggregated shuffle
+    * keyed by lang (5 groups), a broadcast join against the literal
+    * target table, and a 1-row budget scalar crossJoined back — at 100 TB
+    * the only data-sized pass is the scan feeding the lang aggregation.
+    * All arithmetic is exact: token sums are integers; rate/budget are
+    * single IEEE divisions/multiplies evaluated identically per engine.
+    */
+  private val q141 = Q("q141_domain_mixture",
+    (s, d) => {
+      import s.implicits._
+      val targets = Seq(("en", 0.5d), ("de", 0.15d), ("fr", 0.15d),
+        ("es", 0.1d), ("zh", 0.1d)).toDF("lang", "target_share")
+      val perLang = Tables.fanOut(Tables.documents(s, d))
+        .select(col("lang"), size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("lang_tokens"))
+        .join(broadcast(targets), "lang")
+      val budget = perLang
+        .agg(min(col("lang_tokens").cast("double") / col("target_share")).as("budget_tokens"))
+      perLang.crossJoin(broadcast(budget))
+        .withColumn("sample_rate",
+          least(col("target_share") * col("budget_tokens") / col("lang_tokens").cast("double"), lit(1.0d)))
+        .withColumn("expected_tokens",
+          floor(col("sample_rate") * col("lang_tokens").cast("double")).cast("long"))
+        .select("lang", "n_docs", "lang_tokens", "target_share", "sample_rate", "expected_tokens")
+        .orderBy("lang")
+    },
+    Some("""WITH tgt(lang, target_share) AS (VALUES
+        ('en', 0.5::DOUBLE), ('de', 0.15::DOUBLE), ('fr', 0.15::DOUBLE),
+        ('es', 0.1::DOUBLE), ('zh', 0.1::DOUBLE)),
+      pl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens
+        FROM documents GROUP BY lang),
+      j AS (SELECT pl.*, tgt.target_share FROM pl JOIN tgt USING (lang)),
+      b AS (SELECT MIN(CAST(lang_tokens AS DOUBLE) / target_share) AS budget_tokens FROM j)
+      SELECT lang, n_docs, lang_tokens, target_share,
+        least(target_share * budget_tokens / CAST(lang_tokens AS DOUBLE), 1.0::DOUBLE) AS sample_rate,
+        CAST(floor(least(target_share * budget_tokens / CAST(lang_tokens AS DOUBLE), 1.0::DOUBLE)
+          * CAST(lang_tokens AS DOUBLE)) AS BIGINT) AS expected_tokens
+      FROM j CROSS JOIN b ORDER BY lang"""))
+
+  /** CCNet-style LM quality scoring (Wenzek et al. 2020): train a
+    * token-bigram language model on the in-domain subset (lang='en'),
+    * then score EVERY document by its mean smoothed bigram probability —
+    * the importance-filtering signal a pretraining pipeline computes over
+    * the whole crawl. Add-one smoothing: p(w2|w1) = (c(w1,w2)+1) /
+    * (c(w1)+V). Deliberately linear-domain (no libm log — see q42's
+    * rationale): every p is one IEEE division of small exact integers,
+    * and the per-doc mean goes through the scale-18 decimal route so the
+    * reduction is order-free. Scale shape: the corpus is exploded to
+    * bigrams ONCE and reused for both model counts and scoring; the model
+    * tables are vocabulary-sized (≪ corpus, broadcastable at any SF —
+    * AQE picks broadcast here); the scoring join never shuffles the
+    * corpus twice (both model joins key on w1-derived columns).
+    */
+  private val q142 = Q("q142_bigram_lm_score",
+    (s, d) => {
+      import graft.functions.{StableAgg => SA}
+      val docs = Tables.fanOut(Tables.documents(s, d))
+      val bi = docs
+        .select(col("doc_id"), col("lang"),
+          explode(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 2)).as("bg"))
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .withColumn("w2", split(col("bg"), " ").getItem(1))
+      val train = bi.filter(col("lang") === "en")
+      val c12 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val voc = docs.filter(col("lang") === "en")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+        .agg(countDistinct(col("t")).as("vsz"))
+      bi.join(c12, Seq("w1", "w2"), "left")
+        .join(c1, Seq("w1"), "left")
+        .crossJoin(broadcast(voc))
+        .withColumn("p",
+          (coalesce(col("c12"), lit(0L)) + 1L).cast("double") /
+            (coalesce(col("c1"), lit(0L)) + col("vsz")).cast("double"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          SA.dsum(col("p"), 18).as("sum_p"),
+          min(col("p")).as("min_p"))
+        .withColumn("avg_p", col("sum_p") / col("n_bigrams").cast("double"))
+        .select("doc_id", "n_bigrams", "avg_p", "min_p")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, lang, $duckToks AS w FROM documents),
+      bi AS (SELECT doc_id, lang,
+          w[i] AS w1, w[i+1] AS w2
+        FROM t, unnest(range(1, len(w))) AS r(i)),
+      c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi WHERE lang = 'en' GROUP BY w1, w2),
+      c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi WHERE lang = 'en' GROUP BY w1),
+      voc AS (SELECT COUNT(DISTINCT tok) AS vsz
+        FROM (SELECT unnest(w) AS tok FROM t WHERE lang = 'en')),
+      sc AS (SELECT bi.doc_id,
+          CAST(coalesce(c12.c12, 0) + 1 AS DOUBLE)
+            / CAST(coalesce(c1.c1, 0) + voc.vsz AS DOUBLE) AS p
+        FROM bi LEFT JOIN c12 ON bi.w1 = c12.w1 AND bi.w2 = c12.w2
+          LEFT JOIN c1 ON bi.w1 = c1.w1
+          CROSS JOIN voc)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        ${graft.OracleSql.dsum("p", 18)} / CAST(COUNT(*) AS DOUBLE) AS avg_p,
+        MIN(p) AS min_p
+      FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Multimodal decode through a REAL audio codec (javax.sound.sampled,
+    * JDK WAV): synthesize the closed-form PCM16 waveform s(i) = ((7i +
+    * 31·doc_id) mod 65536) − 32768 per doc, encode to actual RIFF/WAVE
+    * bytes, decode back through AudioSystem, and extract header fields +
+    * sample-level features. The header columns (sample_rate, channels,
+    * bits) come from the decoded format — a parse bug fails the gate; the
+    * PCM columns have a full closed-form oracle like q107's image twin.
+    */
+  private val q146 = Q("q146_audio_decode",
+    (s, d) => {
+      val media = Multimodal.synthesizeAudio(Tables.fanOut(Tables.documents(s, d)))
+      Multimodal.decodeAudio(media).orderBy("doc_id")
+    },
+    Some("""WITH dims AS (
+        SELECT doc_id, CAST(doc_id % 480 + 240 AS BIGINT) AS n FROM documents),
+      wav AS (
+        SELECT doc_id, n,
+          list_transform(range(0, n),
+            i -> (i*7 + doc_id*31) % 65536 - 32768) AS smp
+        FROM dims)
+      SELECT doc_id,
+        8000 AS sample_rate, 1 AS channels, 16 AS bits,
+        n AS n_samples,
+        CAST(list_sum(smp) AS BIGINT) AS sample_sum,
+        CAST(list_sum(list_transform(smp, x -> abs(x))) AS BIGINT) AS abs_sum,
+        list_reduce(list_transform(smp, x -> x + 32768),
+          (acc, v) -> (acc*31 + v) & 4294967295) AS sample_checksum,
+        CAST(CAST(list_sum(list_transform(smp, x -> abs(x))) AS BIGINT) AS DOUBLE)
+          / (CAST(n AS DOUBLE) * 32768.0::DOUBLE) AS mean_abs
+      FROM wav ORDER BY doc_id"""))
+
+  /** Epoch-aware fractional up/down-sampling — the repetition operator a
+    * data-mixing plan needs once q141 emits NON-INTEGER rates: a rate of
+    * 2.3 means every doc appears twice and a deterministic 30 % of docs
+    * (by salted digest, the q43 device) appear a third time; a rate of
+    * 0.5 means a deterministic half appear at all. copies(doc) =
+    * ⌊rate⌋ + [u(doc) < frac(rate)], materialized as one row per
+    * (doc, copy_idx) via sequence+explode. Retry-stable and
+    * partition-free like all the digest sampling: no shuffle, no state,
+    * identical multiset on any engine — which is exactly what makes
+    * epoch-boundary-free repetition safe at 100 TB (a rerun of any
+    * partition reproduces the same copies; changing the salt per epoch
+    * yields a fresh fractional subset).
+    */
+  private val q150 = Q("q150_epoch_upsample",
+    (s, d) => {
+      val rates = Seq("en" -> 1.0d, "de" -> 2.3d, "fr" -> 0.5d,
+        "es" -> 1.7d, "zh" -> 3.0d)
+      val rate = rates.foldRight(lit(1.0d): org.apache.spark.sql.Column) {
+        case ((l, r), acc) => when(col("lang") === l, lit(r)).otherwise(acc)
+      }
+      Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), col("lang"), rate.as("rate"),
+          Sampling.uniform(col("doc_id"), "epoch1").as("u"))
+        .withColumn("copies",
+          (floor(col("rate")) +
+            when(col("u") < col("rate") - floor(col("rate")), 1L).otherwise(0L))
+            .cast("long"))
+        .filter(col("copies") > 0)
+        .select(col("doc_id"), col("lang"), col("copies"),
+          explode(sequence(lit(1L), col("copies"))).as("copy_idx"))
+        .orderBy("doc_id", "copy_idx")
+    },
+    Some {
+      val u = s"(${duckHash32("md5('epoch1:' || CAST(doc_id AS VARCHAR))")}) / 4294967296.0::DOUBLE"
+      s"""WITH r AS (SELECT doc_id, lang,
+          CASE lang WHEN 'en' THEN 1.0::DOUBLE WHEN 'de' THEN 2.3::DOUBLE
+            WHEN 'fr' THEN 0.5::DOUBLE WHEN 'es' THEN 1.7::DOUBLE
+            WHEN 'zh' THEN 3.0::DOUBLE ELSE 1.0::DOUBLE END AS rate,
+          $u AS u
+        FROM documents),
+      c AS (SELECT doc_id, lang,
+          CAST(floor(rate) + (CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END) AS BIGINT)
+            AS copies
+        FROM r)
+      SELECT doc_id, lang, copies, unnest(generate_series(1, copies)) AS copy_idx
+      FROM c WHERE copies > 0
+      ORDER BY doc_id, copy_idx"""
+    })
+
   override val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q38, q41, q42, q43, q44, q45, q47, q107, q112, q114, q115,
     q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q79, q124, q125, q126,
-    q127, q134, q135)
+    q127, q134, q135, q140, q141, q142, q146, q150)
 }

@@ -262,6 +262,36 @@ class TrainingDataSpec extends SparkSpec {
     assert(run(2) == run(5))
   }
 
+  test("AudioCodec WAV round-trip is lossless and header fields decode") {
+    // local codec check: RIFF/WAVE container + exact PCM round-trip
+    val bytes = Multimodal.AudioCodec.synthesizeWav(42L, 300)
+    assert(bytes.length > 44 &&
+      (bytes(0) & 0xff) == 'R' && (bytes(1) & 0xff) == 'I' &&
+      (bytes(8) & 0xff) == 'W' && (bytes(9) & 0xff) == 'A',
+      "synthesized payload is not a RIFF/WAVE file")
+    val d = Multimodal.AudioCodec.decode(bytes)
+    assert(d.sampleRate == 8000 && d.channels == 1 && d.bits == 16)
+    assert(d.nSamples == 300L)
+    var sum = 0L; var abs = 0L; var c = 0L
+    for (i <- 0 until 300) {
+      val v = Multimodal.AudioCodec.sampleAt(42L, i)
+      sum += v; abs += math.abs(v)
+      c = (c * 31 + (v + 32768)) & 0xffffffffL
+    }
+    assert(d.sampleSum == sum && d.absSum == abs && d.sampleChecksum == c,
+      "PCM mismatch — endianness or header-offset bug?")
+    assert(d.meanAbs == abs.toDouble / (300.0d * 32768.0d))
+    // negative samples must survive the round-trip (sign extension check)
+    assert((0 until 300).exists(i => Multimodal.AudioCodec.sampleAt(42L, i) < 0))
+
+    // distributed path: partition-invariant through the real codec
+    val docs = Tables.documents(spark, dir).limit(60)
+    def run(parts: Int) =
+      Multimodal.decodeAudio(Multimodal.synthesizeAudio(docs.repartition(parts)))
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(run(2) == run(5))
+  }
+
   test("RgbCodec 3-band PNG round-trip is lossless with semantic band order") {
     val bytes = Multimodal.RgbCodec.synthesizePng(7L, 10, 6)
     val d = Multimodal.RgbCodec.decode(bytes)
