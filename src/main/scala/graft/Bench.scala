@@ -70,7 +70,8 @@ object Bench {
       "q119_streaming_bars", "q120_streaming_dedup", "q121_streaming_metrics",
       "q122_streaming_zero_rates", "q123_streaming_msg_counts",
       "q127_streaming_ann", "q131_streaming_join", "q137_streaming_outer_join",
-      "q138_streaming_tws_sessions", "q139_streaming_file_source")
+      "q138_streaming_tws_sessions", "q139_streaming_file_source",
+      "q149_streaming_available_now")
 
     val warmDir = {
       val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")

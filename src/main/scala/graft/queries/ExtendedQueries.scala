@@ -1794,9 +1794,162 @@ object ExtendedQueries extends Registry {
     Some("""SELECT user_id, COUNT(*) AS msg_count FROM events
       GROUP BY user_id ORDER BY user_id"""))
 
+  private val q148Runs = new java.util.concurrent.atomic.AtomicLong()
+
+  /** JSON lines source/sink round-trip (completing q136's format matrix:
+    * parquet everywhere, ORC+CSV in q136, JSONL here — the interchange
+    * format the reference's own sink emits, sinks/jsonl.py): write a
+    * typed projection as JSONL, read it back with an explicit schema (no
+    * inference — production contract), and profile both arms identically.
+    * Doubles survive because Spark's JSON writer emits the shortest
+    * round-trip repr (same Jackson contract PyDoubleRepr gates) and the
+    * reader parses it back to the identical bit pattern; timestamps are
+    * compared through an explicit UTC string render. Scale: JSONL is the
+    * splittable-text landing format — a line-delimited spool fans out by
+    * byte ranges exactly like the q139 file-source pattern.
+    */
+  private val q148 = Q("q148_json_roundtrip",
+    (s, d) => {
+      val base = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 1000)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+          "l_returnflag", "l_shipdate")
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q148_${ProcessHandle.current().pid()}_${q148Runs.incrementAndGet()}")
+      dir.deleteOnExit()
+      val jsonPath = new java.io.File(dir, "jsonl").getPath
+      base.write.mode("overwrite").json(jsonPath)
+      val back = s.read.schema(base.schema).json(jsonPath)
+      def profile(df: DataFrame, fmt: String): DataFrame =
+        df.agg(
+          count(lit(1)).as("n_rows"),
+          StableAgg.dsum(col("l_quantity")).as("sum_qty"),
+          StableAgg.dsum(col("l_extendedprice")).as("sum_price"),
+          countDistinct(col("l_returnflag")).as("n_flags"),
+          max(col("l_shipdate")).cast("string").as("max_ship"))
+          .select(lit(fmt).as("format"), col("n_rows"), col("sum_qty"),
+            col("sum_price"), col("n_flags"), col("max_ship"))
+      profile(base, "parquet").unionAll(profile(back, "jsonl")).orderBy("format")
+    },
+    Some {
+      def arm(fmt: String) =
+        s"""SELECT '$fmt' AS format, CAST(COUNT(*) AS BIGINT) AS n_rows,
+          ${O.dsum("l_quantity")} AS sum_qty,
+          ${O.dsum("l_extendedprice")} AS sum_price,
+          CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_flags,
+          CAST(MAX(l_shipdate) AS VARCHAR) AS max_ship
+        FROM lineitem WHERE l_orderkey < 1000"""
+      s"""${arm("jsonl")}
+      UNION ALL
+      ${arm("parquet")}
+      ORDER BY format"""
+    })
+
+  private val q149Runs = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Trigger.AvailableNow gate — the batch-backfill trigger the other
+    * streaming gates don't touch: the query plans its OWN micro-batches
+    * from the files available at start (maxFilesPerTrigger still caps
+    * each batch, so this drains the 4-file spool in 4 real batches),
+    * then TERMINATES itself — no processAllAvailable, no stop(); the
+    * gate awaits natural termination. This is the production shape for
+    * "catch up on the spool nightly with streaming semantics + state +
+    * exactly-once file tracking, then exit": same per-key aggregation
+    * state as a live stream, bounded run. Complete-mode per-event_type
+    * decimal totals ride the state store across those batches and must
+    * equal the batch oracle.
+    */
+  private val q149 = Q("q149_streaming_available_now",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"),
+        col("event_id"))
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q149_${ProcessHandle.current().pid()}_${q149Runs.incrementAndGet()}")
+      dir.deleteOnExit()
+      val spool = new java.io.File(dir, "spool").getPath
+      (0 until 4).foreach { i =>
+        ev.filter(pmod(col("event_id"), lit(4)) === i)
+          .coalesce(1).write.mode("append").parquet(spool)
+      }
+      val src = s.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(spool)
+      val totals = src.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          StableAgg.dsum(col("value")).as("total_value"))
+      val sinkName = s"q149_an_${q149Runs.get()}"
+      val query = StreamGate.withStatePartitions(s) {
+        totals.writeStream.format("memory").queryName(sinkName)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      // AvailableNow terminates on its own once the spool is drained;
+      // the timeout is a hang guard, not a pacing device.
+      try {
+        if (!query.awaitTermination(300000L))
+          throw new IllegalStateException("q149: AvailableNow did not terminate")
+      } finally query.stop()
+      s.table(sinkName)
+        .select(col("event_type"), col("n_events"), col("total_value"))
+        .orderBy("event_type")
+    },
+    Some(s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        ${O.dsum("value")} AS total_value
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Higher-order-function closure over array columns: transform / filter /
+    * exists / aggregate (left fold) / zip_with / slice / sort, all evaluated
+    * INSIDE whole-stage codegen against the embeddings vectors — the
+    * column-functional surface a feature-engineering pipeline leans on
+    * (vector norms, clipping counts, top-k component mass) without ever
+    * exploding the array to rows. Scale: scan-local per-row arithmetic,
+    * zero shuffles before the gate's orderBy; at 100 TB this runs at scan
+    * speed like q28-q31. Float elements are cast to double BEFORE any
+    * arithmetic (both engines then fold identical doubles left-to-right —
+    * the q26 duckCos device); the descending sort for top-3 mass is
+    * order-insensitive to ties because only the SUM of the slice is kept.
+    */
+  private val q144 = Q("q144_hof_vector_ops",
+    (s, d) => {
+      val e = col("embedding")
+      val asD = (c: org.apache.spark.sql.Column) => c.cast("double")
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          size(e).as("dim"),
+          size(filter(e, x => x > lit(0.0f))).cast("long").as("n_pos"),
+          exists(e, x => abs(x) > lit(2.0f)).as("has_big"),
+          sqrt(aggregate(e, lit(0.0d), (acc, x) => acc + asD(x) * asD(x)))
+            .as("l2_norm"),
+          aggregate(zip_with(e, reverse(e), (a, b) => asD(a) * asD(b)),
+            lit(0.0d), (acc, x) => acc + x).as("rev_dot"),
+          asD(array_max(e)).as("max_val"),
+          aggregate(slice(sort_array(e, asc = false), 1, 3),
+            lit(0.0d), (acc, x) => acc + asD(x)).as("top3_sum"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH t AS (SELECT vec_id, embedding AS e FROM embeddings)
+      SELECT vec_id,
+        CAST(len(e) AS INTEGER) AS dim,
+        CAST(len(list_filter(e, x -> x > 0)) AS BIGINT) AS n_pos,
+        len(list_filter(e, x -> abs(x) > 2)) > 0 AS has_big,
+        sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+          (acc, v) -> acc + v)) AS l2_norm,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(range(1, len(e)+1),
+            i -> CAST(e[i] AS DOUBLE) * CAST(e[len(e)-i+1] AS DOUBLE))),
+          (acc, v) -> acc + v) AS rev_dot,
+        CAST(list_max(e) AS DOUBLE) AS max_val,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(list_sort(e, 'DESC')[1:3], x -> CAST(x AS DOUBLE))),
+          (acc, v) -> acc + v) AS top3_sum
+      FROM t ORDER BY vec_id"""))
+
   override val all: Seq[Q] =
     Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
       q101, q102, q103, q104, q105, q106, q108, q109, q110, q111, q113, q116,
       q117, q118, q119, q120, q121, q122, q123, q128, q129, q130, q131, q132,
-      q133, q136, q137, q138, q139)
+      q133, q136, q137, q138, q139, q144, q148, q149)
 }

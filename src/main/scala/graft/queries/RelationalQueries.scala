@@ -330,5 +330,145 @@ object RelationalQueries extends Registry {
       FROM x GROUP BY ws, event_type
       ORDER BY ws, event_type"""))
 
-  override val all: Seq[Q] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88)
+  /** Correlated-subquery closure: EXISTS / NOT EXISTS predicates and a
+    * correlated scalar COUNT subquery in both WHERE and SELECT — the
+    * remaining subquery shapes q18's semi/anti joins (Dataset API) and
+    * q118's LATERAL don't exercise through the SQL surface. Catalyst
+    * decorrelates all four into joins (RewriteCorrelatedScalarSubquery /
+    * RewritePredicateSubquery): the plan is a chain of aggregate + semi /
+    * anti / left joins on o_custkey — no per-row re-execution, which is
+    * what makes the construct survive 100 TB (each subquery becomes one
+    * shuffled-or-broadcast join keyed on the correlation column).
+    * Integer-only predicates and counts keep the gate float-free.
+    */
+  private val q143 = Q("q143_correlated_subqueries",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("q143_customer")
+      Tables.orders(s, d).createOrReplaceTempView("q143_orders")
+      s.sql("""SELECT c.c_custkey, c.c_name,
+          (SELECT COUNT(*) FROM q143_orders o2
+           WHERE o2.o_custkey = c.c_custkey) AS n_orders
+        FROM q143_customer c
+        WHERE EXISTS (SELECT 1 FROM q143_orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+          AND NOT EXISTS (SELECT 1 FROM q143_orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0D)
+          AND (SELECT COUNT(*) FROM q143_orders o3
+            WHERE o3.o_custkey = c.c_custkey
+              AND o3.o_orderpriority = '1-URGENT') >= 2
+        ORDER BY c_custkey""")
+    },
+    Some("""SELECT c.c_custkey, c.c_name,
+        (SELECT COUNT(*) FROM orders o2
+         WHERE o2.o_custkey = c.c_custkey) AS n_orders
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        AND NOT EXISTS (SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0::DOUBLE)
+        AND (SELECT COUNT(*) FROM orders o3
+          WHERE o3.o_custkey = c.c_custkey
+            AND o3.o_orderpriority = '1-URGENT') >= 2
+      ORDER BY c_custkey"""))
+
+  /** Date-spine generation + coverage report: `sequence()` over the
+    * corpus date bounds exploded to one row per calendar day, left-joined
+    * against daily order counts — the standard missing-data audit (q87's
+    * LOCF gap-fill interpolates BETWEEN existing rows; this generates
+    * rows that don't exist at all). Scale shape: the bounds aggregate is
+    * a 1-row broadcast; the spine is O(days), trivially small next to the
+    * fact table; the daily counts are one partial-aggregated shuffle, and
+    * the spine join broadcasts the SMALL side (the counts keyed by day —
+    * at most |days| rows regardless of fact-table size).
+    */
+  private val q145 = Q("q145_date_spine",
+    (s, d) => {
+      val o = Tables.orders(s, d).withColumn("day", to_date(col("o_orderdate")))
+      val daily = o.filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy("day").agg(count(lit(1)).as("n_urgent"))
+      val bounds = o.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val spine = bounds.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      spine.join(broadcast(daily), Seq("day"), "left")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n_urgent"), lit(0L)).as("n_urgent"),
+          col("n_urgent").isNull.as("is_gap"))
+        .orderBy("day")
+    },
+    Some("""WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day, o_orderpriority
+          FROM orders),
+        b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM o),
+        spine AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+          FROM b),
+        daily AS (SELECT day, COUNT(*) AS n FROM o
+          WHERE o_orderpriority = '1-URGENT' GROUP BY day)
+      SELECT strftime(s.day, '%Y-%m-%d') AS day,
+        CAST(coalesce(daily.n, 0) AS BIGINT) AS n_urgent,
+        daily.n IS NULL AS is_gap
+      FROM spine s LEFT JOIN daily USING (day)
+      ORDER BY day"""))
+
+  /** Realized volatility per event series: daily bars (deterministic
+    * close via the unique (ts_ms, event_id) sequence key), then two
+    * estimators — close-to-close volatility over ARITHMETIC returns
+    * (sample std via exact decimal moments, the q82 device) and the
+    * RMS relative intraday range ((high−low)/close). Both are libm-free
+    * on purpose (see q42): returns and ranges are single IEEE divisions,
+    * squares are exact ops, and every reduction rides the decimal route,
+    * so the gate is bit-exact under any partitioning. A log-returns
+    * variant would differ only by `ln`, which no cross-engine hash can
+    * gate. One shuffle to bars, one window pass for lag, one 5-group
+    * final aggregate.
+    */
+  private val q147 = Q("q147_realized_volatility",
+    (s, d) => {
+      val seqk = struct(col("ts_ms").as("t"), col("event_id").as("i"),
+        col("value").as("p"))
+      val daily = Tables.events(s, d)
+        .withColumn("day", expr("ts_ms div 86400000"))
+        .groupBy("event_type", "day")
+        .agg(max(seqk).getField("p").as("close"),
+          max(col("value")).as("high"), min(col("value")).as("low"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val r = daily
+        .withColumn("prev_close", lag(col("close"), 1).over(w))
+        .withColumn("ret", (col("close") - col("prev_close")) / col("prev_close"))
+        .withColumn("range_r", (col("high") - col("low")) / col("close"))
+      r.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          count(col("ret")).as("n_rets"),
+          StableAgg.dsum(col("ret"), 12).as("sx"),
+          StableAgg.dsum(col("ret") * col("ret"), 12).as("sxx"),
+          StableAgg.dsum(col("range_r") * col("range_r"), 12).as("srr"))
+        .withColumn("nd", col("n_rets").cast("double"))
+        .select(col("event_type"), col("n_days"), col("n_rets"),
+          sqrt((col("sxx") - col("sx") * col("sx") / col("nd")) / (col("nd") - lit(1.0d)))
+            .as("vol_cc"),
+          sqrt(col("srr") / col("n_days").cast("double")).as("range_rms"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH daily AS (
+        SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+          arg_max(value, printf('%013d|%012d', epoch_ms(ts), event_id)) AS close,
+          MAX(value) AS high, MIN(value) AS low
+        FROM events GROUP BY event_type, day),
+      r AS (SELECT event_type, close, high, low,
+          (close - lag(close) OVER (PARTITION BY event_type ORDER BY day))
+            / lag(close) OVER (PARTITION BY event_type ORDER BY day) AS ret,
+          (high - low) / close AS range_r
+        FROM daily),
+      agg AS (SELECT event_type,
+          CAST(COUNT(*) AS BIGINT) AS n_days,
+          CAST(COUNT(ret) AS BIGINT) AS n_rets,
+          ${O.dsum("ret", 12)} AS sx,
+          ${O.dsum("ret * ret", 12)} AS sxx,
+          ${O.dsum("range_r * range_r", 12)} AS srr
+        FROM r GROUP BY event_type)
+      SELECT event_type, n_days, n_rets,
+        sqrt((sxx - sx * sx / CAST(n_rets AS DOUBLE))
+          / (CAST(n_rets AS DOUBLE) - 1.0::DOUBLE)) AS vol_cc,
+        sqrt(srr / CAST(n_days AS DOUBLE)) AS range_rms
+      FROM agg ORDER BY event_type"""))
+
+  override val all: Seq[Q] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88,
+    q143, q145, q147)
 }
