@@ -109,7 +109,15 @@ object PlanAudit {
     "q134_column_profile" ->
       "Column profile (r06): four exact COUNT(DISTINCT)s plus min/max/null counts evaluate in ONE multi-aggregate pass — Expand replicates rows per distinct column map-side, a single partial/final pair follows, and the long-form pivot is a zero-scan explode of the one result row.",
     "q135_prefix_filter_join" ->
-      "Prefix-filter similarity join (r06): candidate generation self-joins ONLY each doc's (n - ceil(tau*n) + 1) rarest shingles — the exchange ships prefix (shingle, doc_id) pairs, quadratic work is confined to per-shingle groups that are small by construction (prefixes are rare-first), and the exact Jaccard verify joins candidates back to shingle sets, never all pairs.")
+      "Prefix-filter similarity join (r06): candidate generation self-joins ONLY each doc's (n - ceil(tau*n) + 1) rarest shingles — the exchange ships prefix (shingle, doc_id) pairs, quadratic work is confined to per-shingle groups that are small by construction (prefixes are rare-first), and the exact Jaccard verify joins candidates back to shingle sets, never all pairs.",
+    "q142_bigram_lm_score" ->
+      "Bigram LM scoring (r06): the corpus explodes to bigrams ONCE — both model counts (c12, c1) aggregate from that Generate and join back onto it; the model tables are vocabulary-sized so AQE broadcasts them (corpus never shuffles for the joins), the vocab size crossJoins as a 1-row broadcast, and the per-doc mean rides the decimal route.",
+    "q143_correlated_subqueries" ->
+      "Correlated subqueries (r06): Catalyst decorrelates all four — EXISTS/NOT EXISTS become semi/anti joins and both scalar COUNTs become aggregate-then-left-join, every one keyed on o_custkey; no per-row subquery re-execution anywhere in the plan.",
+    "q145_date_spine" ->
+      "Date spine (r06): the bounds aggregate collapses to a 1-row broadcast feeding sequence+explode (the spine never touches the fact table's partitioning), daily counts partial-aggregate map-side, and the spine-counts join broadcasts the |days|-bounded side.",
+    "q150_epoch_upsample" ->
+      "Epoch upsampling (r06): pure scan-local pipeline — digest draw, copy count, sequence+explode all codegen in the scan stage with zero exchanges before the gate's orderBy; at 100 TB repetition materializes at scan speed and composes with any downstream shuffle.")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get("plan-audit", "8")
