@@ -71,7 +71,9 @@ object Bench {
       "q122_streaming_zero_rates", "q123_streaming_msg_counts",
       "q127_streaming_ann", "q131_streaming_join", "q137_streaming_outer_join",
       "q138_streaming_tws_sessions", "q139_streaming_file_source",
-      "q149_streaming_available_now")
+      "q149_streaming_available_now", "q152_streaming_restart",
+      "q153_streaming_late_drop", "q154_foreach_batch_sink",
+      "q155_streaming_chained_aggs")
 
     val warmDir = {
       val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")

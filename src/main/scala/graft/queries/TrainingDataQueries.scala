@@ -1861,8 +1861,74 @@ object TrainingDataQueries extends Registry {
       ORDER BY doc_id, copy_idx"""
     })
 
+  /** Exact substring (repeated-passage) deduplication — the Lee et al.
+    * 2022 "Deduplicating Training Data Makes Language Models Better"
+    * operator the shingle/MinHash family doesn't cover: find maximal
+    * SPANS of ≥ K consecutive tokens that appear verbatim in more than
+    * one document (boilerplate, licenses, templated passages), reported
+    * as (doc, span_start, span_end) for surgical removal rather than
+    * whole-doc dropping. Pipeline: K-token sliding windows with
+    * positions → window hash → hashes seen in ≥ 2 docs → per-doc merge
+    * of overlapping flagged windows into maximal spans (the
+    * gaps-and-islands device, break at gap > K). Scale: the suffix-array
+    * construction the paper uses is replaced by a shuffle of (window
+    * hash, doc, pos) rows — hashes only, never text; the island merge is
+    * one window pass partitioned by doc. The ≥2-distinct-docs filter
+    * partial-aggregates map-side.
+    */
+  private val q151 = Q("q151_substring_dedup",
+    (s, d) => {
+      val K = 10
+      val t = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+        .filter(size(col("w")) >= K)
+      val win = t
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(1), size(col("w")) - (K - 1))).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          md5(concat_ws(" ", slice(col("w"), col("pos"), lit(K)))).as("h"))
+      val dup = win.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select("h")
+      val flagged = win.join(dup, Seq("h"), "left_semi")
+      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      flagged
+        .withColumn("brk",
+          when(lag(col("pos"), 1).over(byDoc).isNull ||
+            col("pos") - lag(col("pos"), 1).over(byDoc) > K, 1L).otherwise(0L))
+        .withColumn("grp", sum(col("brk")).over(
+          byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("doc_id", "grp")
+        .agg(min(col("pos")).cast("long").as("span_start"),
+          (max(col("pos")) + (K - 1)).cast("long").as("span_end"),
+          (max(col("pos")) + (K - 1) - min(col("pos")) + 1).cast("long").as("span_len"),
+          count(lit(1)).as("n_windows"))
+        .select("doc_id", "span_start", "span_end", "span_len", "n_windows")
+        .orderBy("doc_id", "span_start")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents
+        WHERE len(string_split(text,' ')) >= 10),
+      win AS (SELECT doc_id, i AS pos, md5(array_to_string(w[i:i+9],' ')) AS h
+        FROM (SELECT doc_id, w, unnest(range(1, len(w)-8)) AS i FROM t)),
+      dup AS (SELECT h FROM win GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+      f AS (SELECT doc_id, pos FROM win WHERE h IN (SELECT h FROM dup)),
+      isl AS (SELECT doc_id, pos,
+          CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+               OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 10
+          THEN 1 ELSE 0 END AS brk
+        FROM f),
+      g AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM isl)
+      SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+        CAST(MAX(pos) + 9 AS BIGINT) AS span_end,
+        CAST(MAX(pos) + 9 - MIN(pos) + 1 AS BIGINT) AS span_len,
+        CAST(COUNT(*) AS BIGINT) AS n_windows
+      FROM g GROUP BY doc_id, grp ORDER BY doc_id, span_start"""))
+
   override val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q38, q41, q42, q43, q44, q45, q47, q107, q112, q114, q115,
     q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q79, q124, q125, q126,
-    q127, q134, q135, q140, q141, q142, q146, q150)
+    q127, q134, q135, q140, q141, q142, q146, q150, q151)
 }
