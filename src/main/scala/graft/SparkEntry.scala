@@ -15,7 +15,7 @@ object SparkEntry {
 
   private val registries: Seq[Registry] =
     Seq(CoreQueries, NormalizerQueries, TrainingDataQueries, PipelineQueries,
-      AnalyticsQueries, RelationalQueries, ExtendedQueries)
+      AnalyticsQueries, RelationalQueries, ExtendedQueries, ScaleQueries)
 
   private lazy val qs: Seq[Q] = registries.flatMap(_.all)
 

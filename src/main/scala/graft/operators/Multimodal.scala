@@ -290,21 +290,71 @@ object Multimodal {
       val ais = new javax.sound.sampled.AudioInputStream(
         new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
       val bos = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(
-        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      wavWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
       bos.toByteArray
+    }
+
+    /** WAVE writer resolved once per JVM (same SPI-scan hazard as the
+      * reader side — `AudioSystem.write` re-scans providers per call).
+      */
+    private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+      val it = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+      var found: javax.sound.sampled.spi.AudioFileWriter = null
+      while (found == null && it.hasNext) {
+        val w = it.next()
+        if (w.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+          found = w
+      }
+      if (found == null)
+        throw new IllegalStateException("no SPI writer supports WAVE")
+      found
     }
 
     final case class Decoded(sampleRate: Int, channels: Int, bits: Int,
         nSamples: Long, sampleSum: Long, absSum: Long, sampleChecksum: Long,
         meanAbs: Double)
 
+    /** SPI readers resolved ONCE per JVM via ServiceLoader.
+      * `AudioSystem.getAudioInputStream` re-scans providers under a
+      * class-wide lock on every call, which serialized all 32 decode
+      * tasks (r5 bench: ~85 s task time vs ~4 s CPU). Caching the
+      * reader list makes decode lock-free after first touch.
+      */
+    private lazy val spiReaders: Array[javax.sound.sampled.spi.AudioFileReader] = {
+      val it = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[javax.sound.sampled.spi.AudioFileReader]
+      while (it.hasNext) buf += it.next()
+      buf.toArray
+    }
+
+    private def openStream(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+      var i = 0
+      while (i < spiReaders.length) {
+        try return spiReaders(i).getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+        }
+        i += 1
+      }
+      throw new javax.sound.sampled.UnsupportedAudioFileException(
+        "no SPI reader recognized the payload")
+    }
+
     def decode(bytes: Array[Byte]): Decoded = {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+      val in = openStream(bytes)
       val fmt = in.getFormat
       val pcm = in.readAllBytes()
       in.close()
+      // The sample loop below hardcodes two-byte short assembly and reads
+      // channel 0 only; any other decoded format would yield garbage
+      // features instead of an error, so fail loudly (ADVICE r5).
+      if (fmt.getSampleSizeInBits != 16)
+        throw new IllegalArgumentException(
+          s"AudioCodec.decode supports 16-bit PCM only; got ${fmt.getSampleSizeInBits}-bit")
       val bytesPerSample = fmt.getSampleSizeInBits / 8
       val frameSize = fmt.getFrameSize
       val n = pcm.length / frameSize

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{OracleSql => O, Tables}
 import graft.functions.StableAgg
+import graft.streaming.TempDirs
 import graft.operators.GraphOps
 
 /** Round-4 additions, part 4 — the remaining relational/sequence surface:
@@ -646,7 +647,7 @@ object ExtendedQueries extends Registry {
           .outputMode("append").start()
       }
       try {
-        rows.grouped(math.max(1, (rows.size + 3) / 4)).foreach { chunk =>
+        rows.grouped(math.max(1, (rows.size + 1) / 2)).foreach { chunk =>
           mem.addData(chunk: _*)
           query.processAllAvailable()
         }
@@ -800,7 +801,7 @@ object ExtendedQueries extends Registry {
           .outputMode("append").start()
       }
       try {
-        rows.grouped(math.max(1, (rows.size + 3) / 4)).foreach { chunk =>
+        rows.grouped(math.max(1, (rows.size + 1) / 2)).foreach { chunk =>
           mem.addData(chunk: _*)
           query.processAllAvailable()
         }
@@ -1036,7 +1037,7 @@ object ExtendedQueries extends Registry {
           .outputMode("append").start()
       }
       try {
-        rows.grouped(math.max(1, (rows.size + 3) / 4)).foreach { chunk =>
+        rows.grouped(math.max(1, (rows.size + 1) / 2)).foreach { chunk =>
           mem.addData(chunk.toSeq: _*)
           query.processAllAvailable()
         }
@@ -1096,7 +1097,7 @@ object ExtendedQueries extends Registry {
           .outputMode("append").start()
       }
       try {
-        rows.grouped(math.max(1, (rows.size + 3) / 4)).foreach { chunk =>
+        rows.grouped(math.max(1, (rows.size + 1) / 2)).foreach { chunk =>
           mem.addData(chunk: _*)
           query.processAllAvailable()
         }
@@ -1163,7 +1164,7 @@ object ExtendedQueries extends Registry {
           .outputMode("append").start()
       }
       try {
-        rows.grouped(math.max(1, (rows.size + 3) / 4)).foreach { chunk =>
+        rows.grouped(math.max(1, (rows.size + 1) / 2)).foreach { chunk =>
           mem.addData(chunk: _*)
           query.processAllAvailable()
         }
@@ -1226,7 +1227,7 @@ object ExtendedQueries extends Registry {
           .outputMode("complete").start()
       }
       try {
-        rows.grouped(math.max(1, (rows.size + 3) / 4)).foreach { chunk =>
+        rows.grouped(math.max(1, (rows.size + 1) / 2)).foreach { chunk =>
           mem.addData(chunk: _*)
           query.processAllAvailable()
         }
@@ -1268,7 +1269,7 @@ object ExtendedQueries extends Registry {
           .outputMode("complete").start()
       }
       try {
-        rows.grouped(math.max(1, (rows.size + 3) / 4)).foreach { chunk =>
+        rows.grouped(math.max(1, (rows.size + 1) / 2)).foreach { chunk =>
           mem.addData(chunk: _*)
           query.processAllAvailable()
         }
@@ -1424,8 +1425,8 @@ object ExtendedQueries extends Registry {
           .outputMode("append").start()
       }
       try {
-        val iChunks = imps.grouped(math.max(1, (imps.size + 3) / 4)).toSeq
-        val cChunks = clks.grouped(math.max(1, (clks.size + 3) / 4)).toSeq
+        val iChunks = imps.grouped(math.max(1, (imps.size + 1) / 2)).toSeq
+        val cChunks = clks.grouped(math.max(1, (clks.size + 1) / 2)).toSeq
         (0 until math.max(iChunks.size, cChunks.size)).foreach { i =>
           if (i < iChunks.size) memI.addData(iChunks(i): _*)
           if (i < cChunks.size) memC.addData(cChunks(i): _*)
@@ -1517,7 +1518,7 @@ object ExtendedQueries extends Registry {
             .outputMode("append").start()
         }
         try {
-          rows.grouped(math.max(1, (rows.size + 3) / 4)).foreach { chunk =>
+          rows.grouped(math.max(1, (rows.size + 1) / 2)).foreach { chunk =>
             mem.addData(chunk: _*)
             query.processAllAvailable()
           }
@@ -1569,7 +1570,7 @@ object ExtendedQueries extends Registry {
           "l_shipdate")
       val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_q136_${ProcessHandle.current().pid()}_${q136Runs.incrementAndGet()}")
-      dir.deleteOnExit()
+      TempDirs.register(dir)
       val orcPath = new java.io.File(dir, "orc").getPath
       val csvPath = new java.io.File(dir, "csv").getPath
       base.write.mode("overwrite").orc(orcPath)
@@ -1652,8 +1653,8 @@ object ExtendedQueries extends Registry {
           .outputMode("append").start()
       }
       try {
-        val iChunks = imps.grouped(math.max(1, (imps.size + 3) / 4)).toSeq
-        val cChunks = clks.grouped(math.max(1, (clks.size + 3) / 4)).toSeq
+        val iChunks = imps.grouped(math.max(1, (imps.size + 1) / 2)).toSeq
+        val cChunks = clks.grouped(math.max(1, (clks.size + 1) / 2)).toSeq
         (0 until math.max(iChunks.size, cChunks.size)).foreach { i =>
           if (i < iChunks.size) memI.addData(iChunks(i): _*)
           if (i < cChunks.size) memC.addData(cChunks(i): _*)
@@ -1720,7 +1721,7 @@ object ExtendedQueries extends Registry {
             .outputMode("append").start()
         }
         try {
-          rows.grouped(math.max(1, (rows.size + 3) / 4)).foreach { chunk =>
+          rows.grouped(math.max(1, (rows.size + 1) / 2)).foreach { chunk =>
             mem.addData(chunk: _*)
             query.processAllAvailable()
           }
@@ -1769,7 +1770,7 @@ object ExtendedQueries extends Registry {
       val ev = Tables.events(s, d).select(col("user_id"), col("event_id"))
       val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_q139_${ProcessHandle.current().pid()}_${q139Runs.incrementAndGet()}")
-      dir.deleteOnExit()
+      TempDirs.register(dir)
       val spool = new java.io.File(dir, "spool").getPath
       (0 until 4).foreach { i =>
         ev.filter(pmod(col("event_id"), lit(4)) === i)
@@ -1816,7 +1817,7 @@ object ExtendedQueries extends Registry {
           "l_returnflag", "l_shipdate")
       val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_q148_${ProcessHandle.current().pid()}_${q148Runs.incrementAndGet()}")
-      dir.deleteOnExit()
+      TempDirs.register(dir)
       val jsonPath = new java.io.File(dir, "jsonl").getPath
       base.write.mode("overwrite").json(jsonPath)
       val back = s.read.schema(base.schema).json(jsonPath)
@@ -1861,24 +1862,22 @@ object ExtendedQueries extends Registry {
     */
   private val q149 = Q("q149_streaming_available_now",
     (s, d) => {
-      val ev = Tables.events(s, d).select(col("event_type"), col("value"),
-        col("event_id"))
+      val runId = q149Runs.incrementAndGet()
+      val fix = StreamFixtures.mod4(s, d)
       val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_q149_${ProcessHandle.current().pid()}_${q149Runs.incrementAndGet()}")
-      dir.deleteOnExit()
-      val spool = new java.io.File(dir, "spool").getPath
-      (0 until 4).foreach { i =>
-        ev.filter(pmod(col("event_id"), lit(4)) === i)
-          .coalesce(1).write.mode("append").parquet(spool)
-      }
+        s"graft_q149_${ProcessHandle.current().pid()}_$runId")
+      TempDirs.register(dir)
+      val spool = new java.io.File(dir, "spool")
+      StreamFixtures.copyTo(fix.files, spool)
       val src = s.readStream
-        .schema(ev.schema)
+        .schema(fix.schema)
         .option("maxFilesPerTrigger", "1")
-        .parquet(spool)
+        .parquet(spool.getPath)
+        .select(col("event_type"), col("value"), col("event_id"))
       val totals = src.groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
           StableAgg.dsum(col("value")).as("total_value"))
-      val sinkName = s"q149_an_${q149Runs.get()}"
+      val sinkName = s"q149_an_$runId"
       val query = StreamGate.withStatePartitions(s) {
         totals.writeStream.format("memory").queryName(sinkName)
           .outputMode("complete")
@@ -1917,22 +1916,19 @@ object ExtendedQueries extends Registry {
   private val q152 = Q("q152_streaming_restart",
     (s, d) => {
       val runId = q152Runs.incrementAndGet()
-      val ev = Tables.events(s, d).select(col("event_type"), col("value"),
-        col("event_id"))
+      val fix = StreamFixtures.mod4(s, d)
       val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_q152_${ProcessHandle.current().pid()}_$runId")
-      dir.deleteOnExit()
-      val spool = new java.io.File(dir, "spool").getPath
+      TempDirs.register(dir)
+      val spool = new java.io.File(dir, "spool")
       val cp = new java.io.File(dir, "checkpoint").getPath
-      def addFiles(ids: Range): Unit = ids.foreach { i =>
-        ev.filter(pmod(col("event_id"), lit(4)) === i)
-          .coalesce(1).write.mode("append").parquet(spool)
-      }
+      def addFiles(ids: Range): Unit =
+        StreamFixtures.copyTo(ids.map(fix.files), spool)
       def runHalf(half: Int): Unit = {
         val src = s.readStream
-          .schema(ev.schema)
+          .schema(fix.schema)
           .option("maxFilesPerTrigger", "1")
-          .parquet(spool)
+          .parquet(spool.getPath)
         val totals = src.groupBy("event_type")
           .agg(count(lit(1)).as("n_events"),
             StableAgg.dsum(col("value")).as("total_value"))
@@ -2049,7 +2045,7 @@ object ExtendedQueries extends Registry {
       val runId = q154Runs.incrementAndGet()
       val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_q154_${ProcessHandle.current().pid()}_$runId")
-      dir.deleteOnExit()
+      TempDirs.register(dir)
       val outRoot = new java.io.File(dir, "out").getPath
       val arrived = Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("value"))
@@ -2059,24 +2055,30 @@ object ExtendedQueries extends Registry {
         .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
       val mem = MemoryStream[(Long, String, Double)]
       val src = mem.toDF().toDF("event_id", "event_type", "value")
-      @volatile var firstBatch: Option[org.apache.spark.sql.DataFrame] = None
+      // Batch 0's rows are materialized INSIDE the foreachBatch callback
+      // (the only scope where the batch DF is contractually valid); the
+      // retry below replays the rewrite from that copy, never from the
+      // expired DF reference.
+      @volatile var firstRows: Array[(Long, String, Double)] = Array.empty
       val query = StreamGate.withStatePartitions(s) {
         src.writeStream
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-            if (id == 0) firstBatch = Some(batch)
+            if (id == 0) firstRows = batch.collect().map(r =>
+              (r.getLong(0), r.getString(1), r.getDouble(2)))
             batch.write.mode("overwrite").parquet(s"$outRoot/batch=$id")
           }
           .outputMode("append").start()
       }
       try {
-        rows.grouped(math.max(1, (rows.size + 3) / 4)).foreach { chunk =>
+        rows.grouped(math.max(1, (rows.size + 1) / 2)).foreach { chunk =>
           mem.addData(chunk: _*)
           query.processAllAvailable()
         }
         // simulate a retry of batch 0: the idempotent overwrite must leave
         // the directory's contents identical, not append a second copy
-        firstBatch.foreach(b =>
-          b.write.mode("overwrite").parquet(s"$outRoot/batch=0"))
+        if (firstRows.nonEmpty)
+          firstRows.toSeq.toDF("event_id", "event_type", "value")
+            .write.mode("overwrite").parquet(s"$outRoot/batch=0")
       } finally query.stop()
       s.read.parquet(outRoot)
         .groupBy("event_type")
@@ -2129,7 +2131,7 @@ object ExtendedQueries extends Registry {
           .outputMode("append").start()
       }
       try {
-        rows.grouped(math.max(1, (rows.size + 3) / 4)).foreach { chunk =>
+        rows.grouped(math.max(1, (rows.size + 1) / 2)).foreach { chunk =>
           mem.addData(chunk: _*)
           query.processAllAvailable()
         }

@@ -423,8 +423,14 @@ object RelationalQueries extends Registry {
     (s, d) => {
       val seqk = struct(col("ts_ms").as("t"), col("event_id").as("i"),
         col("value").as("p"))
+      // Floor division (not `div`, which truncates toward zero) so the
+      // day bucket matches DuckDB's `//` for negative epoch-ms too —
+      // the gate must not depend on the fixture being all-positive.
+      // pmod keeps it exact integer arithmetic (a double route would
+      // lose ulps past 2^53).
       val daily = Tables.events(s, d)
-        .withColumn("day", expr("ts_ms div 86400000"))
+        .withColumn("day",
+          expr("(ts_ms - pmod(ts_ms, 86400000L)) div 86400000L"))
         .groupBy("event_type", "day")
         .agg(max(seqk).getField("p").as("close"),
           max(col("value")).as("high"), min(col("value")).as("low"))

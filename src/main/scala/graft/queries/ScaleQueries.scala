@@ -1,0 +1,431 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{OracleSql => O, Tables}
+import graft.functions.StableAgg
+import graft.streaming.TempDirs
+
+/** Shared on-disk replay fixtures for the file-source streaming gates
+  * (q149, q152, q159): each gate used to rebuild its parquet spool with
+  * 4 `coalesce(1)` write jobs PER RUN, which the bench then pays 2-3
+  * times per gate per round (VERDICT r5 item 1). The slices are instead
+  * written ONCE per (JVM, sfDir) here and each run copies the part
+  * files into its private spool dir — a few ms of `Files.copy` against
+  * seconds of Spark write jobs. Runs stay independent (the file stream
+  * source tracks processed files by absolute path, so per-run spools
+  * keep checkpoint logs disjoint); the fixture dir itself is never
+  * mutated after creation and is swept by [[TempDirs]] at exit.
+  */
+private[queries] object StreamFixtures {
+  import java.io.File
+
+  final case class Spool(files: IndexedSeq[File],
+      schema: org.apache.spark.sql.types.StructType, maxTsMs: Long)
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Spool]()
+
+  private def partFile(dir: File): File =
+    dir.listFiles().filter(f =>
+      f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+
+  private def root(kind: String, d: String): File =
+    TempDirs.register(new File(System.getProperty("java.io.tmpdir"),
+      s"graft_fix_${kind}_${ProcessHandle.current().pid()}_${math.abs(d.hashCode)}"))
+
+  private def eventCols(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"), col("ts_ms"))
+
+  /** 4 slices by `event_id % 4` — arrival order irrelevant (complete-mode
+    * gates q149/q152).
+    */
+  def mod4(s: SparkSession, d: String): Spool =
+    cache.computeIfAbsent(s"mod4|$d", _ => {
+      val ev = eventCols(s, d)
+      val dir = root("mod4", d)
+      val files = (0 until 4).map { i =>
+        val slice = new File(dir, s"w$i")
+        ev.filter(pmod(col("event_id"), lit(4)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(slice.getPath)
+        partFile(slice)
+      }
+      Spool(files, ev.schema, 0L)
+    })
+
+  /** 4 slices in EVENT-TIME order (global (ts_ms, event_id) rank
+    * quartiles) plus a 5th watermark-sentinel file 2 h past the end —
+    * the arrival shape the event-time gates need (q159): time advances
+    * across files, so watermarks move batch by batch and windows
+    * straddle the slice boundaries.
+    */
+  def timeQuarters(s: SparkSession, d: String): Spool =
+    cache.computeIfAbsent(s"timeq|$d", _ => {
+      import s.implicits._
+      val ev = eventCols(s, d)
+      val maxTs = ev.agg(max(col("ts_ms"))).head().getLong(0)
+      val dir = root("timeq", d)
+      val bucketed = ev.withColumn("bkt",
+        ntile(4).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts_ms"), col("event_id"))))
+      val files = (1 to 4).map { i =>
+        val slice = new File(dir, s"w$i")
+        bucketed.filter(col("bkt") === i).drop("bkt")
+          .coalesce(1).write.mode("overwrite").parquet(slice.getPath)
+        partFile(slice)
+      }
+      val sentSlice = new File(dir, "sentinel")
+      Seq((-1L, "zz_sentinel", 0.0d, maxTs + 7200000L))
+        .toDF("event_id", "event_type", "value", "ts_ms")
+        .coalesce(1).write.mode("overwrite").parquet(sentSlice.getPath)
+      Spool(files :+ partFile(sentSlice), ev.schema, maxTs)
+    })
+
+  /** Copy fixture part files into a run-private spool dir. The file
+    * stream source orders files by (modification time, path), so the
+    * copies get STRICTLY INCREASING mtimes in slice order — with
+    * `maxFilesPerTrigger=1` that pins one slice per micro-batch in
+    * event-time order, which the watermark-sensitive gates (q159)
+    * need: a later slice processed first would advance the watermark
+    * past the earlier slices and drop their rows as late.
+    */
+  def copyTo(files: Seq[File], spool: File): Unit = {
+    spool.mkdirs(): Unit
+    val base = System.currentTimeMillis()
+    files.zipWithIndex.foreach { case (f, i) =>
+      val dst = new File(spool, s"$i-${f.getName}")
+      java.nio.file.Files.copy(f.toPath, dst.toPath): Unit
+      dst.setLastModified(base + i * 2000L): Unit
+    }
+  }
+}
+
+/** Scale-headroom operators (round 6): mergeable approximate sketches
+  * (the 100 TB profiling path exact COUNT(DISTINCT)/sort-based
+  * percentiles cannot walk), the degree-ordered triangle orientation
+  * (the hub-skew bound), and checkpoint recovery across a STATEFUL
+  * streaming operator (state-store recovery, not just source-offset
+  * recovery).
+  */
+object ScaleQueries extends Registry {
+
+  /** HLL++ mergeable distinct sketch (`approx_count_distinct`, rsd 1 %)
+    * gated against the exact count: the estimate itself cannot be
+    * reproduced cross-engine, so the gate hashes (a) the exact distinct
+    * count, which DuckDB recomputes, and (b) an integer error bucket
+    * `floor(|approx-exact| * 50 / exact)` that is 0 iff the estimate
+    * lands within 2 % — deterministic because HLL registers are a
+    * commutative max over per-value hashes (partition-order-free; see
+    * SketchSpec for the explicit merge-invariance property test). This
+    * is the sketch that replaces q134's exact distincts at 100 TB:
+    * partial sketches merge across partitions with no (column, value)
+    * shuffle, turning the profile's Expand-based distincts into one
+    * scan + tiny buffers.
+    */
+  private val q156 = Q("q156_hll_distinct_sketch",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id"), 0.01).as("n_approx"))
+        .select(col("event_type"), col("n_exact"),
+          floor(abs(col("n_approx") - col("n_exact")).cast("double") *
+            lit(50.0d) / col("n_exact").cast("double")).cast("long")
+            .as("err_bucket_2pct"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+        CAST(0 AS BIGINT) AS err_bucket_2pct
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Mergeable quantile sketch (`percentile_approx`, Greenwald-Khanna
+    * summaries, accuracy 1000 ⇒ rank error ≤ n/1000) gated by the
+    * GK THEOREM rather than the estimate: the sketch value is joined
+    * back against the data to measure its exact rank window
+    * [cnt_lt+1, cnt_le], which must intersect [⌈(p−ε)n⌉−1, ⌊(p+ε)n⌋+1].
+    * That boolean is TRUE for ANY valid GK output — robust to the
+    * summary's merge-order sensitivity — and FALSE for a broken sketch,
+    * which is exactly the falsifiable surface an approximate operator
+    * can offer a hash gate. n and the group keys pin the rest. At
+    * 100 TB this sketch replaces sort-based percentiles (q9): summaries
+    * merge across partitions in O(1/ε) space with no global sort.
+    */
+  private val q157 = Q("q157_quantile_sketch",
+    (s, d) => {
+      val eps = 0.001d
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val sk = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          percentile_approx(col("value"),
+            array(lit(0.5d), lit(0.95d), lit(0.99d)), lit(1000)).as("est"))
+        .select(col("event_type"), col("n"),
+          posexplode(col("est")).as(Seq("pi", "est_v")))
+        .withColumn("p",
+          element_at(array(lit(0.5d), lit(0.95d), lit(0.99d)), col("pi") + 1))
+      val ranked = ev.join(broadcast(sk), Seq("event_type"))
+        .groupBy("event_type", "p", "n", "est_v")
+        .agg(
+          sum(when(col("value") <= col("est_v"), 1L).otherwise(0L)).as("cnt_le"),
+          sum(when(col("value") < col("est_v"), 1L).otherwise(0L)).as("cnt_lt"))
+      ranked
+        .withColumn("lo", ceil((col("p") - lit(eps)) * col("n").cast("double")) - lit(1))
+        .withColumn("hi", floor((col("p") + lit(eps)) * col("n").cast("double")) + lit(1))
+        .select(col("event_type"), col("p"), col("n"),
+          (col("cnt_le") >= col("lo") && col("cnt_lt") <= col("hi")).as("rank_ok"))
+        .orderBy("event_type", "p")
+    },
+    Some("""SELECT event_type, p, CAST(COUNT(*) AS BIGINT) AS n, TRUE AS rank_ok
+      FROM events CROSS JOIN (VALUES (0.5::DOUBLE), (0.95::DOUBLE), (0.99::DOUBLE)) AS pp(p)
+      GROUP BY event_type, p ORDER BY event_type, p"""))
+
+  /** Degree-ordered triangle counting (VERDICT r5 item 4): same
+    * min-support co-supply graph and same per-node triangle counts as
+    * q117, but wedges are anchored by DEGREE orientation — every edge
+    * points from its lower-(degree, id) endpoint to the higher one, and
+    * wedges form only at each triangle's lowest-degree vertex. This is
+    * the standard hub-skew bound (Suri & Vassilvitskii's MR triangle
+    * counting): a vertex's oriented out-degree is O(√|E|) regardless of
+    * its raw degree, so the wedge join's per-key fan-out — the term
+    * that explodes on power-law graphs at 100 TB — is capped, where
+    * q117's id-ordered orientation lets a low-id hub anchor all its
+    * wedges. Same oracle as q117: per-node counts are orientation-
+    * invariant (each triangle still counted exactly once, at exactly
+    * one anchor); TriangleOrientSpec property-tests the equality
+    * query-side too.
+    */
+  private val q158 = Q("q158_triangle_degree_ordered",
+    (s, d) => {
+      val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val e = l.as("x").join(l.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_orderkey").as("ok"),
+          col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
+        .distinct()
+        .groupBy("a", "b").agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 8)
+        .select("a", "b")
+      val deg = e.select(col("a").as("v"))
+        .union(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      // total orientation key: deg ⊕ id packed into one BIGINT (ids are
+      // suppkeys < 2^32; ties on degree break by id, so the order is
+      // strict and the orientation acyclic)
+      def key(degC: org.apache.spark.sql.Column, idC: org.apache.spark.sql.Column) =
+        degC * lit(4294967296L) + idC
+      val ek = e
+        .join(deg.as("da"), col("a") === col("da.v"))
+        .join(deg.as("db"), col("b") === col("db.v"))
+        .select(col("a"), col("b"),
+          key(col("da.deg"), col("a")).as("ka"),
+          key(col("db.deg"), col("b")).as("kb"))
+      val oriented = ek.select(
+        when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("src"),
+        when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("dst"),
+        greatest(col("ka"), col("kb")).as("kdst"))
+      val wedges = oriented.as("e1").join(oriented.as("e2"),
+          col("e1.src") === col("e2.src") && col("e1.kdst") < col("e2.kdst"))
+        .select(col("e1.src").as("w"), col("e1.dst").as("u"),
+          col("e2.dst").as("v"))
+      // the closing edge {u,v} — if present — is oriented u→v because
+      // key(u) = e1.kdst < e2.kdst = key(v)
+      val tris = wedges.join(oriented.as("e3"),
+          col("u") === col("e3.src") && col("v") === col("e3.dst"))
+        .select(col("w"), col("u"), col("v"))
+      tris.select(explode(array(col("w"), col("u"), col("v"))).as("suppkey"))
+        .groupBy("suppkey").agg(count(lit(1)).as("n_triangles"))
+        .orderBy("suppkey")
+    },
+    Some("""WITH pi AS (
+        SELECT DISTINCT x.l_orderkey AS ok, x.l_suppkey AS a, y.l_suppkey AS b
+        FROM lineitem x JOIN lineitem y
+          ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
+      e AS (
+        SELECT a, b FROM pi GROUP BY a, b HAVING COUNT(*) >= 8),
+      tri AS (
+        SELECT e1.a AS w, e1.b AS u, e2.b AS v
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+      n AS (SELECT w AS suppkey FROM tri
+        UNION ALL SELECT u FROM tri
+        UNION ALL SELECT v FROM tri)
+      SELECT suppkey, COUNT(*) AS n_triangles
+      FROM n GROUP BY suppkey ORDER BY suppkey"""))
+
+  private val q159Runs = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Checkpoint recovery across a STATEFUL operator (VERDICT r5 item
+    * 8): an event-time tumbling-window aggregation in APPEND mode runs
+    * over the first two time-quartile files, stops mid-stream, and a
+    * NEW query resumes from the same checkpoint over the rest. Append
+    * mode makes this strictly stronger than q152's complete-mode gate:
+    * (a) the boundary window straddles the restart, so its counts are
+    * right only if the partial per-window AGGREGATION STATE was
+    * restored from the state store — complete mode could hide a lost
+    * window behind re-emission, append cannot; (b) windows are emitted
+    * exactly once across BOTH runs only if the WATERMARK was restored —
+    * a watermark reset to 0 re-emits run-1 windows and duplicates them
+    * in the union; (c) re-listed spool files must not replay (source
+    * log recovery). The union of the two runs' append outputs (run 2
+    * closed by the sentinel file) must equal the whole-input batch
+    * oracle, with zero overlap.
+    */
+  private val q159 = Q("q159_stateful_restart",
+    (s, d) => {
+      val runId = q159Runs.incrementAndGet()
+      val fix = StreamFixtures.timeQuarters(s, d)
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q159_${ProcessHandle.current().pid()}_$runId")
+      TempDirs.register(dir)
+      val spool = new java.io.File(dir, "spool")
+      val cp = new java.io.File(dir, "checkpoint").getPath
+      val out = new java.io.File(dir, "out").getPath
+      // PARQUET file sink, not memory: the memory sink refuses append-
+      // mode checkpoint recovery, and the file sink adds its own
+      // restart surface to the gate — the sink's commit log must carry
+      // run 1's committed batches across the restart, or the batch
+      // read below would see duplicates/partials.
+      def runHalf(): Unit = {
+        val src = s.readStream.schema(fix.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(spool.getPath)
+        val agg = src
+          .withColumn("event_time", timestamp_millis(col("ts_ms")))
+          .withWatermark("event_time", "0 seconds")
+          .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            StableAgg.dsum(col("value")).as("total_value"))
+          .select(unix_millis(col("window.start")).as("window_start_ms"),
+            col("event_type"), col("cnt"), col("total_value"))
+        val query = StreamGate.withStatePartitions(s) {
+          agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .start()
+        }
+        try query.processAllAvailable() finally query.stop()
+      }
+      StreamFixtures.copyTo(fix.files.take(2), spool)
+      runHalf() // first run: quartiles 1-2, stop mid-stream
+      StreamFixtures.copyTo(fix.files.drop(2), spool) // quartiles 3-4 + sentinel
+      runHalf() // NEW query, same checkpoint: state must resume
+      s.read.parquet(out)
+        .filter(col("event_type") =!= "zz_sentinel")
+        .select(col("window_start_ms"), col("event_type"), col("cnt"),
+          col("total_value"))
+        .orderBy("window_start_ms", "event_type")
+    },
+    Some(s"""SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms,
+        event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+        ${O.dsum("value")} AS total_value
+      FROM events GROUP BY window_start_ms, event_type
+      ORDER BY window_start_ms, event_type"""))
+
+  /** Two-level Datasketches HLL rollup (`hll_sketch_agg` →
+    * `hll_union_agg`): per-(type, day) sketches — the shape a 100 TB
+    * profile PERSISTS as a binary column — are re-merged to per-type
+    * estimates two different ways (one-level union vs union of
+    * per-shard unions), and the two must agree EXACTLY: HLL union is
+    * register-wise max, so any grouping of the same sketch set yields
+    * the same union state. That associativity boolean is the
+    * mergeability contract incremental profiling relies on (yesterday's
+    * sketches + today's partition = the running total, no rescan), and
+    * it is falsifiable cross-engine-free; the exact distinct count and
+    * a 5 % error bucket (lgK=12 ⇒ rsd ≈ 1.6 %) pin accuracy via the
+    * DuckDB oracle. Unlike q156's HLL++ (whose buffers live only
+    * inside one aggregation), these sketches are first-class binary
+    * VALUES — they can be stored, shipped, and unioned next week.
+    */
+  private val q160 = Q("q160_hll_sketch_rollup",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("day", expr("(ts_ms - pmod(ts_ms, 86400000L)) div 86400000L"))
+      val daily = ev.groupBy("event_type", "day")
+        .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+      val one = daily.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_one"))
+      val two = daily
+        .withColumn("shard", pmod(col("day"), lit(3)))
+        .groupBy("event_type", "shard")
+        .agg(hll_union_agg(col("sk")).as("sk2"))
+        .groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk2"))).as("n_two"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      exact.join(one, "event_type").join(two, "event_type")
+        .select(col("event_type"), col("n_exact"),
+          (col("n_one") === col("n_two")).as("assoc_ok"),
+          floor(abs(col("n_one") - col("n_exact")).cast("double") *
+            lit(20.0d) / col("n_exact").cast("double")).cast("long")
+            .as("err_bucket_5pct"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+        TRUE AS assoc_ok, CAST(0 AS BIGINT) AS err_bucket_5pct
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Count-Min sketch frequency bounds (`count_min_sketch`, ε=1e-4,
+    * δ=0.001, fixed seed): one linear-mergeable sketch over the token
+    * stream, probed for every token whose exact count clears ε·N. The
+    * gate asserts the CMS THEOREM per token — estimates never
+    * underestimate (row-hash min over pairwise-independent rows) and
+    * stay within exact + ⌈ε·N⌉ (deterministic on a fixed corpus +
+    * seed) — alongside the exact counts the DuckDB oracle recomputes.
+    * The probe set is KB-sized (heavy tokens only), so the UDF probe
+    * runs over |candidates| rows, never the corpus; the threshold is
+    * exact integer ceil-division on BOTH engines (a double ε·N would
+    * diverge by one ulp at round counts). At 100 TB this is the
+    * frequency complement to q160: per-partition CMS arrays sum
+    * linearly (spec-verified via mergeInPlace), so token-frequency
+    * profiling ships fixed 1.6 MB buffers instead of a vocabulary
+    * shuffle — the approximate twin of q114's exact MG heavy hitters.
+    */
+  private val q161 = Q("q161_cms_freq_bounds",
+    (s, d) => {
+      val toks = Tables.fanOut(Tables.documents(s, d))
+        .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+      val skRow = toks.agg(
+          count_min_sketch(col("tok"), lit(0.0001d), lit(0.999d), lit(42)).as("cms"),
+          count(lit(1)).as("n_total"))
+        .head()
+      val bytes = skRow.getAs[Array[Byte]]("cms")
+      val nTotal = skRow.getLong(1)
+      val slack = (nTotal + 9999L) / 10000L // ⌈ε·N⌉, exact integer on both engines
+      val probe = udf(new CmsProbeFn(bytes))
+      toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+        .filter(col("n_exact") >= lit(slack))
+        .withColumn("est", probe(col("tok")))
+        .select(col("tok"), col("n_exact"),
+          (col("est") >= col("n_exact")).as("no_underestimate"),
+          (col("est") <= col("n_exact") + lit(slack)).as("within_eps_bound"))
+        .orderBy("tok")
+    },
+    Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        n AS (SELECT (COUNT(*) + 9999) // 10000 AS slack FROM t)
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_exact,
+        TRUE AS no_underestimate, TRUE AS within_eps_bound
+      FROM t GROUP BY tok HAVING COUNT(*) >= (SELECT slack FROM n)
+      ORDER BY tok"""))
+
+  override val all: Seq[Q] = Seq(q156, q157, q158, q159, q160, q161)
+}
+
+/** Serializable Count-Min probe: holds the sketch BYTES (what the
+  * aggregate emitted and what a real pipeline would persist) and
+  * deserializes once per executor via a transient lazy — the closure
+  * ships ~1.6 MB once, not per row, and never depends on the sketch
+  * class's own serialization form.
+  */
+private final class CmsProbeFn(bytes: Array[Byte])
+    extends (String => Long) with Serializable {
+  @transient private lazy val cms =
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+  def apply(tok: String): Long = cms.estimateCount(tok)
+}

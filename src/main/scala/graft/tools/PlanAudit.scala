@@ -117,7 +117,49 @@ object PlanAudit {
     "q145_date_spine" ->
       "Date spine (r06): the bounds aggregate collapses to a 1-row broadcast feeding sequence+explode (the spine never touches the fact table's partitioning), daily counts partial-aggregate map-side, and the spine-counts join broadcasts the |days|-bounded side.",
     "q150_epoch_upsample" ->
-      "Epoch upsampling (r06): pure scan-local pipeline — digest draw, copy count, sequence+explode all codegen in the scan stage with zero exchanges before the gate's orderBy; at 100 TB repetition materializes at scan speed and composes with any downstream shuffle.")
+      "Epoch upsampling (r06): pure scan-local pipeline — digest draw, copy count, sequence+explode all codegen in the scan stage with zero exchanges before the gate's orderBy; at 100 TB repetition materializes at scan speed and composes with any downstream shuffle.",
+    "q140_gopher_rules" ->
+      "Gopher rule suite (r06): every rule column (word count, mean word length, alphabetic fraction, stopword count) is a codegen'd higher-order function over the token array — one scan stage, zero exchanges before the gate's orderBy; the filter columns materialize at scan speed on any corpus size.",
+    "q141_domain_mixture" ->
+      "Domain mixture plan (r06): the only data-sized pass is the token-count scan feeding a 5-group partial/final lang aggregate; targets join as a broadcast literal table and the budget scalar crossJoins back as a 1-row broadcast — the planning table costs one shuffle of 5 rows at any corpus scale.",
+    "q144_hof_vector_ops" ->
+      "Higher-order-function closure (r06): transform/filter/exists/aggregate/zip_with/slice/sort_array all evaluate inside WholeStageCodegen on the embedding arrays — a single scan stage with no UDF boundary and no exchange before the gate's orderBy.",
+    "q146_audio_decode" ->
+      "Real audio codec (r06): WAV encode and decode are two pipelined MapPartitions stages directly on the fan-out — per-partition SPI reader instances (no AudioSystem static lock), no shuffle anywhere; feature extraction composes scan-side like any other column.",
+    "q147_realized_volatility" ->
+      "Realized volatility (r06): daily bars aggregate once keyed (event_type, day) with the deterministic (ts,id)-struct close; the returns lag window re-keys by event_type only — two exchanges total, and the variance rides exact decimal moment sums (order-free on any partitioning).",
+    "q148_json_roundtrip" ->
+      "JSONL round-trip (r06): the audited plan is the read-back side — a schema-pinned JSON scan (no inference pass) feeding a partial/final decimal aggregate; the write side is a plain partitioned JSON sink. Proves the text codec preserves shortest-round-trip doubles bit-exactly.",
+    "q151_substring_dedup" ->
+      "Substring dedup (r06): K-token window hashes are a sequence+explode Generate at scan speed; the duplicate-hash filter is a LEFT SEMI join on the 16-byte hash (only (hash, doc_id, pos) triples ever shuffle, never text), and the island merge windows key by doc_id — one partition-local sort chain.",
+    "q156_hll_distinct_sketch" ->
+      "HLL++ distinct sketch (r06): approx_count_distinct's registers merge map-side in the same partial/final pass as the exact control count — the exchange ships one fixed-size buffer per (group, partition). At 100 TB the exact arm drops and the profile becomes one scan + KB-sized mergeable sketches: no (column, value) shuffle at all (contrast q134's Expand-based exact distincts).",
+    "q157_quantile_sketch" ->
+      "GK quantile sketch (r06): percentile_approx builds O(1/eps) Greenwald-Khanna summaries that combine map-side (partial/final split visible in the plan); the 15-row sketch output broadcasts back onto the scan for the rank-window verification join — the data-sized side never shuffles. The 100 TB replacement for sort-based exact percentiles.",
+    "q158_triangle_degree_ordered" ->
+      "Degree-ordered triangles (r06): same thresholded co-supply edges as q117, but each edge re-keys to point low-(degree,id) → high — the wedge self-join's per-key fan-out is bounded by the oriented out-degree, O(sqrt(|E|)) for ANY degree distribution (Suri-Vassilvitskii), where q117's id-orientation lets one low-id hub anchor all its wedges. Degree lookup is two joins against a |V|-sized aggregate (broadcastable); the closing-edge probe is the same (u,v) hash join.")
+
+  /** Streaming gates have no batch physical plan to dump — their
+    * evidence is the executed micro-batch topology (state-store
+    * shape, watermark behavior) recorded by the specs plus
+    * bench_stages.json's stage attribution. This appendix documents
+    * each gate's plan-shape so every query ≥ q140 has an entry.
+    */
+  private val streamingNotes: Seq[(String, String)] = Seq(
+    "q149_streaming_available_now" ->
+      "Trigger.AvailableNow file-spool drain: stateful complete-mode keyed aggregate, state keyed by event_type under 8 state partitions (StreamGate clamp); the run reuses a shared per-JVM spool fixture (StreamFixtures.mod4) so the bench pays file COPIES, not 4 Spark write jobs per run. Self-terminates via awaitTermination — the nightly-backfill trigger surface.",
+    "q151_substring_dedup" ->
+      "(batch — audited above)",
+    "q152_streaming_restart" ->
+      "Source-offset restart: two sequential queries share one checkpoint over the shared mod4 spool; the second run's micro-batch log must resume AFTER the first run's committed offsets (re-listed files must not replay). Complete-mode keyed aggregate, 8 state partitions.",
+    "q153_streaming_late_drop" ->
+      "Event-time watermark drop: append-mode windowed aggregate whose watermark advances across 2 MemoryStream chunks; rows behind the watermark are dropped by the EventTimeWatermark operator BEFORE the stateful aggregate — the oracle counts only surviving rows, so a broken watermark hash-fails.",
+    "q154_foreach_batch_sink" ->
+      "foreachBatch idempotent sink: per-batch overwrite into batch=<id> partition dirs; the retry replays batch 0 from rows materialized INSIDE the callback (the only scope where the batch DF is valid) and must leave directory contents identical — exactly-once by idempotent overwrite, the Delta/Iceberg-style sink discipline.",
+    "q155_streaming_chained_aggs" ->
+      "Chained stateful aggregates: two groupBy levels in one streaming query (Spark 4 multiple-stateful-operator support) — window counts feed a per-key rollup, both levels' state in the store under the 8-partition clamp; 2 MemoryStream chunks force cross-batch merges at BOTH levels.",
+    "q159_stateful_restart" ->
+      "STATE restart (r06): append-mode event-time windowed aggregate killed between time-quartile files and resumed from checkpoint by a NEW query — the boundary window's count is right only if per-window aggregation state was restored, windows emit exactly once only if the WATERMARK was restored, and the parquet sink's commit log must carry run 1's batches. File mtimes pin one time-ordered slice per micro-batch (maxFilesPerTrigger=1); union of both runs' appends equals the whole-input batch oracle.")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get("plan-audit", "8")
@@ -146,6 +188,14 @@ object PlanAudit {
       sb.append("\n--- scan details ---\n")
       sb.append(details.map(_.take(200)).mkString("\n"))
       sb.append("\n```\n\n")
+    }
+    sb.append("# Streaming-gate plan notes\n\n")
+    sb.append("Streaming gates have no batch plan to dump; each entry " +
+      "documents the executed micro-batch topology (state keys, watermark " +
+      "behavior, sink discipline). Stage-level timing evidence lives in " +
+      "`bench_stages.json`.\n\n")
+    streamingNotes.foreach { case (name, note) =>
+      sb.append(s"## $name\n\n$note\n\n")
     }
     Files.createDirectories(Paths.get("docs"))
     Files.writeString(Paths.get("docs/PLANS.md"), sb.toString)
