@@ -46,19 +46,28 @@ object Bench {
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
 
+    // Failures must be LOUD: a broken query must never improve the bench.
+    // runOnce returns None on any exception; failed queries are excluded
+    // from the per-query map and the total, listed under "failed", and the
+    // process exits nonzero so no downstream comparison can mistake a
+    // 0.05 s analysis error for a speedup (round-6 postmortem).
+    val failedQueries = new java.util.concurrent.ConcurrentHashMap[String, String]()
     def runOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
-        dir: String, tag: String): Double = {
+        dir: String, tag: String): Option[Double] = {
       spark.sparkContext.setJobGroup(tag, name, interruptOnCancel = false)
       val t0 = System.nanoTime()
       // noop sink forces full materialization of every output column
       // (a bare .count() would let Catalyst prune the computed columns
       // away and under-report the real work).
-      try fn(spark, dir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      try {
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        failedQueries.put(name, Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+        None
       }
       finally spark.sparkContext.clearJobGroup()
-      (System.nanoTime() - t0) / 1e9
     }
 
     // Untimed warmup at the smallest SF only: compiles each query's
@@ -103,20 +112,27 @@ object Bench {
     val sampleRounds = (0 until nRounds).map { r =>
       ordered.flatMap { case (name, fn) =>
         if (r == 1 && sparseSampled(name)) None
-        else Some(name -> runOnce(name, fn, sfDir, s"$name@r$r"))
+        else runOnce(name, fn, sfDir, s"$name@r$r").map(name -> _)
       }.toMap
     }
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val results = ordered.map { case (name, _) =>
+    val results = ordered.flatMap { case (name, _) =>
       val times = sampleRounds.flatMap(_.get(name))
-      val sec = times.min
-      System.err.println(s"[bench-q] $name ${f3(sec)} s (samples ${times.map(f3).mkString("/")})")
-      name -> sec
+      if (times.isEmpty) None
+      else {
+        val sec = times.min
+        System.err.println(s"[bench-q] $name ${f3(sec)} s (samples ${times.map(f3).mkString("/")})")
+        Some(name -> sec)
+      }
     }
+    val failed = failedQueries.keySet().toArray(Array.empty[String]).sorted
+    failed.foreach(n => System.err.println(s"[bench-q] $n FAILED: ${failedQueries.get(n)}"))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
+      s""""failed":$failedJson,"n_failed":${failed.length},"sf":"$sfDir"}"""
 
     // Persist full artifacts next to the repo (the captured process tail
     // retains only ~2 KB, which truncates a 109-query map): bench_out.json
@@ -159,7 +175,11 @@ object Bench {
     print(s"\n$json\n")
     print(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$top,""" +
       s""""queries_truncated":true,"n_queries":${results.size},""" +
+      s""""failed":$failedJson,"n_failed":${failed.length},""" +
       s""""queries_file":"bench_out.json","sf":"$sfDir"}\n""")
     System.out.flush()
+    // Nonzero rc on any failure: breakage must surface in the driver's
+    // BENCH artifact, never masquerade as a fast run.
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -11,11 +11,14 @@ import org.apache.spark.sql.SparkSession
   * Scale notes (designed for a ~1000-executor cluster, tested on local[N]):
   *  - AQE on: runtime coalescing of shuffle partitions + skew-join splitting
   *    replaces hand-tuned partition counts at 100 TB.
-  *  - `spark.sql.legacy.parquet.nanosAsLong=true`: the harness `events`
-  *    table stores TIMESTAMP(NANOS) which Spark's vectorized parquet reader
-  *    otherwise rejects; reading as Long preserves full precision and keeps
-  *    event-time arithmetic in exact integer space (the reference engine
-  *    also keeps clocks as integer ns — reference/src/time_helpers.py:12-23).
+  *  - `spark.sql.legacy.parquet.nanosAsLong=true`: harness `events`
+  *    fixtures have shipped `ts` as TIMESTAMP(NANOS) (which Spark's
+  *    vectorized parquet reader otherwise rejects; reading as Long preserves
+  *    full precision and keeps event-time arithmetic in exact integer space,
+  *    matching the reference's integer-ns clocks —
+  *    reference/src/time_helpers.py:12-23) and, since 2026-08-13, as plain
+  *    `timestamp[us]` (unaffected by this conf; arrives as TIMESTAMP_NTZ).
+  *    [[Tables.events]] adapts to whichever encoding it observes.
   */
 object GraftSession {
   def builder(appName: String, cores: String = "*"): SparkSession.Builder = {

@@ -50,13 +50,40 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** `events` with the TIMESTAMP(NANOS) `ts` (read as Long ns — see
-    * [[GraftSession]]) plus derived clocks: `ts_ms` (epoch ms, exact — equals
-    * DuckDB `epoch_ms(ts)`) and `ts_utc` (µs-truncated TimestampType, equals
-    * DuckDB's µs truncation of the same parquet column).
+  /** `events` with derived clocks: `ts_ms` (epoch ms, exact — equals DuckDB
+    * `epoch_ms(ts)`) and `ts_utc` (µs-precision TimestampType, equals
+    * DuckDB's read of the same parquet column).
+    *
+    * Clock derivation is SCHEMA-ADAPTIVE because the harness has shipped the
+    * physical `ts` encoding two different ways (TIMESTAMP(NANOS), read as
+    * Long ns via `spark.sql.legacy.parquet.nanosAsLong` — see
+    * [[GraftSession]] — and, since 2026-08-13, plain `timestamp[us]`, which
+    * that legacy conf does not touch and which arrives as TIMESTAMP_NTZ).
+    * Downstream queries only ever consume the derived `ts_ms`/`ts_utc`, so
+    * adapting here re-derives identical values for every consumer regardless
+    * of encoding (property-tested in ClockEncodingSpec). At 100 TB this is
+    * exactly where encoding drift belongs: one loader, not N operators.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumn("ts_ms", expr("ts div 1000000"))
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // TIMESTAMP(NANOS) fixture read as Long ns: exact integer-space math.
+        raw.withColumn("ts_ms", expr("ts div 1000000"))
+           .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      case TimestampType | TimestampNTZType =>
+        // timestamp[us] fixture: session TZ is UTC, so the NTZ→TS cast is an
+        // identity on the underlying micros; unix_micros keeps the math in
+        // exact integer space (no double round-trip).
+        val tsUtc = col("ts").cast(TimestampType)
+        raw.withColumn("ts_utc", tsUtc)
+           .withColumn("ts_ms", expr("unix_micros(cast(ts as timestamp)) div 1000"))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported physical type $other — expected Long " +
+            "(nanos fixture) or Timestamp/TimestampNTZ (micros fixture); " +
+            "run graft.TablesSchemaSpec for the full observed schema")
+    }
+  }
 }

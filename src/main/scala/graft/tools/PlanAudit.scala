@@ -137,7 +137,11 @@ object PlanAudit {
     "q157_quantile_sketch" ->
       "GK quantile sketch (r06): percentile_approx builds O(1/eps) Greenwald-Khanna summaries that combine map-side (partial/final split visible in the plan); the 15-row sketch output broadcasts back onto the scan for the rank-window verification join — the data-sized side never shuffles. The 100 TB replacement for sort-based exact percentiles.",
     "q158_triangle_degree_ordered" ->
-      "Degree-ordered triangles (r06): same thresholded co-supply edges as q117, but each edge re-keys to point low-(degree,id) → high — the wedge self-join's per-key fan-out is bounded by the oriented out-degree, O(sqrt(|E|)) for ANY degree distribution (Suri-Vassilvitskii), where q117's id-orientation lets one low-id hub anchor all its wedges. Degree lookup is two joins against a |V|-sized aggregate (broadcastable); the closing-edge probe is the same (u,v) hash join.")
+      "Degree-ordered triangles (r06): same thresholded co-supply edges as q117, but each edge re-keys to point low-(degree,id) → high — the wedge self-join's per-key fan-out is bounded by the oriented out-degree, O(sqrt(|E|)) for ANY degree distribution (Suri-Vassilvitskii), where q117's id-orientation lets one low-id hub anchor all its wedges. Degree lookup is two joins against a |V|-sized aggregate (broadcastable); the closing-edge probe is the same (u,v) hash join.",
+    "q160_hll_sketch_rollup" ->
+      "HLL sketch rollup (r07): daily hll_sketch_agg buffers combine map-side (partial/final), then BOTH rollup paths — direct union and shard-then-union — are hll_union_agg over |event_type x day| KB-sized binaries, never re-reading events; the three 5-row branches join as broadcasts. This is the persistable-sketch path: at 100 TB the daily layer is written once and every rollup is a union of stored binaries, a plan with NO scan of raw data at all (the assoc_ok column proves union associativity makes that re-aggregation exact).",
+    "q161_cms_freq_bounds" ->
+      "Count-Min frequency bounds (r07): ONE count_min_sketch aggregate pass over the token Generate collapses per-partition 1.6 MB CMS arrays linearly (partial/final visible); the heavy-token probe then runs over the |candidates|-sized exact-count aggregate with the sketch bytes shipped once per executor (transient-lazy deserialization), never per row. The vocabulary-sized side shuffles only (tok, count) pairs; the corpus never shuffles.")
 
   /** Streaming gates have no batch physical plan to dump — their
     * evidence is the executed micro-batch topology (state-store
