@@ -73,12 +73,13 @@ object Tables {
         raw.withColumn("ts_ms", expr("ts div 1000000"))
            .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
       case TimestampType | TimestampNTZType =>
-        // timestamp[us] fixture: session TZ is UTC, so the NTZ→TS cast is an
-        // identity on the underlying micros; unix_micros keeps the math in
-        // exact integer space (no double round-trip).
-        val tsUtc = col("ts").cast(TimestampType)
-        raw.withColumn("ts_utc", tsUtc)
-           .withColumn("ts_ms", expr("unix_micros(cast(ts as timestamp)) div 1000"))
+        // timestamp[us]/[ms] fixture: session TZ is UTC, so the NTZ→TS cast
+        // is an identity on the underlying micros; unix_micros keeps the math
+        // in exact integer space (no double round-trip). Derived columns are
+        // appended in the SAME order as the nanos branch (ts_ms, then ts_utc)
+        // so the loader's output schema is encoding-invariant.
+        raw.withColumn("ts_ms", expr("unix_micros(cast(ts as timestamp)) div 1000"))
+           .withColumn("ts_utc", col("ts").cast(TimestampType))
       case other =>
         throw new IllegalStateException(
           s"events.ts has unsupported physical type $other — expected Long " +

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Pins the LOUD-failure contract of the two driver entry points (the
+  * round-6 failure mode was a query erroring *silently* — absent from
+  * CORRECTNESS because no parquet dir existed, and improving BENCH because
+  * it failed in 0.05 s):
+  *
+  *  - Verify: a failing query still yields outDir/<name> as a 1-row
+  *    `_graft_error` marker parquet (visible schema/hash mismatch in the
+  *    driver compare) and an errors.json entry; healthy queries dump
+  *    normally.
+  *  - Bench: a query with zero successful timed samples is excluded from
+  *    the results/total and classified `failed`; a query that fails only
+  *    some timed rounds is `flaky` (honest min, still nonzero exit); a
+  *    query that fails only the untimed warmup is `warmupOnly` (reported,
+  *    zero exit). Both failed and flaky force a nonzero exit code.
+  */
+class VerifyBenchContractSpec extends SparkSpec {
+
+  private def withTempDir[A](f: String => A): A = {
+    val base = java.nio.file.Files.createTempDirectory("graft-contract")
+    try f(base.toString)
+    finally {
+      import java.nio.file.{Files, Path}
+      import scala.jdk.CollectionConverters._
+      Files.walk(base).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_: Path))
+    }
+  }
+
+  private val good: Bench.QueryFn = (s: SparkSession, _: String) => {
+    import s.implicits._
+    Seq((1, "a"), (2, "b")).toDF("id", "v")
+  }
+
+  test("Verify writes _graft_error marker parquet + errors.json for a failing query") {
+    withTempDir { out =>
+      val broken: Bench.QueryFn =
+        (_, _) => throw new RuntimeException("boom: deliberate contract-spec failure")
+      val errors = Verify.run(spark,
+        Seq("q_good" -> good, "q_broken" -> broken), "/root/testdata/sf0.001", out)
+
+      // Healthy query dumps normally.
+      val g = spark.read.parquet(s"$out/q_good")
+      assert(g.count() == 2 && g.columns.sameElements(Array("id", "v")))
+      assert(!errors.contains("q_good"))
+
+      // Failing query is never an absence: marker parquet exists, carries
+      // the sentinel column and the message.
+      val m = spark.read.parquet(s"$out/q_broken")
+      assert(m.columns.sameElements(Array("_graft_error")))
+      val msg = m.collect().map(_.getString(0)).mkString
+      assert(msg.contains("boom"))
+      assert(errors.keySet == Set("q_broken") && errors("q_broken").contains("boom"))
+
+      // errors.json round-trips the entry.
+      Verify.writeErrorsJson(out, errors)
+      val json = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$out/errors.json"))
+      assert(json.contains("\"q_broken\"") && json.contains("boom"))
+    }
+  }
+
+  test("Bench classifies failed/flaky/warmup-only and exits nonzero on timed failures") {
+    val dir = "/root/testdata/sf0.001"
+    val alwaysBroken: Bench.QueryFn =
+      (_, _) => throw new RuntimeException("always broken")
+    // Call order per query under sample(): warmup, round 0, round 1.
+    val flakyCalls = new AtomicInteger(0)
+    val flaky: Bench.QueryFn = (s, d) => {
+      if (flakyCalls.incrementAndGet() == 3) throw new RuntimeException("flaky round")
+      good(s, d)
+    }
+    val warmCalls = new AtomicInteger(0)
+    val warmupOnly: Bench.QueryFn = (s, d) => {
+      if (warmCalls.incrementAndGet() == 1) throw new RuntimeException("warmup only")
+      good(s, d)
+    }
+
+    val run = Bench.sample(spark,
+      Seq("q_broken" -> alwaysBroken, "q_flaky" -> flaky, "q_good" -> good,
+        "q_warm" -> warmupOnly),
+      sfDir = dir, warmDir = dir, sparse = Set.empty, nRounds = 2)
+
+    assert(run.failed.sameElements(Array("q_broken")))
+    assert(run.flaky.sameElements(Array("q_flaky")))
+    assert(run.warmupOnly.sameElements(Array("q_warm")))
+    val resultNames = run.results.map(_._1).toSet
+    // Excluded from results/total: only the zero-sample query.
+    assert(resultNames == Set("q_flaky", "q_good", "q_warm"))
+    assert(run.results.forall(_._2 > 0))
+    // Flaky still has exactly one honest sample (round 1 failed).
+    assert(run.sampleRounds(0).contains("q_flaky") && !run.sampleRounds(1).contains("q_flaky"))
+    assert(Bench.exitCode(run) == 1)
+
+    // A fully-green registry exits 0 with empty failure buckets.
+    val clean = Bench.sample(spark, Seq("q_good" -> good), dir, dir, Set.empty, 2)
+    assert(clean.failed.isEmpty && clean.flaky.isEmpty && clean.warmupOnly.isEmpty)
+    assert(Bench.exitCode(clean) == 0)
+  }
+}
