@@ -3,13 +3,166 @@ package graft.tools
 import java.nio.file.{Files, Paths}
 
 import graft.GraftSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Dumps `explain("formatted")` plans for representative queries to
-  * docs/PLANS.md — the evidence that filters/projections push down,
-  * dims broadcast, aggregates are partial, and top-k avoids global sorts.
+/** Physical-plan attestation, two artifacts from one pass:
+  *
+  *  - `docs/PLANS.md` — `explain("formatted")` dumps for every batch query
+  *    in the registry (curated scale narratives where written, auto entries
+  *    otherwise) + micro-batch topology notes for each streaming gate, so
+  *    all registry queries have a plan entry.
+  *  - `docs/plan_invariants.tsv` — one machine-readable invariant record
+  *    per batch query (exchange/join/scan node counts, pushdown coverage,
+  *    per-scan ReadSchema). `PlanInvariantsSpec` recomputes these records
+  *    on every `sbt test` run and diffs them against the checked-in file,
+  *    so a plan regression (new shuffle, lost pushdown, broadcast→SMJ flip,
+  *    a CartesianProduct sneaking in) fails the build the same way a wrong
+  *    answer fails CORRECTNESS.
+  *
+  * Regenerate both after an INTENTIONAL plan change:
+  * {{{ sbt -batch "runMain graft.tools.PlanAudit" }}}
   */
 object PlanAudit {
-  private val audited: Seq[(String, String)] = Seq(
+
+  /** Queries whose `run` executes a Structured Streaming replay gate and
+    * returns the materialized sink table — there is no batch physical plan
+    * to audit (the returned DataFrame is a memory/parquet batch read of
+    * results). Their evidence is the gate spec + bench_stages attribution;
+    * PLANS.md carries a topology note for each.
+    */
+  val streamingGates: Set[String] = Set(
+    "q108_streaming_staleness", "q111_streaming_sessions",
+    "q119_streaming_bars", "q120_streaming_dedup", "q121_streaming_metrics",
+    "q122_streaming_zero_rates", "q123_streaming_msg_counts",
+    "q127_streaming_ann", "q131_streaming_join", "q133_streaming_tws_staleness",
+    "q137_streaming_outer_join", "q138_streaming_tws_sessions",
+    "q139_streaming_file_source", "q149_streaming_available_now",
+    "q152_streaming_restart", "q153_streaming_late_drop",
+    "q154_foreach_batch_sink", "q155_streaming_chained_aggs",
+    "q159_stateful_restart")
+
+  /** Batch registry queries in name order — the plan-audited surface. */
+  def batchQueryNames: Seq[String] =
+    graft.SparkEntry.queries.keys.toSeq.filterNot(streamingGates).sorted
+
+  /** One plan-shape invariant record, derived purely from
+    * `explain("formatted")` text so it captures exactly what a human plan
+    * review reads. Counts cover the whole explain output including
+    * subquery sections.
+    *
+    * @param scansWithPushdown number of parquet scans whose PushedFilters
+    *                          list is non-empty
+    * @param readSchemas       per-scan `<file>=<ReadSchema struct>` in plan
+    *                          order (catches both lost column pruning and
+    *                          fixture-encoding drift, the round-6 incident)
+    */
+  final case class PlanRecord(
+      name: String,
+      exchanges: Int,
+      reusedExchanges: Int,
+      broadcastExchanges: Int,
+      bhj: Int,
+      smj: Int,
+      shj: Int,
+      bnlj: Int,
+      cartesian: Int,
+      generates: Int,
+      scans: Int,
+      scansWithPushdown: Int,
+      readSchemas: Seq[String]) {
+    def tsvLine: String =
+      s"$name\t$exchanges\t$reusedExchanges\t$broadcastExchanges\t$bhj\t$smj" +
+        s"\t$shj\t$bnlj\t$cartesian\t$generates\t$scans\t$scansWithPushdown" +
+        s"\t${readSchemas.mkString(";")}"
+  }
+
+  val tsvHeader: String =
+    "name\texchanges\treused_exchanges\tbroadcast_exchanges\tbhj\tsmj\tshj" +
+      "\tbnlj\tcartesian\tgenerates\tscans\tscans_with_pushdown\tread_schemas"
+
+  def parseTsv(text: String): Map[String, PlanRecord] =
+    text.linesIterator.drop(1).filter(_.nonEmpty).map { l =>
+      val f = l.split("\t", -1)
+      val schemas = if (f(12).isEmpty) Seq.empty[String] else f(12).split(";").toSeq
+      f(0) -> PlanRecord(f(0), f(1).toInt, f(2).toInt, f(3).toInt, f(4).toInt,
+        f(5).toInt, f(6).toInt, f(7).toInt, f(8).toInt, f(9).toInt,
+        f(10).toInt, f(11).toInt, schemas)
+    }.toMap
+
+  /** Formatted explain text for a registry query (initial physical plan;
+    * AQE re-optimizes exchanges at runtime but node shape is what we pin). */
+  def planText(spark: SparkSession, name: String, sf: String): String =
+    graft.SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  private val treeNode = """^[\s+:|-]*(?:\* )?([A-Za-z][A-Za-z ]*?)\s*\((\d+)\)\s*$""".r
+  private val locRe = """Location:.*[/\[]([^/\]]+\.parquet)[^/]*\]?\s*$""".r.unanchored
+  private val pushedRe = """PushedFilters:\s*\[(.*)\]""".r.unanchored
+  private val schemaRe = """ReadSchema:\s*(.*\S)\s*$""".r.unanchored
+
+  /** Parse a formatted plan into its invariant record. */
+  def record(name: String, plan: String): PlanRecord = {
+    val counts = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    val locs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val pushed = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    val schemas = scala.collection.mutable.ArrayBuffer.empty[String]
+    plan.linesIterator.foreach {
+      case treeNode(node, _) =>
+        // tree lines carry qualifiers ("BroadcastHashJoin Inner BuildRight",
+        // "BroadcastNestedLoopJoin Cross BuildRight") — key on the operator
+        // name alone ("Scan parquet" keeps its two tokens)
+        val toks = node.trim.split(' ')
+        val key = if (toks.head == "Scan" && toks.length > 1) s"Scan ${toks(1)}" else toks.head
+        counts(key) += 1
+      case locRe(file)       => locs += file
+      case pushedRe(body)    => pushed += body.trim.nonEmpty
+      case schemaRe(s)       => schemas += s
+      case _                 =>
+    }
+    val readSchemas = locs.zipAll(schemas, "?", "?")
+      .map { case (f, s) => s"$f=$s" }.toSeq
+    PlanRecord(
+      name = name,
+      exchanges = counts("Exchange"),
+      reusedExchanges = counts("ReusedExchange"),
+      broadcastExchanges = counts("BroadcastExchange"),
+      bhj = counts("BroadcastHashJoin"),
+      smj = counts("SortMergeJoin"),
+      shj = counts("ShuffledHashJoin"),
+      bnlj = counts("BroadcastNestedLoopJoin"),
+      cartesian = counts("CartesianProduct"),
+      generates = counts("Generate"),
+      scans = counts("Scan parquet"),
+      scansWithPushdown = pushed.count(identity),
+      readSchemas = readSchemas)
+  }
+
+  def record(spark: SparkSession, name: String, sf: String): PlanRecord =
+    record(name, planText(spark, name, sf))
+
+  /** The SF both the generator and PlanInvariantsSpec plan against — the
+    * driver's correctness SF, so broadcast-threshold decisions in the
+    * golden match the plans the CORRECTNESS gate actually runs. */
+  val invariantSf = "/root/testdata/sf0.01"
+
+  /** Queries where a BroadcastNestedLoopJoin is the INTENDED plan: the
+    * nested-loop side is a bounded tiny relation (a handful of query
+    * points, a 1-row scalar, a KB-sized literal index), so the "join" is a
+    * per-row evaluation against a broadcast constant — the exact shape
+    * you want at 100 TB. Any BNLJ outside this list fails the spec.
+    */
+  val bnljAllowed: Set[String] = Set(
+    "q26_ann_bruteforce_topk",  // 5 query vectors broadcast vs corpus scan
+    "q42_tfidf_top_terms",      // 1-row corpus-size scalar for idf
+    "q55_length_filter",        // 2-number percentile scalar broadcast
+    "q79_ann_pq",               // 50-row coarse-candidate set vs PQ codes
+    "q141_domain_mixture",      // 1-row budget scalar crossJoin
+    "q142_bigram_lm_score")     // 1-row vocab-size crossJoin
+
+  // ---------------------------------------------------------------------
+  // Curated scale narratives (kept from rounds 2-7; auto entries cover the
+  // rest of the registry).
+  private val audited: Map[String, String] = Map(
     "q2_filter_project" ->
       "Predicate + projection pushdown: both filters and the 4-column read schema reach the parquet scan.",
     "q1_pricing_summary" ->
@@ -143,17 +296,37 @@ object PlanAudit {
     "q161_cms_freq_bounds" ->
       "Count-Min frequency bounds (r07): ONE count_min_sketch aggregate pass over the token Generate collapses per-partition 1.6 MB CMS arrays linearly (partial/final visible); the heavy-token probe then runs over the |candidates|-sized exact-count aggregate with the sketch bytes shipped once per executor (transient-lazy deserialization), never per row. The vocabulary-sized side shuffles only (tok, count) pairs; the corpus never shuffles.")
 
-  /** Streaming gates have no batch physical plan to dump — their
-    * evidence is the executed micro-batch topology (state-store
-    * shape, watermark behavior) recorded by the specs plus
-    * bench_stages.json's stage attribution. This appendix documents
-    * each gate's plan-shape so every query ≥ q140 has an entry.
-    */
-  private val streamingNotes: Seq[(String, String)] = Seq(
+  /** Micro-batch topology notes — one per streaming gate, so every
+    * registry query has a PLANS.md entry. */
+  private val streamingNotes: Map[String, String] = Map(
+    "q108_streaming_staleness" ->
+      "flatMapGroupsWithState staleness gate: per-key (user_id) state carries the previous event-time; lag emits per event, state keyed under the 8-partition StreamGate clamp; replayed over 3 MemoryStream chunks to force cross-batch state reads.",
+    "q111_streaming_sessions" ->
+      "session_window aggregate (event-time, 30 min gap) in append mode with watermark; session merges span micro-batches, state keyed (user_id, session) under the 8-partition clamp.",
+    "q119_streaming_bars" ->
+      "1-minute tumbling event-time OHLC bars with watermark, append mode; open/close ride the same deterministic (ts,id)-struct min/max as batch q66 so replay order cannot change the answer.",
+    "q120_streaming_dedup" ->
+      "dropDuplicatesWithinWatermark on content digest: dedup state expires with the watermark (bounded state at any stream length — the streaming half of exact dedup q20); 2 chunks force a cross-batch duplicate.",
+    "q121_streaming_metrics" ->
+      "5 s sliding event-time windows (1 s slide) over latency columns, append mode with watermark — the reference's rolling-metrics loop as a watermark-correct windowed aggregate (MetricsStream).",
+    "q122_streaming_zero_rates" ->
+      "complete-mode global aggregate of cumulative zero-rates — one-row state, exercises complete output semantics across batches.",
+    "q123_streaming_msg_counts" ->
+      "complete-mode per-key cumulative counts (the reference's per-symbol message counters); state is |keys| rows under the 8-partition clamp.",
+    "q127_streaming_ann" ->
+      "stream-static LSH join: streaming query vectors probe the static bucketed index (stateless append join) — the index side is the same KB-sized literal structure as batch q27, so micro-batches never shuffle the corpus.",
+    "q131_streaming_join" ->
+      "stream-stream inner join with both-side watermarks and an event-time range condition; join state is bounded by the watermark delay, replayed across chunks so matches span batches.",
+    "q133_streaming_tws_staleness" ->
+      "transformWithState staleness gate (Spark 4 TWS API): typed per-key state handle re-implements q108's lag semantics with explicit state TTL — the migration path off flatMapGroupsWithState.",
+    "q137_streaming_outer_join" ->
+      "stream-stream LEFT OUTER join: watermark-driven null-side flush — unmatched left rows emit only once the watermark passes their join window; the sentinel chunk advances the watermark to force the flush deterministically.",
+    "q138_streaming_tws_sessions" ->
+      "transformWithState session windows: explicit ListState of open sessions per user, closed on gap timeout — q111's semantics on the typed-state API, proving session merges survive batch boundaries.",
+    "q139_streaming_file_source" ->
+      "file-source replay: readStream over a spooled parquet directory (maxFilesPerTrigger=1) → per-key counts, complete mode; exercises source listing/offset tracking rather than MemoryStream.",
     "q149_streaming_available_now" ->
       "Trigger.AvailableNow file-spool drain: stateful complete-mode keyed aggregate, state keyed by event_type under 8 state partitions (StreamGate clamp); the run reuses a shared per-JVM spool fixture (StreamFixtures.mod4) so the bench pays file COPIES, not 4 Spark write jobs per run. Self-terminates via awaitTermination — the nightly-backfill trigger surface.",
-    "q151_substring_dedup" ->
-      "(batch — audited above)",
     "q152_streaming_restart" ->
       "Source-offset restart: two sequential queries share one checkpoint over the shared mod4 spool; the second run's micro-batch log must resume AFTER the first run's committed offsets (re-listed files must not replay). Complete-mode keyed aggregate, 8 state partitions.",
     "q153_streaming_late_drop" ->
@@ -167,43 +340,50 @@ object PlanAudit {
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get("plan-audit", "8")
-    val sf = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val sf = args.headOption.getOrElse(invariantSf)
+    val allNames = graft.SparkEntry.queries.keys.toSeq.sorted
     val sb = new StringBuilder
     sb.append("# Physical plan audit\n\n")
-    sb.append(s"Generated by `graft.tools.PlanAudit` against `$sf`.\n")
+    sb.append(s"Generated by `graft.tools.PlanAudit` against `$sf` " +
+      s"(${allNames.size} registry queries: ${allNames.size - streamingGates.size} " +
+      "batch plans + " + streamingGates.size + " streaming-gate topology notes).\n")
     sb.append("AQE is enabled; plans below are the initial physical plans " +
-      "(AQE re-optimizes exchanges at runtime).\n\n")
-    audited.foreach { case (name, note) =>
-      val df = graft.SparkEntry.queries(name)(spark, sf)
-      val plan = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
-      sb.append(s"## $name\n\n$note\n\n```\n")
-      // keep the operator tree + the scan details; trim the long column lists
-      val lines = plan.linesIterator.toSeq
-      val treeEnd = lines.indexWhere(_.trim.isEmpty) match {
-        case -1 => lines.size
-        case i  => i
+      "(AQE re-optimizes exchanges at runtime). Plan-shape invariants for " +
+      "every batch query are pinned in `docs/plan_invariants.tsv` and " +
+      "asserted by `PlanInvariantsSpec` on every `sbt test` run.\n\n")
+    val records = scala.collection.mutable.ArrayBuffer.empty[PlanRecord]
+    allNames.foreach { name =>
+      if (streamingGates(name)) {
+        val note = streamingNotes.getOrElse(name, "streaming gate")
+        sb.append(s"## $name (streaming gate)\n\n$note\n\n")
+      } else {
+        val note = audited.getOrElse(name,
+          "Auto-audited: plan-shape invariants pinned in plan_invariants.tsv (PlanInvariantsSpec).")
+        val plan = planText(spark, name, sf)
+        records += record(name, plan)
+        sb.append(s"## $name\n\n$note\n\n```\n")
+        // keep the operator tree + the scan details; trim the long column lists
+        val lines = plan.linesIterator.toSeq
+        val treeEnd = lines.indexWhere(_.trim.isEmpty) match {
+          case -1 => lines.size
+          case i  => i
+        }
+        val tree = lines.take(treeEnd)
+        val details = lines.drop(treeEnd).filter(l =>
+          l.contains("PushedFilters") || l.contains("ReadSchema") ||
+          l.contains("Location") || l.startsWith("(") && l.contains("Scan parquet"))
+        sb.append(tree.mkString("\n"))
+        sb.append("\n--- scan details ---\n")
+        sb.append(details.map(_.take(200)).mkString("\n"))
+        sb.append("\n```\n\n")
       }
-      val tree = lines.take(treeEnd)
-      val details = lines.drop(treeEnd).filter(l =>
-        l.contains("PushedFilters") || l.contains("ReadSchema") ||
-        l.contains("Location") || l.startsWith("(") && l.contains("Scan parquet"))
-      sb.append(tree.mkString("\n"))
-      sb.append("\n--- scan details ---\n")
-      sb.append(details.map(_.take(200)).mkString("\n"))
-      sb.append("\n```\n\n")
-    }
-    sb.append("# Streaming-gate plan notes\n\n")
-    sb.append("Streaming gates have no batch plan to dump; each entry " +
-      "documents the executed micro-batch topology (state keys, watermark " +
-      "behavior, sink discipline). Stage-level timing evidence lives in " +
-      "`bench_stages.json`.\n\n")
-    streamingNotes.foreach { case (name, note) =>
-      sb.append(s"## $name\n\n$note\n\n")
     }
     Files.createDirectories(Paths.get("docs"))
     Files.writeString(Paths.get("docs/PLANS.md"), sb.toString)
-    println("wrote docs/PLANS.md")
+    Files.writeString(Paths.get("docs/plan_invariants.tsv"),
+      (tsvHeader +: records.map(_.tsvLine)).mkString("", "\n", "\n"))
+    println(s"wrote docs/PLANS.md (${allNames.size} entries) and " +
+      s"docs/plan_invariants.tsv (${records.size} records)")
     spark.stop()
   }
 }
