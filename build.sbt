@@ -51,6 +51,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (a 2s-CPU scan stage re-running at 39s). Disable the give-up cutoffs.
   "-XX:PerMethodRecompilationCutoff=-1",
   "-XX:PerBytecodeRecompilationCutoff=-1",
+  // HotSpot never JIT-compiles methods over 8000 bytecodes by default —
+  // janino-generated whole-stage-codegen methods can cross that, and an
+  // uncompilable hot method runs INTERPRETED FOREVER: the r7/r8 q135
+  // investigation measured the same stage at 12s CPU in lucky rounds vs
+  // 250-500s in unlucky ones (cpu≈wall, gc≈0 — the interpreter signature).
+  // Letting C2 take huge methods cut the worst q135 sample 150s -> 18s.
+  "-XX:-DontCompileHugeMethods",
 )
 // Dev profiling hook: GRAFT_EXTRA_JVM="-Xlog:gc:file=/tmp/gc.log" sbt ...
 javaOptions ++= sys.env.get("GRAFT_EXTRA_JVM").toSeq.flatMap(_.split("\\s+"))

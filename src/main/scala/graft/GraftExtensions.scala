@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinHashSigs, ParseBookLevels, ParseOkxFrame, PyDoubleRepr, PyFormatFixed, TokenHash32, VecCosine, VecDot, VecSqDist}
+import graft.functions.{MinHashSigs, ParseBookLevels, ParseOkxFrame, PyDoubleRepr, PyFormatFixed, SortedIntersectCount, TokenHash32, VecCosine, VecDot, VecSqDist}
 
 /** Session-extension injection point for the engine's native expressions —
   * the supported way to ship a Catalyst expression library so plain SQL
@@ -26,6 +26,8 @@ import graft.functions.{MinHashSigs, ParseBookLevels, ParseOkxFrame, PyDoubleRep
   *  - `token_hash32(tokens)` — 32-bit md5-derived token hashes
   *  - `vec_dot(a, b)` / `vec_sqdist(a, b)` / `vec_cosine(a, b)` — dense-
   *    vector kernels with exact left-to-right fold order
+  *  - `sorted_intersect_count(a, b)` — zero-allocation |a ∩ b| merge walk
+  *    over sorted duplicate-free array<string>
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -63,5 +65,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_cosine"),
       info("vec_cosine", "vec_cosine(a, b): cosine similarity, exact fold order"),
       (exprs: Seq[Expression]) => VecCosine(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count", "sorted_intersect_count(a, b): |a ∩ b| merge walk over sorted duplicate-free array<string>"),
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs.head, exprs(1))))
   }
 }

@@ -22,7 +22,7 @@ import graft.operators.{Derived, Normalizer}
   */
 object NormalizerQueries extends Registry {
 
-  /** Dev hook for profiling (tools.Probe). */
+  /** Test hook: frame synthesis exposed for RelationalExtSpec. */
   def framedBooksPublic(s: SparkSession, d: String): DataFrame = framedBooks(s, d)
 
   /** Frame synthesis shared by both queries. fanOut: the JSON round-trip

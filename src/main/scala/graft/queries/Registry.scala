@@ -40,8 +40,13 @@ private[queries] object StreamGate {
     */
   def withStatePartitions[A](s: SparkSession, n: Int = 8)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
+    // GRAFT_STATE_PARTITIONS: dev A/B knob for the clamp (the gates are
+    // partition-invariant by design, so this can only shift cost, never
+    // results — restart gates bake the count into their checkpoint, which
+    // stays consistent because the env var is fixed for a process).
+    val eff = sys.env.get("GRAFT_STATE_PARTITIONS").map(_.toInt).getOrElse(n)
     val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
+    s.conf.set(key, eff.toString)
     try body finally s.conf.set(key, prev)
   }
 }

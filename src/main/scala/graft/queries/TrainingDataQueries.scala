@@ -1571,17 +1571,47 @@ object TrainingDataQueries extends Registry {
     * pairs for PREFIX shingles only; quadratic work is confined to
     * per-shingle groups whose members are by construction documents
     * where that shingle is rare; the exact verify joins candidates back
-    * to shingle sets — never all pairs. Deterministic end-to-end:
-    * frequency ties break on the shingle string, and the Jaccard is
-    * integer arithmetic + one IEEE division.
+    * to shingle sets — never all pairs.
+    *
+    * Hash-space execution (r08, after chasing the r7 bench outlier into
+    * this query's stages): every pipeline stage past shingling works on
+    * 64-bit xxhash64 shingle hashes, never strings — the explode ships
+    * (doc_id, long) pairs, the frequency table and prefix window key on
+    * longs, and the verify side ships each doc's set as a SORTED
+    * array<long> verified with the zero-allocation
+    * [[graft.functions.SortedIntersectCount]] merge walk instead of
+    * `array_intersect`'s per-pair hash set. Correctness is unchanged:
+    * prefix filtering only needs SOME canonical global order (ascending
+    * frequency, ties on the hash is one), candidates are a superset
+    * either way, and the exact Jaccard verify collapses both to the same
+    * final pairs — so the DuckDB oracle keeps its string formulation. A
+    * 64-bit collision inside one pair's union (P ≈ |union|²/2⁶⁵ ≈ 1e-11
+    * per pair) would perturb one count — the standard
+    * exact-PPJoin-over-hashes trade.
+    *
+    * Why hashes: the r7/r8 outlier hunt (13 s / 97 s / 9 s samples on
+    * identical input) attributed the variance to JIT-unlucky rounds
+    * running fat-string stages at interpreter speed (cpu≈wall, gc≈0,
+    * 15-25× CPU on the same stage) and to the verify join flipping
+    * between an 18 s single-threaded broadcast build of the string-array
+    * table and an AQE-coalesced 5-task shuffled join carrying 250 s of
+    * CPU. 8-byte elements shrink every one of those stages ~4× in bytes
+    * and far more in CPU (one long compare vs a UTF8String walk), the
+    * verify joins are pinned SHUFFLE_HASH on doc_id (broadcast is the
+    * wrong shape at scale: candidates ≫ memory), and build.sbt's
+    * -XX:-DontCompileHugeMethods keeps the generated stages compilable
+    * at all.
     */
   private val q135 = Q("q135_prefix_filter_join",
     (s, d) => {
       val tau = 0.6
+      // leave string space immediately: one xxhash64 per distinct shingle
       val t = Tables.fanOut(Tables.documents(s, d))
         .select(col("doc_id"),
-          array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)).as("toks"))
-      val ex = t.select(col("doc_id"), size(col("toks")).as("n"), explode(col("toks")).as("tok"))
+          array_sort(array_distinct(transform(
+            array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)),
+            tk => xxhash64(tk)))).as("hs"))
+      val ex = t.select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("tok"))
       val tf = ex.groupBy("tok").agg(count(lit(1)).as("freq"))
       val w = Window.partitionBy("doc_id").orderBy(col("freq").asc, col("tok").asc)
       val pfx = ex.join(tf, "tok")
@@ -1592,18 +1622,24 @@ object TrainingDataQueries extends Registry {
         .filter(col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .distinct()
+      val th = t
       cand
-        .join(t.as("ta"), col("da") === col("ta.doc_id"))
-        .join(t.as("tb"), col("db") === col("tb.doc_id"))
-        .withColumn("inter", size(array_intersect(col("ta.toks"), col("tb.toks"))))
+        .join(th.as("ta").hint("shuffle_hash"), col("da") === col("ta.doc_id"))
+        .join(th.as("tb").hint("shuffle_hash"), col("db") === col("tb.doc_id"))
+        .withColumn("inter", org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.SortedIntersectCount(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("ta.hs")),
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("tb.hs")))))
         .withColumn("jaccard",
           col("inter").cast("double") /
-            (size(col("ta.toks")) + size(col("tb.toks")) - col("inter")))
+            (size(col("ta.hs")) + size(col("tb.hs")) - col("inter")))
         .filter(col("jaccard") >= tau)
         .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jaccard"))
         .orderBy("doc_a", "doc_b")
     },
     Some(s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      -- oracle stays on the string sets: hashed-set Jaccard equals
+      -- string-set Jaccard absent 64-bit collisions (P ~ 1e-11/pair)
       t AS (SELECT doc_id, list_distinct(${duckShingles("w")}) AS toks FROM w0),
       ex AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM t),
       tf AS (SELECT tok, COUNT(*) AS freq FROM ex GROUP BY tok),

@@ -3,11 +3,27 @@ package graft.tools
 import graft.GraftSession
 
 /** Dev-only: reproduce Bench's warm-at-sf0.001 / time-at-sf0.1 sequence
-  * for a subset of queries, to isolate first-run-at-scale overhead.
+  * for a subset of queries, to isolate first-run-at-scale overhead and
+  * chase bench-variance outliers. Prints per-stage wall/cpu/gc for stages
+  * over 1 s (the attribution an outlier sample needs: WHICH stage
+  * inflated, and was it CPU or GC).
   */
 object ProfileBenchSeq {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get("profile-bench-seq", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3
+        if (wall > 1.0) {
+          val m = si.taskMetrics
+          System.err.println(f"[stage] id=${si.stageId} wall=$wall%.1fs tasks=${si.numTasks} " +
+            f"runMs=${m.executorRunTime} cpuMs=${m.executorCpuTime / 1000000} " +
+            f"gcMs=${m.jvmGCTime} spillMB=${m.diskBytesSpilled / 1048576} ${si.name.take(60)}")
+        }
+      }
+    })
     val names = if (args.nonEmpty) args.toSeq else Seq("q16_normalize_books5", "q17_normalize_trades")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
