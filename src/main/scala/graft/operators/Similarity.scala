@@ -222,6 +222,35 @@ object Similarity {
       .select(col("id"), col("vec"), col("cell"), col("dist"))
   }
 
+  /** SemDeDup-style semantic near-duplicate marking (public literature:
+    * Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication", arXiv:2303.09540): cluster the
+    * embedding space, then mark a vector as a duplicate of its
+    * smallest-id same-cell neighbor with cosine ≥ `tau`. Keeping
+    * `dup_of IS NULL` rows implements the paper's one-representative-
+    * per-semantic-group corpus prune.
+    *
+    * Scale shape — the whole point of the clustering step: the quadratic
+    * pair work is CONFINED TO CELLS (the all-pairs join keys on `cell`,
+    * so each shuffle group is one cluster, never the corpus), and the
+    * quantizer ships as literals ([[ivfAssignCells]]) so assignment is a
+    * scan-local argmin. At 100 TB, `nlist` scales with the corpus
+    * (SemDeDup uses ~10⁵ clusters) which keeps cells bounded; the
+    * deterministic sampled quantizer makes the gate hash-reproducible in
+    * DuckDB (same device as q34's IVF oracle).
+    */
+  def semDedup(corpus: DataFrame, tau: Double, nlist: Int = 16): DataFrame = {
+    val asg = ivfAssignCells(corpus, nlist).select(col("id"), col("vec"), col("cell"))
+    val dups = asg.as("a").join(asg.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .filter(cosine(asDouble(col("a.vec")), asDouble(col("b.vec"))) >= tau)
+      .groupBy(col("b.id").as("id"))
+      .agg(min(col("a.id")).as("dup_of"))
+    asg.select(col("id"), col("cell"))
+      .join(dups, Seq("id"), "left")
+      .withColumn("is_semdup", col("dup_of").isNotNull)
+  }
+
   /** Squared euclidean distance — native left-to-right kernel
     * ([[graft.functions.VecSqDist]]), bit-identical to the declarative
     * `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0.0, _+_)` fold the

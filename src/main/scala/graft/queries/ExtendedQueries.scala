@@ -642,7 +642,7 @@ object ExtendedQueries extends Registry {
         .toDF("symbol", "channel", "ts_exchange_ms", "ts_recv_mono_ns")
       val gaps = graft.streaming.StalenessStream.gaps(events)
       val sinkName = s"q108_gaps_${q108Runs.incrementAndGet()}"
-      val query = StreamGate.withStatePartitions(s) {
+      val query = StreamGate.withStatePartitions(s, noDataBatches = false) {
         gaps.writeStream.format("memory").queryName(sinkName)
           .outputMode("append").start()
       }
@@ -796,7 +796,7 @@ object ExtendedQueries extends Registry {
           unix_millis(col("sw.end")).as("session_end_ms"),
           col("cnt"), col("total_value"))
       val sinkName = s"q111_sessions_${q111Runs.incrementAndGet()}"
-      val query = StreamGate.withStatePartitions(s) {
+      val query = StreamGate.withStatePartitions(s, noDataBatches = false) {
         sess.writeStream.format("memory").queryName(sinkName)
           .outputMode("append").start()
       }
@@ -1032,7 +1032,7 @@ object ExtendedQueries extends Registry {
         .withWatermark("event_time", "0 seconds")
       val bars = graft.streaming.Bars.ohlc(src, col("seq"), "1 day")
       val sinkName = s"q119_bars_${q119Runs.incrementAndGet()}"
-      val query = StreamGate.withStatePartitions(s) {
+      val query = StreamGate.withStatePartitions(s, noDataBatches = false) {
         bars.writeStream.format("memory").queryName(sinkName)
           .outputMode("append").start()
       }
@@ -1092,7 +1092,7 @@ object ExtendedQueries extends Registry {
         .withColumn("ts_utc", timestamp_millis(col("ts_ms")))
       val deduped = graft.operators.Dedup.streamingExact(src, "props", "ts_utc", "3650 days")
       val sinkName = s"q120_dedup_${q120Runs.incrementAndGet()}"
-      val query = StreamGate.withStatePartitions(s) {
+      val query = StreamGate.withStatePartitions(s, noDataBatches = false) {
         deduped.writeStream.format("memory").queryName(sinkName)
           .outputMode("append").start()
       }
@@ -1222,7 +1222,7 @@ object ExtendedQueries extends Registry {
       val src = mem.toDF().toDF("lat")
       val rates = graft.streaming.MetricsStream.zeroRates(src, "lat")
       val sinkName = s"q122_zr_${q122Runs.incrementAndGet()}"
-      val query = StreamGate.withStatePartitions(s) {
+      val query = StreamGate.withStatePartitions(s, noDataBatches = false) {
         rates.writeStream.format("memory").queryName(sinkName)
           .outputMode("complete").start()
       }
@@ -1264,7 +1264,7 @@ object ExtendedQueries extends Registry {
       val src = mem.toDF().toDF("symbol")
       val counts = graft.streaming.MetricsStream.msgCounts(src)
       val sinkName = s"q123_mc_${q123Runs.incrementAndGet()}"
-      val query = StreamGate.withStatePartitions(s) {
+      val query = StreamGate.withStatePartitions(s, noDataBatches = false) {
         counts.writeStream.format("memory").queryName(sinkName)
           .outputMode("complete").start()
       }
@@ -1420,7 +1420,7 @@ object ExtendedQueries extends Registry {
         .withWatermark("c_time", "3650 days")
       val joined = graft.streaming.Joins.attribution(iDf, cDf, "24 hours")
       val sinkName = s"q131_join_${q131Runs.incrementAndGet()}"
-      val query = StreamGate.withStatePartitions(s) {
+      val query = StreamGate.withStatePartitions(s, noDataBatches = false) {
         joined.writeStream.format("memory").queryName(sinkName)
           .outputMode("append").start()
       }
@@ -1513,7 +1513,7 @@ object ExtendedQueries extends Registry {
       s.conf.set(providerKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
-        val query = StreamGate.withStatePartitions(s) {
+        val query = StreamGate.withStatePartitions(s, noDataBatches = false) {
           gaps.writeStream.format("memory").queryName(sinkName)
             .outputMode("append").start()
         }
@@ -1648,7 +1648,7 @@ object ExtendedQueries extends Registry {
       val joined = graft.streaming.Joins
         .attribution(iDf, cDf, "24 hours", joinType = "leftOuter")
       val sinkName = s"q137_oj_${q137Runs.incrementAndGet()}"
-      val query = StreamGate.withStatePartitions(s) {
+      val query = StreamGate.withStatePartitions(s, noDataBatches = false) {
         joined.writeStream.format("memory").queryName(sinkName)
           .outputMode("append").start()
       }
@@ -1716,7 +1716,7 @@ object ExtendedQueries extends Registry {
       s.conf.set(providerKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
-        val query = StreamGate.withStatePartitions(s) {
+        val query = StreamGate.withStatePartitions(s, noDataBatches = false) {
           sess.toDF().writeStream.format("memory").queryName(sinkName)
             .outputMode("append").start()
         }
@@ -2060,7 +2060,7 @@ object ExtendedQueries extends Registry {
       // retry below replays the rewrite from that copy, never from the
       // expired DF reference.
       @volatile var firstRows: Array[(Long, String, Double)] = Array.empty
-      val query = StreamGate.withStatePartitions(s) {
+      val query = StreamGate.withStatePartitions(s, noDataBatches = false) {
         src.writeStream
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
             if (id == 0) firstRows = batch.collect().map(r =>

@@ -25,9 +25,13 @@ private[queries] object StreamGate {
     * store instance PER PARTITION PER MICRO-BATCH — a fixed cost that
     * dwarfs the KB of state the replay fixtures actually carry: at the
     * session default of 32 partitions the gates spent ~1-3 s per batch
-    * on pure store churn (bench_stages shows stage_wall ≪ wall). 8
-    * keeps every gated operator distributed — they are partition-
-    * invariant by design — while cutting the fixed per-batch cost 4x.
+    * on pure store churn (bench_stages shows stage_wall ≪ wall). The
+    * clamp keeps every gated operator distributed — they are partition-
+    * invariant by design, and 2 partitions still exercise multi-partition
+    * state merge/commit — while cutting the fixed per-batch cost 16x vs
+    * the session default (r08 A/B on the six heaviest gates: 8→2
+    * partitions cut their wall 25%, while moving checkpoints to tmpfs
+    * moved nothing — the cost is store instance churn, not fsync).
     * Production sizing is the opposite trade: state partitions scale
     * with executor count and amortize over seconds-long batches, which
     * is why this clamps only the gate's stream, not the session.
@@ -38,15 +42,32 @@ private[queries] object StreamGate {
     * the stream, and the post-stream batch aggregation over the sink
     * table runs at full session parallelism.
     */
-  def withStatePartitions[A](s: SparkSession, n: Int = 8)(body: => A): A = {
+  /** @param noDataBatches keep Spark's watermark-advance (no-data)
+    *   micro-batches. The MemoryStream replay gates pass `false`: their
+    *   protocols pull every emission through explicit sentinel DATA
+    *   rounds (the two-round device), so the engine's extra empty batch
+    *   after each watermark advance is pure per-batch fixed cost — with
+    *   a watermark, it near-doubles the micro-batch count. File-source
+    *   gates keep the default: q159's final windows emit in exactly such
+    *   a batch after the sentinel file, and the restart gates should
+    *   exercise the engine's stock trigger behavior.
+    */
+  def withStatePartitions[A](s: SparkSession, n: Int = 2,
+      noDataBatches: Boolean = true)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     // GRAFT_STATE_PARTITIONS: dev A/B knob for the clamp (the gates are
     // partition-invariant by design, so this can only shift cost, never
     // results — restart gates bake the count into their checkpoint, which
     // stays consistent because the env var is fixed for a process).
     val eff = sys.env.get("GRAFT_STATE_PARTITIONS").map(_.toInt).getOrElse(n)
     val prev = s.conf.get(key)
+    val prevNd = s.conf.get(ndKey)
     s.conf.set(key, eff.toString)
-    try body finally s.conf.set(key, prev)
+    s.conf.set(ndKey, noDataBatches.toString)
+    try body finally {
+      s.conf.set(key, prev)
+      s.conf.set(ndKey, prevNd)
+    }
   }
 }

@@ -413,7 +413,47 @@ object ScaleQueries extends Registry {
       FROM t GROUP BY tok HAVING COUNT(*) >= (SELECT slack FROM n)
       ORDER BY tok"""))
 
-  override val all: Seq[Q] = Seq(q156, q157, q158, q159, q160, q161)
+  /** Semantic dedup, SemDeDup-style (Abbas et al. 2023, arXiv:2303.09540;
+    * [[graft.operators.Similarity.semDedup]]): quantize the embedding
+    * space with the deterministic sampled quantizer (q34's device, so the
+    * whole index hash-reproduces in DuckDB), then inside each cell mark
+    * every vector whose cosine to a smaller-id cell-mate reaches τ as a
+    * duplicate of the smallest such id. `dup_of IS NULL` rows are the
+    * pruned corpus — the embedding-space complement to the lexical dedup
+    * family (q20-q24, q38): near-identical MEANING with different
+    * surface text, which no shingle method can see. τ = 0.3 sits at the
+    * fixture's ~99.2th cosine percentile so real dup groups form at
+    * every SF. Quadratic work is confined to cells; the cell key is the
+    * only shuffle.
+    */
+  private val q162 = Q("q162_semantic_dedup",
+    (s, d) => {
+      val corpus = Tables.fanOut(Tables.embeddings(s, d))
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      graft.operators.Similarity.semDedup(corpus, tau = 0.3, nlist = 16)
+        .select(col("id").as("vec_id"), col("cell"), col("dup_of"), col("is_semdup"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH n AS (SELECT greatest(COUNT(*) // 16, 1) AS step FROM embeddings),
+      cents AS (
+        SELECT CAST(vec_id // step AS INTEGER) AS cell, embedding AS centroid
+        FROM embeddings, n WHERE vec_id % step = 0 AND vec_id // step < 16),
+      asg AS (
+        SELECT id, vec, cell FROM (
+          SELECT c.vec_id AS id, c.embedding AS vec, ct.cell,
+            row_number() OVER (PARTITION BY c.vec_id
+              ORDER BY ${TrainingDataQueries.duckSqDist("c.embedding", "ct.centroid")}, ct.cell) AS arank
+          FROM embeddings c CROSS JOIN cents ct)
+        WHERE arank = 1),
+      p AS (
+        SELECT b.id AS id, MIN(a.id) AS dup_of
+        FROM asg a JOIN asg b ON a.cell = b.cell AND a.id < b.id
+        WHERE ${TrainingDataQueries.duckCos("a.vec", "b.vec")} >= 0.3::DOUBLE
+        GROUP BY b.id)
+      SELECT g.id AS vec_id, g.cell, p.dup_of, p.dup_of IS NOT NULL AS is_semdup
+      FROM asg g LEFT JOIN p USING (id) ORDER BY vec_id"""))
+
+  override val all: Seq[Q] = Seq(q156, q157, q158, q159, q160, q161, q162)
 }
 
 /** Serializable Count-Min probe: holds the sketch BYTES (what the

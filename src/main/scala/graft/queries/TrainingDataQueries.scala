@@ -1488,7 +1488,7 @@ object TrainingDataQueries extends Registry {
       val src = mem.toDF().toDF("qid", "qvec")
       val cand = Similarity.lshStreamCandidates(index, src, numPlanes = 8)
       val sinkName = s"q127_ann_${q127Runs.incrementAndGet()}"
-      val query = StreamGate.withStatePartitions(s) {
+      val query = StreamGate.withStatePartitions(s, noDataBatches = false) {
         cand.writeStream.format("memory").queryName(sinkName)
           .outputMode("append").start()
       }

@@ -294,7 +294,9 @@ object PlanAudit {
     "q160_hll_sketch_rollup" ->
       "HLL sketch rollup (r07): daily hll_sketch_agg buffers combine map-side (partial/final), then BOTH rollup paths — direct union and shard-then-union — are hll_union_agg over |event_type x day| KB-sized binaries, never re-reading events; the three 5-row branches join as broadcasts. This is the persistable-sketch path: at 100 TB the daily layer is written once and every rollup is a union of stored binaries, a plan with NO scan of raw data at all (the assoc_ok column proves union associativity makes that re-aggregation exact).",
     "q161_cms_freq_bounds" ->
-      "Count-Min frequency bounds (r07): ONE count_min_sketch aggregate pass over the token Generate collapses per-partition 1.6 MB CMS arrays linearly (partial/final visible); the heavy-token probe then runs over the |candidates|-sized exact-count aggregate with the sketch bytes shipped once per executor (transient-lazy deserialization), never per row. The vocabulary-sized side shuffles only (tok, count) pairs; the corpus never shuffles.")
+      "Count-Min frequency bounds (r07): ONE count_min_sketch aggregate pass over the token Generate collapses per-partition 1.6 MB CMS arrays linearly (partial/final visible); the heavy-token probe then runs over the |candidates|-sized exact-count aggregate with the sketch bytes shipped once per executor (transient-lazy deserialization), never per row. The vocabulary-sized side shuffles only (tok, count) pairs; the corpus never shuffles.",
+    "q162_semantic_dedup" ->
+      "SemDeDup (r08, Abbas 2023): cell assignment is a scan-local argmin over the sampled quantizer shipped as LITERALS (q34's device — no corpus x centroid join); the all-pairs cosine work is confined to per-cell groups by the cell-keyed self-join, and dup marking is a per-cell aggregate. At 100 TB nlist scales with the corpus so cells stay bounded — the quadratic never escapes a cell.")
 
   /** Micro-batch topology notes — one per streaming gate, so every
     * registry query has a PLANS.md entry. */

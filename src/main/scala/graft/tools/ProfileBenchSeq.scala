@@ -9,6 +9,22 @@ import graft.GraftSession
   * inflated, and was it CPU or GC).
   */
 object ProfileBenchSeq {
+
+  /** Testable core: warm once at `warmDir`, then time two runs at `sfDir`.
+    * Returns (warmSec, firstSec, secondSec). */
+  def runSeq(spark: org.apache.spark.sql.SparkSession, name: String,
+      warmDir: String, sfDir: String): (Double, Double, Double) = {
+    val fn = graft.SparkEntry.queries(name)
+    val t0 = System.nanoTime()
+    fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+    val t1 = System.nanoTime()
+    fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    val t2 = System.nanoTime()
+    fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    val t3 = System.nanoTime()
+    ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get("profile-bench-seq", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -26,15 +42,8 @@ object ProfileBenchSeq {
     })
     val names = if (args.nonEmpty) args.toSeq else Seq("q16_normalize_books5", "q17_normalize_trades")
     names.foreach { name =>
-      val fn = graft.SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
-      val t1 = System.nanoTime()
-      fn(spark, "/root/testdata/sf0.1").write.format("noop").mode("overwrite").save()
-      val t2 = System.nanoTime()
-      fn(spark, "/root/testdata/sf0.1").write.format("noop").mode("overwrite").save()
-      val t3 = System.nanoTime()
-      println(f"[seq] $name%-24s warm0.001=${(t1 - t0) / 1e9}%.2f first0.1=${(t2 - t1) / 1e9}%.2f second0.1=${(t3 - t2) / 1e9}%.2f")
+      val (w, f1, f2) = runSeq(spark, name, "/root/testdata/sf0.001", "/root/testdata/sf0.1")
+      println(f"[seq] $name%-24s warm0.001=$w%.2f first0.1=$f1%.2f second0.1=$f2%.2f")
     }
     spark.stop()
   }
