@@ -262,7 +262,7 @@ object PlanAudit {
     "q134_column_profile" ->
       "Column profile (r06): four exact COUNT(DISTINCT)s plus min/max/null counts evaluate in ONE multi-aggregate pass — Expand replicates rows per distinct column map-side, a single partial/final pair follows, and the long-form pivot is a zero-scan explode of the one result row.",
     "q135_prefix_filter_join" ->
-      "Prefix-filter similarity join (r06): candidate generation self-joins ONLY each doc's (n - ceil(tau*n) + 1) rarest shingles — the exchange ships prefix (shingle, doc_id) pairs, quadratic work is confined to per-shingle groups that are small by construction (prefixes are rare-first), and the exact Jaccard verify joins candidates back to shingle sets, never all pairs.",
+      "Prefix-filter similarity join (r06, hash-space since r08): candidate generation self-joins ONLY each doc's (n - ceil(tau*n) + 1) rarest shingles — the exchange ships prefix (hash, doc_id) pairs (64-bit xxhash64 shingle hashes; everything past shingling leaves string space), quadratic work is confined to per-shingle groups that are small by construction (prefixes are rare-first), and the exact Jaccard verify runs the zero-allocation sorted_intersect_count merge walk over sorted array<long> sets through SHUFFLE_HASH-pinned doc_id joins — broadcast is the wrong shape once candidates outgrow memory, and the strategy flip was half the r7 bench variance.",
     "q142_bigram_lm_score" ->
       "Bigram LM scoring (r06): the corpus explodes to bigrams ONCE — both model counts (c12, c1) aggregate from that Generate and join back onto it; the model tables are vocabulary-sized so AQE broadcasts them (corpus never shuffles for the joins), the vocab size crossJoins as a 1-row broadcast, and the per-doc mean rides the decimal route.",
     "q143_correlated_subqueries" ->
