@@ -24,10 +24,19 @@ object GraphOps {
     * list (`src`, `dst` — pre-deduped). Dangling nodes simply emit no
     * contributions (mass leaks, as in the classic simplification).
     *
-    * Scale: per iteration one join of edges against ranks on `src`
-    * (co-partitioned after the first shuffle) and one partial/final
-    * aggregation by `dst`; `localCheckpoint` truncates lineage so the
-    * plan stays O(1) per round.
+    * Scale: per iteration one join of edges against ranks on `src` and
+    * one partial/final aggregation by `dst`; `localCheckpoint` truncates
+    * lineage so the plan stays O(1) per round. The rank/inflow sides are
+    * EXPLICITLY broadcast: they are |V|-sized (16 B/row) while the edge
+    * side is |E|-sized, and a checkpointed edge table has no stats — left
+    * to itself the planner sort-merge-joined it, re-sorting ALL edges
+    * every round (r08: 32 s CPU at sf0.1, ~5× the actual rank math).
+    * With the broadcast, each round is one edge SCAN + map-side partial
+    * aggregation; edges never shuffle after the one-time degree join.
+    * At billions of nodes (rank no longer broadcastable) the same loop
+    * runs on edge/rank tables bucketed by `src`/`node` at ingest — the
+    * join stays shuffle-free per round, which is the property this shape
+    * preserves.
     */
   def pageRankFixed(edges: DataFrame, iters: Int): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -38,11 +47,11 @@ object GraphOps {
     var rank = nodes.withColumn("rank", lit(Scale))
     for (_ <- 1 to iters) {
       val inflow = withDeg
-        .join(rank.withColumnRenamed("node", "rn"), col("src") === col("rn"))
+        .join(broadcast(rank.withColumnRenamed("node", "rn")), col("src") === col("rn"))
         .select(col("dst").as("node"), expr("rank div deg").as("contrib"))
         .groupBy("node").agg(sum(col("contrib")).as("inflow"))
       rank = nodes
-        .join(inflow, Seq("node"), "left")
+        .join(broadcast(inflow), Seq("node"), "left")
         .select(col("node"),
           (lit(Base) + expr("(85 * coalesce(inflow, 0L)) div 100")).as("rank"))
         .localCheckpoint()
