@@ -1388,64 +1388,85 @@ object TrainingDataQueries extends Registry {
     * checkpoint the merged corpus every ~10 rounds to cap lineage depth;
     * three rounds of nested HOF expressions stay comfortably codegen'd.
     */
+  /** Shared BPE inner loop for q126/q163: learn `rounds` greedy merges
+    * (restricted to x != y — see q126's scaladoc for why that makes the
+    * loop partition- and engine-deterministic) and APPLY each as it is
+    * learned. Returns the learned merge table and the encoded corpus
+    * (doc_id, n_tokens0, toks). Index-build pattern: the merge table is
+    * the only collected state; the corpus never leaves the cluster.
+    */
+  private def bpeLearnApply(s: org.apache.spark.sql.SparkSession, d: String, rounds: Int)
+      : (Seq[(Int, String, Long, Long)], org.apache.spark.sql.DataFrame) = {
+    import s.implicits._
+    val base = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .withColumn("n_tokens0", size(col("toks")).cast("long"))
+    val tokens0 = base.agg(sum(col("n_tokens0"))).as[Long].head()
+    var toks = base
+    var remaining = tokens0
+    val learned = Seq.newBuilder[(Int, String, Long, Long)]
+    for (r <- 1 to rounds) {
+      val sp = split(col("pair"), " ", 2)
+      val top = toks
+        .select(explode(TextAnalysis.shingles(col("toks"), 2)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .filter(element_at(sp, 1) =!= element_at(sp, 2))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1)
+        .as[(String, Long)].head()
+      val Array(x, y) = top._1.split(" ", 2)
+      remaining -= top._2
+      learned += ((r, top._1, top._2, remaining))
+      toks = toks.withColumn("toks",
+        TextAnalysis.bpeMerge(col("toks"), x, y, x + "_" + y))
+    }
+    (learned.result(), toks)
+  }
+
+  /** DuckDB mirror of one learn+apply BPE round over t{r-1} → t{r}. */
+  private def duckBpeRound(r: Int): String = {
+    val prev = s"t${r - 1}"
+    s"""p$r AS (SELECT tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS pair
+      FROM $prev),
+    c$r AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM p$r WHERE pair IS NOT NULL GROUP BY pair),
+    m$r AS (SELECT pair, cnt,
+        string_split(pair, ' ')[1] AS x, string_split(pair, ' ')[2] AS y
+      FROM c$r WHERE string_split(pair, ' ')[1] <> string_split(pair, ' ')[2]
+      ORDER BY cnt DESC, pair LIMIT 1),
+    t$r AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i, tok
+      FROM (
+        SELECT t.doc_id, t.i,
+          CASE WHEN t.tok = m.x AND lead(t.tok) OVER (PARTITION BY t.doc_id ORDER BY t.i) = m.y
+                 THEN m.x || '_' || m.y
+               WHEN lag(t.tok) OVER (PARTITION BY t.doc_id ORDER BY t.i) = m.x AND t.tok = m.y
+                 THEN NULL
+               ELSE t.tok END AS tok
+        FROM $prev t CROSS JOIN m$r m)
+      WHERE tok IS NOT NULL)"""
+  }
+
+  /** The t0 tokenized-corpus CTE both BPE oracles start from. */
+  private val duckBpeT0: String =
+    """t0 AS (SELECT doc_id, i, tok FROM (
+      SELECT doc_id,
+        unnest(string_split(text, ' ')) AS tok,
+        unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+      FROM documents) u)"""
+
   private val q126 = Q("q126_bpe_merge_loop",
     (s, d) => {
+      val (learned, _) = bpeLearnApply(s, d, 3)
       import s.implicits._
-      val base = Tables.fanOut(Tables.documents(s, d))
-        .select(TextAnalysis.tokens(col("text")).as("toks"))
-      val tokens0 = base.agg(sum(size(col("toks")))).as[Long].head()
-      var toks = base
-      var remaining = tokens0
-      val learned = Seq.newBuilder[(Int, String, Long, Long)]
-      for (r <- 1 to 3) {
-        val sp = split(col("pair"), " ", 2)
-        val top = toks
-          .select(explode(TextAnalysis.shingles(col("toks"), 2)).as("pair"))
-          .groupBy("pair").agg(count(lit(1)).as("cnt"))
-          .filter(element_at(sp, 1) =!= element_at(sp, 2))
-          .orderBy(col("cnt").desc, col("pair").asc)
-          .limit(1)
-          .as[(String, Long)].head()
-        val Array(x, y) = top._1.split(" ", 2)
-        remaining -= top._2
-        learned += ((r, top._1, top._2, remaining))
-        toks = toks.withColumn("toks",
-          TextAnalysis.bpeMerge(col("toks"), x, y, x + "_" + y))
-      }
-      learned.result().toDF("round", "pair", "cnt", "tokens_after")
+      learned.toDF("round", "pair", "cnt", "tokens_after")
         .orderBy("round")
     },
     Some {
-      def round(r: Int): String = {
-        val prev = s"t${r - 1}"
-        s"""p$r AS (SELECT tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS pair
-          FROM $prev),
-        c$r AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
-          FROM p$r WHERE pair IS NOT NULL GROUP BY pair),
-        m$r AS (SELECT pair, cnt,
-            string_split(pair, ' ')[1] AS x, string_split(pair, ' ')[2] AS y
-          FROM c$r WHERE string_split(pair, ' ')[1] <> string_split(pair, ' ')[2]
-          ORDER BY cnt DESC, pair LIMIT 1),
-        t$r AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i, tok
-          FROM (
-            SELECT t.doc_id, t.i,
-              CASE WHEN t.tok = m.x AND lead(t.tok) OVER (PARTITION BY t.doc_id ORDER BY t.i) = m.y
-                     THEN m.x || '_' || m.y
-                   WHEN lag(t.tok) OVER (PARTITION BY t.doc_id ORDER BY t.i) = m.x AND t.tok = m.y
-                     THEN NULL
-                   ELSE t.tok END AS tok
-            FROM $prev t CROSS JOIN m$r m)
-          WHERE tok IS NOT NULL)"""
-      }
-      s"""WITH t0 AS (SELECT doc_id, i, tok FROM (
-          SELECT doc_id,
-            unnest(string_split(text, ' ')) AS tok,
-            unnest(generate_series(1, len(string_split(text, ' ')))) AS i
-          FROM documents) u),
+      s"""WITH $duckBpeT0,
         n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t0),
-        ${round(1)},
-        ${round(2)},
-        ${round(3)}
+        ${duckBpeRound(1)},
+        ${duckBpeRound(2)},
+        ${duckBpeRound(3)}
       SELECT CAST(round AS INTEGER) AS round, pair, cnt, tokens_after FROM (
         SELECT 1 AS round, m1.pair AS pair, m1.cnt AS cnt,
           n0.n - m1.cnt AS tokens_after FROM m1, n0
@@ -1454,6 +1475,39 @@ object TrainingDataQueries extends Registry {
         UNION ALL SELECT 3, m3.pair, m3.cnt,
           n0.n - m1.cnt - m2.cnt - m3.cnt FROM m1, m2, m3, n0) z
       ORDER BY round"""
+    })
+
+  /** Tokenizer APPLICATION — the other half of the BPE family (q124
+    * counts pairs, q126 learns merges; this ENCODES the corpus with the
+    * learned merges and reports per-document compression, the number a
+    * data pipeline actually budgets by). The encode is the same
+    * scan-local [[TextAnalysis.bpeMerge]] HOF chain the training loop
+    * applies, so the gate verifies that a corpus encoded with a learned
+    * merge table reproduces bit-for-bit cross-engine. Scale: merges ship
+    * as literals inside the expression (the KB-sized index pattern);
+    * encoding is pure per-row work at scan speed — at 100 TB this runs
+    * as a streaming-friendly map with zero shuffles before the gate's
+    * orderBy.
+    */
+  private val q163 = Q("q163_bpe_encode",
+    (s, d) => {
+      val (_, encoded) = bpeLearnApply(s, d, 3)
+      encoded
+        .select(col("doc_id"), col("n_tokens0").as("n_before"),
+          size(col("toks")).cast("long").as("n_after"))
+        .withColumn("compression", col("n_after").cast("double") / col("n_before"))
+        .orderBy("doc_id")
+    },
+    Some {
+      s"""WITH $duckBpeT0,
+        ${duckBpeRound(1)},
+        ${duckBpeRound(2)},
+        ${duckBpeRound(3)},
+      b AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_before FROM t0 GROUP BY doc_id),
+      a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_after FROM t3 GROUP BY doc_id)
+      SELECT b.doc_id, b.n_before, a.n_after,
+        CAST(a.n_after AS DOUBLE) / b.n_before AS compression
+      FROM b JOIN a USING (doc_id) ORDER BY doc_id"""
     })
 
   private val q127Runs = new java.util.concurrent.atomic.AtomicLong()
@@ -1966,5 +2020,5 @@ object TrainingDataQueries extends Registry {
   override val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q38, q41, q42, q43, q44, q45, q47, q107, q112, q114, q115,
     q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q79, q124, q125, q126,
-    q127, q134, q135, q140, q141, q142, q146, q150, q151)
+    q127, q134, q135, q140, q141, q142, q146, q150, q151, q163)
 }
