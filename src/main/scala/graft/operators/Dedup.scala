@@ -88,6 +88,34 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental LSH screening — the ingestion-time shape of near-dup
+    * dedup (the MinHash sibling of the exact-hash anti-join in q58): band
+    * an INCOMING batch's signatures and probe them against an existing
+    * corpus INDEX's bands; an incoming doc sharing any (band_idx,
+    * band_hash) bucket with the index is a near-dup candidate and gets
+    * `dup_of` = the smallest matching index doc (deterministic), else
+    * `keep = true`. The index side is banded once and persisted in a real
+    * pipeline — each new batch only shuffles ITS OWN |batch|×|bands| rows
+    * plus the bucket-matched index rows; the corpus is never rescanned.
+    */
+  def lshScreenAgainst(index: DataFrame, incoming: DataFrame, numBands: Int): DataFrame = {
+    def explodeBands(df: DataFrame): DataFrame = {
+      val bandStructs = array((0 until numBands).map(b =>
+        struct(lit(b).as("band_idx"), col(s"band$b").as("band_hash"))): _*)
+      df.select(col("doc_id"), explode(bandStructs).as("b"))
+        .select(col("doc_id"), col("b.band_idx"), col("b.band_hash"))
+    }
+    val hits = explodeBands(incoming).as("n")
+      .join(explodeBands(index).as("o"),
+        col("n.band_idx") === col("o.band_idx") &&
+        col("n.band_hash") === col("o.band_hash"))
+      .groupBy(col("n.doc_id").as("doc_id"))
+      .agg(min(col("o.doc_id")).as("dup_of"))
+    incoming.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("keep", col("dup_of").isNull)
+  }
+
   /** 32-bit integer from the first 8 hex chars of a digest string, decoded
     * arithmetically ('a'..'f' → 10..15, '0'..'9' → 0..9). Apply to a
     * md5-hex lambda variable so the digest is computed once per token.

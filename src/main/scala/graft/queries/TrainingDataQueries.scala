@@ -1512,6 +1512,52 @@ object TrainingDataQueries extends Registry {
 
   private val q127Runs = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Incremental near-dup dedup — the MinHash/LSH sibling of q58's
+    * exact-hash incremental dedup ([[Dedup.lshScreenAgainst]]): screen an
+    * incoming batch (odd doc_ids) against the existing corpus's LSH index
+    * (even doc_ids). An incoming doc colliding with any index band bucket
+    * is marked `dup_of` its smallest matching index doc; docs with empty
+    * shingle sets have no signature and pass through kept — the oracle's
+    * LEFT JOIN covers both paths. This is the ingestion-time shape at
+    * 100 TB: the index's bands are computed once and persisted; each new
+    * batch shuffles only its own |batch|×bands rows against the matched
+    * buckets, never rescanning the corpus.
+    */
+  private val q164 = Q("q164_incremental_lsh_dedup",
+    (s, d) => {
+      val sigs = minhashSigFrame(s, d)
+        .select(col("doc_id") +: Dedup.minhashColsFromArray(col("mhs"), NumHashes): _*)
+        .select(col("doc_id") +: Dedup.bandCols(NumHashes, RowsPerBand): _*)
+      val index = sigs.filter(col("doc_id") % 2 === 0)
+      val incoming = sigs.filter(col("doc_id") % 2 === 1)
+      val screened = Dedup.lshScreenAgainst(index, incoming, NumBands)
+      Tables.documents(s, d).filter(col("doc_id") % 2 === 1).select(col("doc_id"))
+        .join(screened.select(col("doc_id"), col("dup_of")), Seq("doc_id"), "left")
+        .withColumn("keep", col("dup_of").isNull)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $duckToks AS w FROM documents),
+      s AS (SELECT doc_id, ${duckShingles("w")} AS sh FROM t),
+      mh AS (SELECT doc_id,
+        ${(0 until NumHashes).map(i => s"${duckMh(i)} AS mh$i").mkString(", ")}
+        FROM s WHERE len(sh) > 0),
+      sig AS (SELECT doc_id,
+        ${(0 until NumBands).map(b =>
+          s"md5(mh${b * RowsPerBand} || '|' || mh${b * RowsPerBand + 1}) AS band$b")
+          .mkString(", ")}
+        FROM mh),
+      bands AS (${(0 until NumBands).map(b =>
+          s"SELECT doc_id, $b AS band_idx, band$b AS band_hash FROM sig")
+          .mkString("\n        UNION ALL ")}),
+      p AS (SELECT n.doc_id AS doc_id, MIN(o.doc_id) AS dup_of
+        FROM bands n JOIN bands o
+          ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+        WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+        GROUP BY n.doc_id)
+      SELECT d.doc_id, p.dup_of, p.dup_of IS NULL AS keep
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+      LEFT JOIN p USING (doc_id) ORDER BY doc_id"""))
+
   /** Streaming ANN gate (NOTES round-6 candidate "streaming ANN"): query
     * vectors replayed over a 3-micro-batch MemoryStream, LSH-bucketed
     * per batch and joined STREAM-STATIC on `bucket` against the
@@ -2020,5 +2066,5 @@ object TrainingDataQueries extends Registry {
   override val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q38, q41, q42, q43, q44, q45, q47, q107, q112, q114, q115,
     q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q79, q124, q125, q126,
-    q127, q134, q135, q140, q141, q142, q146, q150, q151, q163)
+    q127, q134, q135, q140, q141, q142, q146, q150, q151, q163, q164)
 }
