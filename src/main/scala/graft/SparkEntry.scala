@@ -15,7 +15,8 @@ object SparkEntry {
 
   private val registries: Seq[Registry] =
     Seq(CoreQueries, NormalizerQueries, TrainingDataQueries, PipelineQueries,
-      AnalyticsQueries, RelationalQueries, ExtendedQueries, ScaleQueries)
+      AnalyticsQueries, RelationalQueries, ExtendedQueries, ScaleQueries,
+      FrontierQueries)
 
   private lazy val qs: Seq[Q] = registries.flatMap(_.all)
 

@@ -58,4 +58,72 @@ object GraphOps {
     }
     rank
   }
+
+  /** `iters` synchronous rounds of MIN-label propagation over a
+    * SYMMETRIC edge list (`src`, `dst`; caller symmetrizes): every node
+    * starts labeled with its own id, and each round takes the minimum
+    * over its neighbors' labels and its own. After k rounds a node's
+    * label is exactly the smallest node id within graph distance ≤ k —
+    * a deterministic, engine-independent value (pure integer MIN, no
+    * tie-break ambiguity), which makes the iterative-BSP community
+    * primitive hash-gateable: the oracle unrolls the identical
+    * recurrence.
+    *
+    * Scale: each round is one join of edges against the label table on
+    * `src` plus one aggregation by `dst` — the canonical BSP superstep
+    * (Pregel's message+combine, public model). Labels are NOT broadcast:
+    * unlike q116's rank vector this table is |V|-sized by design intent
+    * (label propagation is run on graphs whose vertex set exceeds
+    * memory); on a cluster both sides would be bucketed by node id at
+    * ingest so the per-round join is co-partitioned and shuffle-free.
+    * `localCheckpoint` truncates lineage so the plan stays O(1) per
+    * round. Fixed iteration count (vs convergence detection) keeps
+    * rounds deterministic and removes the per-round driver round-trip;
+    * production runs pick k ≈ graph diameter of interest.
+    */
+  def labelPropagationMin(edges: DataFrame, iters: Int): DataFrame = {
+    val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint()
+    val e = edges.localCheckpoint()
+    var lbl = nodes.withColumn("lbl", col("node"))
+    for (_ <- 1 to iters) {
+      val fromNbrs = e
+        .join(lbl.withColumnRenamed("node", "s"), col("src") === col("s"))
+        .select(col("dst").as("node"), col("lbl"))
+      lbl = fromNbrs.unionByName(lbl)
+        .groupBy("node").agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    lbl
+  }
+
+  /** `rounds` peeling rounds toward the k-core of a SYMMETRIC edge list:
+    * each round computes degrees, drops every node with degree < k, and
+    * restricts the edge set to surviving endpoints. The true k-core is
+    * the fixpoint; a FIXED round count keeps the computation
+    * deterministic and lets the oracle unroll the identical peel (each
+    * round is plain degree-count + semi-join SQL). Returns the surviving
+    * nodes with their degree in the final restricted edge set.
+    *
+    * Scale: a round is one aggregation by `src` and two semi-joins of
+    * the edge list against the (much smaller, shrinking) survivor set —
+    * broadcast the survivors once they fit, which on real graphs happens
+    * after the first round since peeling removes the long degree-1 tail.
+    * Here both joins stay key-partitioned (survivors are |V|-sized in the
+    * worst case); `localCheckpoint` cuts lineage per round. Production
+    * k-core iterates to fixpoint with a convergence check on the dropped
+    * count; the per-round dataflow is identical.
+    */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edges.localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val alive = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src").as("v"))
+      e = e
+        .join(alive.withColumnRenamed("v", "sv"), col("src") === col("sv"), "left_semi")
+        .join(alive.withColumnRenamed("v", "dv"), col("dst") === col("dv"), "left_semi")
+        .localCheckpoint()
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
 }
