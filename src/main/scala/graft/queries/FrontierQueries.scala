@@ -95,5 +95,87 @@ object FrontierQueries extends Registry {
       SELECT src AS node, COUNT(*) AS deg FROM e3 GROUP BY src ORDER BY node"""
     })
 
-  override val all: Seq[Q] = Seq(q165, q166)
+  /** KMV/theta-sketch set operations ([[graft.functions.KmvSketchAgg]],
+    * k = 256) over per-event-type ACTIVE-USER-DAY sets (key =
+    * user_id·100000 + day-of-year): for every unordered pair of event
+    * types, estimate |A∪B| (k smallest of the merged sketches — computed
+    * HERE with Catalyst array HOFs: `array_union`/`array_sort`/`slice`)
+    * and |A∩B| (matching hashes under the union threshold → Jaccard ×
+    * union). The gate follows the q157/q161 pattern for approximate
+    * operators: exact cardinalities are full hash-matched columns and
+    * the estimates are asserted INSIDE their theoretical error bounds
+    * (≈5σ at 1/√(k−2) ≈ 6.3% relative error) as boolean columns the
+    * oracle pins to TRUE — falsifiable for any broken sketch, robust to
+    * the estimator's deterministic-but-approximate value.
+    *
+    * Scale: this is the audience-overlap / cross-corpus-contamination
+    * shape. The EXACT pairwise path (the oracle, and the exact columns
+    * here) needs a distinct + self-join on the key stream — the thing
+    * that dies first at 100 TB. The sketch path aggregates each group
+    * once with map-side partial merge (≤ k longs per group per
+    * partition) and does all pairwise algebra on k-sized arrays — at
+    * production scale the exact columns drop out and P pairwise overlaps
+    * cost one scan + P·O(k) array merges.
+    */
+  private val q167 = Q("q167_kmv_theta_setops",
+    (s, d) => {
+      val k = 256
+      val kmv = udaf(new graft.functions.KmvSketchAgg(k))
+      val keys = Tables.events(s, d)
+        .select(col("event_type"),
+          (col("user_id") * 100000L + dayofyear(col("ts_utc"))).as("key"))
+        .distinct()
+      val sk = keys
+        .groupBy("event_type")
+        .agg(kmv(xxhash64(col("key"))).as("sk"),
+          count(lit(1)).as("n")) // keys is distinct ⇒ exact cardinality
+        .localCheckpoint() // tiny (one row per type); cut for the self-joins
+      val inter = keys.as("x").join(keys.as("y"),
+          col("x.key") === col("y.key") &&
+          col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
+        .agg(count(lit(1)).as("n_inter"))
+      val pairs = sk.as("a").join(sk.as("b"),
+          col("a.event_type") < col("b.event_type"))
+        .join(inter,
+          col("a.event_type") === col("ta") && col("b.event_type") === col("tb"),
+          "left")
+      val u = slice(array_sort(array_union(col("a.sk"), col("b.sk"))), 1, k)
+      val kk = size(u) // < k ⇔ both sketches complete ⇒ union is exact
+      val estUnion = when(kk < k, kk.cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(9.223372036854776e18) /
+          element_at(u, k).cast("double"))
+      val matching = size(array_intersect(array_intersect(u, col("a.sk")), col("b.sk")))
+      val estInter = matching.cast("double") / kk.cast("double") * estUnion
+      val nUnion = (col("a.n") + col("b.n") - coalesce(col("n_inter"), lit(0L)))
+      pairs.select(
+          col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+          col("a.n").as("n_a"), col("b.n").as("n_b"),
+          nUnion.as("n_union"), coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+          (abs(estUnion - nUnion.cast("double")) <=
+            lit(0.32) * nUnion.cast("double")).as("union_ok"),
+          (abs(estInter - coalesce(col("n_inter"), lit(0L)).cast("double")) <=
+            lit(0.25) * nUnion.cast("double")).as("inter_ok"))
+        .orderBy("type_a", "type_b")
+    },
+    Some("""WITH keys AS (
+        SELECT DISTINCT event_type, user_id*100000 + date_part('doy', ts) AS key
+        FROM events),
+      c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM keys GROUP BY event_type),
+      i AS (SELECT a.event_type AS ta, b.event_type AS tb,
+          CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM keys a JOIN keys b
+          ON a.key = b.key AND a.event_type < b.event_type
+        GROUP BY ta, tb)
+      SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+        ca.n AS n_a, cb.n AS n_b,
+        ca.n + cb.n - COALESCE(i.n_inter, 0) AS n_union,
+        COALESCE(i.n_inter, 0) AS n_inter,
+        TRUE AS union_ok, TRUE AS inter_ok
+      FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+      LEFT JOIN i ON i.ta = ca.event_type AND i.tb = cb.event_type
+      ORDER BY type_a, type_b"""))
+
+  override val all: Seq[Q] = Seq(q165, q166, q167)
 }

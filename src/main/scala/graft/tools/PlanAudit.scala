@@ -157,7 +157,8 @@ object PlanAudit {
     "q55_length_filter",        // 2-number percentile scalar broadcast
     "q79_ann_pq",               // 50-row coarse-candidate set vs PQ codes
     "q141_domain_mixture",      // 1-row budget scalar crossJoin
-    "q142_bigram_lm_score")     // 1-row vocab-size crossJoin
+    "q142_bigram_lm_score",     // 1-row vocab-size crossJoin
+    "q167_kmv_theta_setops")    // 5-row sketch table pairwise self-join
 
   // ---------------------------------------------------------------------
   // Curated scale narratives (kept from rounds 2-7; auto entries cover the
