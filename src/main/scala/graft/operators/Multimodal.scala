@@ -488,4 +488,117 @@ object Multimodal {
         }
       }(enc)
   }
+
+  /** Minimal raw-video container ("GVID"): a real binary format the
+    * decode path must actually parse — magic (4 B) + big-endian u16
+    * width/height/frameCount header, then frameCount planes of w·h
+    * 8-bit gray samples. Pixel pattern `(7x + 13y + 31f + 11·doc_id)
+    * mod 251` is closed-form, so a DuckDB oracle can recompute every
+    * sampled frame's pixel sum and any header/offset mistake in the
+    * parser shifts the sums and fails the hash gate. Stands in for an
+    * MP4/H.264 demux stage: the container libs aren't in this
+    * environment, but the Spark-side shape — opaque binary column,
+    * typed metadata, plan-level frame sampling, per-partition batch
+    * decode — is the real thing.
+    */
+  object VideoCodec {
+    val Magic: Array[Byte] = "GVID".getBytes("US-ASCII")
+
+    def grayAt(docId: Long, f: Int, x: Int, y: Int): Int =
+      ((7L * x + 13L * y + 31L * f + 11L * docId) % 251L).toInt
+
+    def synthesize(docId: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(10 + w * h * nFrames)
+      bb.put(Magic)
+      bb.putShort(w.toShort); bb.putShort(h.toShort); bb.putShort(nFrames.toShort)
+      var f = 0
+      while (f < nFrames) {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { bb.put(grayAt(docId, f, x, y).toByte); x += 1 }
+          y += 1
+        }
+        f += 1
+      }
+      bb.array()
+    }
+
+    final case class FrameStats(width: Int, height: Int, nFrames: Int,
+        sampledPixSum: Long, nSampled: Int)
+
+    /** Parse the container and sum the pixels of the given frame indices
+      * only — a real demuxer seeks planes by offset, it never touches
+      * unsampled frames.
+      */
+    def decodeFrames(bytes: Array[Byte], frameIdx: Seq[Int]): FrameStats = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val magic = new Array[Byte](4); bb.get(magic)
+      require(java.util.Arrays.equals(magic, Magic), "bad GVID magic")
+      val w = bb.getShort() & 0xffff
+      val h = bb.getShort() & 0xffff
+      val nF = bb.getShort() & 0xffff
+      require(bytes.length == 10 + w * h * nF, "truncated GVID payload")
+      var sum = 0L
+      frameIdx.foreach { f =>
+        require(f >= 0 && f < nF, s"frame $f out of range 0..${nF - 1}")
+        var i = 10 + f * w * h
+        val end = i + w * h
+        while (i < end) { sum += bytes(i) & 0xff; i += 1 }
+      }
+      FrameStats(w, h, nF, sum, frameIdx.size)
+    }
+  }
+
+  /** Deterministic per-doc video dims: w = id%17+16, h = id%13+16,
+    * frames = id%9+4.
+    */
+  private def videoDimCols: Seq[org.apache.spark.sql.Column] = Seq(
+    (pmod(col("doc_id"), lit(17)) + 16).cast("int").as("w"),
+    (pmod(col("doc_id"), lit(13)) + 16).cast("int").as("h"),
+    (pmod(col("doc_id"), lit(9)) + 4).cast("int").as("nf"))
+
+  /** Encode a GVID container per document, with declared frame count as
+    * typed metadata for plan-level frame sampling.
+    */
+  def synthesizeVideos(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("media_bytes", BinaryType),
+      StructField("declared_frames", IntegerType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    docs.select(col("doc_id") +: videoDimCols: _*)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val nf = r.getInt(3)
+          Row(id, VideoCodec.synthesize(id, r.getInt(1), r.getInt(2), nf), nf)
+        }
+      }(enc)
+  }
+
+  /** Demux + decode ONLY the frames named by `frame_sample_plan`
+    * (per-partition batch decode, same seam as images/audio).
+    */
+  def decodeVideoFrames(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("n_sampled", IntegerType),
+      StructField("byte_len", LongType),
+      StructField("sampled_pix_sum", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select(col("doc_id"), col("media_bytes"), col("frame_sample_plan"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("media_bytes")
+          val plan = r.getSeq[Int](r.fieldIndex("frame_sample_plan"))
+          val st = VideoCodec.decodeFrames(bytes, plan)
+          Row(r.getLong(0), st.width, st.height, st.nFrames, st.nSampled,
+            bytes.length.toLong, st.sampledPixSum)
+        }
+      }(enc)
+  }
 }

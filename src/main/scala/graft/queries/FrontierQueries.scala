@@ -177,5 +177,51 @@ object FrontierQueries extends Registry {
       LEFT JOIN i ON i.ta = ca.event_type AND i.tb = cb.event_type
       ORDER BY type_a, type_b"""))
 
-  override val all: Seq[Q] = Seq(q165, q166, q167)
+  /** Video frame sampling through a REAL container parse
+    * ([[graft.operators.Multimodal.VideoCodec]]): synthesize a GVID
+    * binary per document (magic + u16 header + N gray planes), compute
+    * the frame-sample plan at the PLAN level (every 2nd frame, max 4 —
+    * pure array arithmetic on declared metadata,
+    * [[Multimodal.withFrameSamplePlan]]), then demux/decode ONLY the
+    * sampled planes per partition. The oracle recomputes each sampled
+    * frame's closed-form pixel sum, so any header, offset, or
+    * plan-to-decoder mismatch fails the hash gate. Completes the
+    * multimodal decode seam: image (q107 real PNG), RGB (q112), audio
+    * (q146 real WAV), video frame-sample (here).
+    *
+    * Scale: sampling is decided from metadata BEFORE any byte is
+    * touched, so at 100 TB the decoder reads |sampled frames| · plane
+    * bytes, never whole payloads; decode is per-partition batch work
+    * with no shuffle (scan → narrow map), and the output is KB-sized
+    * features per asset.
+    */
+  private val q168 = Q("q168_video_frame_sample",
+    (s, d) => {
+      val media = graft.operators.Multimodal
+        .synthesizeVideos(Tables.fanOut(Tables.documents(s, d)))
+      val planned = graft.operators.Multimodal
+        .withFrameSamplePlan(media, "declared_frames", stride = 2, maxFrames = 4)
+      graft.operators.Multimodal.decodeVideoFrames(planned).orderBy("doc_id")
+    },
+    Some("""WITH dims AS (SELECT doc_id,
+        CAST(doc_id % 17 + 16 AS INTEGER) AS w,
+        CAST(doc_id % 13 + 16 AS INTEGER) AS h,
+        CAST(doc_id % 9 + 4 AS INTEGER) AS nf
+      FROM documents),
+      fr AS (SELECT doc_id, w, h, nf, CAST(f.i AS INTEGER) AS fi
+        FROM dims, range(0, 12, 2) f(i) WHERE f.i < nf AND f.i < 8),
+      px AS (SELECT fr.doc_id, fr.fi,
+          SUM((7*x.i + 13*y.i + 31*fr.fi + 11*fr.doc_id) % 251) AS s
+        FROM fr, range(0, 33) x(i), range(0, 29) y(i)
+        WHERE x.i < fr.w AND y.i < fr.h
+        GROUP BY fr.doc_id, fr.fi)
+      SELECT d.doc_id, d.w AS width, d.h AS height, d.nf AS n_frames,
+        CAST(COUNT(px.fi) AS INTEGER) AS n_sampled,
+        CAST(10 + d.w*d.h*d.nf AS BIGINT) AS byte_len,
+        CAST(SUM(px.s) AS BIGINT) AS sampled_pix_sum
+      FROM dims d JOIN px ON px.doc_id = d.doc_id
+      GROUP BY d.doc_id, d.w, d.h, d.nf
+      ORDER BY d.doc_id"""))
+
+  override val all: Seq[Q] = Seq(q165, q166, q167, q168)
 }
