@@ -131,4 +131,30 @@ object TextAnalysis {
       md5(norm).as("fp_full"),
       md5(substring(norm, 1, 64)).as("fp_prefix64"))
   }
+
+  /** Content-defined chunk boundaries (Rabin/gear-CDC family, here with
+    * an md5-of-sliding-window boundary test so the rule reproduces in
+    * any engine): character position i (1-based, i ≥ w) ends a chunk iff
+    * the last hex digit of md5 over the trailing w-char window is '0'
+    * (P = 1/16 ⇒ expected chunk ≈ 16 chars); the document end always
+    * closes the final chunk. Because boundaries depend only on LOCAL
+    * content, an insertion resynchronizes within one window — the
+    * property that makes CDC the chunk-level dedup splitter (fixed-size
+    * chunking shifts every downstream boundary). Returns chunk-end
+    * positions as an array column.
+    *
+    * Pure Catalyst HOFs over the text column (sequence → filter with an
+    * md5-per-position lambda): scan-local, zero shuffle, codegen'd
+    * driver loop. O(len·w) hashing per doc is the portability cost of
+    * the md5 rule; a production splitter swaps in an O(len) rolling
+    * gear hash behind the same column contract.
+    */
+  def cdcChunkEnds(text: Column, w: Int): Column =
+    // sequence(a, b) DESCENDS when a > b, so short docs need the guard,
+    // not a least(): a doc shorter than one window has no boundary
+    // candidates at all.
+    when(length(text) < w, array().cast("array<int>"))
+      .otherwise(filter(
+        sequence(lit(w), length(text)),
+        i => md5(text.substr(i - lit(w - 1), lit(w))).substr(32, 1) === lit("0")))
 }

@@ -223,5 +223,53 @@ object FrontierQueries extends Registry {
       GROUP BY d.doc_id, d.w, d.h, d.nf
       ORDER BY d.doc_id"""))
 
-  override val all: Seq[Q] = Seq(q165, q166, q167, q168)
+  /** Content-defined chunking ([[graft.operators.TextAnalysis.cdcChunkEnds]],
+    * w = 8, P(boundary) = 1/16): per document, the chunk-end positions
+    * from the sliding-window hash rule plus the document end, reduced to
+    * chunk count / max chunk length / boundary checksum. CDC is the
+    * splitter under chunk-level dedup (LBFS/Muthitacharoen 2001, gear-CDC
+    * FastCDC 2016): boundaries depend only on local content, so edits
+    * resynchronize within one window instead of shifting every downstream
+    * chunk — which is why dedup at 100 TB chunks THIS way and then
+    * hash-groups chunk fingerprints (q20's exact-dedup shape, one level
+    * down). Whole pipeline is scan-local HOFs: zero shuffle until the
+    * final per-doc aggregate, which is itself embarrassingly parallel.
+    */
+  private val q169 = Q("q169_cdc_chunking",
+    (s, d) => {
+      val w = 8
+      Tables.fanOut(Tables.documents(s, d))
+        .withColumn("ends",
+          graft.operators.TextAnalysis.cdcChunkEnds(col("text"), w))
+        // document end closes the final chunk unless already a boundary
+        .withColumn("ends", when(
+            size(col("ends")) > 0 &&
+              element_at(col("ends"), -1) === length(col("text")),
+            col("ends"))
+          .otherwise(concat(col("ends"), array(length(col("text"))))))
+        .select(col("doc_id"),
+          size(col("ends")).as("n_chunks"),
+          array_max(zip_with(col("ends"),
+            concat(array(lit(0)), slice(col("ends"), lit(1), size(col("ends")) - 1)),
+            (e, st) => e - st)).as("max_chunk"),
+          aggregate(col("ends"), lit(0L), (acc, x) => acc + x)
+            .as("boundary_sum"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH pos AS (
+        SELECT doc_id, text, len(text) AS n, unnest(range(8, len(text)+1)) AS i
+        FROM documents),
+      b AS (SELECT doc_id, CAST(i AS INTEGER) AS i FROM pos
+        WHERE substr(md5(substr(text, CAST(i-7 AS INTEGER), 8)), 32, 1) = '0'),
+      ends AS (SELECT doc_id, i FROM b
+        UNION SELECT doc_id, CAST(len(text) AS INTEGER) FROM documents),
+      lens AS (SELECT doc_id, i,
+          i - COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS l
+        FROM ends)
+      SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_chunks,
+        CAST(MAX(l) AS INTEGER) AS max_chunk,
+        CAST(SUM(i) AS BIGINT) AS boundary_sum
+      FROM lens GROUP BY doc_id ORDER BY doc_id"""))
+
+  override val all: Seq[Q] = Seq(q165, q166, q167, q168, q169)
 }
