@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.GraphOps
+import graft.operators.{Dedup, GraphOps}
 
 /** Round-8 frontier surface: iterative graph primitives beyond PageRank /
   * triangles (label propagation, k-core peeling), KMV/theta-style distinct
@@ -271,5 +271,138 @@ object FrontierQueries extends Registry {
         CAST(SUM(i) AS BIGINT) AS boundary_sum
       FROM lens GROUP BY doc_id ORDER BY doc_id"""))
 
-  override val all: Seq[Q] = Seq(q165, q166, q167, q168, q169)
+  /** Cluster-aware train/val/test split: assign every document to a
+    * split by hashing its NEAR-DUP CLUSTER id (q38's LSH connected
+    * components; singletons are their own cluster), not its doc id —
+    * the discipline that keeps near-duplicates of a validation document
+    * out of the training set (the eval-leakage failure mode of
+    * benchmark-contaminated corpora). The output quantifies exactly
+    * that: per-split doc/cluster counts, plus two leakage counters over
+    * the LSH candidate pairs — `leak_pairs_doc_split` (what naive
+    * per-doc hashing would leak, a nonzero fixture-determined number)
+    * vs `leak_pairs_cluster_split` (the cluster-aware assignment,
+    * structurally 0 since the split is a function of the cluster id).
+    * Split hash = first 8 md5 nibbles of "split:"||cluster_id against
+    * integer thresholds 0.8·2³² / 0.9·2³² — the repo's standard
+    * engine-portable deterministic draw (q43/q53), no floating point.
+    *
+    * Scale: clusters come from the LSH + large-star/small-star CC path
+    * (never all-pairs); the assignment is a broadcast-sized left join
+    * only because multi-doc clusters are rare — at 100 TB it is a
+    * key-partitioned join on doc_id, and the split draw itself is
+    * scan-local hashing, retry-stable under speculative execution.
+    */
+  private val q170 = Q("q170_cluster_aware_split",
+    (s, d) => {
+      val trainMax = 3435973836L // floor(0.8 * 2^32)
+      val valMax = 3865470566L   // floor(0.9 * 2^32)
+      def splitOf(c: Column): Column = {
+        val h = Dedup.hexHash32(md5(concat(lit("split:"), c.cast("string"))))
+        when(h < trainMax, "train").when(h < valMax, "val").otherwise("test")
+      }
+      val pairs = TrainingDataQueries.lshPairsFrame(s, d).localCheckpoint()
+      val clusters = Dedup.duplicateClusters(pairs)
+      val sp = Tables.fanOut(Tables.documents(s, d)).select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("split", splitOf(col("cluster_id")))
+        .withColumn("split_doc", splitOf(col("doc_id")))
+        .localCheckpoint() // consumed twice (summary + leak join)
+      val leak = pairs
+        .join(sp.select(col("doc_id").as("doc_id_a"), col("split").as("sa"),
+          col("split_doc").as("sda")), "doc_id_a")
+        .join(sp.select(col("doc_id").as("doc_id_b"), col("split").as("sb"),
+          col("split_doc").as("sdb")), "doc_id_b")
+        .agg(
+          coalesce(sum(when(col("sda") =!= col("sdb"), 1L).otherwise(0L)), lit(0L))
+            .as("leak_pairs_doc_split"),
+          coalesce(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)), lit(0L))
+            .as("leak_pairs_cluster_split"))
+      sp.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"))
+        .crossJoin(leak) // 1-row leak scalar
+        .orderBy("split")
+    },
+    Some(s"""WITH RECURSIVE ${TrainingDataQueries.duckLshPairsCtes},
+      edges AS (
+        SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+        UNION ALL SELECT doc_id_b, doc_id_a FROM pairs),
+      reach(doc_id, lbl) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.dst),
+      cl AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+      sp AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+          CASE WHEN ${TrainingDataQueries.duckHash32("md5('split:' || CAST(COALESCE(cl.cluster_id, d.doc_id) AS VARCHAR))")} < 3435973836
+            THEN 'train'
+            WHEN ${TrainingDataQueries.duckHash32("md5('split:' || CAST(COALESCE(cl.cluster_id, d.doc_id) AS VARCHAR))")} < 3865470566
+            THEN 'val' ELSE 'test' END AS split,
+          CASE WHEN ${TrainingDataQueries.duckHash32("md5('split:' || CAST(d.doc_id AS VARCHAR))")} < 3435973836
+            THEN 'train'
+            WHEN ${TrainingDataQueries.duckHash32("md5('split:' || CAST(d.doc_id AS VARCHAR))")} < 3865470566
+            THEN 'val' ELSE 'test' END AS split_doc
+        FROM documents d LEFT JOIN cl USING (doc_id)),
+      leak AS (SELECT
+          CAST(COALESCE(SUM(CASE WHEN sa.split_doc <> sb.split_doc THEN 1 ELSE 0 END), 0) AS BIGINT)
+            AS leak_pairs_doc_split,
+          CAST(COALESCE(SUM(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END), 0) AS BIGINT)
+            AS leak_pairs_cluster_split
+        FROM pairs p
+        JOIN sp sa ON sa.doc_id = p.doc_id_a
+        JOIN sp sb ON sb.doc_id = p.doc_id_b)
+      SELECT sp.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COUNT(DISTINCT sp.cluster_id) AS BIGINT) AS n_clusters,
+        leak.leak_pairs_doc_split, leak.leak_pairs_cluster_split
+      FROM sp, leak
+      GROUP BY sp.split, leak.leak_pairs_doc_split, leak.leak_pairs_cluster_split
+      ORDER BY sp.split"""))
+
+  /** Per-document n-gram novelty against the id-ordered corpus prefix:
+    * for each document, how many of its distinct 3-shingles (same
+    * tokenization as the LSH family) does it INTRODUCE — i.e. no
+    * lower-id document contains them. The novelty ratio
+    * (n_novel/n_shingles) is the standard incremental-curation signal
+    * for boilerplate and template detection: near-zero novelty means
+    * the document's content already exists in the corpus even when no
+    * single document is a near-duplicate (the case q22/q38 cannot see).
+    *
+    * Scale: explode → distinct → one aggregation keyed by SHINGLE (the
+    * same key the decontamination ops q47/q62 shuffle on) with map-side
+    * partial MIN, then one join back and a per-doc count. No all-pairs
+    * term anywhere; skewed head shingles cost one combiner entry per
+    * partition, not a fan-out.
+    */
+  private val q171 = Q("q171_ngram_novelty",
+    (s, d) => {
+      val sh = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), explode(graft.operators.TextAnalysis
+          .shingles(graft.operators.TextAnalysis.tokens(col("text")), 3)).as("g"))
+        .distinct()
+      val first = sh.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+      val per = sh.join(first, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, ${TrainingDataQueries.duckToks} AS w FROM documents),
+      s AS (SELECT doc_id, ${TrainingDataQueries.duckShingles("w")} AS sh FROM t),
+      e AS (SELECT DISTINCT doc_id, unnest(sh) AS g FROM s),
+      f AS (SELECT g, MIN(doc_id) AS first_doc FROM e GROUP BY g),
+      p AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+          CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_novel
+        FROM e JOIN f USING (g) GROUP BY e.doc_id)
+      SELECT d.doc_id, COALESCE(p.n_shingles, 0) AS n_shingles,
+        COALESCE(p.n_novel, 0) AS n_novel
+      FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id"""))
+
+  override val all: Seq[Q] = Seq(q165, q166, q167, q168, q169, q170, q171)
 }

@@ -18,9 +18,9 @@ import graft.operators.{Dedup, HeavyHitters, Multimodal, Sampling, Similarity, T
   */
 object TrainingDataQueries extends Registry {
 
-  private val NumHashes = 6
-  private val RowsPerBand = 2
-  private val NumBands = NumHashes / RowsPerBand
+  private[queries] val NumHashes = 6
+  private[queries] val RowsPerBand = 2
+  private[queries] val NumBands = NumHashes / RowsPerBand
 
   // ---- shared DuckDB SQL fragments (mirror TextAnalysis/Dedup exactly) --
   private[queries] val duckToks = "string_split(text, ' ')"
@@ -40,6 +40,30 @@ object TrainingDataQueries extends Registry {
   private[queries] def duckHash32(h: String): String =
     (1 to 8).map(p => s"(${duckNib(h, p)} << ${(8 - p) * 4})").mkString(" + ")
 
+  /** Shared CTE chain ending in the LSH candidate `pairs` table
+    * (doc_id_a < doc_id_b), mirroring minhashSigFrame + Dedup banding
+    * exactly; callers prepend `WITH [RECURSIVE]` (q38, q170).
+    */
+  private[queries] lazy val duckLshPairsCtes: String =
+    s"""t AS (SELECT doc_id, $duckToks AS w FROM documents),
+      s AS (SELECT doc_id, ${duckShingles("w")} AS sh FROM t),
+      mh AS (SELECT doc_id,
+        ${(0 until NumHashes).map(i => s"${duckMh(i)} AS mh$i").mkString(", ")}
+        FROM s WHERE len(sh) > 0),
+      sig AS (SELECT doc_id,
+        ${(0 until NumBands).map(b =>
+          s"md5(mh${b * RowsPerBand} || '|' || mh${b * RowsPerBand + 1}) AS band$b")
+          .mkString(", ")}
+        FROM mh),
+      bands AS (${(0 until NumBands).map(b =>
+          s"SELECT doc_id, $b AS band_idx, band$b AS band_hash FROM sig")
+          .mkString("\n        UNION ALL ")}),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+          AND a.doc_id < b.doc_id)"""
+
   /** Exact dedup by content hash (hash-groupBy; one tiny shuffle). */
   private val q20 = Q("q20_dedup_exact",
     (s, d) => Dedup.exactGroups(Tables.fanOut(Tables.documents(s, d))).orderBy("content_hash"),
@@ -53,11 +77,22 @@ object TrainingDataQueries extends Registry {
     * projections after it are free. mhs[0] IS NULL ⇔ the shingle set was
     * empty (mirrors the old filter(size(sh) > 0)).
     */
-  private def minhashSigFrame(s: org.apache.spark.sql.SparkSession, d: String) =
+  private[queries] def minhashSigFrame(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), explode(array(Dedup.minhashArray(
         TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3), NumHashes))).as("mhs"))
       .filter(element_at(col("mhs"), 1).isNotNull)
+
+  /** LSH candidate pairs (doc_id_a < doc_id_b) from the shared signature
+    * frame — the Spark mirror of [[duckLshPairsCtes]] (q38, q170).
+    */
+  private[queries] def lshPairsFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val sigs = minhashSigFrame(s, d)
+      .select(col("doc_id") +: Dedup.minhashColsFromArray(col("mhs"), NumHashes): _*)
+      .select(col("doc_id") +: Dedup.bandCols(NumHashes, RowsPerBand): _*)
+    Dedup.lshCandidatePairs(sigs, NumBands)
+  }
 
   /** MinHash signatures: per-row native one-pass computation, shuffle-free. */
   private val q21 = Q("q21_minhash_signatures",
@@ -412,31 +447,8 @@ object TrainingDataQueries extends Registry {
     * doc_id in the component. Oracle: recursive CTE reachability.
     */
   private val q38 = Q("q38_dup_clusters",
-    (s, d) => {
-      val sigs = minhashSigFrame(s, d)
-        .select(col("doc_id") +: Dedup.minhashColsFromArray(col("mhs"), NumHashes): _*)
-        .select(col("doc_id") +: Dedup.bandCols(NumHashes, RowsPerBand): _*)
-      val pairs = Dedup.lshCandidatePairs(sigs, NumBands)
-      Dedup.duplicateClusters(pairs).orderBy("doc_id")
-    },
-    Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $duckToks AS w FROM documents),
-      s AS (SELECT doc_id, ${duckShingles("w")} AS sh FROM t),
-      mh AS (SELECT doc_id,
-        ${(0 until NumHashes).map(i => s"${duckMh(i)} AS mh$i").mkString(", ")}
-        FROM s WHERE len(sh) > 0),
-      sig AS (SELECT doc_id,
-        ${(0 until NumBands).map(b =>
-          s"md5(mh${b * RowsPerBand} || '|' || mh${b * RowsPerBand + 1}) AS band$b")
-          .mkString(", ")}
-        FROM mh),
-      bands AS (${(0 until NumBands).map(b =>
-          s"SELECT doc_id, $b AS band_idx, band$b AS band_hash FROM sig")
-          .mkString("\n        UNION ALL ")}),
-      pairs AS (
-        SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-        FROM bands a JOIN bands b
-          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-          AND a.doc_id < b.doc_id),
+    (s, d) => Dedup.duplicateClusters(lshPairsFrame(s, d)).orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE $duckLshPairsCtes,
       edges AS (
         SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
         UNION ALL SELECT doc_id_b, doc_id_a FROM pairs),

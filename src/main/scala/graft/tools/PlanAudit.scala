@@ -158,7 +158,8 @@ object PlanAudit {
     "q79_ann_pq",               // 50-row coarse-candidate set vs PQ codes
     "q141_domain_mixture",      // 1-row budget scalar crossJoin
     "q142_bigram_lm_score",     // 1-row vocab-size crossJoin
-    "q167_kmv_theta_setops")    // 5-row sketch table pairwise self-join
+    "q167_kmv_theta_setops",    // 5-row sketch table pairwise self-join
+    "q170_cluster_aware_split") // 1-row leak-counter scalar crossJoin
 
   // ---------------------------------------------------------------------
   // Curated scale narratives (kept from rounds 2-7; auto entries cover the
