@@ -404,5 +404,56 @@ object FrontierQueries extends Registry {
         COALESCE(p.n_novel, 0) AS n_novel
       FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id"""))
 
-  override val all: Seq[Q] = Seq(q165, q166, q167, q168, q169, q170, q171)
+  /** K-means UPDATE step (the Lloyd M-step that trains the IVF/SemDeDup
+    * coarse quantizer whose assignment side q34/q65/q162 already gate):
+    * assign every embedding to its nearest sampled centroid
+    * ([[graft.operators.Similarity.ivfAssignCells]] — quantizer shipped
+    * as literals, scan-local argmin), then recompute per-cell centroids
+    * as per-dimension means in OFFSET FIXED POINT: q = ⌊(x+1)·2²⁰⌋ ≥ 0,
+    * centroid_fp = Σq div n. Integer sums are accumulation-order-free
+    * and the non-negative offset makes truncating and flooring division
+    * agree, so the iterative-refinement step is bit-exact on any
+    * partitioning and carries a full hash oracle — same fixed-point
+    * device as q116's PageRank.
+    *
+    * Scale: the update is one shuffle of (cell, dim) partial sums —
+    * map-side combine reduces each partition to ≤ nlist·dim rows before
+    * the exchange, the textbook distributed-Lloyd round. The new
+    * centroid table is nlist·dim rows: KB-sized, collected into the
+    * next round's literals exactly like the initial quantizer.
+    */
+  private val q172 = Q("q172_kmeans_update",
+    (s, d) => {
+      val e = Tables.fanOut(Tables.embeddings(s, d))
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      graft.operators.Similarity.ivfAssignCells(e, nlist = 16)
+        .select(col("cell"),
+          posexplode(col("vec").cast("array<double>")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(count(lit(1)).as("n"),
+          sum(floor((col("x") + lit(1.0)) * lit(1048576.0)).cast("long")).as("sfp"))
+        .select(col("cell"), col("dim").cast("int").as("dim"), col("n"),
+          expr("sfp div n").as("centroid_fp"))
+        .orderBy("cell", "dim")
+    },
+    Some(s"""WITH n AS (SELECT greatest(COUNT(*) // 16, 1) AS step FROM embeddings),
+      cents AS (
+        SELECT CAST(vec_id // step AS INTEGER) AS cell, embedding AS centroid
+        FROM embeddings, n WHERE vec_id % step = 0 AND vec_id // step < 16),
+      asg AS (
+        SELECT id, vec, cell FROM (
+          SELECT c.vec_id AS id, c.embedding AS vec, ct.cell,
+            row_number() OVER (PARTITION BY c.vec_id
+              ORDER BY ${TrainingDataQueries.duckSqDist("c.embedding", "ct.centroid")}, ct.cell) AS arank
+          FROM embeddings c CROSS JOIN cents ct)
+        WHERE arank = 1),
+      x AS (SELECT cell, CAST(u.i AS INTEGER) AS dim,
+          CAST(floor((CAST(vec[CAST(u.i+1 AS INTEGER)] AS DOUBLE) + 1.0) * 1048576) AS BIGINT) AS q
+        FROM asg, range(0, 256) u(i) WHERE u.i < len(vec))
+      SELECT cell, dim, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(q) // COUNT(*) AS BIGINT) AS centroid_fp
+      FROM x GROUP BY cell, dim ORDER BY cell, dim"""))
+
+  override val all: Seq[Q] = Seq(q165, q166, q167, q168, q169, q170, q171,
+    q172)
 }
