@@ -256,7 +256,11 @@ object Similarity {
     * `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0.0, _+_)` fold the
     * oracles mirror.
     */
-  private def sqDist(a: Column, b: Column): Column =
+  /** Squared euclidean distance via the native left-to-right VecSqDist
+    * fold (public: also the distance kernel of the k-center coreset
+    * build, q173).
+    */
+  def sqDist(a: Column, b: Column): Column =
     ColumnBridge.column(graft.functions.VecSqDist(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 

@@ -454,6 +454,70 @@ object FrontierQueries extends Registry {
         CAST(SUM(q) // COUNT(*) AS BIGINT) AS centroid_fp
       FROM x GROUP BY cell, dim ORDER BY cell, dim"""))
 
+  /** k-center coreset by farthest-point traversal (Gonzalez 1985's
+    * 2-approximation — the deterministic diverse-subset selector used
+    * for coreset/probe-set construction over embedding corpora): seed
+    * with vec 0, then 7 rounds of "add the point farthest from the
+    * chosen set" (max–min squared distance, ties to the smallest id).
+    * Output = the selection order with each pick's covering radius —
+    * the radius sequence is the coreset's quality certificate (it is
+    * non-increasing, and pick i's radius 2-approximates the optimal
+    * (i−1)-center cost).
+    *
+    * Scale: each round is ONE full scan computing min-distance to ≤ k
+    * literal centroids (scan-local, codegen'd VecSqDist fold) and a
+    * top-1 reduce — the standard distributed k-center; k scans total,
+    * no pairwise term, and the chosen set stays KB-sized literals like
+    * every quantizer in this library. The per-round argmax collect is
+    * the index-build action (1 row), not a data-path collect.
+    */
+  private val q173 = Q("q173_kcenter_coreset",
+    (s, d) => {
+      import graft.operators.Similarity
+      val k = 8
+      val e = Tables.fanOut(Tables.embeddings(s, d))
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+        .localCheckpoint() // scanned k times; cut the scan lineage once
+      def vecOf(id: Long): Array[Double] =
+        e.filter(col("id") === id).select(col("vec"))
+          .head().getSeq[Double](0).toArray
+      var chosen = Vector((0L, vecOf(0L), 0.0))
+      for (_ <- 2 to k) {
+        val dCols = chosen.map(c =>
+          Similarity.sqDist(col("vec"), typedLit(c._2)))
+        val dmin = if (dCols.size == 1) dCols.head else least(dCols: _*)
+        val pick = e.select(col("id"), dmin.as("dm"))
+          .orderBy(col("dm").desc, col("id").asc).limit(1).head()
+        chosen = chosen :+ ((pick.getLong(0), vecOf(pick.getLong(0)),
+          pick.getDouble(1)))
+      }
+      val rows = chosen.zipWithIndex.map { case ((id, _, r), i) =>
+        (i + 1, id, r)
+      }
+      s.createDataFrame(rows).toDF("rank", "id", "radius_sq")
+        .orderBy("rank")
+    },
+    Some {
+      // unrolled farthest-point rounds; ch_i = chosen set after i picks
+      val rounds = (2 to 8).map { i =>
+        s"""r$i AS (SELECT e.vec_id, MIN(${TrainingDataQueries.duckSqDist("e.embedding", "c.v")}) AS dm
+          FROM embeddings e, ch${i - 1} c GROUP BY e.vec_id),
+        p$i AS (SELECT vec_id, dm FROM r$i ORDER BY dm DESC, vec_id LIMIT 1),
+        ch$i AS (SELECT id, v FROM ch${i - 1}
+          UNION ALL SELECT p.vec_id, e.embedding FROM p$i p
+            JOIN embeddings e ON e.vec_id = p.vec_id)"""
+      }.mkString(",\n      ")
+      val picks = (2 to 8).map(i =>
+        s"SELECT $i AS rank, vec_id AS id, dm AS radius_sq FROM p$i")
+        .mkString("\n        UNION ALL ")
+      s"""WITH ch1 AS (SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id = 0),
+      $rounds
+      SELECT CAST(rank AS INTEGER) AS rank, id, radius_sq FROM (
+        SELECT 1 AS rank, CAST(0 AS BIGINT) AS id, 0.0::DOUBLE AS radius_sq
+        UNION ALL $picks)
+      ORDER BY rank"""
+    })
+
   override val all: Seq[Q] = Seq(q165, q166, q167, q168, q169, q170, q171,
-    q172)
+    q172, q173)
 }
