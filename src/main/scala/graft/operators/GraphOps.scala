@@ -71,11 +71,14 @@ object GraphOps {
     *
     * Scale: each round is one join of edges against the label table on
     * `src` plus one aggregation by `dst` — the canonical BSP superstep
-    * (Pregel's message+combine, public model). Labels are NOT broadcast:
-    * unlike q116's rank vector this table is |V|-sized by design intent
-    * (label propagation is run on graphs whose vertex set exceeds
-    * memory); on a cluster both sides would be bucketed by node id at
-    * ingest so the per-round join is co-partitioned and shuffle-free.
+    * (Pregel's message+combine, public model). The |V|-sized label side
+    * is EXPLICITLY broadcast for the same reason as q116's rank vector
+    * (GraphOps.pageRankFixed): a checkpointed edge table has no stats,
+    * so the planner sort-merge-joins and re-SORTS all |E| edges every
+    * round; broadcasting makes each round one edge scan + map-side
+    * partial MIN. Past broadcast scale (billions of nodes) the same
+    * loop runs on edge/label tables bucketed by node id at ingest, so
+    * the per-round join is co-partitioned and shuffle-free either way.
     * `localCheckpoint` truncates lineage so the plan stays O(1) per
     * round. Fixed iteration count (vs convergence detection) keeps
     * rounds deterministic and removes the per-round driver round-trip;
@@ -87,7 +90,7 @@ object GraphOps {
     var lbl = nodes.withColumn("lbl", col("node"))
     for (_ <- 1 to iters) {
       val fromNbrs = e
-        .join(lbl.withColumnRenamed("node", "s"), col("src") === col("s"))
+        .join(broadcast(lbl.withColumnRenamed("node", "s")), col("src") === col("s"))
         .select(col("dst").as("node"), col("lbl"))
       lbl = fromNbrs.unionByName(lbl)
         .groupBy("node").agg(min(col("lbl")).as("lbl"))
@@ -105,13 +108,17 @@ object GraphOps {
     * nodes with their degree in the final restricted edge set.
     *
     * Scale: a round is one aggregation by `src` and two semi-joins of
-    * the edge list against the (much smaller, shrinking) survivor set —
-    * broadcast the survivors once they fit, which on real graphs happens
-    * after the first round since peeling removes the long degree-1 tail.
-    * Here both joins stay key-partitioned (survivors are |V|-sized in the
-    * worst case); `localCheckpoint` cuts lineage per round. Production
-    * k-core iterates to fixpoint with a convergence check on the dropped
-    * count; the per-round dataflow is identical.
+    * the edge list against the (much smaller, shrinking) survivor set.
+    * The survivor side is EXPLICITLY broadcast — it is ≤ |V| ids of
+    * 8 bytes and shrinks monotonically, while the checkpointed edge
+    * side has no stats and would otherwise be re-sorted for a
+    * sort-merge semi-join every round (the q116/LP lesson). On graphs
+    * whose vertex set outgrows broadcast, the survivor set virtually
+    * always fits after round 1 (peeling removes the long degree-1
+    * tail); before that the semi-joins run key-partitioned on
+    * ingest-bucketed tables. `localCheckpoint` cuts lineage per round.
+    * Production k-core iterates to fixpoint with a convergence check on
+    * the dropped count; the per-round dataflow is identical.
     */
   def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     var e = edges.localCheckpoint()
@@ -120,8 +127,10 @@ object GraphOps {
         .filter(col("deg") >= k)
         .select(col("src").as("v"))
       e = e
-        .join(alive.withColumnRenamed("v", "sv"), col("src") === col("sv"), "left_semi")
-        .join(alive.withColumnRenamed("v", "dv"), col("dst") === col("dv"), "left_semi")
+        .join(broadcast(alive.withColumnRenamed("v", "sv")),
+          col("src") === col("sv"), "left_semi")
+        .join(broadcast(alive.withColumnRenamed("v", "dv")),
+          col("dst") === col("dv"), "left_semi")
         .localCheckpoint()
     }
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))

@@ -518,6 +518,72 @@ object FrontierQueries extends Registry {
       ORDER BY rank"""
     })
 
+  /** Scalar int8 quantization of the embedding column (the compression
+    * step between k-means training (q172) and PQ (q79) in an
+    * embedding-store build): per-dimension global [min, max] ranges,
+    * collected once as 64-double literals (the IVF-quantizer device),
+    * then a scan-local HOF requantization q = clamp(⌊(x−mn)·255/(mx−mn)⌋)
+    * with an index-aware `transform` lambda. Per-vector code sum,
+    * position-weighted code checksum, and a reconstruction-error bound
+    * (|x − x̂| ≤ cell width, x̂ = midpoint decode) are all recomputed by
+    * the oracle from the same closed-form arithmetic — codes must match
+    * bit-for-bit, not just statistically.
+    *
+    * Scale: one pass for ranges (map-side min/max partials on (dim)
+    * keys, 64 rows out), one scan for codes — no shuffle of vector
+    * data, no per-row joins; ranges ship as literals so quantization
+    * stays inside whole-stage codegen. 4× memory cut on the ANN serving
+    * path with the error certificate attached.
+    */
+  private val q174 = Q("q174_int8_quantize",
+    (s, d) => {
+      val e = Tables.fanOut(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+        .localCheckpoint() // scanned twice: range build + quantize
+      val ranges = e
+        .select(posexplode(col("vec")).as(Seq("dim", "x")))
+        .groupBy("dim").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .orderBy("dim")
+        .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+      val mnL = typedLit(ranges.map(_._1))
+      val mxL = typedLit(ranges.map(_._2))
+      def mn(i: Column) = element_at(mnL, i + 1)
+      def wid(i: Column) = element_at(mxL, i + 1) - element_at(mnL, i + 1)
+      val codes = transform(col("vec"), (x, i) =>
+        when(wid(i) === 0.0, lit(0L)).otherwise(
+          least(lit(255L), greatest(lit(0L),
+            floor((x - mn(i)) * lit(255.0) / wid(i))))))
+      val decoded = (c: Column, i: Column) =>
+        mn(i) + (c.cast("double") + lit(0.5)) * wid(i) / lit(255.0)
+      e.withColumn("codes", codes)
+        .select(col("vec_id"),
+          aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+          aggregate(zip_with(col("codes"),
+              sequence(lit(1), size(col("codes"))), (c, i) => c * i.cast("long")),
+            lit(0L), (a, v) => a + v).as("code_checksum"),
+          forall(zip_with(col("vec"),
+              sequence(lit(0), size(col("vec")) - 1), (x, i) =>
+                abs(x - decoded(element_at(col("codes"), i + 1), i)) <=
+                  wid(i) / lit(255.0) + lit(1e-12)),
+            b => b).as("recon_ok"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH x AS (SELECT vec_id, CAST(u.i AS INTEGER) AS dim,
+          CAST(embedding[CAST(u.i+1 AS INTEGER)] AS DOUBLE) AS x
+        FROM embeddings, range(0, 256) u(i) WHERE u.i < len(embedding)),
+      rg AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM x GROUP BY dim),
+      c AS (SELECT x.vec_id, x.dim, x.x, rg.mn, rg.mx - rg.mn AS wd,
+          CASE WHEN rg.mx = rg.mn THEN 0
+            ELSE least(255, greatest(0,
+              CAST(floor((x.x - rg.mn) * 255.0 / (rg.mx - rg.mn)) AS BIGINT)))
+          END AS q
+        FROM x JOIN rg USING (dim))
+      SELECT vec_id, CAST(SUM(q) AS BIGINT) AS code_sum,
+        CAST(SUM(q * (dim + 1)) AS BIGINT) AS code_checksum,
+        CAST(MAX(CASE WHEN abs(x - (mn + (q + 0.5) * wd / 255.0)) <=
+          wd / 255.0 + 1e-12 THEN 0 ELSE 1 END) = 0 AS BOOLEAN) AS recon_ok
+      FROM c GROUP BY vec_id ORDER BY vec_id"""))
+
   override val all: Seq[Q] = Seq(q165, q166, q167, q168, q169, q170, q171,
-    q172, q173)
+    q172, q173, q174)
 }
