@@ -149,6 +149,33 @@ object TextAnalysis {
     * the md5 rule; a production splitter swaps in an O(len) rolling
     * gear hash behind the same column contract.
     */
+  /** Per-position hashes of the character k-grams of `text` (the repo's
+    * engine-portable md5→32-bit hash; empty array when the text is
+    * shorter than one k-gram). Position i (1-based) hashes
+    * text[i, i+k-1].
+    */
+  def kgramHashes(text: Column, k: Int): Column =
+    when(length(text) - (k - 1) < 1, array().cast("array<long>"))
+      .otherwise(transform(
+        sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+        i => Dedup.hexHash32(md5(text.substr(i, lit(k))))))
+
+  /** Winnowing selection (Schleimer/Wilkerson/Aiken 2003) over a k-gram
+    * hash array: in every window of `w` consecutive hashes select the
+    * minimum, ties to the RIGHTMOST position; distinct selected
+    * positions (1-based into `hs`). Guarantee: two texts sharing a
+    * substring of length ≥ k + w − 1 share at least one selected
+    * fingerprint hash.
+    */
+  def winnowSelect(hs: Column, w: Int): Column =
+    when(size(hs) < w, array().cast("array<long>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), greatest(size(hs) - (w - 1), lit(1))),
+        j => {
+          val win = slice(hs, j, lit(w))
+          j - 1 + (lit(w) + 1 - array_position(reverse(win), array_min(win)))
+        })))
+
   def cdcChunkEnds(text: Column, w: Int): Column =
     // sequence(a, b) DESCENDS when a > b, so short docs need the guard,
     // not a least(): a doc shorter than one window has no boundary

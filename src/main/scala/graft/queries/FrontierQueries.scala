@@ -584,6 +584,69 @@ object FrontierQueries extends Registry {
           wd / 255.0 + 1e-12 THEN 0 ELSE 1 END) = 0 AS BOOLEAN) AS recon_ok
       FROM c GROUP BY vec_id ORDER BY vec_id"""))
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every character k-gram
+    * (k = 5, the repo's engine-portable md5→32-bit hash), then in every
+    * sliding window of w = 4 hashes select the minimum, ties to the
+    * RIGHTMOST position; record each selected position once. The
+    * guarantee (the reason winnowing beats "every i-th hash"
+    * sampling): any shared substring of length ≥ k + w − 1 = 8 chars
+    * produces at least one identical selected fingerprint in both
+    * documents, and selection density is bounded (≈ 2/(w+1)). Emitted
+    * per doc: k-gram/selection counts plus position- and hash-
+    * checksums over the selected set, all recomputed by the oracle.
+    *
+    * Scale: pure scan-local HOFs (hash array → per-window argmin →
+    * distinct positions) with no shuffle; the O(m·w) window scan is the
+    * portability price of HOF form — the production splitter keeps a
+    * monotone deque for O(m) — and the downstream shape is q20's
+    * hash-group dedup over (fingerprint, doc) pairs.
+    */
+  private val q175 = Q("q175_winnowing_fingerprints",
+    (s, d) => {
+      val k = 5; val w = 4
+      Tables.fanOut(Tables.documents(s, d))
+        .withColumn("hs",
+          graft.operators.TextAnalysis.kgramHashes(col("text"), k))
+        .withColumn("sel",
+          graft.operators.TextAnalysis.winnowSelect(col("hs"), w))
+        .select(col("doc_id"),
+          size(col("hs")).as("n_kgrams"),
+          size(col("sel")).as("n_selected"),
+          aggregate(col("sel"), lit(0L), (a, p) => a + p).as("sel_pos_sum"),
+          aggregate(col("sel"), lit(0L),
+            (a, p) => a + element_at(col("hs"), p.cast("int"))).as("sel_hash_sum"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH hp AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+          ${TrainingDataQueries.duckHash32("md5(substr(text, CAST(u.i AS INTEGER), 5))")} AS h,
+          len(text) - 4 AS m
+        FROM documents, unnest(range(1, greatest(len(text) - 4, 0) + 1)) u(i)),
+      wj AS (SELECT doc_id, CAST(u.j AS BIGINT) AS j
+        FROM (SELECT doc_id, MAX(m) AS m FROM hp GROUP BY doc_id) t,
+          unnest(range(1, greatest(m - 3, 0) + 1)) u(j)),
+      wmin AS (SELECT wj.doc_id, wj.j, MIN(hp.h) AS mh
+        FROM wj JOIN hp ON hp.doc_id = wj.doc_id
+          AND hp.i BETWEEN wj.j AND wj.j + 3
+        GROUP BY wj.doc_id, wj.j),
+      sel AS (SELECT DISTINCT w.doc_id,
+          (SELECT MAX(hp.i) FROM hp
+            WHERE hp.doc_id = w.doc_id AND hp.h = w.mh
+              AND hp.i BETWEEN w.j AND w.j + 3) AS p, w.mh
+        FROM wmin w),
+      per AS (SELECT doc_id,
+          CAST(COUNT(DISTINCT p) AS INTEGER) AS n_selected,
+          CAST(SUM(p) AS BIGINT) AS sel_pos_sum,
+          CAST(SUM(mh) AS BIGINT) AS sel_hash_sum
+        FROM (SELECT DISTINCT doc_id, p, mh FROM sel) GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(greatest(len(d.text) - 4, 0) AS INTEGER) AS n_kgrams,
+        COALESCE(per.n_selected, 0) AS n_selected,
+        COALESCE(per.sel_pos_sum, 0) AS sel_pos_sum,
+        COALESCE(per.sel_hash_sum, 0) AS sel_hash_sum
+      FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id"""))
+
   override val all: Seq[Q] = Seq(q165, q166, q167, q168, q169, q170, q171,
-    q172, q173, q174)
+    q172, q173, q174, q175)
 }
