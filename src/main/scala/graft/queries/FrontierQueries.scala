@@ -647,6 +647,80 @@ object FrontierQueries extends Registry {
         COALESCE(per.sel_hash_sum, 0) AS sel_hash_sum
       FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id"""))
 
+  /** Greedy maximum-coverage corpus selection (the classic (1−1/e)
+    * submodular greedy, Nemhauser/Wolsey/Fisher 1978): pick 5 documents
+    * one at a time, each maximizing the count of 3-shingles NOT yet
+    * covered by earlier picks (ties → smallest doc_id). This is the
+    * coverage-driven complement to q173's geometric coreset — the
+    * "which documents add the most new content" selector behind
+    * data-subset curation — and its marginal-gain sequence is the
+    * certificate (non-increasing by submodularity; the spec asserts
+    * it).
+    *
+    * Scale: each round is one aggregation over the (doc, shingle)
+    * incidence with the covered set BROADCAST into a left join —
+    * covered grows by one document's shingles per round, staying
+    * KB-sized while corpus-sized work remains a scan + grouped count.
+    * k rounds = k scans (the distributed greedy's standard cost); for
+    * large k, production swaps in the stochastic/lazy-greedy variants
+    * over the identical per-round dataflow.
+    */
+  private val q176 = Q("q176_greedy_coverage",
+    (s, d) => {
+      val e = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), explode(graft.operators.TextAnalysis
+          .shingles(graft.operators.TextAnalysis.tokens(col("text")), 3)).as("g"))
+        .distinct().localCheckpoint()
+      var picked = Vector.empty[(Long, Long)]
+      var covered: Option[org.apache.spark.sql.DataFrame] = None
+      for (_ <- 1 to 5) {
+        val base =
+          if (picked.isEmpty) e
+          else e.filter(!col("doc_id").isin(picked.map(_._1): _*))
+        val gains = covered match {
+          case None => base.groupBy("doc_id").agg(count(lit(1)).as("gain"))
+          case Some(c) => base
+            .join(broadcast(c.withColumnRenamed("g", "cg")),
+              col("g") === col("cg"), "left")
+            .groupBy("doc_id")
+            .agg(sum(when(col("cg").isNull, 1L).otherwise(0L)).as("gain"))
+        }
+        val win = gains.orderBy(col("gain").desc, col("doc_id").asc)
+          .limit(1).head()
+        picked = picked :+ ((win.getLong(0), win.getLong(1)))
+        val newCov = e.filter(col("doc_id") === win.getLong(0)).select("g")
+        covered = Some(covered.map(_.unionByName(newCov).distinct())
+          .getOrElse(newCov).localCheckpoint())
+      }
+      val rows = picked.zipWithIndex.map { case ((id, g), i) => (i + 1, id, g) }
+      s.createDataFrame(rows).toDF("rank", "doc_id", "gain").orderBy("rank")
+    },
+    Some {
+      val rounds = (2 to 5).map { i =>
+        val excl = (1 until i).map(p => s"SELECT doc_id FROM p$p")
+          .mkString(" UNION ")
+        s"""r$i AS (SELECT e.doc_id,
+            CAST(SUM(CASE WHEN c.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS gain
+          FROM e LEFT JOIN c${i - 1} c ON e.g = c.g
+          WHERE e.doc_id NOT IN ($excl)
+          GROUP BY e.doc_id),
+        p$i AS (SELECT doc_id, gain FROM r$i ORDER BY gain DESC, doc_id LIMIT 1),
+        c$i AS (SELECT g FROM c${i - 1}
+          UNION SELECT e.g FROM e JOIN p$i USING (doc_id))"""
+      }.mkString(",\n      ")
+      val un = (1 to 5).map(i =>
+        s"SELECT $i AS rank, doc_id, gain FROM p$i").mkString("\n        UNION ALL ")
+      s"""WITH t AS (SELECT doc_id, ${TrainingDataQueries.duckToks} AS w FROM documents),
+      s AS (SELECT doc_id, ${TrainingDataQueries.duckShingles("w")} AS sh FROM t),
+      e AS (SELECT DISTINCT doc_id, unnest(sh) AS g FROM s),
+      p1 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain FROM e
+        GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1),
+      c1 AS (SELECT DISTINCT e.g FROM e JOIN p1 USING (doc_id)),
+      $rounds
+      SELECT CAST(rank AS INTEGER) AS rank, doc_id, gain FROM ($un)
+      ORDER BY rank"""
+    })
+
   override val all: Seq[Q] = Seq(q165, q166, q167, q168, q169, q170, q171,
-    q172, q173, q174, q175)
+    q172, q173, q174, q175, q176)
 }
