@@ -1,0 +1,689 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Round-8 curation surface: the dataset-management operators a corpus
+  * team runs BETWEEN pipeline stages — snapshot diffing (what changed
+  * since the last crawl), multi-criteria document selection (Pareto
+  * frontier), mixture reweighting (sampling-temperature domain
+  * balancing), and entity-resolution blocking (fuzzy key matching
+  * confined to blocks). Same contract as every registry: each Q is one
+  * operator family with a full DuckDB hash oracle at sf0.01.
+  */
+object CurationQueries extends Registry {
+
+  /** Snapshot diff / CDC between two corpus versions: full-outer join on
+    * the stable key, rows classified added / removed / changed (value
+    * drift), unchanged rows dropped. The two "versions" are derived
+    * deterministically from `orders` (old = keys ≢3 mod 10; new = keys
+    * ≢2 mod 7, with prices doubled on keys ≡0 mod 5) so the diff
+    * exercises all three classes. This is the incremental-crawl shape:
+    * at 100 TB both sides hash-partition on the key and the join is a
+    * single co-partitioned shuffle — no sort, no broadcast (both sides
+    * are corpus-sized), and AQE handles the residual skew. Downstream
+    * consumers read only the (small) diff.
+    */
+  private val q177 = Q("q177_snapshot_diff",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.filter(col("o_orderkey") % 10 =!= 3)
+        .select(col("o_orderkey"), col("o_totalprice").as("price_a"),
+          col("o_orderstatus").as("status_a"))
+      val b = o.filter(col("o_orderkey") % 7 =!= 2)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")).as("price_b"),
+          col("o_orderstatus").as("status_b"))
+      a.join(b, Seq("o_orderkey"), "full_outer")
+        .withColumn("change_type",
+          when(col("price_a").isNull, "added")
+            .when(col("price_b").isNull, "removed")
+            .when(col("price_a") =!= col("price_b")
+              || col("status_a") =!= col("status_b"), "changed")
+            .otherwise("unchanged"))
+        .filter(col("change_type") =!= "unchanged")
+        .select("o_orderkey", "change_type", "price_a", "price_b")
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH a AS (SELECT o_orderkey, o_totalprice AS price_a,
+          o_orderstatus AS status_a FROM orders WHERE o_orderkey % 10 <> 3),
+      b AS (SELECT o_orderkey,
+          CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+               ELSE o_totalprice END AS price_b,
+          o_orderstatus AS status_b FROM orders WHERE o_orderkey % 7 <> 2)
+      SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        CASE WHEN a.o_orderkey IS NULL THEN 'added'
+             WHEN b.o_orderkey IS NULL THEN 'removed'
+             ELSE 'changed' END AS change_type,
+        price_a, price_b
+      FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+      WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+        OR price_a <> price_b OR status_a <> status_b
+      ORDER BY o_orderkey"""))
+
+  /** Pareto-frontier document selection on two maximize-criteria
+    * (length `n_chars`, lexical richness = distinct-token count): a doc
+    * survives iff no other doc strictly beats it on BOTH axes — the
+    * multi-objective "keep the efficient set" selector that replaces
+    * ad-hoc threshold pairs in curation. Computed scale-first: per-x
+    * group max (one shuffle on a bounded-cardinality key), then the
+    * strictly-greater-x running max over the TINY aggregated table
+    * (window over |distinct x| rows, not |docs|), broadcast-joined back
+    * so the corpus-sized side is touched exactly twice at scan speed —
+    * never a global window over all docs.
+    */
+  private val q178 = Q("q178_pareto_frontier",
+    (s, d) => {
+      val docs = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_chars"),
+          size(array_distinct(TextAnalysis.tokens(col("text"))))
+            .cast("long").as("n_terms"))
+      val perX = docs.groupBy("n_chars").agg(max("n_terms").as("ym"))
+      // Strictly-greater-x threshold: rows are one-per-x, so a ROWS
+      // frame ending 1 before current under x-descending order is
+      // exactly {x' > x}.
+      val w = Window.orderBy(col("n_chars").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val thr = perX.withColumn("y_gt", max("ym").over(w)).drop("ym")
+      docs.join(broadcast(thr), Seq("n_chars"))
+        .filter(col("y_gt").isNull || col("y_gt") <= col("n_terms"))
+        .select("doc_id", "n_chars", "n_terms")
+        .orderBy("doc_id")
+    },
+    Some("""WITH docs AS (SELECT doc_id, n_chars,
+          CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_terms
+        FROM documents),
+      perx AS (SELECT n_chars, MAX(n_terms) AS ym FROM docs GROUP BY n_chars),
+      thr AS (SELECT n_chars, MAX(ym) OVER (ORDER BY n_chars DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS y_gt
+        FROM perx)
+      SELECT doc_id, docs.n_chars, n_terms
+      FROM docs JOIN thr ON docs.n_chars = thr.n_chars
+      WHERE y_gt IS NULL OR y_gt <= n_terms
+      ORDER BY doc_id"""))
+
+  /** Sampling-temperature mixture reweighting (the multilingual-corpus
+    * balancing rule of XLM-R/mT5): per-source weight ∝ n^α with
+    * α = 1/2, i.e. sqrt — chosen because sqrt is IEEE-correctly-rounded
+    * and therefore bit-identical cross-engine, unlike the pow/exp/ln
+    * family (see NOTES.md). The denominator Σ√n is accumulated in an
+    * EXPLICIT left-to-right reduce over the source-sorted array
+    * (Spark `aggregate`(sort_array(collect_list)); DuckDB
+    * `list_reduce`(list(... ORDER BY source))) because windowed/plain
+    * double SUM pins no accumulation order in either engine. Output:
+    * per-source doc share before vs after tempering plus a 1M-token
+    * budget allocation. Scale: the per-source agg is one map-combined
+    * shuffle on ~dozens of keys; everything after runs on a
+    * domain-count-sized table broadcast back to nothing — corpus data
+    * is read once.
+    */
+  private val q179 = Q("q179_temperature_mixture",
+    (s, d) => {
+      val g = Tables.fanOut(Tables.documents(s, d))
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("s", sqrt(col("n_docs")))
+      val tot = g.agg(
+        sum("n_docs").as("n_total"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("source"), col("s")))),
+            x => x.getField("s")),
+          lit(0d), (acc, x) => acc + x).as("s_total"))
+      g.crossJoin(broadcast(tot))
+        .withColumn("w", col("s") / col("s_total"))
+        .select(col("source"), col("n_docs"),
+          (col("n_docs").cast("double") / col("n_total")).as("raw_share"),
+          col("w").as("tempered_share"),
+          round(col("w") * 1000000L).cast("long").as("alloc_1m"))
+        .orderBy("source")
+    },
+    Some("""WITH g AS (SELECT source, COUNT(*) AS n_docs,
+          sqrt(COUNT(*)) AS s FROM documents GROUP BY source),
+      tot AS (SELECT SUM(n_docs) AS n_total,
+          list_reduce(list(s ORDER BY source), (a, b) -> a + b) AS s_total
+        FROM g)
+      SELECT source, n_docs,
+        CAST(n_docs AS DOUBLE) / n_total AS raw_share,
+        s / s_total AS tempered_share,
+        CAST(round(s / s_total * 1000000) AS BIGINT) AS alloc_1m
+      FROM g CROSS JOIN tot
+      ORDER BY source"""))
+
+  /** Entity-resolution blocking + fuzzy verify: candidate pairs are
+    * generated ONLY within a block key (first name token, p_size), then
+    * verified with full Levenshtein ≤ 3 — the classic blocked-matching
+    * shape (Fellegi–Sunter pipelines, dedupe.io) that confines the
+    * quadratic to block-local work exactly like q135's PPJoin confines
+    * it to rare-shingle buckets. At 100 TB: one shuffle on the block
+    * key, per-block |b|² edit distances with |b| bounded by blocking
+    * design (add block attributes to split hot blocks), never an
+    * all-pairs join. Output: matched key pairs with their distance.
+    */
+  private val q180 = Q("q180_er_blocking",
+    (s, d) => {
+      val p = Tables.part(s, d).select(
+        col("p_partkey"), col("p_name"), col("p_size"),
+        split(col("p_name"), " ").getItem(0).as("blk"))
+      val a = p.select(col("blk"), col("p_size"),
+        col("p_partkey").as("a_key"), col("p_name").as("a_name"))
+      val b = p.select(col("blk"), col("p_size"),
+        col("p_partkey").as("b_key"), col("p_name").as("b_name"))
+      a.join(b, Seq("blk", "p_size"))
+        .filter(col("a_key") < col("b_key"))
+        .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+        .filter(col("dist") <= 3)
+        .select(col("a_key"), col("b_key"), col("dist").cast("int").as("dist"))
+        .orderBy("a_key", "b_key")
+    },
+    Some("""WITH p AS (SELECT p_partkey, p_name, p_size,
+          string_split(p_name, ' ')[1] AS blk FROM part)
+      SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+        CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+      FROM p a JOIN p b ON a.blk = b.blk AND a.p_size = b.p_size
+        AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 3
+      ORDER BY a_key, b_key"""))
+
+  /** Degenerate-repetition (loop) detection: the longest run of tokens
+    * satisfying t[i] = t[i−p] for periods p = 1 ("the the the") and p = 2
+    * ("a b a b a b") — the model-collapse / boilerplate-loop screen run
+    * alongside Gopher's repetition fractions (q140, which measure MASS,
+    * not RUN LENGTH). Islands trick per document: flag = (token equals
+    * its lag-p), reset-group = running count of zeros, max streak = max
+    * per-group flag count. Scale: every window is PARTITIONED BY doc_id
+    * — per-doc state only, no global sort; the explode shuffles
+    * (doc, pos) once and both periods share it.
+    */
+  private val q181 = Q("q181_repetition_loops",
+    (s, d) => {
+      val t = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val f = t
+        .withColumn("f1", coalesce((col("tok") === lag("tok", 1).over(w)).cast("int"), lit(0)))
+        .withColumn("f2", coalesce((col("tok") === lag("tok", 2).over(w)).cast("int"), lit(0)))
+        .withColumn("g1", sum(lit(1) - col("f1")).over(w))
+        .withColumn("g2", sum(lit(1) - col("f2")).over(w))
+      def maxRun(flag: String, grp: String) = f.filter(col(flag) === 1)
+        .groupBy(col("doc_id"), col(grp)).agg(count(lit(1)).as("run"))
+        .groupBy("doc_id").agg(max("run").as(s"max_$flag"))
+      val n = t.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+      n.join(maxRun("f1", "g1"), Seq("doc_id"), "left")
+        .join(maxRun("f2", "g2"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("max_f1"), lit(0L)).as("max_run_p1"),
+          coalesce(col("max_f2"), lit(0L)).as("max_run_p2"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      t AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+          w[CAST(u.i AS INTEGER)] AS tok
+        FROM tk, unnest(range(1, len(w) + 1)) u(i)),
+      f AS (SELECT doc_id, pos,
+          CASE WHEN lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) = tok
+               THEN 1 ELSE 0 END AS f1,
+          CASE WHEN lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) = tok
+               THEN 1 ELSE 0 END AS f2
+        FROM t),
+      g AS (SELECT doc_id, f1, f2,
+          SUM(1 - f1) OVER (PARTITION BY doc_id ORDER BY pos) AS g1,
+          SUM(1 - f2) OVER (PARTITION BY doc_id ORDER BY pos) AS g2
+        FROM f),
+      r1 AS (SELECT doc_id, MAX(c) AS m FROM (
+          SELECT doc_id, g1, COUNT(*) AS c FROM g WHERE f1 = 1
+          GROUP BY doc_id, g1) GROUP BY doc_id),
+      r2 AS (SELECT doc_id, MAX(c) AS m FROM (
+          SELECT doc_id, g2, COUNT(*) AS c FROM g WHERE f2 = 1
+          GROUP BY doc_id, g2) GROUP BY doc_id),
+      n AS (SELECT doc_id, COUNT(*) AS n_tokens FROM t GROUP BY doc_id)
+      SELECT n.doc_id, n.n_tokens,
+        COALESCE(r1.m, 0) AS max_run_p1, COALESCE(r2.m, 0) AS max_run_p2
+      FROM n LEFT JOIN r1 ON n.doc_id = r1.doc_id
+        LEFT JOIN r2 ON n.doc_id = r2.doc_id
+      ORDER BY n.doc_id"""))
+
+  private val tagDict = Seq(
+    "spark" -> "engine", "stream" -> "engine", "query" -> "engine",
+    "vector" -> "ml", "agg" -> "ml",
+    "table" -> "storage", "scan" -> "storage", "row" -> "storage")
+
+  /** Dictionary keyword tagging (the FlashText/Aho–Corasick shape at the
+    * token level): a curated term→tag dictionary is BROADCAST against
+    * one exploded corpus scan; per document we emit total hits, distinct
+    * matched terms, and the winning tag (hit-count desc, tag asc
+    * tie-break), keeping unmatched documents via a left join from the
+    * doc spine. Scale: the dictionary is KB-sized forever (it's
+    * human-curated), so this is scan + broadcast-hash-join + one
+    * map-combined aggregation — no shuffle grows with the dictionary.
+    */
+  private val q182 = Q("q182_keyword_tagging",
+    (s, d) => {
+      import s.implicits._
+      val dict = tagDict.toDF("term", "tag")
+      val docs = Tables.fanOut(Tables.documents(s, d))
+      val hits = docs
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .join(broadcast(dict), "term")
+      val perTag = hits.groupBy("doc_id", "tag").agg(count(lit(1)).as("tag_hits"))
+      val wTop = Window.partitionBy("doc_id")
+        .orderBy(desc("tag_hits"), asc("tag"))
+      val top = perTag.withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") === 1).select(col("doc_id"), col("tag").as("top_tag"))
+      val agg = hits.groupBy("doc_id").agg(
+        count(lit(1)).as("n_hits"),
+        countDistinct("term").as("n_terms_matched"))
+      docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+        .join(top, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          coalesce(col("n_terms_matched"), lit(0L)).as("n_terms_matched"),
+          col("top_tag"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val vals = tagDict.map { case (t, g) => s"('$t','$g')" }.mkString(", ")
+      s"""WITH dict(term, tag) AS (VALUES $vals),
+      toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      hits AS (SELECT doc_id, toks.term, tag
+        FROM toks JOIN dict ON toks.term = dict.term),
+      pertag AS (SELECT doc_id, tag, COUNT(*) AS tag_hits
+        FROM hits GROUP BY doc_id, tag),
+      top AS (SELECT doc_id, tag AS top_tag FROM (
+          SELECT doc_id, tag, row_number() OVER (PARTITION BY doc_id
+            ORDER BY tag_hits DESC, tag) AS rn FROM pertag)
+        WHERE rn = 1),
+      agg AS (SELECT doc_id, COUNT(*) AS n_hits,
+          COUNT(DISTINCT term) AS n_terms_matched FROM hits GROUP BY doc_id)
+      SELECT d.doc_id, COALESCE(agg.n_hits, 0) AS n_hits,
+        COALESCE(agg.n_terms_matched, 0) AS n_terms_matched, top.top_tag
+      FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        LEFT JOIN top ON d.doc_id = top.doc_id
+      ORDER BY d.doc_id"""
+    })
+
+  private val bm25Queries = Seq(
+    (1L, Seq("spark", "table")),
+    (2L, Seq("stream", "window", "scan")),
+    (3L, Seq("vector", "agg")))
+
+  /** BM25 retrieval (Robertson–Spärck Jones, k1 = 1.2, b = 0.75) with a
+    * LOG-FREE idf — idf(t) = (N − df + 0.5)/(df + 0.5), the raw RSJ odds
+    * ratio whose logarithm standard BM25 takes. ln is not IEEE
+    * correctly-rounded (NOTES.md), so the oracle-gated score keeps the
+    * odds form; the ranking-relevant structure (tf saturation, length
+    * normalization, df damping) is identical. Per-(query, doc) scores
+    * sum over query terms in an EXPLICIT term-sorted left-to-right
+    * reduce (the q179 discipline — plain double SUM pins no order).
+    * Scale: tf/df/dl all derive from ONE exploded scan (df and dl reuse
+    * tf's exchange), the query set and corpus-stat scalars broadcast,
+    * and per-query top-5 is a windowed rank partitioned by query.
+    */
+  private val q183 = Q("q183_bm25_retrieval",
+    (s, d) => {
+      import s.implicits._
+      val qterms = bm25Queries.flatMap { case (q, ts) => ts.map(q -> _) }
+        .toDF("qid", "term")
+      val docs = Tables.fanOut(Tables.documents(s, d))
+      val toks = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl"))
+        .withColumn("avgdl", col("tot_dl").cast("double") / col("n_docs"))
+      val scored = broadcast(qterms)
+        .join(tf, "term").join(broadcast(dfreq), "term")
+        .join(dl, "doc_id").crossJoin(broadcast(stats))
+        .withColumn("idf",
+          (col("n_docs") - col("df") + lit(0.5d)) / (col("df") + lit(0.5d)))
+        .withColumn("sat",
+          col("tf").cast("double") * lit(2.2d)
+            / (col("tf").cast("double")
+              + lit(1.2d) * (lit(0.25d)
+                + lit(0.75d) * col("dl").cast("double") / col("avgdl"))))
+        .withColumn("sc", col("idf") * col("sat"))
+      val perDoc = scored.groupBy("qid", "doc_id").agg(
+        aggregate(
+          transform(array_sort(collect_list(struct(col("term"), col("sc")))),
+            x => x.getField("sc")),
+          lit(0d), (acc, x) => acc + x).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      val w = Window.partitionBy("qid").orderBy(desc("score"), asc("doc_id"))
+      perDoc.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 5)
+        .select("qid", "rank", "doc_id", "score", "n_terms_hit")
+        .orderBy("qid", "rank")
+    },
+    Some {
+      val qvals = bm25Queries.flatMap { case (q, ts) =>
+        ts.map(t => s"($q, '$t')") }.mkString(", ")
+      s"""WITH qterms(qid, term) AS (VALUES $qvals),
+      toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+      df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+      stats AS (SELECT COUNT(*) AS n_docs,
+          CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+      scored AS (SELECT qid, tf.doc_id, tf.term,
+          ((n_docs - df.df + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE))
+          * (CAST(tf AS DOUBLE) * 2.2::DOUBLE
+             / (CAST(tf AS DOUBLE) + 1.2::DOUBLE * (0.25::DOUBLE
+                + 0.75::DOUBLE * CAST(dl.dl AS DOUBLE) / avgdl))) AS sc
+        FROM qterms JOIN tf ON qterms.term = tf.term
+          JOIN df ON tf.term = df.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats),
+      perdoc AS (SELECT qid, doc_id,
+          list_reduce(list(sc ORDER BY term), (a, b) -> a + b) AS score,
+          COUNT(*) AS n_terms_hit
+        FROM scored GROUP BY qid, doc_id),
+      r AS (SELECT qid, doc_id, score, n_terms_hit,
+          CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+        FROM perdoc)
+      SELECT qid, rank, doc_id, score, n_terms_hit FROM r
+      WHERE rank <= 5 ORDER BY qid, rank"""
+    })
+
+  /** Quantile normalization of a per-source statistic onto the global
+    * distribution (the cross-corpus score-alignment step before mixing
+    * sources whose quality scales differ): doc at within-source midpoint
+    * rank p of n_s maps to the global value at index
+    * ⌊(2p+1)·N / (2n_s)⌋ — all INTEGER arithmetic, no interpolation, so
+    * the oracle is exact. Scale-first global lookup: instead of a global
+    * row_number over the corpus (single-partition sort), the global
+    * distribution is the per-value count table (bounded domain) with a
+    * running-offset window over THAT small table, range-joined back by
+    * index interval — the corpus never globally sorts. The within-source
+    * rank window partitions by source.
+    */
+  private val q184 = Q("q184_quantile_normalize",
+    (s, d) => {
+      val docs = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val nTotal = docs.agg(count(lit(1)).as("n_total"))
+      val wSrc = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+      val wCnt = Window.partitionBy("source")
+      val ranked = docs
+        .withColumn("p", row_number().over(wSrc).cast("long") - 1)
+        .withColumn("n_s", count(lit(1)).over(wCnt))
+        .crossJoin(broadcast(nTotal))
+        .withColumn("idx", expr("((2*p + 1) * n_total) div (2 * n_s)"))
+      val g = docs.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+      val wCum = Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val iv = g.withColumn("cum", sum("cnt").over(wCum))
+        .select(col("n_chars").as("norm_chars"),
+          (col("cum") - col("cnt")).as("lo"), col("cum").as("hi"))
+      ranked.join(broadcast(iv),
+          col("idx") >= col("lo") && col("idx") < col("hi"))
+        .select("doc_id", "source", "n_chars", "norm_chars")
+        .orderBy("doc_id")
+    },
+    Some("""WITH docs AS (SELECT doc_id, source, n_chars FROM documents),
+      nt AS (SELECT COUNT(*) AS n_total FROM docs),
+      ranked AS (SELECT doc_id, source, n_chars,
+          row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) - 1 AS p,
+          COUNT(*) OVER (PARTITION BY source) AS n_s
+        FROM docs),
+      idxd AS (SELECT doc_id, source, n_chars,
+          ((2 * p + 1) * n_total) // (2 * n_s) AS idx
+        FROM ranked CROSS JOIN nt),
+      g AS (SELECT n_chars, COUNT(*) AS cnt FROM docs GROUP BY n_chars),
+      iv AS (SELECT n_chars AS norm_chars,
+          SUM(cnt) OVER (ORDER BY n_chars
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS lo,
+          SUM(cnt) OVER (ORDER BY n_chars
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+        FROM g)
+      SELECT doc_id, source, n_chars, norm_chars
+      FROM idxd JOIN iv ON idx >= lo AND idx < hi
+      ORDER BY doc_id"""))
+
+  /** Embedding outlier screen by distance-to-class-centroid (the
+    * corpus-hygiene pass before ANN indexing — mislabeled or corrupt
+    * vectors sit far from their label's centroid; the fixture vectors
+    * are unit-normalized, so a plain ‖v‖ screen would be degenerate).
+    * Centroids are per-(label, dim) means through
+    * [[graft.functions.StableAgg]] exact decimal sums
+    * (order-independent → partition count can't move a flag); d² to the
+    * centroid is the dim-ordered left-to-right reduce (the q25/q26
+    * discipline); a vector is flagged iff |d² − μ| > 2σ within its
+    * label, with σ > 0 guarding the z division. Scale: centroids are a
+    * |labels|·|dims| aggregation (map-side combined) that broadcasts
+    * back as a KB-sized array table — one corpus scan for centroids,
+    * one for distances, no self-join, no global sort.
+    */
+  private val q185 = Q("q185_embedding_outliers",
+    (s, d) => {
+      import graft.functions.StableAgg
+      val e = Tables.fanOut(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val comps = e.select(col("label"),
+        posexplode(col("v")).as(Seq("dim", "x")))
+      val cent = comps.groupBy("label", "dim")
+        .agg(StableAgg.davg(col("x"), 12).as("mu_dim"))
+        .groupBy("label")
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("mu_dim")))),
+          x => x.getField("mu_dim")).as("c"))
+      val dists = e.join(broadcast(cent), "label")
+        .withColumn("d2", aggregate(
+          zip_with(col("v"), col("c"), (x, y) => (x - y) * (x - y)),
+          lit(0d), (acc, x) => acc + x))
+      val stats = dists.groupBy("label").agg(
+        StableAgg.davg(col("d2"), 12).as("mu"),
+        StableAgg.dstdSamp(col("d2")).as("sigma"))
+      dists.join(broadcast(stats), "label")
+        .filter(col("sigma") > 0d
+          && abs(col("d2") - col("mu")) > lit(2.0d) * col("sigma"))
+        .select(col("vec_id"), col("label"), col("d2"),
+          ((col("d2") - col("mu")) / col("sigma")).as("z"))
+        .orderBy("vec_id")
+    },
+    Some {
+      val d2 = "list_reduce(list_transform(range(1, len(v)+1), " +
+        "i -> (v[i] - c[CAST(i AS INTEGER)]) * (v[i] - c[CAST(i AS INTEGER)])), " +
+        "(a, b) -> a + b)"
+      s"""WITH e AS (SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      comps AS (SELECT label, CAST(u.i AS BIGINT) - 1 AS dim,
+          v[CAST(u.i AS INTEGER)] AS x
+        FROM e, unnest(range(1, len(v) + 1)) u(i)),
+      cd AS (SELECT label, dim, ${graft.OracleSql.davg("x", 12)} AS mu_dim
+        FROM comps GROUP BY label, dim),
+      cent AS (SELECT label, list(mu_dim ORDER BY dim) AS c
+        FROM cd GROUP BY label),
+      dists AS (SELECT vec_id, e.label, $d2 AS d2
+        FROM e JOIN cent ON e.label = cent.label),
+      stats AS (SELECT label, ${graft.OracleSql.davg("d2", 12)} AS mu,
+          ${graft.OracleSql.dstdSamp("d2")} AS sigma
+        FROM dists GROUP BY label)
+      SELECT vec_id, dists.label, d2, (d2 - mu) / sigma AS z
+      FROM dists JOIN stats ON dists.label = stats.label
+      WHERE sigma > 0 AND abs(d2 - mu) > 2.0::DOUBLE * sigma
+      ORDER BY vec_id"""
+    })
+
+  /** Robust outlier detection by MAD (median absolute deviation): per
+    * event type, med = exact floor-index median (the engine's
+    * [[graft.functions.ExactPercentile]] native aggregate, q9
+    * semantics), MAD = median(|x − med|), flag |x − med| > 3·MAD. The
+    * robust-statistics complement to the mean/σ screens (q8/q185) —
+    * immune to the outliers it hunts. Two aggregation passes by
+    * construction (MAD is a median OF deviations FROM a median); each
+    * pass is one map-combined shuffle on event_type and the per-type
+    * scalars broadcast back, so the corpus is scanned twice and never
+    * self-joined.
+    */
+  private val q186 = Q("q186_mad_outliers",
+    (s, d) => {
+      import graft.functions.ExactPercentile
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val med = e.groupBy("event_type")
+        .agg(element_at(ExactPercentile(col("value"), Seq(0.5)), 1).as("med"))
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(element_at(ExactPercentile(col("adev"), Seq(0.5)), 1).as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .filter(col("adev") > lit(3.0d) * col("mad"))
+        .select("event_id", "event_type", "value", "med", "mad")
+        .orderBy("event_id")
+    },
+    Some("""WITH r AS (SELECT event_id, event_type, value,
+          row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events),
+      med AS (SELECT event_type, MAX(CASE WHEN rn =
+            CAST(floor(0.5::DOUBLE * (n - 1)) AS BIGINT) THEN value END) AS med
+        FROM r GROUP BY event_type),
+      dv AS (SELECT event_id, e.event_type, value, med,
+          abs(value - med) AS adev
+        FROM events e JOIN med ON e.event_type = med.event_type),
+      r2 AS (SELECT event_type, adev,
+          row_number() OVER (PARTITION BY event_type ORDER BY adev) - 1 AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM dv),
+      mad AS (SELECT event_type, MAX(CASE WHEN rn =
+            CAST(floor(0.5::DOUBLE * (n - 1)) AS BIGINT) THEN adev END) AS mad
+        FROM r2 GROUP BY event_type)
+      SELECT event_id, dv.event_type, value, dv.med, mad.mad
+      FROM dv JOIN mad ON dv.event_type = mad.event_type
+      WHERE adev > 3.0::DOUBLE * mad.mad
+      ORDER BY event_id"""))
+
+  /** Dedup-quality evaluation: the LSH candidate generator (q22's exact
+    * banding, via the shared [[TrainingDataQueries.lshPairsFrame]]) is
+    * scored against GROUND TRUTH = exact 3-shingle Jaccard ≥ 0.5
+    * all-pairs (candidates by shared shingle — complete, since J > 0
+    * requires ≥ 1 shared shingle — then exact set verify). One row out:
+    * pair counts, TP/FP/FN, precision, recall. This is the harness a
+    * curation team runs before trusting a near-dedup config at scale;
+    * precision/recall are single integer-ratio divisions
+    * (deterministic). Scale: the truth side is the expensive exact join
+    * — run at audit SF only (sampled in production); the predicted side
+    * is the production-scale LSH path; the comparison is a full-outer
+    * join on the pair key.
+    */
+  private val q188 = Q("q188_dedup_eval",
+    (s, d) => {
+      val pred = TrainingDataQueries.lshPairsFrame(s, d)
+        .withColumn("p", lit(1))
+      val sh = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), array_distinct(
+          TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      val cand = ex.select(col("doc_id").as("doc_id_a"), col("g"))
+        .join(ex.select(col("doc_id").as("doc_id_b"), col("g")), "g")
+        .filter(col("doc_id_a") < col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b").distinct()
+      val truth = cand
+        .join(sh.select(col("doc_id").as("doc_id_a"), col("sh").as("sha")), "doc_id_a")
+        .join(sh.select(col("doc_id").as("doc_id_b"), col("sh").as("shb")), "doc_id_b")
+        .filter(Dedup.jaccard(col("sha"), col("shb")) >= 0.5d)
+        .select(col("doc_id_a"), col("doc_id_b"), lit(1).as("t"))
+      pred.join(truth, Seq("doc_id_a", "doc_id_b"), "full_outer")
+        .agg(
+          sum(coalesce(col("p"), lit(0))).as("n_pred"),
+          sum(coalesce(col("t"), lit(0))).as("n_truth"),
+          sum(when(col("p").isNotNull && col("t").isNotNull, 1).otherwise(0)).as("tp"),
+          sum(when(col("p").isNotNull && col("t").isNull, 1).otherwise(0)).as("fp"),
+          sum(when(col("p").isNull && col("t").isNotNull, 1).otherwise(0)).as("fn"))
+        .select(col("n_pred"), col("n_truth"), col("tp"), col("fp"), col("fn"),
+          (col("tp").cast("double") / (col("tp") + col("fp"))).as("precision"),
+          (col("tp").cast("double") / (col("tp") + col("fn"))).as("recall"))
+    },
+    Some(s"""WITH ${TrainingDataQueries.duckLshPairsCtes},
+      raw AS (SELECT doc_id,
+          unnest(${TrainingDataQueries.duckShingles(TrainingDataQueries.duckToks)}) AS g
+        FROM documents),
+      sg AS (SELECT DISTINCT doc_id, g FROM raw),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sg GROUP BY doc_id),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+        FROM sg a JOIN sg b ON a.g = b.g AND a.doc_id < b.doc_id),
+      inter AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+          COUNT(*) AS ni
+        FROM sg a JOIN sg b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      truth AS (SELECT c.doc_id_a, c.doc_id_b
+        FROM cand c JOIN inter i
+          ON c.doc_id_a = i.doc_id_a AND c.doc_id_b = i.doc_id_b
+        JOIN sz za ON c.doc_id_a = za.doc_id
+        JOIN sz zb ON c.doc_id_b = zb.doc_id
+        WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= 0.5::DOUBLE),
+      m AS (SELECT
+          COALESCE(p.doc_id_a, t.doc_id_a) AS a,
+          p.doc_id_a IS NOT NULL AS in_p, t.doc_id_a IS NOT NULL AS in_t
+        FROM pairs p FULL OUTER JOIN truth t
+          ON p.doc_id_a = t.doc_id_a AND p.doc_id_b = t.doc_id_b)
+      SELECT
+        CAST(SUM(CASE WHEN in_p THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+        CAST(SUM(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+        CAST(SUM(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN in_p AND NOT in_t THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN NOT in_p AND in_t THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(SUM(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END) AS DOUBLE)
+          / (SUM(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END)
+             + SUM(CASE WHEN in_p AND NOT in_t THEN 1 ELSE 0 END)) AS precision,
+        CAST(SUM(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END) AS DOUBLE)
+          / (SUM(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END)
+             + SUM(CASE WHEN NOT in_p AND in_t THEN 1 ELSE 0 END)) AS recall
+      FROM m"""))
+
+  /** Rendezvous (highest-random-weight) sharding: every document goes to
+    * the shard s ∈ 0..7 maximizing hash(s, doc) — coordination-free
+    * deterministic placement with the HRW minimal-disruption guarantee:
+    * when a shard is removed, ONLY its documents move (asserted by the
+    * certificate spec via the emitted `shard_drop3` column, the
+    * assignment with shard 3 removed). Hashes are the engine's salted
+    * md5→u32 (Sampling/q43 discipline), bit-identical in any engine.
+    * Scale: pure per-row scan-local arithmetic — no shuffle, no
+    * coordination service, retry-stable; THE placement primitive for
+    * 100 TB ingest fan-out.
+    */
+  private val q189 = Q("q189_rendezvous_shards",
+    (s, d) => {
+      def h(i: Int) = struct(
+        Dedup.hexHash32(md5(concat(lit(s"shard$i:"),
+          col("doc_id").cast("string")))).as("h"),
+        lit(i.toLong).as("s"))
+      val all8 = array((0 until 8).map(h): _*)
+      val drop3 = array((0 until 8).filter(_ != 3).map(h): _*)
+      Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"),
+          array_max(all8).getField("s").as("shard"),
+          array_max(drop3).getField("s").as("shard_drop3"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val hv = TrainingDataQueries.duckHash32(
+        "md5('shard' || u.i || ':' || CAST(doc_id AS VARCHAR))")
+      s"""WITH h AS (SELECT doc_id, CAST(u.i AS BIGINT) AS s, $hv AS hv
+        FROM documents, unnest(range(0, 8)) u(i)),
+      r AS (SELECT doc_id, s,
+          row_number() OVER (PARTITION BY doc_id ORDER BY hv DESC, s DESC) AS rn
+        FROM h),
+      r3 AS (SELECT doc_id, s,
+          row_number() OVER (PARTITION BY doc_id ORDER BY hv DESC, s DESC) AS rn
+        FROM h WHERE s <> 3)
+      SELECT a.doc_id, a.s AS shard, b.s AS shard_drop3
+      FROM (SELECT doc_id, s FROM r WHERE rn = 1) a
+      JOIN (SELECT doc_id, s FROM r3 WHERE rn = 1) b ON a.doc_id = b.doc_id
+      ORDER BY a.doc_id"""
+    })
+
+  override val all: Seq[Q] = Seq(q177, q178, q179, q180, q181, q182, q183,
+    q184, q185, q186, q188, q189)
+}

@@ -721,6 +721,63 @@ object FrontierQueries extends Registry {
       ORDER BY rank"""
     })
 
+  /** Common-neighbor / Jaccard link prediction on the trade graph (the
+    * recommender / related-entity primitive): candidate pairs share ≥ 10
+    * common neighbors, score = |N(a)∩N(b)| / |N(a)∪N(b)|, existing
+    * edges anti-joined out, top-50 by (score, a, b). The Σdeg(n)²
+    * blow-up every naive implementation hits is capped the standard way:
+    * only nodes with degree ≤ 50 act as the JOINING middle — hubs can
+    * still BE predicted, they just don't generate candidate pairs
+    * (documented truncation; production splits hubs by an extra blocking
+    * attribute instead). Scale: two edge joins shuffled on the middle
+    * node + a grouped count — the same bounded shape as q117's
+    * degree-ordered triangles; top-50 is a TakeOrdered, not a global
+    * sort.
+    */
+  private val q187 = Q("q187_link_prediction",
+    (s, d) => {
+      val g = tradeGraph(s, d)
+      val deg = g.groupBy("src").agg(count(lit(1)).as("deg"))
+      val mid = deg.filter(col("deg") <= 50).select(col("src").as("n"))
+      val cn = g.select(col("src").as("a"), col("dst").as("n"))
+        .join(mid, "n")
+        .join(g.select(col("src").as("n"), col("dst").as("b")), "n")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+        .filter(col("cn") >= 10)
+      val scored = cn
+        .join(g.select(col("src").as("a"), col("dst").as("b")),
+          Seq("a", "b"), "left_anti")
+        .join(deg.select(col("src").as("a"), col("deg").as("dega")), "a")
+        .join(deg.select(col("src").as("b"), col("deg").as("degb")), "b")
+        .withColumn("jaccard",
+          col("cn").cast("double") / (col("dega") + col("degb") - col("cn")))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("jaccard"), asc("a"), asc("b"))
+      scored.orderBy(desc("jaccard"), asc("a"), asc("b")).limit(50)
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .select("rank", "a", "b", "cn", "jaccard")
+        .orderBy("rank")
+    },
+    Some(s"""WITH $tradeGraphSql,
+      deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+      mid AS (SELECT src AS n FROM deg WHERE deg <= 50),
+      cn AS (SELECT e1.src AS a, e2.dst AS b, COUNT(*) AS cn
+        FROM e e1 JOIN mid ON e1.dst = mid.n
+          JOIN e e2 ON e2.src = mid.n
+        WHERE e1.src < e2.dst
+        GROUP BY e1.src, e2.dst HAVING COUNT(*) >= 10),
+      ne AS (SELECT cn.a, cn.b, cn.cn, da.deg AS dega, db.deg AS degb
+        FROM cn JOIN deg da ON cn.a = da.src
+          JOIN deg db ON cn.b = db.src
+        WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = cn.a AND e.dst = cn.b)),
+      top AS (SELECT a, b, cn,
+          CAST(cn AS DOUBLE) / (dega + degb - cn) AS jaccard
+        FROM ne ORDER BY jaccard DESC, a, b LIMIT 50)
+      SELECT CAST(row_number() OVER (ORDER BY jaccard DESC, a, b) AS INTEGER)
+          AS rank, a, b, cn, jaccard
+      FROM top ORDER BY rank"""))
+
   override val all: Seq[Q] = Seq(q165, q166, q167, q168, q169, q170, q171,
-    q172, q173, q174, q175, q176)
+    q172, q173, q174, q175, q176, q187)
 }

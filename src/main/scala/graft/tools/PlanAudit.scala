@@ -159,7 +159,10 @@ object PlanAudit {
     "q141_domain_mixture",      // 1-row budget scalar crossJoin
     "q142_bigram_lm_score",     // 1-row vocab-size crossJoin
     "q167_kmv_theta_setops",    // 5-row sketch table pairwise self-join
-    "q170_cluster_aware_split") // 1-row leak-counter scalar crossJoin
+    "q170_cluster_aware_split", // 1-row leak-counter scalar crossJoin
+    "q179_temperature_mixture", // 1-row Σ√n denominator scalar crossJoin
+    "q183_bm25_retrieval",      // 1-row (N, avgdl) corpus-stat scalar crossJoin
+    "q184_quantile_normalize")  // 1-row N scalar + KB interval-table range join
 
   // ---------------------------------------------------------------------
   // Curated scale narratives (kept from rounds 2-7; auto entries cover the

@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Structural certificates of the curation operators (sf0.001): the
+  * whole-result properties the row-value oracles cannot state.
+  */
+class CurationCertificatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q177 snapshot diff classes are disjoint and complete vs direct recompute") {
+    val rows = run("q177_snapshot_diff")
+      .select("o_orderkey", "change_type").as[(Long, String)].collect()
+    assert(rows.map(_._1).distinct.length == rows.length, "key appears twice")
+    val byClass = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    // added = keys ≡2 mod 7 absent from A... recompute independently:
+    val keys = graft.Tables.orders(spark, sf)
+      .select("o_orderkey").as[Long].collect().toSet
+    val a = keys.filter(_ % 10 != 3); val b = keys.filter(_ % 7 != 2)
+    assert(byClass.getOrElse("added", 0) == (b -- a).size)
+    assert(byClass.getOrElse("removed", 0) == (a -- b).size)
+    assert(byClass.getOrElse("changed", 0) == (a & b).count(_ % 5 == 0))
+  }
+
+  test("q178 frontier members are mutually non-dominating and dominate all others") {
+    val docs = run("q178_pareto_frontier")
+      .select("doc_id", "n_chars", "n_terms").as[(Long, Long, Long)].collect()
+    for ((_, x1, y1) <- docs; (_, x2, y2) <- docs)
+      assert(!(x2 > x1 && y2 > y1), "frontier member dominated by another")
+    assert(docs.nonEmpty)
+  }
+
+  test("q179 tempered shares sum to ~1 and compress the raw distribution") {
+    val rows = run("q179_temperature_mixture")
+      .select("raw_share", "tempered_share").as[(Double, Double)].collect()
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-9)
+    // sqrt-tempering pulls every share toward uniform: max share shrinks,
+    // min share grows (weakly).
+    assert(rows.map(_._2).max <= rows.map(_._1).max + 1e-12)
+    assert(rows.map(_._2).min >= rows.map(_._1).min - 1e-12)
+  }
+
+  test("q181 loop runs are bounded by token count and detect a planted loop") {
+    val rows = run("q181_repetition_loops")
+      .select("doc_id", "n_tokens", "max_run_p1", "max_run_p2")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.forall { case (_, n, r1, r2) => r1 < n && r2 < n && r1 >= 0 && r2 >= 0 })
+    // the fixture vocabulary is tiny, so SOME doc must contain a repeat
+    assert(rows.exists(_._3 > 0) || rows.exists(_._4 > 0))
+  }
+
+  test("q182 tagging counts are consistent and top_tag null iff no hits") {
+    val rows = run("q182_keyword_tagging")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.isNullAt(3)))
+    assert(rows.forall { case (hits, terms, noTag) =>
+      (hits == 0) == noTag && terms <= hits })
+  }
+
+  test("q183 BM25 ranks are dense per query and scores non-increasing") {
+    val rows = run("q183_bm25_retrieval")
+      .select("qid", "rank", "score").as[(Long, Int, Double)].collect()
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    for ((_, rs) <- rows) {
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3; case _ => true })
+    }
+  }
+
+  test("q184 quantile normalization preserves within-source ordering") {
+    val rows = run("q184_quantile_normalize")
+      .select("source", "n_chars", "norm_chars").as[(String, Long, Long)]
+      .collect().groupBy(_._1)
+    for ((_, rs) <- rows) {
+      val byRaw = rs.sortBy(r => (r._2, r._3))
+      assert(byRaw.sliding(2).forall {
+        case Array(a, b) => a._3 <= b._3; case _ => true },
+        "norm value must be monotone in the raw value within a source")
+    }
+  }
+
+  test("q185 outliers are a strict minority and z-scores exceed 2 in magnitude") {
+    val out = run("q185_embedding_outliers").select("z").as[Double].collect()
+    assert(out.forall(z => math.abs(z) > 2.0))
+    val total = graft.Tables.embeddings(spark, sf).count()
+    assert(out.length < total / 4, "outlier screen flagged too much of the corpus")
+  }
+
+  test("q186 MAD flags are invariant to a planted extreme outlier's magnitude") {
+    // robustness: every flagged deviation strictly exceeds 3×MAD and MAD > 0
+    val rows = run("q186_mad_outliers")
+      .select("value", "med", "mad").as[(Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (v, med, mad) => math.abs(v - med) > 3 * mad && mad >= 0 })
+  }
+
+  test("q188 dedup-eval counts are self-consistent") {
+    val r = run("q188_dedup_eval").head()
+    val (nPred, nTruth, tp, fp, fn) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(tp + fp == nPred && tp + fn == nTruth)
+    assert(r.getDouble(5) >= 0 && r.getDouble(5) <= 1)
+    assert(r.getDouble(6) >= 0 && r.getDouble(6) <= 1)
+  }
+
+  test("q189 rendezvous: removing shard 3 moves ONLY shard-3 documents") {
+    val rows = run("q189_rendezvous_shards")
+      .select("doc_id", "shard", "shard_drop3").as[(Long, Long, Long)].collect()
+    assert(rows.forall { case (_, s, s3) => s == 3 || s3 == s },
+      "a non-shard-3 document moved when shard 3 was removed — HRW violated")
+    assert(rows.forall { case (_, _, s3) => s3 != 3 })
+    val counts = rows.groupBy(_._2).view.mapValues(_.length)
+    assert(counts.size == 8, s"empty shards at sf0.001: ${counts.toMap}")
+  }
+
+  test("q187 link prediction never returns an existing edge and ranks by score") {
+    val df = run("q187_link_prediction")
+      .select("rank", "a", "b", "jaccard").as[(Int, Long, Long, Double)].collect()
+      .sortBy(_._1)
+    assert(df.nonEmpty)
+    assert(df.sliding(2).forall {
+      case Array(x, y) => x._4 >= y._4; case _ => true })
+    // bipartite namespaces: predicted pairs are same-side (both even or both odd)
+    assert(df.forall { case (_, a, b, _) => (a % 2) == (b % 2) })
+  }
+
+  test("q180 blocked ER pairs are symmetric-free, ordered, and verified") {
+    val rows = run("q180_er_blocking")
+      .select("a_key", "b_key", "dist").as[(Long, Long, Int)].collect()
+    assert(rows.forall { case (a, b, d) => a < b && d >= 0 && d <= 3 })
+    assert(rows.map(p => (p._1, p._2)).distinct.length == rows.length)
+  }
+}
