@@ -578,9 +578,16 @@ object CurationQueries extends Registry {
     */
   private val q188 = Q("q188_dedup_eval",
     (s, d) => {
-      val pred = TrainingDataQueries.lshPairsFrame(s, d)
+      // Hash-sampled evaluation population (rate 0.5, salted-digest draw —
+      // the q43 discipline): the exact-truth side is quadratic in the
+      // population, so production audits it on a deterministic sample;
+      // both sides see the SAME population, keeping precision/recall
+      // unbiased for it.
+      val base = Tables.fanOut(Tables.documents(s, d))
+        .filter(graft.operators.Sampling.uniform(col("doc_id"), "eval") < 0.5d)
+      val pred = TrainingDataQueries.lshPairsFrameOf(base)
         .withColumn("p", lit(1))
-      val sh = Tables.fanOut(Tables.documents(s, d))
+      val sh = base
         .select(col("doc_id"), array_distinct(
           TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)).as("sh"))
         .filter(size(col("sh")) > 0)
@@ -602,13 +609,18 @@ object CurationQueries extends Registry {
           sum(when(col("p").isNotNull && col("t").isNull, 1).otherwise(0)).as("fp"),
           sum(when(col("p").isNull && col("t").isNotNull, 1).otherwise(0)).as("fn"))
         .select(col("n_pred"), col("n_truth"), col("tp"), col("fp"), col("fn"),
-          (col("tp").cast("double") / (col("tp") + col("fp"))).as("precision"),
-          (col("tp").cast("double") / (col("tp") + col("fn"))).as("recall"))
+          when(col("tp") + col("fp") > 0,
+            col("tp").cast("double") / (col("tp") + col("fp"))).as("precision"),
+          when(col("tp") + col("fn") > 0,
+            col("tp").cast("double") / (col("tp") + col("fn"))).as("recall"))
     },
-    Some(s"""WITH ${TrainingDataQueries.duckLshPairsCtes},
+    Some(s"""WITH ev AS (SELECT doc_id, text FROM documents
+        WHERE CAST(${TrainingDataQueries.duckHash32("md5('eval:' || CAST(doc_id AS VARCHAR))")} AS DOUBLE)
+          / 4294967296.0 < 0.5::DOUBLE),
+      ${TrainingDataQueries.duckLshPairsCtesFrom("ev")},
       raw AS (SELECT doc_id,
           unnest(${TrainingDataQueries.duckShingles(TrainingDataQueries.duckToks)}) AS g
-        FROM documents),
+        FROM ev),
       sg AS (SELECT DISTINCT doc_id, g FROM raw),
       sz AS (SELECT doc_id, COUNT(*) AS n FROM sg GROUP BY doc_id),
       cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
@@ -634,12 +646,12 @@ object CurationQueries extends Registry {
         CAST(SUM(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END) AS BIGINT) AS tp,
         CAST(SUM(CASE WHEN in_p AND NOT in_t THEN 1 ELSE 0 END) AS BIGINT) AS fp,
         CAST(SUM(CASE WHEN NOT in_p AND in_t THEN 1 ELSE 0 END) AS BIGINT) AS fn,
-        CAST(SUM(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END) AS DOUBLE)
-          / (SUM(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END)
-             + SUM(CASE WHEN in_p AND NOT in_t THEN 1 ELSE 0 END)) AS precision,
-        CAST(SUM(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END) AS DOUBLE)
-          / (SUM(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END)
-             + SUM(CASE WHEN NOT in_p AND in_t THEN 1 ELSE 0 END)) AS recall
+        CASE WHEN SUM(CASE WHEN in_p THEN 1 ELSE 0 END) > 0 THEN
+          CAST(SUM(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END) AS DOUBLE)
+            / SUM(CASE WHEN in_p THEN 1 ELSE 0 END) END AS precision,
+        CASE WHEN SUM(CASE WHEN in_t THEN 1 ELSE 0 END) > 0 THEN
+          CAST(SUM(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END) AS DOUBLE)
+            / SUM(CASE WHEN in_t THEN 1 ELSE 0 END) END AS recall
       FROM m"""))
 
   /** Rendezvous (highest-random-weight) sharding: every document goes to

@@ -44,8 +44,13 @@ object TrainingDataQueries extends Registry {
     * (doc_id_a < doc_id_b), mirroring minhashSigFrame + Dedup banding
     * exactly; callers prepend `WITH [RECURSIVE]` (q38, q170).
     */
-  private[queries] lazy val duckLshPairsCtes: String =
-    s"""t AS (SELECT doc_id, $duckToks AS w FROM documents),
+  private[queries] lazy val duckLshPairsCtes: String = duckLshPairsCtesFrom("documents")
+
+  /** [[duckLshPairsCtes]] over an arbitrary (possibly filtered) doc
+    * relation carrying (doc_id, text) — q188 evaluates on a hash sample.
+    */
+  private[queries] def duckLshPairsCtesFrom(rel: String): String =
+    s"""t AS (SELECT doc_id, $duckToks AS w FROM $rel),
       s AS (SELECT doc_id, ${duckShingles("w")} AS sh FROM t),
       mh AS (SELECT doc_id,
         ${(0 until NumHashes).map(i => s"${duckMh(i)} AS mh$i").mkString(", ")}
@@ -87,8 +92,19 @@ object TrainingDataQueries extends Registry {
     * frame — the Spark mirror of [[duckLshPairsCtes]] (q38, q170).
     */
   private[queries] def lshPairsFrame(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val sigs = minhashSigFrame(s, d)
+      d: String): org.apache.spark.sql.DataFrame =
+    lshPairsFrameOf(Tables.fanOut(Tables.documents(s, d)))
+
+  /** [[lshPairsFrame]] over an arbitrary (doc_id, text) frame (q188
+    * evaluates on a hash sample) — the Spark mirror of
+    * [[duckLshPairsCtesFrom]].
+    */
+  private[queries] def lshPairsFrameOf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sigs = docs
+      .select(col("doc_id"), explode(array(Dedup.minhashArray(
+        TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3), NumHashes))).as("mhs"))
+      .filter(element_at(col("mhs"), 1).isNotNull)
       .select(col("doc_id") +: Dedup.minhashColsFromArray(col("mhs"), NumHashes): _*)
       .select(col("doc_id") +: Dedup.bandCols(NumHashes, RowsPerBand): _*)
     Dedup.lshCandidatePairs(sigs, NumBands)

@@ -104,8 +104,10 @@ class CurationCertificatesSpec extends SparkSpec {
     val (nPred, nTruth, tp, fp, fn) =
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
     assert(tp + fp == nPred && tp + fn == nTruth)
-    assert(r.getDouble(5) >= 0 && r.getDouble(5) <= 1)
-    assert(r.getDouble(6) >= 0 && r.getDouble(6) <= 1)
+    assert(r.isNullAt(5) == (nPred == 0))
+    assert(r.isNullAt(6) == (nTruth == 0))
+    if (!r.isNullAt(5)) assert(r.getDouble(5) >= 0 && r.getDouble(5) <= 1)
+    if (!r.isNullAt(6)) assert(r.getDouble(6) >= 0 && r.getDouble(6) <= 1)
   }
 
   test("q189 rendezvous: removing shard 3 moves ONLY shard-3 documents") {
