@@ -696,6 +696,144 @@ object CurationQueries extends Registry {
       ORDER BY a.doc_id"""
     })
 
+  /** Cross-source duplication matrix: near-dup candidate pairs (the
+    * exact q22 LSH banding, shared helper) rolled up by the UNORDERED
+    * source pair of their endpoints — the "who is copying whom"
+    * contamination view that decides which corpus pairs need
+    * cross-source dedup at all. Scale: pair generation is the
+    * production LSH path (band-bucket join, never all-pairs); the
+    * rollup is a count on ≤ |sources|² keys with the doc→source map
+    * joined in (corpus-sized but equi-join on doc_id).
+    */
+  private val q190 = Q("q190_cross_source_dup_matrix",
+    (s, d) => {
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      TrainingDataQueries.lshPairsFrame(s, d)
+        .join(src.select(col("doc_id").as("doc_id_a"), col("source").as("sa")), "doc_id_a")
+        .join(src.select(col("doc_id").as("doc_id_b"), col("source").as("sb")), "doc_id_b")
+        .select(least(col("sa"), col("sb")).as("src_lo"),
+          greatest(col("sa"), col("sb")).as("src_hi"))
+        .groupBy("src_lo", "src_hi").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("src_lo", "src_hi")
+    },
+    Some(s"""WITH ${TrainingDataQueries.duckLshPairsCtes}
+      SELECT least(da.source, db.source) AS src_lo,
+        greatest(da.source, db.source) AS src_hi,
+        COUNT(*) AS n_pairs
+      FROM pairs p JOIN documents da ON p.doc_id_a = da.doc_id
+        JOIN documents db ON p.doc_id_b = db.doc_id
+      GROUP BY 1, 2 ORDER BY src_lo, src_hi"""))
+
+  /** Hard-negative mining for embedding training (DPR/Contriever
+    * recipe): for each anchor vector, the top-10 most-similar vectors
+    * with a DIFFERENT label — near the anchor geometrically, wrong
+    * semantically — via exact cosine (the ordered-fold q26 discipline)
+    * over one corpus scan with the 5-anchor set broadcast. Scale: this
+    * is brute-force per anchor ON PURPOSE at audit SF; the production
+    * path swaps the corpus scan for the IVF/LSH index (q34/q27) and
+    * keeps the same label-exclusion filter and ranking.
+    */
+  private val q191 = Q("q191_hard_negatives",
+    (s, d) => {
+      val e = Tables.fanOut(Tables.embeddings(s, d))
+      val anchors = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").as("qvec"))
+      val corpus = e.select(col("vec_id").as("id"), col("label"),
+        col("embedding").as("vec"))
+      val w = Window.partitionBy("qid").orderBy(desc("cos_sim"), asc("id"))
+      corpus.join(broadcast(anchors), col("label") =!= col("qlabel"))
+        .withColumn("cos_sim",
+          graft.operators.Similarity.cosine(
+            col("qvec").cast("array<double>"), col("vec").cast("array<double>")))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 10)
+        .select("qid", "rank", "id", "label", "cos_sim")
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS qid, label AS qlabel,
+          embedding AS qvec FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id AS id, label, embedding AS vec FROM embeddings),
+      sim AS (SELECT qid, id, label,
+          ${TrainingDataQueries.duckCos("qvec", "vec")} AS cos_sim
+        FROM q JOIN c ON c.label <> q.qlabel),
+      r AS (SELECT qid, id, label, cos_sim,
+          CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY cos_sim DESC, id) AS INTEGER) AS rank
+        FROM sim)
+      SELECT qid, rank, id, label, cos_sim FROM r
+      WHERE rank <= 10 ORDER BY qid, rank"""))
+
+  /** Sequence-length bucketing / padding-efficiency report: docs are
+    * assigned to 16-token buckets (⌈len/16⌉·16, integer arithmetic) and
+    * each bucket reports doc count, real tokens, padding waste, and
+    * utilization — the batch-shaping decision input for fixed-shape
+    * training kernels (padding waste IS wasted FLOPs). Scale: one
+    * scan-local bucket assignment + one map-combined aggregation on a
+    * handful of bucket keys; utilization is a single integer-ratio
+    * division.
+    */
+  private val q192 = Q("q192_padding_efficiency",
+    (s, d) => {
+      Tables.fanOut(Tables.documents(s, d))
+        .select(size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+        .withColumn("bucket", expr("((n_toks + 15) div 16) * 16"))
+        .groupBy("bucket").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_toks").as("real_tokens"),
+          sum(col("bucket") - col("n_toks")).as("padding"))
+        .withColumn("utilization",
+          col("real_tokens").cast("double") / (col("bucket") * col("n_docs")))
+        .orderBy("bucket")
+    },
+    Some("""WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+          AS n_toks FROM documents),
+      b AS (SELECT n_toks, ((n_toks + 15) // 16) * 16 AS bucket FROM t)
+      SELECT bucket, COUNT(*) AS n_docs, SUM(n_toks) AS real_tokens,
+        SUM(bucket - n_toks) AS padding,
+        CAST(SUM(n_toks) AS DOUBLE) / (bucket * COUNT(*)) AS utilization
+      FROM b GROUP BY bucket ORDER BY bucket"""))
+
+  /** Deterministic source-interleaved training order: doc k of source i
+    * lands at global position (k−1)·|sources| + idx(i) — strict
+    * round-robin over sources with NO global sort: the source→index map
+    * is a window over the tiny distinct-source table, broadcast back,
+    * and every document's position is then pure scan-local arithmetic.
+    * This is the reproducible "epoch order" generator (mixing without a
+    * shuffle service); positions are unique by construction and
+    * per-source order is doc_id-ascending. Scale: one broadcast join +
+    * one per-source window — the corpus never globally sorts, and a
+    * writer can range-partition directly on mix_pos.
+    */
+  private val q193 = Q("q193_interleave_order",
+    (s, d) => {
+      val docs = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), col("source"))
+      val wIdx = Window.orderBy("source")
+      val smap = docs.select("source").distinct()
+        .withColumn("sidx", row_number().over(wIdx).cast("long") - 1)
+        .withColumn("n_src",
+          count(lit(1)).over(wIdx.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+      val wSrc = Window.partitionBy("source").orderBy("doc_id")
+      docs.withColumn("rn", row_number().over(wSrc).cast("long") - 1)
+        .join(broadcast(smap), "source")
+        .withColumn("mix_pos", col("rn") * col("n_src") + col("sidx"))
+        .select("doc_id", "source", "mix_pos")
+        .orderBy("mix_pos")
+    },
+    Some("""WITH docs AS (SELECT doc_id, source FROM documents),
+      smap AS (SELECT source,
+          row_number() OVER (ORDER BY source) - 1 AS sidx,
+          COUNT(*) OVER () AS n_src
+        FROM (SELECT DISTINCT source FROM docs)),
+      rn AS (SELECT doc_id, docs.source,
+          row_number() OVER (PARTITION BY docs.source ORDER BY doc_id) - 1 AS rn
+        FROM docs)
+      SELECT doc_id, rn.source, rn.rn * smap.n_src + smap.sidx AS mix_pos
+      FROM rn JOIN smap ON rn.source = smap.source
+      ORDER BY mix_pos"""))
+
   override val all: Seq[Q] = Seq(q177, q178, q179, q180, q181, q182, q183,
-    q184, q185, q186, q188, q189)
+    q184, q185, q186, q188, q189, q190, q191, q192, q193)
 }

@@ -131,6 +131,43 @@ class CurationCertificatesSpec extends SparkSpec {
     assert(df.forall { case (_, a, b, _) => (a % 2) == (b % 2) })
   }
 
+  test("q190 dup matrix is upper-triangular with positive counts") {
+    val rows = run("q190_cross_source_dup_matrix")
+      .select("src_lo", "src_hi", "n_pairs").as[(String, String, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (lo, hi, n) => lo <= hi && n > 0 })
+  }
+
+  test("q191 hard negatives never share the anchor's label") {
+    val anchors = graft.Tables.embeddings(spark, sf).filter($"vec_id" < 5)
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val rows = run("q191_hard_negatives")
+      .select("qid", "label", "cos_sim").as[(Long, Int, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (q, l, _) => anchors(q) != l })
+    assert(rows.forall { case (_, _, c) => c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9 })
+  }
+
+  test("q192 padding accounting is exact and utilization in (0, 1]") {
+    val rows = run("q192_padding_efficiency")
+      .select("bucket", "n_docs", "real_tokens", "padding", "utilization")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (b, n, t, p, u) =>
+      t + p == b * n && u > 0 && u <= 1.0 })
+  }
+
+  test("q193 interleave positions are unique and per-source monotone") {
+    val rows = run("q193_interleave_order")
+      .select("doc_id", "source", "mix_pos").as[(Long, String, Long)].collect()
+    assert(rows.map(_._3).distinct.length == rows.length)
+    for ((_, rs) <- rows.groupBy(_._2)) {
+      val sorted = rs.sortBy(_._1)
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq,
+        "mix_pos must be increasing in doc_id within a source")
+    }
+  }
+
   test("q180 blocked ER pairs are symmetric-free, ordered, and verified") {
     val rows = run("q180_er_blocking")
       .select("a_key", "b_key", "dist").as[(Long, Long, Int)].collect()
