@@ -834,6 +834,260 @@ object CurationQueries extends Registry {
       FROM rn JOIN smap ON rn.source = smap.source
       ORDER BY mix_pos"""))
 
+  /** Asymmetric containment dedup, C(A,B) = |A∩B| / |A| ≥ 0.8 over
+    * 3-shingle sets: finds "A is (nearly) a sub-document of B" —
+    * quotes, page templates, prepended boilerplate — which symmetric
+    * Jaccard (q24/q135) misses whenever |B| ≫ |A|. Both directions are
+    * evaluated per candidate pair. Population is the q188 hash sample
+    * (the exact candidate join is quadratic; production audits samples
+    * and prunes the rest with the one-sided prefix filter). Scale:
+    * candidates by shared shingle confine the join to co-occurring
+    * docs; the containment arithmetic is integer-ratio division.
+    */
+  private val q194 = Q("q194_containment_dedup",
+    (s, d) => {
+      val base = Tables.fanOut(Tables.documents(s, d))
+        .filter(graft.operators.Sampling.uniform(col("doc_id"), "cont") < 0.5d)
+      val sh = base.select(col("doc_id"), array_distinct(
+          TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      val cand = ex.select(col("doc_id").as("ida"), col("g"))
+        .join(ex.select(col("doc_id").as("idb"), col("g")), "g")
+        .filter(col("ida") < col("idb"))
+        .groupBy("ida", "idb").agg(count(lit(1)).as("raw_inter"))
+      val sized = cand
+        .join(sh.select(col("doc_id").as("ida"), col("sh").as("sha")), "ida")
+        .join(sh.select(col("doc_id").as("idb"), col("sh").as("shb")), "idb")
+        .select(col("ida"), col("idb"),
+          size(array_intersect(col("sha"), col("shb"))).cast("long").as("ni"),
+          size(col("sha")).cast("long").as("na"),
+          size(col("shb")).cast("long").as("nb"))
+      val aInB = sized
+        .filter(col("ni").cast("double") / col("na") >= 0.8d)
+        .select(col("ida").as("inner_doc"), col("idb").as("outer_doc"),
+          col("ni"), col("na").as("n_inner"),
+          (col("ni").cast("double") / col("na")).as("containment"))
+      val bInA = sized
+        .filter(col("ni").cast("double") / col("nb") >= 0.8d)
+        .select(col("idb").as("inner_doc"), col("ida").as("outer_doc"),
+          col("ni"), col("nb").as("n_inner"),
+          (col("ni").cast("double") / col("nb")).as("containment"))
+      aInB.unionByName(bInA).orderBy("inner_doc", "outer_doc")
+    },
+    Some(s"""WITH ev AS (SELECT doc_id, text FROM documents
+        WHERE CAST(${TrainingDataQueries.duckHash32("md5('cont:' || CAST(doc_id AS VARCHAR))")} AS DOUBLE)
+          / 4294967296.0 < 0.5::DOUBLE),
+      raw AS (SELECT doc_id,
+          unnest(${TrainingDataQueries.duckShingles(TrainingDataQueries.duckToks)}) AS g
+        FROM ev),
+      sg AS (SELECT DISTINCT doc_id, g FROM raw),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sg GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS ni
+        FROM sg a JOIN sg b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      sized AS (SELECT ida, idb, ni, za.n AS na, zb.n AS nb
+        FROM inter JOIN sz za ON ida = za.doc_id
+        JOIN sz zb ON idb = zb.doc_id)
+      SELECT * FROM (
+        SELECT ida AS inner_doc, idb AS outer_doc, ni, na AS n_inner,
+          CAST(ni AS DOUBLE) / na AS containment
+        FROM sized WHERE CAST(ni AS DOUBLE) / na >= 0.8::DOUBLE
+        UNION ALL
+        SELECT idb AS inner_doc, ida AS outer_doc, ni, nb AS n_inner,
+          CAST(ni AS DOUBLE) / nb AS containment
+        FROM sized WHERE CAST(ni AS DOUBLE) / nb >= 0.8::DOUBLE)
+      ORDER BY inner_doc, outer_doc"""))
+
+  /** 10%-trimmed mean per event type — the robust-location complement
+    * to q186's MAD spread: drop the lowest and highest ⌊n/10⌋ values by
+    * rank (floor arithmetic, exact), average the core through
+    * [[graft.functions.StableAgg]] exact decimal sums. Trimmed
+    * statistics are what latency dashboards SHOULD aggregate (mean is
+    * outlier-hostage, median wastes data). Scale: rank is a window
+    * PARTITIONED BY event_type; the trim predicate and the exact-sum
+    * agg pipeline into one exchange on the same key.
+    */
+  private val q195 = Q("q195_trimmed_mean",
+    (s, d) => {
+      import graft.functions.StableAgg
+      val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+      val wc = Window.partitionBy("event_type")
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wc))
+        .filter(col("rn") > expr("n div 10") && col("rn") <= col("n") - expr("n div 10"))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n_core"),
+          StableAgg.davg(col("value")).as("trimmed_mean"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH r AS (SELECT event_type, value,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY value, event_id) AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events)
+      SELECT event_type, COUNT(*) AS n_core,
+        ${graft.OracleSql.davg("value")} AS trimmed_mean
+      FROM r WHERE rn > n // 10 AND rn <= n - n // 10
+      GROUP BY event_type ORDER BY event_type"""))
+
+  /** Bag-of-words canonical dedup key: md5 of the SORTED DISTINCT token
+    * set — catches reordered/shuffled duplicates that byte-exact dedup
+    * (q20) misses and near-dup (q22) only finds probabilistically;
+    * standard as the cheap middle rung of the dedup ladder. Same
+    * group-and-keep-min contract as q20. Scale: the key is scan-local
+    * (sort of a ≤doc-vocab array per row), then ONE hash-partition
+    * groupBy on the 16-byte digest — no pairwise anything.
+    */
+  private val q196 = Q("q196_bow_dedup_key",
+    (s, d) => {
+      Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), md5(concat_ws(" ",
+          array_sort(array_distinct(TextAnalysis.tokens(col("text"))))))
+          .as("bow_hash"))
+        .groupBy("bow_hash").agg(
+          min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("bow_hash")
+    },
+    Some("""SELECT md5(array_to_string(list_sort(list_distinct(
+          string_split(text, ' '))), ' ')) AS bow_hash,
+        MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY bow_hash"""))
+
+  /** Per-domain cap enforcement (the "no domain may exceed N docs"
+    * rule of web-corpus recipes): rank within source by quality
+    * (n_chars desc, doc_id tie-break), keep rank ≤ 20, report kept /
+    * spilled counts and an integer checksum of the kept set. Scale:
+    * one window PARTITIONED BY source + one map-combined agg — the cap
+    * never needs a global view, and the spill report is what operators
+    * actually read before re-tuning caps.
+    */
+  private val q197 = Q("q197_domain_cap",
+    (s, d) => {
+      val w = Window.partitionBy("source")
+        .orderBy(desc("n_chars"), asc("doc_id"))
+      Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("rn") <= 20, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rn") > 20, 1L).otherwise(0L)).as("n_spilled"),
+          sum(when(col("rn") <= 20, col("doc_id")).otherwise(0L)).as("kept_checksum"))
+        .orderBy("source")
+    },
+    Some("""WITH r AS (SELECT doc_id, source,
+          row_number() OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents)
+      SELECT source, COUNT(*) AS n_docs,
+        SUM(CASE WHEN rn <= 20 THEN 1 ELSE 0 END) AS n_kept,
+        SUM(CASE WHEN rn > 20 THEN 1 ELSE 0 END) AS n_spilled,
+        SUM(CASE WHEN rn <= 20 THEN doc_id ELSE 0 END) AS kept_checksum
+      FROM r GROUP BY source ORDER BY source"""))
+
+  /** Freshness-decay weighting with EXACT power-of-two half-life
+    * weights: age in weeks k ⇒ weight 2⁻ᵏ — a multiply by 2⁻ᵏ is
+    * IEEE-EXACT (mantissa untouched), so the weighted sums stay
+    * bit-reproducible through [[graft.functions.StableAgg]] where a
+    * exp(−λ·age) weighting could never hash-match cross-engine.
+    * Per event type: weighted value sum, total weight, and the
+    * freshness-weighted mean. Scale: the max-timestamp scalar
+    * broadcasts (1 row); weights are scan-local integer shifts; one
+    * map-combined exchange on event_type.
+    */
+  private val q198 = Q("q198_freshness_weights",
+    (s, d) => {
+      import graft.functions.StableAgg
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"),
+          expr("ts_ms div 86400000").as("day"))
+      val mx = e.agg(max("day").as("max_day"))
+      e.crossJoin(broadcast(mx))
+        .withColumn("k", least(expr("(max_day - day) div 7"), lit(30L)))
+        .withColumn("wt", lit(1.0d) / expr("shiftleft(1L, cast(k as int))"))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          StableAgg.dsum(col("value") * col("wt")).as("wsum"),
+          StableAgg.dsum(col("wt"), 12).as("wtot"))
+        .withColumn("wmean", col("wsum") / col("wtot"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH e AS (SELECT event_type, value,
+          epoch_ms(ts) // 86400000 AS day FROM events),
+      mx AS (SELECT MAX(day) AS max_day FROM e),
+      wtd AS (SELECT event_type, value,
+          1.0::DOUBLE / (1::BIGINT << CAST(least((max_day - day) // 7, 30) AS INTEGER)) AS wt
+        FROM e CROSS JOIN mx)
+      SELECT event_type, COUNT(*) AS n,
+        ${graft.OracleSql.dsum("value * wt")} AS wsum,
+        ${graft.OracleSql.dsum("wt", 12)} AS wtot,
+        ${graft.OracleSql.dsum("value * wt")} / ${graft.OracleSql.dsum("wt", 12)} AS wmean
+      FROM wtd GROUP BY event_type ORDER BY event_type"""))
+
+  /** End-to-end curation funnel — the flagship composition: language
+    * filter → length band → exact dedup (q20) → bag-of-words dedup
+    * (q196) → lexical-diversity floor, emitting the per-stage survivor
+    * count and retention fraction that every corpus run reports first.
+    * Each stage reuses the corresponding operator family's exact
+    * dataflow. Scale: stages compose as one pipeline — two digest
+    * groupBys and scan-local filters; nothing quadratic, nothing
+    * globally sorted; at 100 TB the funnel report costs one pass plus
+    * the two dedup exchanges.
+    */
+  private val q200 = Q("q200_curation_funnel",
+    (s, d) => {
+      import s.implicits._
+      val s0 = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+      val s1 = s0.filter(col("lang").isin("en", "de", "fr"))
+      val s2 = s1.filter(size(col("toks")).between(10, 200))
+      val s3 = s2.withColumn("h", md5(col("text")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("h").orderBy("doc_id")))
+        .filter(col("rn") === 1).drop("h", "rn")
+      val s4 = s3.withColumn("bh",
+          md5(concat_ws(" ", array_sort(array_distinct(col("toks"))))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("bh").orderBy("doc_id")))
+        .filter(col("rn") === 1).drop("bh", "rn")
+      val s5 = s4.filter(
+        size(array_distinct(col("toks"))).cast("double") / size(col("toks")) >= 0.5d)
+      val stages = Seq("0_all" -> s0, "1_lang" -> s1, "2_length" -> s2,
+        "3_exact_dedup" -> s3, "4_bow_dedup" -> s4, "5_diversity" -> s5)
+      val counts = stages.map { case (name, df) => name -> df.count() }
+      val n0 = counts.head._2
+      s.createDataFrame(counts.map { case (st, n) =>
+        (st, n, n.toDouble / n0) }).toDF("stage", "n_docs", "retention")
+        .orderBy("stage")
+    },
+    Some("""WITH s0 AS (SELECT doc_id, lang, text,
+          string_split(text, ' ') AS toks FROM documents),
+      s1 AS (SELECT * FROM s0 WHERE lang IN ('en', 'de', 'fr')),
+      s2 AS (SELECT * FROM s1 WHERE len(toks) BETWEEN 10 AND 200),
+      s3 AS (SELECT * FROM (SELECT *, row_number() OVER
+          (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM s2)
+        WHERE rn = 1),
+      s4 AS (SELECT * FROM (SELECT doc_id, lang, text, toks, row_number() OVER
+          (PARTITION BY md5(array_to_string(list_sort(list_distinct(toks)), ' '))
+           ORDER BY doc_id) AS rn2 FROM s3)
+        WHERE rn2 = 1),
+      s5 AS (SELECT * FROM s4
+        WHERE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.5::DOUBLE),
+      c AS (SELECT '0_all' AS stage, COUNT(*) AS n_docs FROM s0
+        UNION ALL SELECT '1_lang', COUNT(*) FROM s1
+        UNION ALL SELECT '2_length', COUNT(*) FROM s2
+        UNION ALL SELECT '3_exact_dedup', COUNT(*) FROM s3
+        UNION ALL SELECT '4_bow_dedup', COUNT(*) FROM s4
+        UNION ALL SELECT '5_diversity', COUNT(*) FROM s5),
+      n0 AS (SELECT n_docs AS base FROM c WHERE stage = '0_all')
+      SELECT stage, n_docs, CAST(n_docs AS DOUBLE) / base AS retention
+      FROM c CROSS JOIN n0 ORDER BY stage"""))
+
   override val all: Seq[Q] = Seq(q177, q178, q179, q180, q181, q182, q183,
-    q184, q185, q186, q188, q189, q190, q191, q192, q193)
+    q184, q185, q186, q188, q189, q190, q191, q192, q193, q194, q195, q196,
+    q197, q198, q200)
 }

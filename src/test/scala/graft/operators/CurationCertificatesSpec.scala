@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions.{count, lit, max, min}
 
 /** Structural certificates of the curation operators (sf0.001): the
   * whole-result properties the row-value oracles cannot state.
@@ -166,6 +167,58 @@ class CurationCertificatesSpec extends SparkSpec {
       assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq,
         "mix_pos must be increasing in doc_id within a source")
     }
+  }
+
+  test("q194 containment is in [0.8, 1] and inner docs are never larger than outers") {
+    val rows = run("q194_containment_dedup")
+      .select("inner_doc", "outer_doc", "containment").as[(Long, Long, Double)]
+      .collect()
+    assert(rows.forall { case (i, o, c) => i != o && c >= 0.8 && c <= 1.0 + 1e-12 })
+  }
+
+  test("q195 trimmed mean is within the untrimmed min/max and n_core ≈ 0.8n") {
+    val core = run("q195_trimmed_mean")
+      .select("event_type", "n_core", "trimmed_mean")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(core.nonEmpty)
+    val full = graft.Tables.events(spark, sf).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min("value").as("lo"), max("value").as("hi"))
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    for ((t, nCore, tm) <- core) {
+      val (_, n, lo, hi) = full(t)
+      assert(nCore == n - 2 * (n / 10))
+      assert(tm >= lo && tm <= hi)
+    }
+  }
+
+  test("q196 BOW dedup groups at least as aggressively as exact dedup") {
+    val bow = run("q196_bow_dedup_key").count()
+    val exact = run("q20_dedup_exact").count()
+    assert(bow <= exact, "BOW canonicalization cannot create MORE groups")
+  }
+
+  test("q197 domain caps: kept ≤ 20, kept + spilled = total") {
+    val rows = run("q197_domain_cap")
+      .select("n_docs", "n_kept", "n_spilled").as[(Long, Long, Long)].collect()
+    assert(rows.forall { case (n, k, sp) => k <= 20 && k + sp == n })
+  }
+
+  test("q198 freshness weights: wmean within value range, wtot ≤ n") {
+    val rows = run("q198_freshness_weights")
+      .select("event_type", "n", "wtot", "wmean")
+      .as[(String, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, n, wtot, _) => wtot > 0 && wtot <= n.toDouble })
+  }
+
+  test("q200 funnel counts are monotone non-increasing with full retention at stage 0") {
+    val rows = run("q200_curation_funnel")
+      .orderBy("stage").select("n_docs", "retention").as[(Long, Double)].collect()
+    assert(rows.length == 6)
+    assert(rows.head._2 == 1.0)
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => b._1 <= a._1; case _ => true })
   }
 
   test("q180 blocked ER pairs are symmetric-free, ordered, and verified") {
