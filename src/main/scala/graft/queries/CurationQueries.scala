@@ -1027,6 +1027,45 @@ object CurationQueries extends Registry {
         ${graft.OracleSql.dsum("value * wt")} / ${graft.OracleSql.dsum("wt", 12)} AS wmean
       FROM wtd GROUP BY event_type ORDER BY event_type"""))
 
+  /** Zipf head report: the top-20 corpus tokens with rank and CUMULATIVE
+    * corpus share — the first artifact a tokenizer designer reads (how
+    * much of the stream do k head types absorb?). Distinct from q125,
+    * which scores coverage of a GIVEN vocab; this derives the head from
+    * the corpus itself. The cumulative share is an ordered ROWS-frame
+    * window over the 20-row head table (integer counts, one division per
+    * row — exact). Scale: one map-combined (token → count) exchange with
+    * |vocab| keys; the top-k is a TakeOrdered; everything after runs on
+    * 20 rows.
+    */
+  private val q199 = Q("q199_zipf_head",
+    (s, d) => {
+      val toks = Tables.fanOut(Tables.documents(s, d))
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val tot = toks.agg(count(lit(1)).as("n_total"))
+      val w = Window.orderBy(desc("cnt"), asc("tok"))
+      val head20 = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("tok")).limit(20)
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .withColumn("cum_cnt", sum("cnt").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      head20.crossJoin(broadcast(tot))
+        .select(col("rank"), col("tok"), col("cnt"),
+          (col("cum_cnt").cast("double") / col("n_total")).as("cum_share"))
+        .orderBy("rank")
+    },
+    Some("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      tot AS (SELECT COUNT(*) AS n_total FROM toks),
+      h AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+        ORDER BY cnt DESC, tok LIMIT 20),
+      r AS (SELECT tok, cnt,
+          CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS INTEGER) AS rank,
+          SUM(cnt) OVER (ORDER BY cnt DESC, tok
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt
+        FROM h)
+      SELECT rank, tok, cnt, CAST(cum_cnt AS DOUBLE) / n_total AS cum_share
+      FROM r CROSS JOIN tot ORDER BY rank"""))
+
   /** End-to-end curation funnel — the flagship composition: language
     * filter → length band → exact dedup (q20) → bag-of-words dedup
     * (q196) → lexical-diversity floor, emitting the per-stage survivor
@@ -1089,5 +1128,5 @@ object CurationQueries extends Registry {
 
   override val all: Seq[Q] = Seq(q177, q178, q179, q180, q181, q182, q183,
     q184, q185, q186, q188, q189, q190, q191, q192, q193, q194, q195, q196,
-    q197, q198, q200)
+    q197, q198, q199, q200)
 }

@@ -212,6 +212,15 @@ class CurationCertificatesSpec extends SparkSpec {
     assert(rows.forall { case (_, n, wtot, _) => wtot > 0 && wtot <= n.toDouble })
   }
 
+  test("q199 zipf head: counts non-increasing, cumulative share monotone in (0,1]") {
+    val rows = run("q199_zipf_head")
+      .orderBy("rank").select("cnt", "cum_share").as[(Long, Double)].collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => a._1 >= b._1 && b._2 > a._2; case _ => true })
+    assert(rows.last._2 <= 1.0 + 1e-12)
+  }
+
   test("q200 funnel counts are monotone non-increasing with full retention at stage 0") {
     val rows = run("q200_curation_funnel")
       .orderBy("stage").select("n_docs", "retention").as[(Long, Double)].collect()
