@@ -1126,7 +1126,100 @@ object CurationQueries extends Registry {
       SELECT stage, n_docs, CAST(n_docs AS DOUBLE) / base AS retention
       FROM c CROSS JOIN n0 ORDER BY stage"""))
 
+  /** CUSUM change-point detection per event type: cumulative sum of
+    * deviations from the type mean in EVENT-TIME order, reporting the
+    * position where |CUSUM| peaks — the classic level-shift detector
+    * (Page 1954) for "did this stream's distribution move, and when".
+    * Both the mean and every running sum go through
+    * [[graft.functions.StableAgg]] exact decimal arithmetic
+    * ([[graft.functions.StableAgg.dsumOver]] for the window), so the
+    * detected change-point cannot move with partition count or engine.
+    * Scale: one broadcast stats row + ONE window partitioned by
+    * event_type ordered by (ts, id) — per-type sequential state only,
+    * no global sort.
+    */
+  private val q201 = Q("q201_cusum_changepoint",
+    (s, d) => {
+      import graft.functions.StableAgg
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"), col("ts_ms"))
+      val stats = e.groupBy("event_type").agg(StableAgg.davg(col("value")).as("mu"))
+      val w = Window.partitionBy("event_type").orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wRank = Window.partitionBy("event_type")
+        .orderBy(desc("abs_cusum"), asc("event_id"))
+      e.join(broadcast(stats), "event_type")
+        .withColumn("cusum", StableAgg.dsumOver(col("value") - col("mu"), w))
+        .withColumn("abs_cusum", abs(col("cusum")))
+        .withColumn("rn", row_number().over(wRank))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("event_id").as("cp_event_id"),
+          col("cusum").as("cp_cusum"), col("abs_cusum").as("cp_magnitude"))
+        .orderBy("event_type")
+    },
+    Some {
+      val over = "(PARTITION BY event_type ORDER BY epoch_ms(ts), event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+      s"""WITH stats AS (SELECT event_type,
+          ${graft.OracleSql.davg("value")} AS mu
+        FROM events GROUP BY event_type),
+      j AS (SELECT event_id, e.event_type, value, ts, mu
+        FROM events e JOIN stats ON e.event_type = stats.event_type),
+      c AS (SELECT event_id, event_type,
+          ${graft.OracleSql.dsumOver("value - mu", over)} AS cusum
+        FROM j),
+      r AS (SELECT event_type, event_id, cusum, abs(cusum) AS abs_cusum,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY abs(cusum) DESC, event_id) AS rn
+        FROM c)
+      SELECT event_type, event_id AS cp_event_id, cusum AS cp_cusum,
+        abs_cusum AS cp_magnitude
+      FROM r WHERE rn = 1 ORDER BY event_type"""
+    })
+
+  private val fdCandidates = Seq(
+    ("orders.o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey"),
+    ("orders.o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+    ("lineitem.l_orderkey->l_suppkey", "lineitem", "l_orderkey", "l_suppkey"),
+    ("customer.c_nationkey->c_mktsegment", "customer", "c_nationkey", "c_mktsegment"))
+
+  /** Functional-dependency discovery (data profiling beyond q134's
+    * per-column stats): for each candidate FD X→Y, count the X-groups
+    * whose Y is not unique — zero violations ⇔ the dependency holds.
+    * This is the key-inference / normalization-check primitive a
+    * pipeline runs before trusting join keys on unfamiliar data. Scale:
+    * each FD is one (X, Y)-distinct + one X-group count — map-combined
+    * exchanges keyed by X; candidate FDs are metadata-sized, the union
+    * is over four scalar rows.
+    */
+  private val q202 = Q("q202_fd_discovery",
+    (s, d) => {
+      val frames = fdCandidates.map { case (name, table, lhs, rhs) =>
+        val t = table match {
+          case "orders"   => Tables.orders(s, d)
+          case "lineitem" => Tables.lineitem(s, d)
+          case "customer" => Tables.customer(s, d)
+        }
+        t.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("ndv"))
+          .agg(count(lit(1)).as("n_lhs"),
+            sum(when(col("ndv") > 1, 1L).otherwise(0L)).as("n_violating"))
+          .select(lit(name).as("fd"), col("n_lhs"), col("n_violating"),
+            (col("n_violating") === 0).as("holds"))
+      }
+      frames.reduce(_ unionByName _).orderBy("fd")
+    },
+    Some {
+      val parts = fdCandidates.map { case (name, table, lhs, rhs) =>
+        s"""SELECT '$name' AS fd, COUNT(*) AS n_lhs,
+          SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS n_violating,
+          SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) = 0 AS holds
+        FROM (SELECT $lhs, COUNT(DISTINCT $rhs) AS ndv
+              FROM $table GROUP BY $lhs)"""
+      }.mkString("\n      UNION ALL ")
+      s"""SELECT * FROM ($parts) ORDER BY fd"""
+    })
+
   override val all: Seq[Q] = Seq(q177, q178, q179, q180, q181, q182, q183,
     q184, q185, q186, q188, q189, q190, q191, q192, q193, q194, q195, q196,
-    q197, q198, q199, q200)
+    q197, q198, q199, q200, q201, q202)
 }

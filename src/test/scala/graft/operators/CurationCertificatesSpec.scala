@@ -230,6 +230,30 @@ class CurationCertificatesSpec extends SparkSpec {
       case Array(a, b) => b._1 <= a._1; case _ => true })
   }
 
+  test("q201 CUSUM magnitudes are nonnegative and |cp_cusum| equals cp_magnitude") {
+    val rows = run("q201_cusum_changepoint")
+      .select("cp_cusum", "cp_magnitude").as[(Double, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (c, m) => m >= 0 && math.abs(math.abs(c) - m) < 1e-12 })
+  }
+
+  test("q202 FD discovery: key FDs hold, non-keys are violated") {
+    val rows = run("q202_fd_discovery")
+      .select("fd", "holds").as[(String, Boolean)].collect().toMap
+    assert(rows("orders.o_orderkey->o_custkey"), "primary key FD must hold")
+    assert(!rows("lineitem.l_orderkey->l_suppkey"),
+      "an order with multiple suppliers must violate")
+  }
+
+  test("q203 modularity contributions sum into [-1, 1] with e_in ≤ deg_sum") {
+    val rows = run("q203_modularity")
+      .select("e_in", "deg_sum", "q_contrib").as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (e, dm, _) => e <= dm })
+    val q = rows.map(_._3).sum
+    assert(q >= -1.0 - 1e-9 && q <= 1.0 + 1e-9, s"total modularity $q out of range")
+  }
+
   test("q180 blocked ER pairs are symmetric-free, ordered, and verified") {
     val rows = run("q180_er_blocking")
       .select("a_key", "b_key", "dist").as[(Long, Long, Int)].collect()
