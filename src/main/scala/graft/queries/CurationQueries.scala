@@ -83,15 +83,7 @@ object CurationQueries extends Registry {
         .select(col("doc_id"), col("n_chars"),
           size(array_distinct(TextAnalysis.tokens(col("text"))))
             .cast("long").as("n_terms"))
-      val perX = docs.groupBy("n_chars").agg(max("n_terms").as("ym"))
-      // Strictly-greater-x threshold: rows are one-per-x, so a ROWS
-      // frame ending 1 before current under x-descending order is
-      // exactly {x' > x}.
-      val w = Window.orderBy(col("n_chars").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val thr = perX.withColumn("y_gt", max("ym").over(w)).drop("ym")
-      docs.join(broadcast(thr), Seq("n_chars"))
-        .filter(col("y_gt").isNull || col("y_gt") <= col("n_terms"))
+      graft.operators.Curation.paretoFrontier2D(docs, "n_chars", "n_terms")
         .select("doc_id", "n_chars", "n_terms")
         .orderBy("doc_id")
     },
@@ -527,17 +519,9 @@ object CurationQueries extends Registry {
     */
   private val q186 = Q("q186_mad_outliers",
     (s, d) => {
-      import graft.functions.ExactPercentile
       val e = Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("value"))
-      val med = e.groupBy("event_type")
-        .agg(element_at(ExactPercentile(col("value"), Seq(0.5)), 1).as("med"))
-      val dev = e.join(broadcast(med), "event_type")
-        .withColumn("adev", abs(col("value") - col("med")))
-      val mad = dev.groupBy("event_type")
-        .agg(element_at(ExactPercentile(col("adev"), Seq(0.5)), 1).as("mad"))
-      dev.join(broadcast(mad), "event_type")
-        .filter(col("adev") > lit(3.0d) * col("mad"))
+      graft.operators.Curation.madOutliers(e, "event_type", "value", 3.0)
         .select("event_id", "event_type", "value", "med", "mad")
         .orderBy("event_id")
     },
@@ -667,16 +651,12 @@ object CurationQueries extends Registry {
     */
   private val q189 = Q("q189_rendezvous_shards",
     (s, d) => {
-      def h(i: Int) = struct(
-        Dedup.hexHash32(md5(concat(lit(s"shard$i:"),
-          col("doc_id").cast("string")))).as("h"),
-        lit(i.toLong).as("s"))
-      val all8 = array((0 until 8).map(h): _*)
-      val drop3 = array((0 until 8).filter(_ != 3).map(h): _*)
+      import graft.operators.Curation.rendezvousShard
       Tables.fanOut(Tables.documents(s, d))
         .select(col("doc_id"),
-          array_max(all8).getField("s").as("shard"),
-          array_max(drop3).getField("s").as("shard_drop3"))
+          rendezvousShard(col("doc_id"), 0 until 8).as("shard"),
+          rendezvousShard(col("doc_id"),
+            (0 until 8).filterNot(_ == 3)).as("shard_drop3"))
         .orderBy("doc_id")
     },
     Some {
@@ -910,17 +890,10 @@ object CurationQueries extends Registry {
     */
   private val q195 = Q("q195_trimmed_mean",
     (s, d) => {
-      import graft.functions.StableAgg
-      val w = Window.partitionBy("event_type").orderBy("value", "event_id")
-      val wc = Window.partitionBy("event_type")
-      Tables.events(s, d)
+      val e = Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("value"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(wc))
-        .filter(col("rn") > expr("n div 10") && col("rn") <= col("n") - expr("n div 10"))
-        .groupBy("event_type").agg(
-          count(lit(1)).as("n_core"),
-          StableAgg.davg(col("value")).as("trimmed_mean"))
+      graft.operators.Curation
+        .trimmedMean(e, "event_type", "value", "event_id")
         .orderBy("event_type")
     },
     Some(s"""WITH r AS (SELECT event_type, value,
@@ -1140,19 +1113,10 @@ object CurationQueries extends Registry {
     */
   private val q201 = Q("q201_cusum_changepoint",
     (s, d) => {
-      import graft.functions.StableAgg
       val e = Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("value"), col("ts_ms"))
-      val stats = e.groupBy("event_type").agg(StableAgg.davg(col("value")).as("mu"))
-      val w = Window.partitionBy("event_type").orderBy("ts_ms", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wRank = Window.partitionBy("event_type")
-        .orderBy(desc("abs_cusum"), asc("event_id"))
-      e.join(broadcast(stats), "event_type")
-        .withColumn("cusum", StableAgg.dsumOver(col("value") - col("mu"), w))
-        .withColumn("abs_cusum", abs(col("cusum")))
-        .withColumn("rn", row_number().over(wRank))
-        .filter(col("rn") === 1)
+      graft.operators.Curation
+        .cusumChangepoint(e, "event_type", "value", Seq("ts_ms", "event_id"))
         .select(col("event_type"), col("event_id").as("cp_event_id"),
           col("cusum").as("cp_cusum"), col("abs_cusum").as("cp_magnitude"))
         .orderBy("event_type")
