@@ -98,8 +98,10 @@ object Curation {
     val stats = df.groupBy(group).agg(StableAgg.davg(col(value)).as("mu"))
     val w = Window.partitionBy(group).orderBy(order.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Tie-break the peak by the FULL order vector: |CUSUM| ties are common
+    // (symmetric deviations), and order columns may be only jointly unique.
     val wRank = Window.partitionBy(group)
-      .orderBy(desc("abs_cusum"), asc(order.last))
+      .orderBy(desc("abs_cusum") +: order.map(asc): _*)
     df.join(broadcast(stats), group)
       .withColumn("cusum", StableAgg.dsumOver(col(value) - col("mu"), w))
       .withColumn("abs_cusum", abs(col("cusum")))

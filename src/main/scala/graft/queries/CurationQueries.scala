@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.TextAnalysis
 
 /** Round-8 curation surface: the dataset-management operators a corpus
   * team runs BETWEEN pipeline stages — snapshot diffing (what changed
@@ -547,6 +547,55 @@ object CurationQueries extends Registry {
       WHERE adev > 3.0::DOUBLE * mad.mad
       ORDER BY event_id"""))
 
+  /** Deterministic audit-sample of the documents table (rate 0.5,
+    * salted-digest draw — the q43 discipline). The quadratic exact-pair
+    * audits (q188, q194) run on this population; production samples the
+    * same way. */
+  private def sampledDocs(s: SparkSession, d: String, salt: String): DataFrame =
+    Tables.fanOut(Tables.documents(s, d))
+      .filter(graft.operators.Sampling.uniform(col("doc_id"), salt) < 0.5d)
+
+  private def shingleSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), array_distinct(
+        TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** All pairs sharing ≥ 1 distinct shingle, with exact overlap and set
+    * sizes: (ida < idb, ni = |A∩B|, na, nb). Shingle sets are distinct,
+    * so the grouped co-occurrence count IS the intersection size — no
+    * array-carrying join. Shared by q188 (Jaccard truth) and q194
+    * (containment). */
+  private def pairOverlap(sh: DataFrame): DataFrame = {
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    ex.select(col("doc_id").as("ida"), col("g"))
+      .join(ex.select(col("doc_id").as("idb"), col("g")), "g")
+      .filter(col("ida") < col("idb"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("ni"))
+      .join(sh.select(col("doc_id").as("ida"),
+        size(col("sh")).cast("long").as("na")), "ida")
+      .join(sh.select(col("doc_id").as("idb"),
+        size(col("sh")).cast("long").as("nb")), "idb")
+  }
+
+  /** DuckDB mirror of [[sampledDocs]]+[[shingleSets]]+[[pairOverlap]]:
+    * CTEs ev (sampled docs), sg (distinct shingles), sz (sizes),
+    * po (ida, idb, ni, na, nb). */
+  private def duckPairOverlapCtes(salt: String): String =
+    s"""ev AS (SELECT doc_id, text FROM documents
+        WHERE CAST(${TrainingDataQueries.duckHash32(s"md5('$salt:' || CAST(doc_id AS VARCHAR))")} AS DOUBLE)
+          / 4294967296.0 < 0.5::DOUBLE),
+      raw AS (SELECT doc_id,
+          unnest(${TrainingDataQueries.duckShingles(TrainingDataQueries.duckToks)}) AS g
+        FROM ev),
+      sg AS (SELECT DISTINCT doc_id, g FROM raw),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sg GROUP BY doc_id),
+      po AS (SELECT i.ida, i.idb, i.ni, za.n AS na, zb.n AS nb
+        FROM (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS ni
+              FROM sg a JOIN sg b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2) i
+        JOIN sz za ON i.ida = za.doc_id
+        JOIN sz zb ON i.idb = zb.doc_id)"""
+
   /** Dedup-quality evaluation: the LSH candidate generator (q22's exact
     * banding, via the shared [[TrainingDataQueries.lshPairsFrame]]) is
     * scored against GROUND TRUTH = exact 3-shingle Jaccard ≥ 0.5
@@ -562,29 +611,17 @@ object CurationQueries extends Registry {
     */
   private val q188 = Q("q188_dedup_eval",
     (s, d) => {
-      // Hash-sampled evaluation population (rate 0.5, salted-digest draw —
-      // the q43 discipline): the exact-truth side is quadratic in the
-      // population, so production audits it on a deterministic sample;
-      // both sides see the SAME population, keeping precision/recall
-      // unbiased for it.
-      val base = Tables.fanOut(Tables.documents(s, d))
-        .filter(graft.operators.Sampling.uniform(col("doc_id"), "eval") < 0.5d)
+      // Hash-sampled evaluation population ([[sampledDocs]]): the
+      // exact-truth side is quadratic in the population, so production
+      // audits it on a deterministic sample; both sides see the SAME
+      // population, keeping precision/recall unbiased for it.
+      val base = sampledDocs(s, d, "eval")
       val pred = TrainingDataQueries.lshPairsFrameOf(base)
         .withColumn("p", lit(1))
-      val sh = base
-        .select(col("doc_id"), array_distinct(
-          TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)).as("sh"))
-        .filter(size(col("sh")) > 0)
-      val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-      val cand = ex.select(col("doc_id").as("doc_id_a"), col("g"))
-        .join(ex.select(col("doc_id").as("doc_id_b"), col("g")), "g")
-        .filter(col("doc_id_a") < col("doc_id_b"))
-        .select("doc_id_a", "doc_id_b").distinct()
-      val truth = cand
-        .join(sh.select(col("doc_id").as("doc_id_a"), col("sh").as("sha")), "doc_id_a")
-        .join(sh.select(col("doc_id").as("doc_id_b"), col("sh").as("shb")), "doc_id_b")
-        .filter(Dedup.jaccard(col("sha"), col("shb")) >= 0.5d)
-        .select(col("doc_id_a"), col("doc_id_b"), lit(1).as("t"))
+      val truth = pairOverlap(shingleSets(base))
+        .filter(col("ni").cast("double") / (col("na") + col("nb") - col("ni")) >= 0.5d)
+        .select(col("ida").as("doc_id_a"), col("idb").as("doc_id_b"),
+          lit(1).as("t"))
       pred.join(truth, Seq("doc_id_a", "doc_id_b"), "full_outer")
         .agg(
           sum(coalesce(col("p"), lit(0))).as("n_pred"),
@@ -598,27 +635,10 @@ object CurationQueries extends Registry {
           when(col("tp") + col("fn") > 0,
             col("tp").cast("double") / (col("tp") + col("fn"))).as("recall"))
     },
-    Some(s"""WITH ev AS (SELECT doc_id, text FROM documents
-        WHERE CAST(${TrainingDataQueries.duckHash32("md5('eval:' || CAST(doc_id AS VARCHAR))")} AS DOUBLE)
-          / 4294967296.0 < 0.5::DOUBLE),
+    Some(s"""WITH ${duckPairOverlapCtes("eval")},
       ${TrainingDataQueries.duckLshPairsCtesFrom("ev")},
-      raw AS (SELECT doc_id,
-          unnest(${TrainingDataQueries.duckShingles(TrainingDataQueries.duckToks)}) AS g
-        FROM ev),
-      sg AS (SELECT DISTINCT doc_id, g FROM raw),
-      sz AS (SELECT doc_id, COUNT(*) AS n FROM sg GROUP BY doc_id),
-      cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-        FROM sg a JOIN sg b ON a.g = b.g AND a.doc_id < b.doc_id),
-      inter AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-          COUNT(*) AS ni
-        FROM sg a JOIN sg b ON a.g = b.g AND a.doc_id < b.doc_id
-        GROUP BY 1, 2),
-      truth AS (SELECT c.doc_id_a, c.doc_id_b
-        FROM cand c JOIN inter i
-          ON c.doc_id_a = i.doc_id_a AND c.doc_id_b = i.doc_id_b
-        JOIN sz za ON c.doc_id_a = za.doc_id
-        JOIN sz zb ON c.doc_id_b = zb.doc_id
-        WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= 0.5::DOUBLE),
+      truth AS (SELECT ida AS doc_id_a, idb AS doc_id_b FROM po
+        WHERE CAST(ni AS DOUBLE) / (na + nb - ni) >= 0.5::DOUBLE),
       m AS (SELECT
           COALESCE(p.doc_id_a, t.doc_id_a) AS a,
           p.doc_id_a IS NOT NULL AS in_p, t.doc_id_a IS NOT NULL AS in_t
@@ -826,23 +846,7 @@ object CurationQueries extends Registry {
     */
   private val q194 = Q("q194_containment_dedup",
     (s, d) => {
-      val base = Tables.fanOut(Tables.documents(s, d))
-        .filter(graft.operators.Sampling.uniform(col("doc_id"), "cont") < 0.5d)
-      val sh = base.select(col("doc_id"), array_distinct(
-          TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)).as("sh"))
-        .filter(size(col("sh")) > 0)
-      val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-      val cand = ex.select(col("doc_id").as("ida"), col("g"))
-        .join(ex.select(col("doc_id").as("idb"), col("g")), "g")
-        .filter(col("ida") < col("idb"))
-        .groupBy("ida", "idb").agg(count(lit(1)).as("raw_inter"))
-      val sized = cand
-        .join(sh.select(col("doc_id").as("ida"), col("sh").as("sha")), "ida")
-        .join(sh.select(col("doc_id").as("idb"), col("sh").as("shb")), "idb")
-        .select(col("ida"), col("idb"),
-          size(array_intersect(col("sha"), col("shb"))).cast("long").as("ni"),
-          size(col("sha")).cast("long").as("na"),
-          size(col("shb")).cast("long").as("nb"))
+      val sized = pairOverlap(shingleSets(sampledDocs(s, d, "cont")))
       val aInB = sized
         .filter(col("ni").cast("double") / col("na") >= 0.8d)
         .select(col("ida").as("inner_doc"), col("idb").as("outer_doc"),
@@ -855,20 +859,8 @@ object CurationQueries extends Registry {
           (col("ni").cast("double") / col("nb")).as("containment"))
       aInB.unionByName(bInA).orderBy("inner_doc", "outer_doc")
     },
-    Some(s"""WITH ev AS (SELECT doc_id, text FROM documents
-        WHERE CAST(${TrainingDataQueries.duckHash32("md5('cont:' || CAST(doc_id AS VARCHAR))")} AS DOUBLE)
-          / 4294967296.0 < 0.5::DOUBLE),
-      raw AS (SELECT doc_id,
-          unnest(${TrainingDataQueries.duckShingles(TrainingDataQueries.duckToks)}) AS g
-        FROM ev),
-      sg AS (SELECT DISTINCT doc_id, g FROM raw),
-      sz AS (SELECT doc_id, COUNT(*) AS n FROM sg GROUP BY doc_id),
-      inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS ni
-        FROM sg a JOIN sg b ON a.g = b.g AND a.doc_id < b.doc_id
-        GROUP BY 1, 2),
-      sized AS (SELECT ida, idb, ni, za.n AS na, zb.n AS nb
-        FROM inter JOIN sz za ON ida = za.doc_id
-        JOIN sz zb ON idb = zb.doc_id)
+    Some(s"""WITH ${duckPairOverlapCtes("cont")},
+      sized AS (SELECT ida, idb, ni, na, nb FROM po)
       SELECT * FROM (
         SELECT ida AS inner_doc, idb AS outer_doc, ni, na AS n_inner,
           CAST(ni AS DOUBLE) / na AS containment
@@ -1048,29 +1040,42 @@ object CurationQueries extends Registry {
     * groupBys and scan-local filters; nothing quadratic, nothing
     * globally sorted; at 100 TB the funnel report costs one pass plus
     * the two dedup exchanges.
+    *
+    * Single-pass construction: every stage is a per-row SURVIVAL FLAG
+    * (the dedup ranks order survivors-first within their digest
+    * partition, so rn = 1 ∧ upstream-alive ⇔ kept), and all six counts
+    * come from ONE aggregation — not six actions re-running the prefix.
     */
   private val q200 = Q("q200_curation_funnel",
     (s, d) => {
       import s.implicits._
-      val s0 = Tables.fanOut(Tables.documents(s, d))
+      val base = Tables.fanOut(Tables.documents(s, d))
         .select(col("doc_id"), col("lang"), col("text"),
           TextAnalysis.tokens(col("text")).as("toks"))
-      val s1 = s0.filter(col("lang").isin("en", "de", "fr"))
-      val s2 = s1.filter(size(col("toks")).between(10, 200))
-      val s3 = s2.withColumn("h", md5(col("text")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("h").orderBy("doc_id")))
-        .filter(col("rn") === 1).drop("h", "rn")
-      val s4 = s3.withColumn("bh",
+        .withColumn("p1", col("lang").isin("en", "de", "fr"))
+        .withColumn("p2", col("p1") && size(col("toks")).between(10, 200))
+      // dedup-rank among p2 survivors: order puts them first per digest
+      val w3 = Window.partitionBy(md5(col("text")))
+        .orderBy(col("p2").desc, col("doc_id"))
+      val p3d = base.withColumn("p3",
+        col("p2") && row_number().over(w3) === 1)
+      val w4 = Window.partitionBy(
           md5(concat_ws(" ", array_sort(array_distinct(col("toks"))))))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("bh").orderBy("doc_id")))
-        .filter(col("rn") === 1).drop("bh", "rn")
-      val s5 = s4.filter(
-        size(array_distinct(col("toks"))).cast("double") / size(col("toks")) >= 0.5d)
-      val stages = Seq("0_all" -> s0, "1_lang" -> s1, "2_length" -> s2,
-        "3_exact_dedup" -> s3, "4_bow_dedup" -> s4, "5_diversity" -> s5)
-      val counts = stages.map { case (name, df) => name -> df.count() }
+        .orderBy(col("p3").desc, col("doc_id"))
+      val flags = p3d.withColumn("p4",
+          col("p3") && row_number().over(w4) === 1)
+        .withColumn("p5", col("p4") &&
+          size(array_distinct(col("toks"))).cast("double") / size(col("toks")) >= 0.5d)
+      val r = flags.agg(
+        count(lit(1)).as("c0"),
+        sum(when(col("p1"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("p2"), 1L).otherwise(0L)).as("c2"),
+        sum(when(col("p3"), 1L).otherwise(0L)).as("c3"),
+        sum(when(col("p4"), 1L).otherwise(0L)).as("c4"),
+        sum(when(col("p5"), 1L).otherwise(0L)).as("c5")).head()
+      val counts = Seq("0_all", "1_lang", "2_length", "3_exact_dedup",
+        "4_bow_dedup", "5_diversity").zipWithIndex
+        .map { case (st, i) => st -> r.getLong(i) }
       val n0 = counts.head._2
       s.createDataFrame(counts.map { case (st, n) =>
         (st, n, n.toDouble / n0) }).toDF("stage", "n_docs", "retention")
@@ -1129,12 +1134,12 @@ object CurationQueries extends Registry {
         FROM events GROUP BY event_type),
       j AS (SELECT event_id, e.event_type, value, ts, mu
         FROM events e JOIN stats ON e.event_type = stats.event_type),
-      c AS (SELECT event_id, event_type,
+      c AS (SELECT event_id, event_type, epoch_ms(ts) AS ts_ms,
           ${graft.OracleSql.dsumOver("value - mu", over)} AS cusum
         FROM j),
       r AS (SELECT event_type, event_id, cusum, abs(cusum) AS abs_cusum,
           row_number() OVER (PARTITION BY event_type
-            ORDER BY abs(cusum) DESC, event_id) AS rn
+            ORDER BY abs(cusum) DESC, ts_ms, event_id) AS rn
         FROM c)
       SELECT event_type, event_id AS cp_event_id, cusum AS cp_cusum,
         abs_cusum AS cp_magnitude

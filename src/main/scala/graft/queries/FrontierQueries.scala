@@ -723,14 +723,17 @@ object FrontierQueries extends Registry {
 
   /** Common-neighbor / Jaccard link prediction on the trade graph (the
     * recommender / related-entity primitive): candidate pairs share ≥ 10
-    * common neighbors, score = |N(a)∩N(b)| / |N(a)∪N(b)|, existing
-    * edges anti-joined out, top-50 by (score, a, b). The Σdeg(n)²
-    * blow-up every naive implementation hits is capped the standard way:
-    * only nodes with degree ≤ 50 act as the JOINING middle — hubs can
-    * still BE predicted, they just don't generate candidate pairs
-    * (documented truncation; production splits hubs by an extra blocking
-    * attribute instead). Scale: two edge joins shuffled on the middle
-    * node + a grouped count — the same bounded shape as q117's
+    * common MID-DEGREE neighbors, score = the TRUNCATED-NEIGHBORHOOD
+    * Jaccard |N₅₀(a)∩N₅₀(b)| / |N₅₀(a)∪N₅₀(b)| where N₅₀ keeps only
+    * neighbors of degree ≤ 50 — numerator and denominator live on the
+    * SAME filtered graph, so the score is a true Jaccard of truncated
+    * neighborhoods (industrial link prediction standard: hub neighbors
+    * carry no signal AND blow up Σdeg(n)², so they are excluded from
+    * the metric, not just the join). No existing-edge filter is needed:
+    * the graph is bipartite by construction (even/odd namespaces) and
+    * candidate pairs are always same-side, so no a–b edge can exist
+    * (certificate-asserted). Scale: two edge joins shuffled on the
+    * middle node + a grouped count — the same bounded shape as q117's
     * degree-ordered triangles; top-50 is a TakeOrdered, not a global
     * sort.
     */
@@ -739,17 +742,18 @@ object FrontierQueries extends Registry {
       val g = tradeGraph(s, d)
       val deg = g.groupBy("src").agg(count(lit(1)).as("deg"))
       val mid = deg.filter(col("deg") <= 50).select(col("src").as("n"))
-      val cn = g.select(col("src").as("a"), col("dst").as("n"))
-        .join(mid, "n")
-        .join(g.select(col("src").as("n"), col("dst").as("b")), "n")
+      // edges restricted to mid-degree targets: the truncated
+      // neighborhoods N₅₀(·) that both cn and the degrees below use
+      val gm = g.select(col("src"), col("dst").as("n")).join(mid, "n")
+      val cn = gm.select(col("src").as("a"), col("n"))
+        .join(gm.select(col("src").as("b"), col("n")), "n")
         .filter(col("a") < col("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("cn"))
         .filter(col("cn") >= 10)
+      val degm = gm.groupBy("src").agg(count(lit(1)).as("degm"))
       val scored = cn
-        .join(g.select(col("src").as("a"), col("dst").as("b")),
-          Seq("a", "b"), "left_anti")
-        .join(deg.select(col("src").as("a"), col("deg").as("dega")), "a")
-        .join(deg.select(col("src").as("b"), col("deg").as("degb")), "b")
+        .join(degm.select(col("src").as("a"), col("degm").as("dega")), "a")
+        .join(degm.select(col("src").as("b"), col("degm").as("degb")), "b")
         .withColumn("jaccard",
           col("cn").cast("double") / (col("dega") + col("degb") - col("cn")))
       val w = org.apache.spark.sql.expressions.Window
@@ -762,18 +766,17 @@ object FrontierQueries extends Registry {
     Some(s"""WITH $tradeGraphSql,
       deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
       mid AS (SELECT src AS n FROM deg WHERE deg <= 50),
-      cn AS (SELECT e1.src AS a, e2.dst AS b, COUNT(*) AS cn
-        FROM e e1 JOIN mid ON e1.dst = mid.n
-          JOIN e e2 ON e2.src = mid.n
-        WHERE e1.src < e2.dst
-        GROUP BY e1.src, e2.dst HAVING COUNT(*) >= 10),
-      ne AS (SELECT cn.a, cn.b, cn.cn, da.deg AS dega, db.deg AS degb
-        FROM cn JOIN deg da ON cn.a = da.src
-          JOIN deg db ON cn.b = db.src
-        WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = cn.a AND e.dst = cn.b)),
-      top AS (SELECT a, b, cn,
-          CAST(cn AS DOUBLE) / (dega + degb - cn) AS jaccard
-        FROM ne ORDER BY jaccard DESC, a, b LIMIT 50)
+      gm AS (SELECT e.src, e.dst AS n FROM e JOIN mid ON e.dst = mid.n),
+      cn AS (SELECT x.src AS a, y.src AS b, COUNT(*) AS cn
+        FROM gm x JOIN gm y ON x.n = y.n AND x.src < y.src
+        GROUP BY x.src, y.src HAVING COUNT(*) >= 10),
+      degm AS (SELECT src, COUNT(*) AS degm FROM gm GROUP BY src),
+      sc AS (SELECT cn.a, cn.b, cn.cn,
+          CAST(cn.cn AS DOUBLE) / (da.degm + db.degm - cn.cn) AS jaccard
+        FROM cn JOIN degm da ON cn.a = da.src
+          JOIN degm db ON cn.b = db.src),
+      top AS (SELECT a, b, cn, jaccard FROM sc
+        ORDER BY jaccard DESC, a, b LIMIT 50)
       SELECT CAST(row_number() OVER (ORDER BY jaccard DESC, a, b) AS INTEGER)
           AS rank, a, b, cn, jaccard
       FROM top ORDER BY rank"""))

@@ -83,7 +83,12 @@ object TrainingDataQueries extends Registry {
     * empty (mirrors the old filter(size(sh) > 0)).
     */
   private[queries] def minhashSigFrame(s: org.apache.spark.sql.SparkSession, d: String) =
-    Tables.fanOut(Tables.documents(s, d))
+    minhashSigFrameOf(Tables.fanOut(Tables.documents(s, d)))
+
+  /** [[minhashSigFrame]] over an arbitrary (doc_id, text) frame — the
+    * single owner of the signature construction (q188 samples first). */
+  private[queries] def minhashSigFrameOf(docs: org.apache.spark.sql.DataFrame) =
+    docs
       .select(col("doc_id"), explode(array(Dedup.minhashArray(
         TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3), NumHashes))).as("mhs"))
       .filter(element_at(col("mhs"), 1).isNotNull)
@@ -101,10 +106,7 @@ object TrainingDataQueries extends Registry {
     */
   private[queries] def lshPairsFrameOf(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val sigs = docs
-      .select(col("doc_id"), explode(array(Dedup.minhashArray(
-        TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3), NumHashes))).as("mhs"))
-      .filter(element_at(col("mhs"), 1).isNotNull)
+    val sigs = minhashSigFrameOf(docs)
       .select(col("doc_id") +: Dedup.minhashColsFromArray(col("mhs"), NumHashes): _*)
       .select(col("doc_id") +: Dedup.bandCols(NumHashes, RowsPerBand): _*)
     Dedup.lshCandidatePairs(sigs, NumBands)

@@ -121,7 +121,7 @@ class CurationCertificatesSpec extends SparkSpec {
     assert(counts.size == 8, s"empty shards at sf0.001: ${counts.toMap}")
   }
 
-  test("q187 link prediction never returns an existing edge and ranks by score") {
+  test("q187 predicted pairs are same-side (bipartite: no a-b edge can exist) and ranked") {
     val df = run("q187_link_prediction")
       .select("rank", "a", "b", "jaccard").as[(Int, Long, Long, Double)].collect()
       .sortBy(_._1)
@@ -169,7 +169,7 @@ class CurationCertificatesSpec extends SparkSpec {
     }
   }
 
-  test("q194 containment is in [0.8, 1] and inner docs are never larger than outers") {
+  test("q194 containment scores are in [0.8, 1] on distinct ordered pairs") {
     val rows = run("q194_containment_dedup")
       .select("inner_doc", "outer_doc", "containment").as[(Long, Long, Double)]
       .collect()

@@ -69,6 +69,30 @@ class CurationPropertySpec extends SparkSpec with TableDrivenPropertyChecks {
     }
   }
 
+  test("cusumChangepoint picks the brute-force |CUSUM| peak with full-order tie-break") {
+    forEvery(seeds) { seed =>
+      val rnd = new Random(seed)
+      // symmetric ±1 deviations make |CUSUM| ties common — the tie-break case
+      val rows = (0 until 300).map { i =>
+        (i.toLong, s"g${i % 3}", if (rnd.nextBoolean()) 1.0 else -1.0)
+      }
+      val df = rows.toDF("id", "g", "v")
+      val got = Curation.cusumChangepoint(df, "g", "v", Seq("id"))
+        .select("g", "id").as[(String, Long)].collect().toMap
+      for ((g, grp) <- rows.groupBy(_._2)) {
+        val ordered = grp.sortBy(_._1)
+        val mu = ordered.map(_._3).sum / ordered.length
+        var c = BigDecimal(0)
+        val cus = ordered.map { r =>
+          c += BigDecimal(r._3 - mu).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          (r._1, c.abs)
+        }
+        val peak = cus.maxBy { case (id, a) => (a, -id) }._1
+        assert(got(g) == peak, s"seed=$seed group=$g")
+      }
+    }
+  }
+
   test("madOutliers flags exactly the brute-force outlier set") {
     forEvery(seeds) { seed =>
       val rnd = new Random(seed)
