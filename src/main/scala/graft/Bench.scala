@@ -151,7 +151,8 @@ object Bench {
       "q138_streaming_tws_sessions", "q139_streaming_file_source",
       "q149_streaming_available_now", "q152_streaming_restart",
       "q153_streaming_late_drop", "q154_foreach_batch_sink",
-      "q155_streaming_chained_aggs", "q159_stateful_restart")
+      "q155_streaming_chained_aggs", "q159_stateful_restart",
+      "q204_streaming_tagging")
 
     val warmDir = {
       val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")

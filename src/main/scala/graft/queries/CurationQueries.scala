@@ -253,6 +253,26 @@ object CurationQueries extends Registry {
     * human-curated), so this is scan + broadcast-hash-join + one
     * map-combined aggregation — no shuffle grows with the dictionary.
     */
+  /** Post-hit aggregation shared by q182 (batch) and q204 (streaming
+    * sink table): per-doc totals + winning tag, unmatched docs kept. */
+  private def tagAggregate(hits: DataFrame, docs: DataFrame): DataFrame = {
+    val perTag = hits.groupBy("doc_id", "tag").agg(count(lit(1)).as("tag_hits"))
+    val wTop = Window.partitionBy("doc_id")
+      .orderBy(desc("tag_hits"), asc("tag"))
+    val top = perTag.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1).select(col("doc_id"), col("tag").as("top_tag"))
+    val agg = hits.groupBy("doc_id").agg(
+      count(lit(1)).as("n_hits"),
+      countDistinct("term").as("n_terms_matched"))
+    docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+      .join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_terms_matched"), lit(0L)).as("n_terms_matched"),
+        col("top_tag"))
+      .orderBy("doc_id")
+  }
+
   private val q182 = Q("q182_keyword_tagging",
     (s, d) => {
       import s.implicits._
@@ -261,23 +281,11 @@ object CurationQueries extends Registry {
       val hits = docs
         .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
         .join(broadcast(dict), "term")
-      val perTag = hits.groupBy("doc_id", "tag").agg(count(lit(1)).as("tag_hits"))
-      val wTop = Window.partitionBy("doc_id")
-        .orderBy(desc("tag_hits"), asc("tag"))
-      val top = perTag.withColumn("rn", row_number().over(wTop))
-        .filter(col("rn") === 1).select(col("doc_id"), col("tag").as("top_tag"))
-      val agg = hits.groupBy("doc_id").agg(
-        count(lit(1)).as("n_hits"),
-        countDistinct("term").as("n_terms_matched"))
-      docs.select("doc_id").join(agg, Seq("doc_id"), "left")
-        .join(top, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          coalesce(col("n_terms_matched"), lit(0L)).as("n_terms_matched"),
-          col("top_tag"))
-        .orderBy("doc_id")
+      tagAggregate(hits, docs)
     },
-    Some {
+    Some(tagOracleSql))
+
+  private lazy val tagOracleSql: String = {
       val vals = tagDict.map { case (t, g) => s"('$t','$g')" }.mkString(", ")
       s"""WITH dict(term, tag) AS (VALUES $vals),
       toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
@@ -297,7 +305,7 @@ object CurationQueries extends Registry {
       FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
         LEFT JOIN top ON d.doc_id = top.doc_id
       ORDER BY d.doc_id"""
-    })
+  }
 
   private val bm25Queries = Seq(
     (1L, Seq("spark", "table")),
@@ -1188,7 +1196,52 @@ object CurationQueries extends Registry {
       s"""SELECT * FROM ($parts) ORDER BY fd"""
     })
 
+  private val q204Runs = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Streaming keyword tagging — the curation surface crossing the
+    * Structured Streaming execution path: documents replayed over a
+    * 3-micro-batch MemoryStream, tokenized and broadcast-joined against
+    * the dictionary INSIDE the stream (stateless append — the per-batch
+    * dataflow is q182's, unchanged), hit rows land in a memory sink,
+    * and the post-stream per-doc aggregation must equal the BATCH
+    * q182 oracle verbatim: a dropped batch, a duplicate emission, or a
+    * broadcast re-resolution bug all break the hash. The driver-side
+    * doc collect is the replay HARNESS (MemoryStream needs addData),
+    * not the operator — production replaces it with the file/WebSocket
+    * source and keeps the identical in-stream dataflow.
+    */
+  private val q204 = Q("q204_streaming_tagging",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val dict = tagDict.toDF("term", "tag")
+      val docs = Tables.documents(s, d)
+      val docRows: Seq[(Long, String)] = docs.select("doc_id", "text")
+        .orderBy("doc_id").collect().iterator
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      val mem = MemoryStream[(Long, String)]
+      val src = mem.toDF().toDF("doc_id", "text")
+      val hits = src
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .join(broadcast(dict), "term")
+      val sinkName = s"q204_tag_${q204Runs.incrementAndGet()}"
+      val query = StreamGate.withStatePartitions(s, noDataBatches = false) {
+        hits.writeStream.format("memory").queryName(sinkName)
+          .outputMode("append").start()
+      }
+      try {
+        val chunk = math.max(1, docRows.size / 3)
+        docRows.grouped(chunk).foreach { c =>
+          mem.addData(c: _*)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      tagAggregate(s.table(sinkName), docs)
+    },
+    Some(tagOracleSql))
+
   override val all: Seq[Q] = Seq(q177, q178, q179, q180, q181, q182, q183,
     q184, q185, q186, q188, q189, q190, q191, q192, q193, q194, q195, q196,
-    q197, q198, q199, q200, q201, q202)
+    q197, q198, q199, q200, q201, q202, q204)
 }

@@ -39,7 +39,7 @@ object PlanAudit {
     "q139_streaming_file_source", "q149_streaming_available_now",
     "q152_streaming_restart", "q153_streaming_late_drop",
     "q154_foreach_batch_sink", "q155_streaming_chained_aggs",
-    "q159_stateful_restart")
+    "q159_stateful_restart", "q204_streaming_tagging")
 
   /** Batch registry queries in name order — the plan-audited surface. */
   def batchQueryNames: Seq[String] =

@@ -254,6 +254,14 @@ class CurationCertificatesSpec extends SparkSpec {
     assert(q >= -1.0 - 1e-9 && q <= 1.0 + 1e-9, s"total modularity $q out of range")
   }
 
+  test("q204 streaming tagging equals batch q182 row-for-row") {
+    val batch = run("q182_keyword_tagging").collect().map(_.toString).sorted
+    val stream = run("q204_streaming_tagging").collect().map(_.toString).sorted
+    assert(stream.length == batch.length)
+    assert(stream.sameElements(batch),
+      "streaming path diverged from the batch dataflow")
+  }
+
   test("q180 blocked ER pairs are symmetric-free, ordered, and verified") {
     val rows = run("q180_er_blocking")
       .select("a_key", "b_key", "dist").as[(Long, Long, Int)].collect()
