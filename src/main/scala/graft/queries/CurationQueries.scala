@@ -1196,6 +1196,116 @@ object CurationQueries extends Registry {
       s"""SELECT * FROM ($parts) ORDER BY fd"""
     })
 
+  /** Merge-on-read upsert compaction (the Delta/Iceberg/Hudi MOR
+    * pattern): base snapshot + versioned change log (updates and
+    * tombstone deletes, derived deterministically from `orders`)
+    * compact to latest-wins-per-key with tombstones dropped — one
+    * window PARTITIONED BY the key over the unioned log, which is
+    * exactly how a distributed compactor resolves file groups (one
+    * hash shuffle on the key, no global sort, no driver state).
+    */
+  private val q205 = Q("q205_upsert_compaction",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val base = o.select(col("o_orderkey"), lit(0L).as("ver"),
+        lit("I").as("op"), col("o_totalprice").as("price"))
+      val upd = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), lit(1L).as("ver"), lit("U").as("op"),
+          (col("o_totalprice") + 10.0d).as("price"))
+      val del = o.filter(col("o_orderkey") % 11 === 0)
+        .select(col("o_orderkey"), lit(2L).as("ver"), lit("D").as("op"),
+          lit(null).cast("double").as("price"))
+      val w = Window.partitionBy("o_orderkey").orderBy(desc("ver"))
+      base.unionByName(upd).unionByName(del)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= "D")
+        .select("o_orderkey", "ver", "price")
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH base AS (SELECT o_orderkey, 0 AS ver, 'I' AS op,
+          o_totalprice AS price FROM orders),
+      upd AS (SELECT o_orderkey, 1 AS ver, 'U' AS op,
+          o_totalprice + 10.0::DOUBLE AS price FROM orders
+        WHERE o_orderkey % 3 = 0),
+      del AS (SELECT o_orderkey, 2 AS ver, 'D' AS op,
+          CAST(NULL AS DOUBLE) AS price FROM orders WHERE o_orderkey % 11 = 0),
+      log AS (SELECT * FROM base UNION ALL SELECT * FROM upd
+        UNION ALL SELECT * FROM del),
+      r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+          ORDER BY ver DESC) AS rn FROM log)
+      SELECT o_orderkey, CAST(ver AS BIGINT) AS ver, price FROM r
+      WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey"""))
+
+  /** Small-file compaction planning (the lakehouse hygiene op at
+    * 100 TB: billions of rows, but the FILE LISTING is metadata-scale):
+    * simulated files (one per 100-order bucket, weight = row count)
+    * ordered size-descending, assigned to bins by cumulative-weight
+    * division — the scan-friendly distributed analogue of first-fit-
+    * decreasing. The ONLY global window in the registry family runs on
+    * the metadata-plane file table (|files| ≪ |rows|; documented), not
+    * on data.
+    */
+  private val q206 = Q("q206_compaction_plan",
+    (s, d) => {
+      val target = 1000L
+      val files = Tables.lineitem(s, d)
+        .groupBy((col("l_orderkey") / 100).cast("long").as("file_id"))
+        .agg(count(lit(1)).as("bytes"))
+      val w = Window.orderBy(desc("bytes"), asc("file_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      files
+        .withColumn("cum", sum("bytes").over(w))
+        .withColumn("bin", expr(s"(cum - 1) div $target"))
+        .groupBy("bin").agg(
+          count(lit(1)).as("n_files"),
+          sum("bytes").as("tot_bytes"))
+        .withColumn("fill", col("tot_bytes").cast("double") / target)
+        .orderBy("bin")
+    },
+    Some("""WITH files AS (SELECT CAST(l_orderkey // 100 AS BIGINT) AS file_id,
+          COUNT(*) AS bytes FROM lineitem GROUP BY 1),
+      c AS (SELECT file_id, bytes,
+          SUM(bytes) OVER (ORDER BY bytes DESC, file_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM files),
+      b AS (SELECT (cum - 1) // 1000 AS bin, bytes FROM c)
+      SELECT bin, COUNT(*) AS n_files, SUM(bytes) AS tot_bytes,
+        CAST(SUM(bytes) AS DOUBLE) / 1000 AS fill
+      FROM b GROUP BY bin ORDER BY bin"""))
+
+  /** Incremental aggregate refresh (materialized-view maintenance):
+    * the base aggregate (orders ≢0 mod 10) is MERGED with the delta
+    * aggregate (≡0 mod 10) by summing partial states — never
+    * re-reading the base data — and the gate asserts the merged result
+    * EQUALS a full recompute (the DuckDB oracle recomputes from
+    * scratch; hash equality IS the incremental-maintenance proof).
+    * Partial sums stay in exact decimal through the merge, so state
+    * combination is associative and partition-order-proof — the same
+    * property that makes map-side partials correct. Scale: the delta
+    * path reads ONLY new data + a |G|-row state table; this is the
+    * 100 TB daily-refresh shape.
+    */
+  private val q207 = Q("q207_incremental_agg_refresh",
+    (s, d) => {
+      def part(df: DataFrame) = df.groupBy("o_orderpriority").agg(
+        sum(col("o_totalprice").cast("decimal(38,6)")).as("dec_sum"),
+        count(lit(1)).as("cnt"))
+      val o = Tables.orders(s, d)
+      val baseAgg = part(o.filter(col("o_orderkey") % 10 =!= 0))
+      val deltaAgg = part(o.filter(col("o_orderkey") % 10 === 0))
+      baseAgg.unionByName(deltaAgg)
+        .groupBy("o_orderpriority").agg(
+          sum("dec_sum").as("merged_dec"), sum("cnt").as("n_orders"))
+        .select(col("o_orderpriority"),
+          col("merged_dec").cast("double").as("revenue"), col("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+    Some(s"""SELECT o_orderpriority,
+        ${graft.OracleSql.dsum("o_totalprice")} AS revenue,
+        COUNT(*) AS n_orders
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   private val q204Runs = new java.util.concurrent.atomic.AtomicInteger
 
   /** Streaming keyword tagging — the curation surface crossing the
@@ -1243,5 +1353,5 @@ object CurationQueries extends Registry {
 
   override val all: Seq[Q] = Seq(q177, q178, q179, q180, q181, q182, q183,
     q184, q185, q186, q188, q189, q190, q191, q192, q193, q194, q195, q196,
-    q197, q198, q199, q200, q201, q202, q204)
+    q197, q198, q199, q200, q201, q202, q204, q205, q206, q207)
 }

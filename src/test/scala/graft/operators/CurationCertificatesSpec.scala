@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{SparkEntry, SparkSpec}
-import org.apache.spark.sql.functions.{count, lit, max, min}
+import org.apache.spark.sql.functions.{col, count, expr, lit, max, min}
 
 /** Structural certificates of the curation operators (sf0.001): the
   * whole-result properties the row-value oracles cannot state.
@@ -260,6 +260,37 @@ class CurationCertificatesSpec extends SparkSpec {
     assert(stream.length == batch.length)
     assert(stream.sameElements(batch),
       "streaming path diverged from the batch dataflow")
+  }
+
+  test("q205 compaction: deleted keys absent, updated keys carry ver 1, others ver 0") {
+    val rows = run("q205_upsert_compaction")
+      .select("o_orderkey", "ver").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (k, _) => k % 11 != 0 }, "tombstoned key survived")
+    assert(rows.forall { case (k, v) =>
+      if (k % 3 == 0) v == 1 else v == 0 }, "latest-wins violated")
+  }
+
+  test("q206 compaction plan conserves bytes and packs all but the last bin full") {
+    val files = graft.Tables.lineitem(spark, sf)
+      .select(expr("cast(l_orderkey / 100 as long)").as("fid"))
+      .distinct().count()
+    val rows = run("q206_compaction_plan")
+      .orderBy("bin").select("n_files", "tot_bytes").as[(Long, Long)].collect()
+    assert(rows.map(_._1).sum == files, "a file was lost or duplicated")
+    assert(rows.map(_._2).sum ==
+      graft.Tables.lineitem(spark, sf).count(), "byte conservation violated")
+  }
+
+  test("q207 incremental refresh equals full recompute computed independently") {
+    import graft.functions.StableAgg
+    val full = graft.Tables.orders(spark, sf).groupBy("o_orderpriority")
+      .agg(StableAgg.dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val merged = run("q207_incremental_agg_refresh")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(merged == full, "state merge diverged from full recompute")
   }
 
   test("q180 blocked ER pairs are symmetric-free, ordered, and verified") {
