@@ -16,7 +16,7 @@ object SparkEntry {
   private val registries: Seq[Registry] =
     Seq(CoreQueries, NormalizerQueries, TrainingDataQueries, PipelineQueries,
       AnalyticsQueries, RelationalQueries, ExtendedQueries, ScaleQueries,
-      FrontierQueries, CurationQueries)
+      FrontierQueries, CurationQueries, LakehouseQueries, GovernanceQueries)
 
   private lazy val qs: Seq[Q] = registries.flatMap(_.all)
 

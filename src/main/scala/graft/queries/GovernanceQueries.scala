@@ -1,0 +1,242 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{OracleSql, Tables}
+import graft.functions.StableAgg
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Data-governance and data-selection extensions (round 8, session 3):
+  * Johnson–Lindenstrauss sketch projection (the dimensionality cut before
+  * LSH/clustering at embedding scale), DSIR-style importance weighting
+  * (Xie et al. 2023's target-vs-source LM ratio, in the library's
+  * log-free linear domain), a k-anonymity audit over quasi-identifier
+  * groups (the privacy gate a dataset release runs), and per-group OLS
+  * trend fitting via exact decimal moments (the q82 device extended to
+  * regression).
+  */
+object GovernanceQueries extends Registry {
+
+  private val JlDims = 16
+  private val InDims = 64
+
+  /** Johnson–Lindenstrauss random-sign projection 64 → 16 dims
+    * (Achlioptas 2003's ±1 database-friendly variant): the sign matrix
+    * derives from the library's md5 hash device — computed BY THE ENGINE
+    * (1024-row index build over `spark.range`, the hexHash32∘md5 chain
+    * that is spec-asserted equal to the DuckDB mirror) and shipped back
+    * into the scan as ONE nested-array literal (the typedLit rule). Each
+    * projected coordinate is a zip_with product + left-to-right aggregate
+    * fold, so the doubles are bit-identical cross-engine (the VecOps
+    * order discipline).
+    *
+    * Scale: projection is scan-local codegen over the vector column —
+    * zero shuffle, constant KB-size sign matrix at any corpus scale; the
+    * 1024-row collect is an index build, not a data-path collect. This
+    * is the standard pre-LSH/pre-cluster dimensionality cut: downstream
+    * ops pay 16 dims instead of 64 with (1±ε) pairwise-distance
+    * preservation (certificate-spec-asserted).
+    */
+  private val q212 = Q("q212_jl_projection",
+    (s, d) => {
+      // sign matrix via the engine's own hash chain (== duckHash32 mirror)
+      val sgRows = s.range(0L, (JlDims * InDims).toLong)
+        .select(col("id"),
+          when(Dedup.hexHash32(md5(concat(lit("jl:"),
+            expr(s"id div $InDims").cast("string"), lit(":"),
+            (col("id") % InDims).cast("string")))) % 2 === 0, lit(1.0d))
+            .otherwise(lit(-1.0d)).as("sg"))
+        .orderBy("id").collect().map(_.getDouble(1))
+      val signs: Seq[Seq[Double]] =
+        sgRows.grouped(InDims).map(_.toSeq).toSeq
+      val sgLit = typedLit(signs)
+      val e = Tables.fanOut(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      e.select(col("vec_id"),
+          explode(sequence(lit(0), lit(JlDims - 1))).as("dim"), col("vec"))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          aggregate(
+            zip_with(col("vec"), element_at(sgLit, col("dim") + 1),
+              (x, sg) => x * sg),
+            lit(0.0d), (a, v) => a + v).as("proj"))
+        .orderBy("vec_id", "dim")
+    },
+    Some {
+      val h = s"md5('jl:' || (r.i // $InDims) || ':' || (r.i % $InDims))"
+      s"""WITH sg AS (SELECT CAST(r.i // $InDims AS BIGINT) AS j,
+          CAST(r.i % $InDims AS BIGINT) AS i,
+          CASE WHEN (${TrainingDataQueries.duckHash32(h)}) % 2 = 0
+            THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END AS sgn
+        FROM range(0, ${JlDims * InDims}) r(i)),
+      sl AS (SELECT j, list(sgn ORDER BY i) AS sv FROM sg GROUP BY j),
+      x AS (SELECT e.vec_id, sl.j AS dim,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] AS DOUBLE) * sl.sv[i])),
+            (a, v) -> a + v) AS proj
+        FROM embeddings e CROSS JOIN sl)
+      SELECT vec_id, dim, proj FROM x ORDER BY vec_id, dim"""
+    })
+
+  /** k-anonymity audit (Sweeney 2002) over quasi-identifier groups — the
+    * release gate a governed dataset runs before publication: every row
+    * falls in a QI group (event_type, UTC day, value decile-bucket); a
+    * group is releasable iff ≥ k rows share the exact QI tuple, otherwise
+    * its rows need suppression/generalization. Output = the full QI-group
+    * census with the k≥5 decision per group.
+    *
+    * Scale: one partial/final aggregate on the QI key — |groups| ≪ |rows|
+    * output; at 100 TB this is the same shape as any keyed census, and
+    * the releasability decision is per-group arithmetic after the
+    * aggregate. Day crosses the gate as a yyyy-MM-dd string (the q145
+    * date-dtype device).
+    */
+  private val q213 = Q("q213_k_anonymity",
+    (s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+          date_format(col("ts_utc"), "yyyy-MM-dd").as("day"),
+          floor(col("value") / 10.0d).cast("long").as("value_bucket"))
+        .groupBy("event_type", "day", "value_bucket")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("anonymous", col("n") >= 5L)
+        .orderBy("event_type", "day", "value_bucket")
+    },
+    Some("""SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        CAST(floor(value / 10.0::DOUBLE) AS BIGINT) AS value_bucket,
+        CAST(COUNT(*) AS BIGINT) AS n, COUNT(*) >= 5 AS anonymous
+      FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by the ratio of its target-domain LM fit to its
+    * source-pool LM fit — here add-one unigram models trained on the
+    * lang='en' subset (target) vs the whole corpus (source), with the
+    * per-doc mean token probability in the library's log-free LINEAR
+    * domain (the q142 rationale: each p is one IEEE division of exact
+    * integers, means ride the scale-18 decimal route, and the ratio of
+    * two bit-exact means is one more correctly-rounded division — where
+    * the published log-importance would need libm `ln`, which no
+    * cross-engine hash can gate).
+    *
+    * Scale: the corpus explodes to tokens ONCE; both model tables are
+    * vocabulary-sized (AQE broadcasts them), the three corpus scalars
+    * crossJoin as a 1-row broadcast, and the per-doc reduction is a
+    * partial/final decimal aggregate — the corpus never shuffles for the
+    * model joins. Exactly the profile that lets DSIR score a 100 TB
+    * crawl in one pass.
+    */
+  private val q214 = Q("q214_dsir_importance",
+    (s, d) => {
+      val toks = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), col("lang"),
+          explode(TextAnalysis.tokens(col("text"))).as("t"))
+      val ct = toks.filter(col("lang") === "en")
+        .groupBy("t").agg(count(lit(1)).as("ct"))
+      val cs = toks.groupBy("t").agg(count(lit(1)).as("cs"))
+      val stats = toks.agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"),
+        count(lit(1)).as("ns"),
+        countDistinct(col("t")).as("v"))
+      toks.join(ct, Seq("t"), "left")
+        .join(cs, Seq("t"))
+        .crossJoin(broadcast(stats))
+        .withColumn("pt", (coalesce(col("ct"), lit(0L)) + 1L).cast("double") /
+          (col("nt") + col("v")).cast("double"))
+        .withColumn("ps", (col("cs") + 1L).cast("double") /
+          (col("ns") + col("v")).cast("double"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          StableAgg.dsum(col("pt"), 18).as("spt"),
+          StableAgg.dsum(col("ps"), 18).as("sps"))
+        .select(col("doc_id"), col("n_toks"),
+          (col("spt") / col("n_toks").cast("double")).as("avg_p_target"),
+          (col("sps") / col("n_toks").cast("double")).as("avg_p_source"),
+          ((col("spt") / col("n_toks").cast("double")) /
+            (col("sps") / col("n_toks").cast("double"))).as("importance"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+        FROM documents),
+      ct AS (SELECT t, COUNT(*) AS ct FROM tk WHERE lang = 'en' GROUP BY t),
+      cs AS (SELECT t, COUNT(*) AS cs FROM tk GROUP BY t),
+      st AS (SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+          CAST(COUNT(*) AS BIGINT) AS ns, COUNT(DISTINCT t) AS v FROM tk),
+      sc AS (SELECT tk.doc_id,
+          CAST(coalesce(ct.ct, 0) + 1 AS DOUBLE) / CAST(st.nt + st.v AS DOUBLE) AS pt,
+          CAST(cs.cs + 1 AS DOUBLE) / CAST(st.ns + st.v AS DOUBLE) AS ps
+        FROM tk LEFT JOIN ct ON tk.t = ct.t
+          JOIN cs ON tk.t = cs.t
+          CROSS JOIN st),
+      ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+          ${OracleSql.dsum("pt", 18)} AS spt,
+          ${OracleSql.dsum("ps", 18)} AS sps
+        FROM sc GROUP BY doc_id)
+      SELECT doc_id, n_toks,
+        spt / CAST(n_toks AS DOUBLE) AS avg_p_target,
+        sps / CAST(n_toks AS DOUBLE) AS avg_p_source,
+        (spt / CAST(n_toks AS DOUBLE)) / (sps / CAST(n_toks AS DOUBLE)) AS importance
+      FROM ag ORDER BY doc_id"""))
+
+  /** Per-group OLS trend fit (value vs hour-of-day per event_type) in
+    * closed form from exact decimal moments — the q82 corr/covar device
+    * extended to regression: n, Σx, Σx² stay in integer space, Σy, Σxy
+    * ride the decimal route, and slope/intercept/R² are the same few
+    * correctly-rounded double ops applied to bit-exact totals on both
+    * engines (libm-free: squares and divisions only).
+    *
+    * Scale: one partial/final aggregate — six fixed-width moment partials
+    * per group combine map-side, the exchange ships |groups| rows, and
+    * the fit itself is per-group scalar arithmetic after the aggregate.
+    * The standard distributed closed-form OLS; no iteration, no driver
+    * math.
+    */
+  private val q215 = Q("q215_group_ols",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_type"), hour(col("ts_utc")).cast("long").as("x"),
+          col("value").as("y"))
+      e.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+          StableAgg.dsum(col("y")).as("sy"),
+          StableAgg.dsum(col("x").cast("double") * col("y")).as("sxy"),
+          StableAgg.dsum(col("y") * col("y")).as("syy"))
+        .withColumn("nd", col("n").cast("double"))
+        .withColumn("sxd", col("sx").cast("double"))
+        .withColumn("sxxd", col("sxx").cast("double"))
+        .withColumn("slope",
+          ((col("nd") * col("sxy")) - (col("sxd") * col("sy"))) /
+            ((col("nd") * col("sxxd")) - (col("sxd") * col("sxd"))))
+        .withColumn("intercept",
+          (col("sy") - (col("slope") * col("sxd"))) / col("nd"))
+        .withColumn("r2",
+          (((col("nd") * col("sxy")) - (col("sxd") * col("sy"))) *
+            ((col("nd") * col("sxy")) - (col("sxd") * col("sy")))) /
+            (((col("nd") * col("sxxd")) - (col("sxd") * col("sxd"))) *
+              ((col("nd") * col("syy")) - (col("sy") * col("sy")))))
+        .select("event_type", "n", "slope", "intercept", "r2")
+        .orderBy("event_type")
+    },
+    Some(s"""WITH c AS (SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(hour(ts)) AS BIGINT) AS sx,
+          CAST(SUM(hour(ts) * hour(ts)) AS BIGINT) AS sxx,
+          ${OracleSql.dsum("value")} AS sy,
+          ${OracleSql.dsum("CAST(hour(ts) AS DOUBLE) * value")} AS sxy,
+          ${OracleSql.dsum("value * value")} AS syy
+        FROM events GROUP BY event_type)
+      SELECT event_type, n,
+        ((CAST(n AS DOUBLE) * sxy) - (CAST(sx AS DOUBLE) * sy)) /
+          ((CAST(n AS DOUBLE) * sxx) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS slope,
+        (sy - ((((CAST(n AS DOUBLE) * sxy) - (CAST(sx AS DOUBLE) * sy)) /
+          ((CAST(n AS DOUBLE) * sxx) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))))
+          * CAST(sx AS DOUBLE))) / CAST(n AS DOUBLE) AS intercept,
+        ((((CAST(n AS DOUBLE) * sxy) - (CAST(sx AS DOUBLE) * sy))) *
+         (((CAST(n AS DOUBLE) * sxy) - (CAST(sx AS DOUBLE) * sy)))) /
+          ((((CAST(n AS DOUBLE) * sxx) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))) *
+           (((CAST(n AS DOUBLE) * syy) - (sy * sy)))) AS r2
+      FROM c ORDER BY event_type"""))
+
+  override val all: Seq[Q] = Seq(q212, q213, q214, q215)
+}

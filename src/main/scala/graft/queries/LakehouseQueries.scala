@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Lakehouse table-maintenance operators, round 2: the streaming half of
+  * merge-on-read compaction (q205's latest-wins through the state store),
+  * bucketed co-located joins (shuffle-free fact×dim, previously spec-only),
+  * zone-map data skipping (the min/max file-pruning metadata op), and SCD2
+  * history construction from a CDC change log.
+  *
+  * All share one deterministic change-log fixture derived from `orders`
+  * (q205's derivation: every key inserts at ver 0, keys ≡0 mod 3 update at
+  * ver 1, keys ≡0 mod 11 tombstone at ver 2), so the batch compaction
+  * (q205), streaming compaction (q208), and history build (q211) are
+  * different executions over the SAME versioned log — the Delta/Iceberg/
+  * Hudi trio of views over one commit history.
+  */
+object LakehouseQueries extends Registry {
+
+  /** q205's change log as a shared fixture: (o_orderkey, ver, op, price)
+    * with I/U/D ops and monotone versions, unique (key, ver).
+    */
+  private def changeLog(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    val base = o.select(col("o_orderkey"), lit(0L).as("ver"),
+      lit("I").as("op"), col("o_totalprice").as("price"))
+    val upd = o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), lit(1L).as("ver"), lit("U").as("op"),
+        (col("o_totalprice") + 10.0d).as("price"))
+    val del = o.filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey"), lit(2L).as("ver"), lit("D").as("op"),
+        lit(null).cast("double").as("price"))
+    base.unionByName(upd).unionByName(del)
+  }
+
+  /** DuckDB twin of [[changeLog]] as a `log` CTE body filtered by `pred`
+    * (callers prepend `WITH `).
+    */
+  private def duckLogCtes(pred: String): String =
+    s"""base AS (SELECT o_orderkey, 0 AS ver, 'I' AS op,
+          o_totalprice AS price FROM orders),
+      upd AS (SELECT o_orderkey, 1 AS ver, 'U' AS op,
+          o_totalprice + 10.0::DOUBLE AS price FROM orders
+        WHERE o_orderkey % 3 = 0),
+      del AS (SELECT o_orderkey, 2 AS ver, 'D' AS op,
+          CAST(NULL AS DOUBLE) AS price FROM orders WHERE o_orderkey % 11 = 0),
+      log AS (SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM upd
+        UNION ALL SELECT * FROM del) WHERE $pred)"""
+
+  private val q208Runs = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Streaming merge-on-read compaction (q205's latest-wins as STATE): the
+    * change log replays version-by-version through a MemoryStream — one
+    * micro-batch per commit, exactly a CDC feed — into a complete-mode
+    * per-key max(struct(ver, op, price)) aggregate. The latest-wins row for
+    * a key is correct ONLY if the key's state survives across micro-batches
+    * (inserts arrive a full batch before their updates, updates a batch
+    * before their tombstones), and the final complete-mode table IS the
+    * compacted snapshot: filter tombstones, read (ver, price) out of the
+    * struct, and the batch q205 oracle must hash-match verbatim.
+    *
+    * Scale: per-key state is ONE fixed-width struct (the argmax partial),
+    * merged associatively — the same map-side-combine algebra as batch
+    * compaction, so state size is |live keys|, never |log|. The driver-side
+    * collect is the replay HARNESS (MemoryStream needs addData); production
+    * swaps in the file/Kafka CDC source and keeps the identical in-stream
+    * aggregate. The mod-4 key slice keeps the gate's state-store churn
+    * proportional to signal (cross-batch upserts), not fixture size.
+    */
+  private val q208 = Q("q208_streaming_upsert",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rows: Seq[(Long, Long, String, Option[Double])] =
+        changeLog(s, d).filter(col("o_orderkey") % 4 === 0)
+          .orderBy("ver", "o_orderkey").collect().iterator
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+      val mem = MemoryStream[(Long, Long, String, Option[Double])]
+      val src = mem.toDF().toDF("o_orderkey", "ver", "op", "price")
+      val latest = src.groupBy("o_orderkey")
+        .agg(max(struct(col("ver"), col("op"), col("price"))).as("st"))
+      val sinkName = s"q208_up_${q208Runs.incrementAndGet()}"
+      val query = StreamGate.withStatePartitions(s, noDataBatches = false) {
+        latest.writeStream.format("memory").queryName(sinkName)
+          .outputMode("complete").start()
+      }
+      try {
+        // one micro-batch per commit version — upserts MUST cross batches
+        (0L to 2L).foreach { v =>
+          val chunk = rows.filter(_._2 == v)
+          if (chunk.nonEmpty) {
+            mem.addData(chunk: _*)
+            query.processAllAvailable()
+          }
+        }
+      } finally query.stop()
+      s.table(sinkName)
+        .filter(col("st.op") =!= "D")
+        .select(col("o_orderkey"), col("st.ver").as("ver"),
+          col("st.price").as("price"))
+        .orderBy("o_orderkey")
+    },
+    Some(s"""WITH ${duckLogCtes("o_orderkey % 4 = 0")},
+      r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+          ORDER BY ver DESC) AS rn FROM log)
+      SELECT o_orderkey, CAST(ver AS BIGINT) AS ver, price FROM r
+      WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey"""))
+
+  private val q209Runs = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Bucketed co-located join — the shuffle-elimination technique graduated
+    * from spec-only (ScaleTechniquesSpec) to a gated query: orders and
+    * customer are WRITTEN bucketed+sorted on the join key (8 buckets), and
+    * the fact×dim join over the bucketed tables must plan with ZERO
+    * Exchange nodes (asserted in-query with broadcast disabled — a planned
+    * shuffle throws, failing Verify/Bench loudly the way a wrong answer
+    * fails the hash). The revenue-by-segment aggregate over the co-located
+    * join must then match the plain-join DuckDB oracle: bucketing is a
+    * physical-layout change and may never alter results.
+    *
+    * Scale: THE technique for repeated 100 TB fact×dim joins on a stable
+    * key — pay the bucketed write once, and every subsequent join reads
+    * co-partitioned, pre-sorted buckets with no exchange and no sort. The
+    * tiny collect is the result handoff (|segments| rows) so the scratch
+    * tables can be dropped before returning.
+    */
+  private val q209 = Q("q209_bucketed_join",
+    (s, d) => {
+      val n = q209Runs.incrementAndGet()
+      val ot = s"graft_q209_orders_$n"
+      val ct = s"graft_q209_customer_$n"
+      Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ot)
+      Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(ct)
+      val key = "spark.sql.autoBroadcastJoinThreshold"
+      val prev = s.conf.get(key)
+      try {
+        s.conf.set(key, "-1") // force the co-located path to be what's planned
+        val joined = s.table(ot)
+          .join(s.table(ct), col("o_custkey") === col("c_custkey"))
+        val plan = joined.queryExecution.executedPlan.toString
+        if (plan.contains("Exchange"))
+          throw new IllegalStateException(
+            s"bucketed co-located join planned a shuffle:\n$plan")
+        val out = joined.groupBy("c_mktsegment")
+          .agg(sum(col("o_totalprice").cast("decimal(38,6)"))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_orders"))
+          .orderBy("c_mktsegment")
+          .collect().toIndexedSeq
+          .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+        s.createDataFrame(out).toDF("c_mktsegment", "revenue", "n_orders")
+      } finally {
+        s.conf.set(key, prev)
+        s.sql(s"DROP TABLE IF EXISTS $ot")
+        s.sql(s"DROP TABLE IF EXISTS $ct")
+      }
+    },
+    Some(s"""SELECT c_mktsegment,
+        ${graft.OracleSql.dsum("o_totalprice")} AS revenue,
+        COUNT(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** Zone-map data skipping (the min/max file-pruning metadata op every
+    * lakehouse format keeps per file): simulated files (one per 100-order
+    * bucket) carry min/max l_shipdate zone maps; a calendar-1997 range
+    * predicate keeps exactly the files whose [min, max] interval overlaps
+    * the query window. The output is the pruning decision table itself —
+    * per file: zone bounds, row count, keep/skip — i.e. the file list a
+    * scan planner would hand the reader.
+    *
+    * Scale: this is a METADATA-plane aggregation (|files| ≪ |rows| — the
+    * q206 argument): one partial/final pass builds the zone maps, the
+    * overlap test is per-file arithmetic, and at 100 TB the zone-map table
+    * is what's persisted in the table format's manifest so planning never
+    * touches data files at all. Bounds cross the gate as yyyy-MM-dd strings
+    * (the q145 date-dtype device).
+    */
+  private val q210 = Q("q210_zone_map_prune",
+    (s, d) => {
+      val lo = lit("1997-01-01").cast("timestamp")
+      val hi = lit("1998-01-01").cast("timestamp")
+      Tables.lineitem(s, d)
+        .groupBy(expr("l_orderkey div 100").as("file_id"))
+        .agg(min(col("l_shipdate")).as("mn"), max(col("l_shipdate")).as("mx"),
+          count(lit(1)).as("n_rows"))
+        .select(col("file_id"),
+          date_format(col("mn"), "yyyy-MM-dd").as("min_ship"),
+          date_format(col("mx"), "yyyy-MM-dd").as("max_ship"),
+          col("n_rows"),
+          (col("mx") >= lo && col("mn") < hi).as("keep"))
+        .orderBy("file_id")
+    },
+    Some("""WITH f AS (SELECT l_orderkey // 100 AS file_id,
+          MIN(l_shipdate) AS mn, MAX(l_shipdate) AS mx, COUNT(*) AS n_rows
+        FROM lineitem GROUP BY 1)
+      SELECT file_id, strftime(mn, '%Y-%m-%d') AS min_ship,
+        strftime(mx, '%Y-%m-%d') AS max_ship, n_rows,
+        (mx >= TIMESTAMP '1997-01-01' AND mn < TIMESTAMP '1998-01-01') AS keep
+      FROM f ORDER BY file_id"""))
+
+  /** SCD2 dimension history from the CDC change log: each non-delete
+    * commit becomes a validity interval [ver, next_ver) via ONE lead()
+    * window per key — the tombstone closes the final interval (it bounds
+    * `valid_to` but emits no row), and `is_current` marks keys whose last
+    * commit is still live. The third view over the shared log: q205/q208
+    * compact it, this query KEEPS the history.
+    *
+    * Scale: one hash shuffle on the key, partition-local sort, no self-join
+    * — the standard distributed SCD2 build; interval columns are derived
+    * per-row after the window, so output cost is |log|, not |log|².
+    */
+  private val q211 = Q("q211_scd2_history",
+    (s, d) => {
+      val w = Window.partitionBy("o_orderkey").orderBy("ver")
+      changeLog(s, d)
+        .withColumn("valid_to", lead(col("ver"), 1).over(w))
+        .filter(col("op") =!= "D")
+        .select(col("o_orderkey"), col("ver").as("valid_from"),
+          col("valid_to"), col("price"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy("o_orderkey", "valid_from")
+    },
+    Some(s"""WITH ${duckLogCtes("TRUE")},
+      v AS (SELECT *, lead(ver) OVER (PARTITION BY o_orderkey
+          ORDER BY ver) AS valid_to FROM log)
+      SELECT o_orderkey, CAST(ver AS BIGINT) AS valid_from,
+        CAST(valid_to AS BIGINT) AS valid_to, price,
+        valid_to IS NULL AS is_current
+      FROM v WHERE op <> 'D' ORDER BY o_orderkey, valid_from"""))
+
+  override val all: Seq[Q] = Seq(q208, q209, q210, q211)
+}

@@ -39,7 +39,8 @@ object PlanAudit {
     "q139_streaming_file_source", "q149_streaming_available_now",
     "q152_streaming_restart", "q153_streaming_late_drop",
     "q154_foreach_batch_sink", "q155_streaming_chained_aggs",
-    "q159_stateful_restart", "q204_streaming_tagging")
+    "q159_stateful_restart", "q204_streaming_tagging",
+    "q208_streaming_upsert")
 
   /** Batch registry queries in name order — the plan-audited surface. */
   def batchQueryNames: Seq[String] =
@@ -166,7 +167,8 @@ object PlanAudit {
     "q191_hard_negatives",      // 5-row anchor set broadcast vs corpus scan (q26 shape)
     "q198_freshness_weights",   // 1-row max-day scalar crossJoin
     "q199_zipf_head",           // 1-row token-total scalar crossJoin on 20 rows
-    "q203_modularity")          // 1-row 2m edge-count scalar crossJoin
+    "q203_modularity",          // 1-row 2m edge-count scalar crossJoin
+    "q214_dsir_importance")     // 1-row (nt, ns, V) corpus-stat scalar crossJoin
 
   // ---------------------------------------------------------------------
   // Curated scale narratives (kept from rounds 2-7; auto entries cover the
@@ -305,7 +307,21 @@ object PlanAudit {
     "q161_cms_freq_bounds" ->
       "Count-Min frequency bounds (r07): ONE count_min_sketch aggregate pass over the token Generate collapses per-partition 1.6 MB CMS arrays linearly (partial/final visible); the heavy-token probe then runs over the |candidates|-sized exact-count aggregate with the sketch bytes shipped once per executor (transient-lazy deserialization), never per row. The vocabulary-sized side shuffles only (tok, count) pairs; the corpus never shuffles.",
     "q162_semantic_dedup" ->
-      "SemDeDup (r08, Abbas 2023): cell assignment is a scan-local argmin over the sampled quantizer shipped as LITERALS (q34's device — no corpus x centroid join); the all-pairs cosine work is confined to per-cell groups by the cell-keyed self-join, and dup marking is a per-cell aggregate. At 100 TB nlist scales with the corpus so cells stay bounded — the quadratic never escapes a cell.")
+      "SemDeDup (r08, Abbas 2023): cell assignment is a scan-local argmin over the sampled quantizer shipped as LITERALS (q34's device — no corpus x centroid join); the all-pairs cosine work is confined to per-cell groups by the cell-keyed self-join, and dup marking is a per-cell aggregate. At 100 TB nlist scales with the corpus so cells stay bounded — the quadratic never escapes a cell.",
+    "q209_bucketed_join" ->
+      "Bucketed co-located join (r08): both sides written bucketBy(8, key)+sortBy, so the fact x dim join plans with ZERO Exchange nodes — asserted IN-QUERY with broadcast disabled (a planned shuffle throws). The audited record is the collected result handoff (scans=0 by design); the co-located join plan itself is pinned by the in-query assertion plus ScaleTechniquesSpec. At 100 TB this is the pay-the-shuffle-once layout for repeated joins on a stable key.",
+    "q210_zone_map_prune" ->
+      "Zone-map pruning (r08): metadata-plane aggregation — one partial/final pass builds per-file min/max zone maps (|files| << |rows|), the range-overlap keep/skip decision is per-file arithmetic after the aggregate. The 100 TB planner path reads ONLY this table, never data files.",
+    "q211_scd2_history" ->
+      "SCD2 history (r08): one hash exchange on the dimension key feeds a partition-local lead() window; validity intervals derive per-row post-window — |log| output, no self-join, the standard distributed SCD2 build over the shared q205/q208 change log.",
+    "q212_jl_projection" ->
+      "JL random-sign projection (r08, Achlioptas 2003): the 16x64 sign matrix is an engine-computed 1024-row index build (hexHash32∘md5, the spec-asserted DuckDB-mirror chain) shipped as ONE nested typedLit — projection is zip_with+aggregate inside whole-stage codegen, zero shuffle, constant-size matrix at any corpus scale.",
+    "q213_k_anonymity" ->
+      "k-anonymity audit (r08): one partial/final aggregate on the quasi-identifier key; |QI groups| << |rows| and the k>=5 release decision is per-group arithmetic post-aggregate — the privacy census shape at any scale.",
+    "q214_dsir_importance" ->
+      "DSIR importance weights (r08, Xie 2023): corpus explodes to tokens ONCE; both unigram model tables are vocabulary-sized (AQE broadcasts), corpus scalars ride a 1-row BNLJ (allowlisted), per-doc means are partial/final decimal aggregates — the one-pass 100 TB crawl-scoring profile, kept log-free so the gate can hash it.",
+    "q215_group_ols" ->
+      "Closed-form per-group OLS (r08): six fixed-width moment partials combine map-side (the q82 device), the exchange ships |groups| rows, slope/intercept/R² are per-group scalar arithmetic after the aggregate — no iteration, no driver math.")
 
   /** Micro-batch topology notes — one per streaming gate, so every
     * registry query has a PLANS.md entry. */
@@ -347,7 +363,9 @@ object PlanAudit {
     "q155_streaming_chained_aggs" ->
       "Chained stateful aggregates: two groupBy levels in one streaming query (Spark 4 multiple-stateful-operator support) — window counts feed a per-key rollup, both levels' state in the store under the 8-partition clamp; 2 MemoryStream chunks force cross-batch merges at BOTH levels.",
     "q159_stateful_restart" ->
-      "STATE restart (r06): append-mode event-time windowed aggregate killed between time-quartile files and resumed from checkpoint by a NEW query — the boundary window's count is right only if per-window aggregation state was restored, windows emit exactly once only if the WATERMARK was restored, and the parquet sink's commit log must carry run 1's batches. File mtimes pin one time-ordered slice per micro-batch (maxFilesPerTrigger=1); union of both runs' appends equals the whole-input batch oracle.")
+      "STATE restart (r06): append-mode event-time windowed aggregate killed between time-quartile files and resumed from checkpoint by a NEW query — the boundary window's count is right only if per-window aggregation state was restored, windows emit exactly once only if the WATERMARK was restored, and the parquet sink's commit log must carry run 1's batches. File mtimes pin one time-ordered slice per micro-batch (maxFilesPerTrigger=1); union of both runs' appends equals the whole-input batch oracle.",
+    "q208_streaming_upsert" ->
+      "Streaming merge-on-read compaction (r08): the q205 change log replays one micro-batch PER COMMIT VERSION through a complete-mode per-key max(struct(ver, op, price)) aggregate — latest-wins is correct only if key state survives across batches (inserts land a batch before updates, updates before tombstones). Final complete-mode table = compacted snapshot, hash-matched against the batch q205-shape oracle; per-key state is one fixed-width argmax struct, merged associatively (the map-side-combine algebra), so state is |live keys| not |log|.")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get("plan-audit", "8")
