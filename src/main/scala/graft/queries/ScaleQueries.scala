@@ -453,7 +453,112 @@ object ScaleQueries extends Registry {
       SELECT g.id AS vec_id, g.cell, p.dup_of, p.dup_of IS NOT NULL AS is_semdup
       FROM asg g LEFT JOIN p USING (id) ORDER BY vec_id"""))
 
-  override val all: Seq[Q] = Seq(q156, q157, q158, q159, q160, q161, q162)
+  /** Runtime bloom-filter join pruning (Spark's InjectRuntimeFilter — the
+    * "sideways information passing" a 100 TB fact×selective-dim shuffle
+    * join needs): with broadcast disabled (forcing the shuffle-join shape
+    * big sides take at scale), the optimizer must build a bloom filter
+    * from the filtered orders side and inject a `might_contain` predicate
+    * into the lineitem scan stage — rows that can't join are dropped
+    * BEFORE the shuffle, cutting exchange volume by the dim's
+    * selectivity. The injection is asserted in-query (its absence throws,
+    * failing the gate loudly); results must equal the plain-join oracle —
+    * a bloom filter may only drop rows that cannot match.
+    *
+    * Scale: at sf0.1 the filter is belt-and-braces; at 100 TB it is the
+    * difference between shuffling the whole fact table and shuffling the
+    * ~20 % that can match. The application-side threshold is lowered
+    * in-query because the harness scans are MB-sized; production keeps
+    * the default 10 GB floor so tiny scans don't pay filter cost.
+    */
+  private val q216 = Q("q216_runtime_bloom_join",
+    (s, d) => {
+      val tuned = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val prev = tuned.map { case (k, _) => k -> s.conf.get(k) }
+      try {
+        tuned.foreach { case (k, v) => s.conf.set(k, v) }
+        val li = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_returnflag", "l_extendedprice")
+        val urgent = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey")
+        val joined = li.join(urgent, col("l_orderkey") === col("o_orderkey"))
+        val opt = joined.queryExecution.optimizedPlan.toString
+        if (!opt.contains("might_contain"))
+          throw new IllegalStateException(
+            s"runtime bloom filter was not injected:\n$opt")
+        val out = joined.groupBy("l_returnflag")
+          .agg(StableAgg.dsum(col("l_extendedprice")).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("l_returnflag")
+          .collect().toIndexedSeq
+          .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+        s.createDataFrame(out).toDF("l_returnflag", "revenue", "n_items")
+      } finally prev.foreach { case (k, v) => s.conf.set(k, v) }
+    },
+    Some(s"""SELECT l_returnflag, ${O.dsum("l_extendedprice")} AS revenue,
+        COUNT(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  private val q217Runs = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Dynamic partition pruning (the partition-layout twin of q216's
+    * row-level bloom filter): orders are WRITTEN partitioned by
+    * o_orderpriority (the layout a 100 TB fact table ships with), and a
+    * join against a filtered dim on the partition column must inject a
+    * `dynamicpruning` expression into the fact scan's PartitionFilters —
+    * the fact side then LISTS only the matching partition directories
+    * instead of scanning all of them. Asserted in-query (missing DPP
+    * throws); the aggregate must match the static-predicate oracle.
+    *
+    * Scale: with date/tenant partitioning this is the dominant scan
+    * eliminator — the dim filter prunes whole directory trees at
+    * planning/runtime, and the broadcast that feeds the join is REUSED as
+    * the pruning subquery (reuseBroadcastOnly default), so pruning costs
+    * nothing extra. The per-run partitioned write is the fixture build;
+    * production tables are already laid out this way.
+    */
+  private val q217 = Q("q217_dynamic_partition_pruning",
+    (s, d) => {
+      import java.io.File
+      val dir = graft.streaming.TempDirs.register(new File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_q217_${ProcessHandle.current().pid()}_${q217Runs.incrementAndGet()}"))
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").partitionBy("o_orderpriority")
+        .parquet(dir.getPath)
+      val fact = s.read.parquet(dir.getPath)
+      // dim derives from a parquet scan so its filter survives as a
+      // selective predicate (a LocalRelation dim would constant-fold and
+      // DPP would see no filter to prune with)
+      val dim = Tables.orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(col("o_orderpriority").as("prio")).distinct()
+      val joined = fact.join(dim, col("o_orderpriority") === col("prio"))
+      val plan = joined.queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      if (!plan.toLowerCase.contains("dynamicpruning"))
+        throw new IllegalStateException(
+          s"dynamic partition pruning was not planned:\n$plan")
+      val out = joined.groupBy("o_orderpriority")
+        .agg(StableAgg.dsum(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+        .collect().toIndexedSeq
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      s.createDataFrame(out).toDF("o_orderpriority", "revenue", "n_orders")
+    },
+    Some(s"""SELECT o_orderpriority, ${O.dsum("o_totalprice")} AS revenue,
+        COUNT(*) AS n_orders
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  override val all: Seq[Q] =
+    Seq(q156, q157, q158, q159, q160, q161, q162, q216, q217)
 }
 
 /** Serializable Count-Min probe: holds the sketch BYTES (what the

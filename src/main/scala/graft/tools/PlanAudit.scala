@@ -321,7 +321,11 @@ object PlanAudit {
     "q214_dsir_importance" ->
       "DSIR importance weights (r08, Xie 2023): corpus explodes to tokens ONCE; both unigram model tables are vocabulary-sized (AQE broadcasts), corpus scalars ride a 1-row BNLJ (allowlisted), per-doc means are partial/final decimal aggregates — the one-pass 100 TB crawl-scoring profile, kept log-free so the gate can hash it.",
     "q215_group_ols" ->
-      "Closed-form per-group OLS (r08): six fixed-width moment partials combine map-side (the q82 device), the exchange ships |groups| rows, slope/intercept/R² are per-group scalar arithmetic after the aggregate — no iteration, no driver math.")
+      "Closed-form per-group OLS (r08): six fixed-width moment partials combine map-side (the q82 device), the exchange ships |groups| rows, slope/intercept/R² are per-group scalar arithmetic after the aggregate — no iteration, no driver math.",
+    "q216_runtime_bloom_join" ->
+      "Runtime bloom-filter join (r08): with broadcast disabled (the big-side shuffle-join shape), InjectRuntimeFilter must build a bloom filter from the selective orders side and push might_contain into the lineitem scan stage — asserted IN-QUERY (absence throws). At 100 TB this drops non-joining fact rows BEFORE the shuffle; the audited record is the collected result handoff.",
+    "q217_dynamic_partition_pruning" ->
+      "Dynamic partition pruning (r08): the fact table is written partitioned on the join column; the filtered-dim join must inject dynamicpruning into the fact scan's PartitionFilters (asserted in-query), so only matching partition directories are listed — the dominant scan eliminator for date/tenant-partitioned 100 TB tables; the pruning subquery reuses the join's broadcast.")
 
   /** Micro-batch topology notes — one per streaming gate, so every
     * registry query has a PLANS.md entry. */
