@@ -2093,8 +2093,73 @@ object TrainingDataQueries extends Registry {
         CAST(COUNT(*) AS BIGINT) AS n_windows
       FROM g GROUP BY doc_id, grp ORDER BY doc_id, span_start"""))
 
+  /** T5-style span corruption (Raffel et al. 2020's denoising objective,
+    * the masking preprocessor a seq2seq pretraining pipeline runs over
+    * every document): each token position masks independently at 15 %
+    * via the salted-digest draw (hexHash32∘md5 on (doc_id, pos) — the
+    * q43 sampling device, so the mask is partition/retry-stable and
+    * engine-mirrorable), CONSECUTIVE masked positions merge into one
+    * sentinel in the corrupted text (the defining span-corruption move),
+    * and the target sequence is the masked tokens in order. Output =
+    * the actual training artifact: corrupted input, target, and the
+    * span/token accounting.
+    *
+    * Scale: positions explode once; the span-start flags are one lag()
+    * window and the reassembly is one aggregate — both key by doc_id, so
+    * the single hash exchange is paid once and reused (window feeds the
+    * aggregate without re-shuffling). Text reassembly uses the
+    * deterministic sort_array(collect_list(struct(pos, …))) device —
+    * order-stable on any partitioning.
+    */
+  private val q218 = Q("q218_span_corruption",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pos = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+        .withColumn("masked",
+          Dedup.hexHash32(md5(concat(col("doc_id").cast("string"), lit(":"),
+            col("pos").cast("string")))) % 100 < 15)
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val spans = pos
+        .withColumn("span_start",
+          col("masked") && !coalesce(lag(col("masked"), 1).over(w), lit(false)))
+        .withColumn("piece",
+          when(!col("masked"), col("tok"))
+            .when(col("span_start"), lit("<X>"))
+            .otherwise(lit(null).cast("string")))
+      spans.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"),
+          sum(when(col("span_start"), 1L).otherwise(0L)).as("n_spans"),
+          concat_ws(" ", expr(
+            "transform(filter(array_sort(collect_list(struct(pos, piece))), " +
+              "x -> x.piece is not null), x -> x.piece)")).as("corrupted_text"),
+          concat_ws(" ", expr(
+            "transform(filter(array_sort(collect_list(struct(pos, " +
+              "CASE WHEN masked THEN tok END AS mt))), " +
+              "x -> x.mt is not null), x -> x.mt)")).as("target_text"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $duckToks AS ls FROM documents),
+      p AS (SELECT doc_id, CAST(r.p AS INTEGER) AS pos, ls[CAST(r.p + 1 AS INTEGER)] AS tok,
+          (${duckHash32("md5(doc_id || ':' || r.p)")}) % 100 < 15 AS masked
+        FROM t, unnest(range(0, len(ls))) AS r(p)),
+      f AS (SELECT *, masked AND NOT coalesce(lag(masked) OVER
+          (PARTITION BY doc_id ORDER BY pos), FALSE) AS span_start FROM p),
+      g AS (SELECT doc_id,
+          CASE WHEN NOT masked THEN tok
+               WHEN span_start THEN '<X>' END AS piece,
+          CASE WHEN masked THEN tok END AS mt, pos FROM f)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        CAST(SUM(CASE WHEN mt IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+        CAST(SUM(CASE WHEN piece = '<X>' THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+        coalesce(string_agg(piece, ' ' ORDER BY pos), '') AS corrupted_text,
+        coalesce(string_agg(mt, ' ' ORDER BY pos), '') AS target_text
+      FROM g GROUP BY doc_id ORDER BY doc_id"""))
+
   override val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q38, q41, q42, q43, q44, q45, q47, q107, q112, q114, q115,
     q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q79, q124, q125, q126,
-    q127, q134, q135, q140, q141, q142, q146, q150, q151, q163, q164)
+    q127, q134, q135, q140, q141, q142, q146, q150, q151, q163, q164, q218)
 }

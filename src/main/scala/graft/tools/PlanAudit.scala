@@ -325,7 +325,9 @@ object PlanAudit {
     "q216_runtime_bloom_join" ->
       "Runtime bloom-filter join (r08): with broadcast disabled (the big-side shuffle-join shape), InjectRuntimeFilter must build a bloom filter from the selective orders side and push might_contain into the lineitem scan stage — asserted IN-QUERY (absence throws). At 100 TB this drops non-joining fact rows BEFORE the shuffle; the audited record is the collected result handoff.",
     "q217_dynamic_partition_pruning" ->
-      "Dynamic partition pruning (r08): the fact table is written partitioned on the join column; the filtered-dim join must inject dynamicpruning into the fact scan's PartitionFilters (asserted in-query), so only matching partition directories are listed — the dominant scan eliminator for date/tenant-partitioned 100 TB tables; the pruning subquery reuses the join's broadcast.")
+      "Dynamic partition pruning (r08): the fact table is written partitioned on the join column; the filtered-dim join must inject dynamicpruning into the fact scan's PartitionFilters (asserted in-query), so only matching partition directories are listed — the dominant scan eliminator for date/tenant-partitioned 100 TB tables; the pruning subquery reuses the join's broadcast.",
+    "q218_span_corruption" ->
+      "T5 span corruption (r08): positions explode once, the span-start lag() window and the reassembly aggregate both key by doc_id — ONE hash exchange feeds both stages; the mask is the salted-digest draw (retry-stable, no shuffle), and text reassembly is the deterministic sort_array(collect_list(struct(pos,…))) device. The (corrupted, target) training artifact materializes at scan-pipeline cost on any corpus size.")
 
   /** Micro-batch topology notes — one per streaming gate, so every
     * registry query has a PLANS.md entry. */

@@ -393,4 +393,22 @@ class TrainingDataSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getAs[String]("predicted_lang")).toMap
     assert(out == Map(1L -> "de", 2L -> "en", 3L -> "es"))
   }
+
+  test("q218 span corruption: accounting identities and artifact round-trip") {
+    val rows = graft.SparkEntry.queries("q218_span_corruption")(spark, dir)
+      .select("n_tokens", "n_masked", "n_spans", "corrupted_text", "target_text")
+      .as[(Long, Long, Long, String, String)].collect()
+    assert(rows.nonEmpty)
+    val rate = rows.map(_._2).sum.toDouble / rows.map(_._1).sum
+    assert(rate > 0.10 && rate < 0.20, s"mask rate $rate far from 15%")
+    rows.foreach { case (n, m, sp, corr, tgt) =>
+      assert(sp <= m && (m == 0L || sp >= 1L))
+      val corrToks = if (corr.isEmpty) 0 else corr.split(" ").length
+      val tgtToks = if (tgt.isEmpty) 0 else tgt.split(" ").length
+      // corrupted = unmasked tokens + one sentinel per span; target = masked
+      assert(corrToks == n - m + sp, s"corrupted length $corrToks != $n-$m+$sp")
+      assert(tgtToks == m)
+      assert(corr.split(" ").count(_ == "<X>") == sp)
+    }
+  }
 }

@@ -126,4 +126,26 @@ class RocksDBStateStoreSpec extends SparkSpec {
         s"window $w diverges: stream=$got batch=${batch.get(w)}")
     }
   }
+
+  test("q208 streaming upsert compaction runs unchanged under RocksDB") {
+    // the gate's complete-mode max(struct) aggregate carries a struct
+    // buffer through the store — this re-runs the REGISTRY query itself
+    // with the provider swapped, asserting the compacted snapshot is
+    // bit-identical to the batch latest-wins.
+    val sf = "/root/testdata/sf0.001"
+    val got = withRocksDB {
+      graft.SparkEntry.queries("q208_streaming_upsert")(spark, sf)
+        .select("o_orderkey", "ver", "price")
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+    }
+    val o = graft.Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_totalprice")
+      .filter($"o_orderkey" % 4 === 0)
+      .as[(Long, Double)].collect()
+    val expect = o.collect {
+      case (k, p) if k % 11 != 0 && k % 3 == 0 => (k, 1L, p + 10.0)
+      case (k, p) if k % 11 != 0               => (k, 0L, p)
+    }.toSeq.sorted
+    assert(got == expect, "RocksDB-backed compaction diverges from batch")
+  }
 }
