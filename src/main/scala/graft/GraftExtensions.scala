@@ -28,6 +28,10 @@ import graft.functions.{MinHashSigs, ParseBookLevels, ParseOkxFrame, PyDoubleRep
   *    vector kernels with exact left-to-right fold order
   *  - `sorted_intersect_count(a, b)` — zero-allocation |a ∩ b| merge walk
   *    over sorted duplicate-free array<string>
+  *
+  * Also injects the [[graft.plans.RangeJoinRewrite]] optimizer rule
+  * (point-in-interval joins → bin-bucketed equi-joins, opt-in via
+  * `RangeJoin.binned`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -36,6 +40,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "", "4.0.0", "", "scala_udf")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Logical-plan rewrite: point-in-interval joins tagged with
+    // RangeBinHint become bin-bucketed equi-joins (the range-join
+    // optimization stock Catalyst lacks — see plans/RangeJoinRewrite).
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     ext.injectFunction((FunctionIdentifier("parse_okx_frame"),
       info("parse_okx_frame", "raw OKX WebSocket frame -> array of normalized event structs"),
       (exprs: Seq[Expression]) => ParseOkxFrame(exprs.head)))

@@ -1,0 +1,117 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, LongType}
+
+/** Opt-in range-join predicate for [[RangeJoinRewrite]]: semantically
+  * `point >= lo AND point <= hi` (it evaluates and codegens as exactly
+  * that, so an uninstalled rule costs correctness nothing), carrying the
+  * bin width the rewrite needs. It deliberately keeps all three operand
+  * expressions as children so its references span BOTH join sides —
+  * which is what keeps PushPredicateThroughJoin from hoisting it out of
+  * the join condition before the rewrite can see it (the lesson from the
+  * leaf-marker design: a no-reference conjunct is pushed below the join
+  * as a trivial filter).
+  */
+case class RangePredicate(point: Expression, lo: Expression, hi: Expression,
+    width: Double) extends Expression with Predicate {
+  require(width > 0, s"bin width must be positive, got $width")
+  override def children: Seq[Expression] = Seq(point, lo, hi)
+  override def nullable: Boolean = true
+  override def dataType: DataType = BooleanType
+  override def foldable: Boolean = false
+
+  /** The predicate this marker means; rewrites expand to exactly this. */
+  def expanded: Expression =
+    And(GreaterThanOrEqual(point, lo), LessThanOrEqual(point, hi))
+
+  override def eval(input: InternalRow): Any = expanded.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    expanded.genCode(ctx) match { case c => ev.copy(code = c.code, isNull = c.isNull, value = c.value) }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(point = newChildren(0), lo = newChildren(1), hi = newChildren(2))
+}
+
+/** The classic range-join optimization (the one stock Catalyst lacks and
+  * closed engines ship natively): an inner join on `point ∈ [lo, hi]`
+  * plans as BroadcastNestedLoopJoin / CartesianProduct — O(|L|·|R|) pair
+  * work and, past the broadcast threshold, a full cross shuffle. This
+  * `Rule[LogicalPlan]` (injected via `SparkSessionExtensions
+  * .injectOptimizerRule`, see [[graft.GraftExtensions]]) rewrites joins
+  * whose condition carries a [[RangePredicate]] into an EQUI-join on
+  * fixed-width bins:
+  *
+  *  - the point side gains `__graft_bin_l = floor(point / w)` — one
+  *    scalar per row;
+  *  - the interval side explodes to one row per bin its [lo, hi] span
+  *    covers (`explode(sequence(floor(lo/w), floor(hi/w)))`);
+  *  - the join becomes `bin_l = bin_r AND point >= lo AND point <= hi` —
+  *    a hash-partitionable equality with the exact range predicate as
+  *    residual, so results are IDENTICAL (a point lives in exactly one
+  *    bin — no duplicate matches to dedup).
+  *
+  * At scale this turns the nested loop into a shuffle join whose per-key
+  * work is points-per-bin × intervals-per-bin; `w` trades interval
+  * replication against bucket size exactly like every LSH/banding
+  * operator in this library. Opt-in per join (bin width is a semantic
+  * choice only the caller can make) and self-extinguishing: the rewrite
+  * replaces the marker with its expanded comparisons, so the fixed-point
+  * optimizer batch cannot re-fire.
+  */
+object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, Inner, Some(cond), joinHint)
+        if splitConjunctivePredicates(cond).exists(_.isInstanceOf[RangePredicate]) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val h = conjuncts.collectFirst { case r: RangePredicate => r }.get
+      val rest = conjuncts.filterNot(_ eq h)
+
+      def within(e: Expression, side: LogicalPlan): Boolean =
+        e.references.nonEmpty && e.references.subsetOf(side.outputSet)
+
+      // orientation: point from one side, both bounds from the other
+      val oriented: Option[(LogicalPlan, LogicalPlan, Boolean)] =
+        if (within(h.point, left) && within(h.lo, right) && within(h.hi, right))
+          Some((left, right, false))
+        else if (within(h.point, right) && within(h.lo, left) && within(h.hi, left))
+          Some((right, left, true))
+        else None
+
+      oriented match {
+        case Some((pointSide, intervalSide, flipped)) =>
+          val w = Literal(h.width, DoubleType)
+          def binOf(e: Expression): Expression =
+            Cast(Floor(Divide(Cast(e, DoubleType), w)), LongType)
+          val binL = Alias(binOf(h.point), "__graft_bin_l")()
+          val points2 = Project(pointSide.output :+ binL, pointSide)
+          val binR = AttributeReference("__graft_bin_r", LongType)()
+          // Sequence is TimeZoneAwareExpression: resolved only once the
+          // session TZ is attached (irrelevant to Long sequences, but
+          // required for `resolved`)
+          val seq = new Sequence(binOf(h.lo), binOf(h.hi), None,
+            Some(conf.sessionLocalTimeZone))
+          val intervals2 = Generate(
+            Explode(seq),
+            unrequiredChildIndex = Nil, outer = false, qualifier = None,
+            generatorOutput = Seq(binR), child = intervalSide)
+          val newCond =
+            (Seq(EqualTo(binL.toAttribute, binR), h.expanded) ++ rest).reduce(And)
+          val (newLeft, newRight) =
+            if (flipped) (intervals2, points2) else (points2, intervals2)
+          Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), joinHint))
+        case None =>
+          // unrecognizable orientation (e.g. literal bounds): expand the
+          // marker to its comparisons so the batch terminates with the
+          // exact original semantics
+          val expanded = (h.expanded +: rest).reduce(And)
+          Join(left, right, Inner, Some(expanded), joinHint)
+      }
+  }
+}

@@ -557,8 +557,50 @@ object ScaleQueries extends Registry {
       FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** The engine's own Catalyst extension at work: a point-in-interval
+    * join (events.value ∈ [lo, hi] over 100 overlapping intervals) runs
+    * through `RangeJoin.binned`, and the injected
+    * [[graft.plans.RangeJoinRewrite]] rule must turn the would-be
+    * BroadcastNestedLoopJoin into a bin-bucketed EQUI-join (asserted
+    * in-query: any BNLJ/CartesianProduct in the plan throws). Results
+    * must hash-match the plain range-predicate oracle — the rewrite
+    * keeps the exact [lo, hi] residual, and a point lives in exactly one
+    * bin, so no duplicate matches exist to dedup.
+    *
+    * Scale: this is THE shape for time-window attribution / IP-range /
+    * value-band joins at 100 TB — O(|points|·|intervals|) nested-loop
+    * pair work becomes a hash shuffle whose per-key cost is
+    * points-per-bin × intervals-per-bin, tunable by the bin width like
+    * every banding operator in this library.
+    */
+  private val q219 = Q("q219_range_join_rewrite",
+    (s, d) => {
+      import graft.operators.RangeJoin
+      val pts = Tables.events(s, d).select(col("event_id"), col("value"))
+      val iv = s.range(0L, 100L).select(col("id").as("interval_id"),
+        (col("id").cast("double") * 5.0d).as("lo"),
+        (col("id").cast("double") * 5.0d + 7.5d).as("hi"))
+      val joined = RangeJoin.binned(pts, col("value"), iv,
+        col("lo"), col("hi"), width = 5.0)
+      val plan = joined.queryExecution.executedPlan.toString
+      if (plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"))
+        throw new IllegalStateException(
+          s"range-join rewrite did not fire — nested-loop plan:\n$plan")
+      joined.groupBy("interval_id")
+        .agg(count(lit(1)).as("n_points"),
+          StableAgg.dsum(col("value")).as("sum_value"))
+        .orderBy("interval_id")
+    },
+    Some(s"""WITH iv AS (SELECT r.i AS interval_id,
+          r.i * 5.0::DOUBLE AS lo, r.i * 5.0::DOUBLE + 7.5::DOUBLE AS hi
+        FROM range(0, 100) r(i))
+      SELECT interval_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+        ${O.dsum("value")} AS sum_value
+      FROM events e JOIN iv ON e.value >= iv.lo AND e.value <= iv.hi
+      GROUP BY interval_id ORDER BY interval_id"""))
+
   override val all: Seq[Q] =
-    Seq(q156, q157, q158, q159, q160, q161, q162, q216, q217)
+    Seq(q156, q157, q158, q159, q160, q161, q162, q216, q217, q219)
 }
 
 /** Serializable Count-Min probe: holds the sketch BYTES (what the

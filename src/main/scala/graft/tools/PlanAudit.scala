@@ -327,7 +327,9 @@ object PlanAudit {
     "q217_dynamic_partition_pruning" ->
       "Dynamic partition pruning (r08): the fact table is written partitioned on the join column; the filtered-dim join must inject dynamicpruning into the fact scan's PartitionFilters (asserted in-query), so only matching partition directories are listed — the dominant scan eliminator for date/tenant-partitioned 100 TB tables; the pruning subquery reuses the join's broadcast.",
     "q218_span_corruption" ->
-      "T5 span corruption (r08): positions explode once, the span-start lag() window and the reassembly aggregate both key by doc_id — ONE hash exchange feeds both stages; the mask is the salted-digest draw (retry-stable, no shuffle), and text reassembly is the deterministic sort_array(collect_list(struct(pos,…))) device. The (corrupted, target) training artifact materializes at scan-pipeline cost on any corpus size.")
+      "T5 span corruption (r08): positions explode once, the span-start lag() window and the reassembly aggregate both key by doc_id — ONE hash exchange feeds both stages; the mask is the salted-digest draw (retry-stable, no shuffle), and text reassembly is the deterministic sort_array(collect_list(struct(pos,…))) device. The (corrupted, target) training artifact materializes at scan-pipeline cost on any corpus size.",
+    "q219_range_join_rewrite" ->
+      "Range-join rewrite (r08): the engine's OWN injected Rule[LogicalPlan] (plans/RangeJoinRewrite via SparkSessionExtensions) turns the point-in-interval nested loop into a bin-bucketed equi-join — points gain floor(v/w), intervals explode to their covered bins, the exact [lo,hi] predicate stays as residual. Asserted in-query (any BNLJ/CartesianProduct throws); at 100 TB this is O(points-per-bin × intervals-per-bin) shuffle work instead of O(|L|·|R|) pair work.")
 
   /** Micro-batch topology notes — one per streaming gate, so every
     * registry query has a PLANS.md entry. */
