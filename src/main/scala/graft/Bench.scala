@@ -152,7 +152,8 @@ object Bench {
       "q149_streaming_available_now", "q152_streaming_restart",
       "q153_streaming_late_drop", "q154_foreach_batch_sink",
       "q155_streaming_chained_aggs", "q159_stateful_restart",
-      "q204_streaming_tagging", "q208_streaming_upsert")
+      "q204_streaming_tagging", "q208_streaming_upsert",
+      "q220_streaming_range_join")
 
     val warmDir = {
       val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")

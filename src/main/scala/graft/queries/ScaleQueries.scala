@@ -599,8 +599,73 @@ object ScaleQueries extends Registry {
       FROM events e JOIN iv ON e.value >= iv.lo AND e.value <= iv.hi
       GROUP BY interval_id ORDER BY interval_id"""))
 
+  private val q220Runs = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Streaming twin of q219: the SAME custom rewrite rule must fire
+    * inside the micro-batch plan of a stream-static join — streaming
+    * points (events replayed over 3 MemoryStream chunks) range-join the
+    * static interval table through `RangeJoin.binned`, stateless append.
+    * After the run the LAST micro-batch's executed plan is asserted
+    * nested-loop-free (the rule ran under IncrementalExecution, not just
+    * batch planning), and the post-stream aggregate must hash-match the
+    * same batch oracle as q219 — a dropped chunk, duplicate emission, or
+    * a rewrite that changes results all break the hash.
+    *
+    * Scale: the attribution shape (event stream × window/band table)
+    * with the nested loop eliminated per micro-batch; the static side's
+    * exploded bins build once per batch at |intervals| cost.
+    */
+  private val q220 = Q("q220_streaming_range_join",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.operators.RangeJoin
+      val rows: Seq[(Long, Double)] = Tables.events(s, d)
+        .select(col("event_id"), col("value")).orderBy("event_id")
+        .collect().iterator.map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val iv = s.range(0L, 100L).select(col("id").as("interval_id"),
+        (col("id").cast("double") * 5.0d).as("lo"),
+        (col("id").cast("double") * 5.0d + 7.5d).as("hi"))
+      val mem = MemoryStream[(Long, Double)]
+      val pts = mem.toDF().toDF("event_id", "value")
+      val joined = RangeJoin.binned(pts, col("value"), iv,
+        col("lo"), col("hi"), width = 5.0)
+        .select("interval_id", "event_id", "value")
+      val sinkName = s"q220_rj_${q220Runs.incrementAndGet()}"
+      val query = StreamGate.withStatePartitions(s, noDataBatches = false) {
+        joined.writeStream.format("memory").queryName(sinkName)
+          .outputMode("append").start()
+      }
+      try {
+        rows.grouped(math.max(1, (rows.size + 2) / 3)).foreach { chunk =>
+          mem.addData(chunk: _*)
+          query.processAllAvailable()
+        }
+        val lastPlan = query match {
+          case sqw: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+            sqw.streamingQuery.lastExecution.executedPlan.toString
+          case _ => ""
+        }
+        if (lastPlan.contains("BroadcastNestedLoopJoin") || lastPlan.contains("CartesianProduct"))
+          throw new IllegalStateException(
+            s"range-join rewrite did not fire in the micro-batch plan:\n$lastPlan")
+      } finally query.stop()
+      s.table(sinkName).groupBy("interval_id")
+        .agg(count(lit(1)).as("n_points"),
+          StableAgg.dsum(col("value")).as("sum_value"))
+        .orderBy("interval_id")
+    },
+    Some(s"""WITH iv AS (SELECT r.i AS interval_id,
+          r.i * 5.0::DOUBLE AS lo, r.i * 5.0::DOUBLE + 7.5::DOUBLE AS hi
+        FROM range(0, 100) r(i))
+      SELECT interval_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+        ${O.dsum("value")} AS sum_value
+      FROM events e JOIN iv ON e.value >= iv.lo AND e.value <= iv.hi
+      GROUP BY interval_id ORDER BY interval_id"""))
+
   override val all: Seq[Q] =
-    Seq(q156, q157, q158, q159, q160, q161, q162, q216, q217, q219)
+    Seq(q156, q157, q158, q159, q160, q161, q162, q216, q217, q219, q220)
 }
 
 /** Serializable Count-Min probe: holds the sketch BYTES (what the

@@ -40,7 +40,7 @@ object PlanAudit {
     "q152_streaming_restart", "q153_streaming_late_drop",
     "q154_foreach_batch_sink", "q155_streaming_chained_aggs",
     "q159_stateful_restart", "q204_streaming_tagging",
-    "q208_streaming_upsert")
+    "q208_streaming_upsert", "q220_streaming_range_join")
 
   /** Batch registry queries in name order — the plan-audited surface. */
   def batchQueryNames: Seq[String] =
@@ -373,7 +373,9 @@ object PlanAudit {
     "q159_stateful_restart" ->
       "STATE restart (r06): append-mode event-time windowed aggregate killed between time-quartile files and resumed from checkpoint by a NEW query — the boundary window's count is right only if per-window aggregation state was restored, windows emit exactly once only if the WATERMARK was restored, and the parquet sink's commit log must carry run 1's batches. File mtimes pin one time-ordered slice per micro-batch (maxFilesPerTrigger=1); union of both runs' appends equals the whole-input batch oracle.",
     "q208_streaming_upsert" ->
-      "Streaming merge-on-read compaction (r08): the q205 change log replays one micro-batch PER COMMIT VERSION through a complete-mode per-key max(struct(ver, op, price)) aggregate — latest-wins is correct only if key state survives across batches (inserts land a batch before updates, updates before tombstones). Final complete-mode table = compacted snapshot, hash-matched against the batch q205-shape oracle; per-key state is one fixed-width argmax struct, merged associatively (the map-side-combine algebra), so state is |live keys| not |log|.")
+      "Streaming merge-on-read compaction (r08): the q205 change log replays one micro-batch PER COMMIT VERSION through a complete-mode per-key max(struct(ver, op, price)) aggregate — latest-wins is correct only if key state survives across batches (inserts land a batch before updates, updates before tombstones). Final complete-mode table = compacted snapshot, hash-matched against the batch q205-shape oracle; per-key state is one fixed-width argmax struct, merged associatively (the map-side-combine algebra), so state is |live keys| not |log|.",
+    "q220_streaming_range_join" ->
+      "Streaming range join (r08): the engine's injected RangeJoinRewrite must fire inside IncrementalExecution — streaming points bin-join the static interval table per micro-batch (stateless append), the LAST micro-batch's executed plan is asserted nested-loop-free in-query, and the post-stream aggregate hash-matches q219's batch oracle. The attribution shape (event stream × band table) with O(|L|·|R|) eliminated per batch.")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get("plan-audit", "8")
