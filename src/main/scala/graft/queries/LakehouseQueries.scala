@@ -132,7 +132,10 @@ object LakehouseQueries extends Registry {
     */
   private val q209 = Q("q209_bucketed_join",
     (s, d) => {
-      val n = q209Runs.incrementAndGet()
+      // pid + counter: concurrent JVMs share the session warehouse dir
+      // (e.g. a Verify run next to sbt test), so names must be unique
+      // across processes, not just within one
+      val n = s"${ProcessHandle.current().pid()}_${q209Runs.incrementAndGet()}"
       val ot = s"graft_q209_orders_$n"
       val ct = s"graft_q209_customer_$n"
       Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
