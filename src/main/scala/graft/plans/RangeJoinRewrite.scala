@@ -26,8 +26,12 @@ case class RangePredicate(point: Expression, lo: Expression, hi: Expression,
   override def dataType: DataType = BooleanType
   override def foldable: Boolean = false
 
-  /** The predicate this marker means; rewrites expand to exactly this. */
-  def expanded: Expression =
+  /** The predicate this marker means; rewrites expand to exactly this.
+    * A val: interpreted eval runs per row and must not rebuild the tree
+    * (case-class `copy` via withNewChildrenInternal makes a fresh
+    * instance, so caching per instance is safe).
+    */
+  @transient lazy val expanded: Expression =
     And(GreaterThanOrEqual(point, lo), LessThanOrEqual(point, hi))
 
   override def eval(input: InternalRow): Any = expanded.eval(input)
@@ -94,9 +98,18 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           val binR = AttributeReference("__graft_bin_r", LongType)()
           // Sequence is TimeZoneAwareExpression: resolved only once the
           // session TZ is attached (irrelevant to Long sequences, but
-          // required for `resolved`)
-          val seq = new Sequence(binOf(h.lo), binOf(h.hi), None,
-            Some(conf.sessionLocalTimeZone))
+          // required for `resolved`). Guard inverted/empty intervals
+          // (lo > hi): Spark's sequence(a, b) defaults to step -1 when
+          // a > b, which would explode a huge DESCENDING bin range for a
+          // semantically-empty interval — emit zero bins instead (the
+          // non-outer Generate then drops the row, exactly what the
+          // plain BETWEEN returns for lo > hi).
+          val binLo = binOf(h.lo)
+          val binHi = binOf(h.hi)
+          val seq = If(LessThanOrEqual(binLo, binHi),
+            new Sequence(binLo, binHi, None, Some(conf.sessionLocalTimeZone)),
+            Literal.create(Array.empty[Long],
+              org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)))
           val intervals2 = Generate(
             Explode(seq),
             unrequiredChildIndex = Nil, outer = false, qualifier = None,

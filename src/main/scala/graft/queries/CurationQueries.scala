@@ -1206,32 +1206,16 @@ object CurationQueries extends Registry {
     */
   private val q205 = Q("q205_upsert_compaction",
     (s, d) => {
-      val o = Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_totalprice"))
-      val base = o.select(col("o_orderkey"), lit(0L).as("ver"),
-        lit("I").as("op"), col("o_totalprice").as("price"))
-      val upd = o.filter(col("o_orderkey") % 3 === 0)
-        .select(col("o_orderkey"), lit(1L).as("ver"), lit("U").as("op"),
-          (col("o_totalprice") + 10.0d).as("price"))
-      val del = o.filter(col("o_orderkey") % 11 === 0)
-        .select(col("o_orderkey"), lit(2L).as("ver"), lit("D").as("op"),
-          lit(null).cast("double").as("price"))
+      // the change log has a single owner (LakehouseQueries.changeLog) —
+      // q205/q208/q211 are three views over the SAME derivation
       val w = Window.partitionBy("o_orderkey").orderBy(desc("ver"))
-      base.unionByName(upd).unionByName(del)
+      LakehouseQueries.changeLog(s, d)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1 && col("op") =!= "D")
         .select("o_orderkey", "ver", "price")
         .orderBy("o_orderkey")
     },
-    Some("""WITH base AS (SELECT o_orderkey, 0 AS ver, 'I' AS op,
-          o_totalprice AS price FROM orders),
-      upd AS (SELECT o_orderkey, 1 AS ver, 'U' AS op,
-          o_totalprice + 10.0::DOUBLE AS price FROM orders
-        WHERE o_orderkey % 3 = 0),
-      del AS (SELECT o_orderkey, 2 AS ver, 'D' AS op,
-          CAST(NULL AS DOUBLE) AS price FROM orders WHERE o_orderkey % 11 = 0),
-      log AS (SELECT * FROM base UNION ALL SELECT * FROM upd
-        UNION ALL SELECT * FROM del),
+    Some(s"""WITH ${LakehouseQueries.duckLogCtes("TRUE")},
       r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
           ORDER BY ver DESC) AS rn FROM log)
       SELECT o_orderkey, CAST(ver AS BIGINT) AS ver, price FROM r

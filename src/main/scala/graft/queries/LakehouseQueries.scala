@@ -21,10 +21,13 @@ import graft.Tables
   */
 object LakehouseQueries extends Registry {
 
-  /** q205's change log as a shared fixture: (o_orderkey, ver, op, price)
-    * with I/U/D ops and monotone versions, unique (key, ver).
+  /** The shared CDC change-log fixture: (o_orderkey, ver, op, price)
+    * with I/U/D ops and monotone versions, unique (key, ver). The SINGLE
+    * owner of the derivation — q205 (batch compaction), q208 (streaming
+    * compaction), and q211 (SCD2 history) all consume it, so an edit
+    * here changes every view of the log together.
     */
-  private def changeLog(s: SparkSession, d: String): DataFrame = {
+  private[queries] def changeLog(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
     val base = o.select(col("o_orderkey"), lit(0L).as("ver"),
       lit("I").as("op"), col("o_totalprice").as("price"))
@@ -40,7 +43,7 @@ object LakehouseQueries extends Registry {
   /** DuckDB twin of [[changeLog]] as a `log` CTE body filtered by `pred`
     * (callers prepend `WITH `).
     */
-  private def duckLogCtes(pred: String): String =
+  private[queries] def duckLogCtes(pred: String): String =
     s"""base AS (SELECT o_orderkey, 0 AS ver, 'I' AS op,
           o_totalprice AS price FROM orders),
       upd AS (SELECT o_orderkey, 1 AS ver, 'U' AS op,

@@ -642,10 +642,16 @@ object ScaleQueries extends Registry {
           mem.addData(chunk: _*)
           query.processAllAvailable()
         }
+        // the assertion must never pass vacuously: failing to reach the
+        // micro-batch plan is itself a gate failure, not a skip
         val lastPlan = query match {
           case sqw: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
-            sqw.streamingQuery.lastExecution.executedPlan.toString
-          case _ => ""
+            Option(sqw.streamingQuery.lastExecution)
+              .map(_.executedPlan.toString)
+              .getOrElse(throw new IllegalStateException(
+                "no micro-batch executed — cannot attest the streaming plan"))
+          case other => throw new IllegalStateException(
+            s"cannot inspect micro-batch plan of ${other.getClass.getName}")
         }
         if (lastPlan.contains("BroadcastNestedLoopJoin") || lastPlan.contains("CartesianProduct"))
           throw new IllegalStateException(

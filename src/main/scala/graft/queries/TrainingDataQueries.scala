@@ -2147,13 +2147,16 @@ object TrainingDataQueries extends Registry {
         FROM t, unnest(range(0, len(ls))) AS r(p)),
       f AS (SELECT *, masked AND NOT coalesce(lag(masked) OVER
           (PARTITION BY doc_id ORDER BY pos), FALSE) AS span_start FROM p),
-      g AS (SELECT doc_id,
+      g AS (SELECT doc_id, span_start,
           CASE WHEN NOT masked THEN tok
                WHEN span_start THEN '<X>' END AS piece,
           CASE WHEN masked THEN tok END AS mt, pos FROM f)
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
         CAST(SUM(CASE WHEN mt IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
-        CAST(SUM(CASE WHEN piece = '<X>' THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+        -- count the span_start FLAG, not piece = '<X>': a document whose
+        -- unmasked text contains the literal token '<X>' must not inflate
+        -- the span count (mirrors Spark's sum over span_start)
+        CAST(SUM(CASE WHEN span_start THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
         coalesce(string_agg(piece, ' ' ORDER BY pos), '') AS corrupted_text,
         coalesce(string_agg(mt, ' ' ORDER BY pos), '') AS target_text
       FROM g GROUP BY doc_id ORDER BY doc_id"""))

@@ -408,6 +408,9 @@ class TrainingDataSpec extends SparkSpec {
       // corrupted = unmasked tokens + one sentinel per span; target = masked
       assert(corrToks == n - m + sp, s"corrupted length $corrToks != $n-$m+$sp")
       assert(tgtToks == m)
+      // fixture-dependent: valid because no harness document contains a
+      // literal '<X>' token (the oracle counts span_start flags, which
+      // stay correct even when one does)
       assert(corr.split(" ").count(_ == "<X>") == sp)
     }
   }

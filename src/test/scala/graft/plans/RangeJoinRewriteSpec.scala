@@ -26,9 +26,12 @@ class RangeJoinRewriteSpec extends SparkSpec {
     val ptsWithNull = pts :+ (9999L, null.asInstanceOf[java.lang.Double])
     val left = ptsWithNull.toDF("pid", "v")
     // intervals: negative span start, zero-width, boundary-aligned, wide
+    // (7) small inverted span; (8) HUGELY inverted span — without the
+    // empty-bin guard, sequence(2e8, 0) would build a 200M-element
+    // descending array per micro-partition instead of zero bins
     val iv = Seq((1L, -20.0, -5.0), (2L, -5.0, 5.0), (3L, 0.0, 0.0),
       (4L, 5.0, 5.0), (5L, 7.5, 30.0), (6L, 100.0, 200.0),
-      (7L, 150.0, 100.0) /* empty */).toDF("iid", "lo", "hi")
+      (7L, 150.0, 100.0), (8L, 1.0e9, 0.0)).toDF("iid", "lo", "hi")
     val plain = left.join(iv, $"v" >= $"lo" && $"v" <= $"hi")
     val binned = RangeJoin.binned(left, $"v", iv, $"lo", $"hi", width = 5.0)
     assert(canon(binned) == canon(plain))
