@@ -590,6 +590,139 @@ object AnalyticsQueries extends Registry {
       FROM p ORDER BY symbol, day_bucket"""
     })
 
+  /** Multi-granularity bar rollup — q66's daily candles computed by
+    * MERGING hourly bar partials instead of re-reading trades, gated
+    * against the direct-computation oracle (merge == direct is the
+    * q207/q160 re-aggregation proof, applied to OHLC state): open/close
+    * partials are the full (seqKey, price) structs (struct-min/max is
+    * associative, so the daily open is the min over hourly mins), volume
+    * stays in exact decimal through the merge, high/low/count are plain
+    * max/min/sum.
+    *
+    * Scale: THE market-data storage pattern — persist fine-grained bars
+    * once, derive every coarser granularity from |bars|-sized
+    * re-aggregation with no raw-trade scan; correct precisely because
+    * every partial is associative (this gate is the proof).
+    */
+  private val q221 = Q("q221_bars_rollup",
+    (s, d) => {
+      val hourly = trades(s, d)
+        .withColumn("hour_bucket", expr("ts_exchange_ms div 3600000"))
+        .groupBy("symbol", "hour_bucket")
+        .agg(min(seqKey).as("okey"), max(seqKey).as("ckey"),
+          max(col("price")).as("high"), min(col("price")).as("low"),
+          sum(col("sz").cast("decimal(38,6)")).as("vol_dec"),
+          count(lit(1)).as("n_trades"))
+      hourly
+        .withColumn("day_bucket", expr("hour_bucket div 24"))
+        .groupBy("symbol", "day_bucket")
+        .agg(min(col("okey")).getField("p").as("open"),
+          max(col("high")).as("high"), min(col("low")).as("low"),
+          max(col("ckey")).getField("p").as("close"),
+          sum(col("vol_dec")).cast("double").as("volume"),
+          sum(col("n_trades")).as("n_trades"))
+        .orderBy("symbol", "day_bucket")
+    },
+    Some(s"""WITH $duckTrades
+      SELECT symbol, ts // 86400000 AS day_bucket,
+        arg_min(price, $duckSeqKey) AS open,
+        MAX(price) AS high, MIN(price) AS low,
+        arg_max(price, $duckSeqKey) AS close,
+        ${OracleSql.dsum("sz")} AS volume,
+        CAST(COUNT(*) AS BIGINT) AS n_trades
+      FROM tr GROUP BY symbol, day_bucket
+      ORDER BY symbol, day_bucket"""))
+
+  /** Lee-Ready trade-sign classification (Lee & Ready 1991, the
+    * microstructure standard): each trade compares to the prevailing
+    * quote midpoint via the as-of join (the q35 union+window device —
+    * one shuffle on symbol), with the tick rule (vs the previous trade
+    * price, deterministic (ts, src_id) ordering) as the midpoint-tie /
+    * no-quote fallback. Quotes and trades derive from the same lineitem
+    * base (l_partkey mod 3 splits the tape), so the join key spaces
+    * align by construction.
+    *
+    * Scale: the as-of window and the tick-rule lag window both partition
+    * by symbol — one exchange feeds both passes and the final per-symbol
+    * aggregate; per-key state is O(1) (last quote, last price). Signed
+    * volumes ride the decimal route.
+    */
+  private val q222 = Q("q222_trade_signs",
+    (s, d) => {
+      val li = Tables.fanOut(Tables.lineitem(s, d))
+        .filter(col("l_orderkey") % 17 =!= 0 && col("l_orderkey") % 11 =!= 0)
+        .select((col("l_orderkey") * 10 + col("l_linenumber")).as("src_id"),
+          concat(lit("T-"), (col("l_suppkey") % 5).cast("string")).as("symbol"),
+          unix_millis(col("l_shipdate").cast("timestamp")).as("ts"),
+          col("l_extendedprice").as("px"), col("l_quantity").as("qty"),
+          col("l_partkey"), col("l_linenumber"))
+      val quotes = li.filter(col("l_partkey") % 3 === 0)
+        .select(col("symbol"), col("ts"),
+          (col("px") + ((col("l_linenumber") % 5).cast("double") - 2.0d) * 0.25d)
+            .as("mid"),
+          col("src_id"))
+      val trs = li.filter(col("l_partkey") % 3 =!= 0)
+        .select(col("src_id"), col("symbol"), col("ts"),
+          col("px").as("price"), col("qty"))
+      val withMid = graft.operators.AsOfJoin
+        .lastValueAsOf(trs, quotes, Seq("symbol"), "ts", Seq("mid"), "src_id")
+      val w = Window.partitionBy("symbol").orderBy("ts", "src_id")
+      val signed = withMid
+        .withColumn("prevp", lag(col("price"), 1).over(w))
+        .withColumn("sgn",
+          when(col("asof_mid").isNotNull && col("price") > col("asof_mid"), 1)
+            .when(col("asof_mid").isNotNull && col("price") < col("asof_mid"), -1)
+            .when(col("prevp").isNotNull && col("price") > col("prevp"), 1)
+            .when(col("prevp").isNotNull && col("price") < col("prevp"), -1)
+            .otherwise(0))
+      signed.groupBy("symbol")
+        .agg(count(lit(1)).as("n_trades"),
+          sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n_buy"),
+          sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n_sell"),
+          sum(when(col("sgn") === 0, 1L).otherwise(0L)).as("n_unclassified"),
+          StableAgg.dsum(when(col("sgn") === 1, col("qty")).otherwise(lit(0.0d)))
+            .as("buy_volume"),
+          StableAgg.dsum(when(col("sgn") === -1, col("qty")).otherwise(lit(0.0d)))
+            .as("sell_volume"))
+        .orderBy("symbol")
+    },
+    Some(s"""WITH li AS (
+        SELECT (l_orderkey * 10 + l_linenumber) AS src_id,
+          'T-' || CAST(l_suppkey % 5 AS VARCHAR) AS symbol,
+          epoch_ms(l_shipdate) AS ts, l_extendedprice AS px,
+          l_quantity AS qty, l_partkey, l_linenumber
+        FROM lineitem WHERE l_orderkey % 17 <> 0 AND l_orderkey % 11 <> 0),
+      u AS (
+        SELECT symbol, ts, 1 AS is_right, src_id AS tie,
+          px + (CAST(l_linenumber % 5 AS DOUBLE) - 2.0::DOUBLE) * 0.25::DOUBLE AS mid,
+          CAST(NULL AS DOUBLE) AS price, CAST(NULL AS DOUBLE) AS qty
+        FROM li WHERE l_partkey % 3 = 0
+        UNION ALL
+        SELECT symbol, ts, 0, src_id, CAST(NULL AS DOUBLE), px, qty
+        FROM li WHERE l_partkey % 3 <> 0),
+      c AS (SELECT *, last_value(mid IGNORE NULLS) OVER (
+          PARTITION BY symbol ORDER BY ts, is_right DESC, tie
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_mid
+        FROM u),
+      t AS (SELECT symbol, ts, tie, price, qty, asof_mid,
+          lag(price) OVER (PARTITION BY symbol ORDER BY ts, tie) AS prevp
+        FROM c WHERE is_right = 0),
+      g AS (SELECT symbol, qty,
+          CASE WHEN asof_mid IS NOT NULL AND price > asof_mid THEN 1
+               WHEN asof_mid IS NOT NULL AND price < asof_mid THEN -1
+               WHEN prevp IS NOT NULL AND price > prevp THEN 1
+               WHEN prevp IS NOT NULL AND price < prevp THEN -1
+               ELSE 0 END AS sgn
+        FROM t)
+      SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_trades,
+        CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_buy,
+        CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sell,
+        CAST(SUM(CASE WHEN sgn = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unclassified,
+        ${OracleSql.dsum("CASE WHEN sgn = 1 THEN qty ELSE 0.0::DOUBLE END")} AS buy_volume,
+        ${OracleSql.dsum("CASE WHEN sgn = -1 THEN qty ELSE 0.0::DOUBLE END")} AS sell_volume
+      FROM g GROUP BY symbol ORDER BY symbol"""))
+
   override val all: Seq[Q] =
-    Seq(q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78)
+    Seq(q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
+      q221, q222)
 }

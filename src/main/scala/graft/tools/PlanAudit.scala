@@ -329,7 +329,11 @@ object PlanAudit {
     "q218_span_corruption" ->
       "T5 span corruption (r08): positions explode once, the span-start lag() window and the reassembly aggregate both key by doc_id — ONE hash exchange feeds both stages; the mask is the salted-digest draw (retry-stable, no shuffle), and text reassembly is the deterministic sort_array(collect_list(struct(pos,…))) device. The (corrupted, target) training artifact materializes at scan-pipeline cost on any corpus size.",
     "q219_range_join_rewrite" ->
-      "Range-join rewrite (r08): the engine's OWN injected Rule[LogicalPlan] (plans/RangeJoinRewrite via SparkSessionExtensions) turns the point-in-interval nested loop into a bin-bucketed equi-join — points gain floor(v/w), intervals explode to their covered bins, the exact [lo,hi] predicate stays as residual. Asserted in-query (any BNLJ/CartesianProduct throws); at 100 TB this is O(points-per-bin × intervals-per-bin) shuffle work instead of O(|L|·|R|) pair work.")
+      "Range-join rewrite (r08): the engine's OWN injected Rule[LogicalPlan] (plans/RangeJoinRewrite via SparkSessionExtensions) turns the point-in-interval nested loop into a bin-bucketed equi-join — points gain floor(v/w), intervals explode to their covered bins, the exact [lo,hi] predicate stays as residual. Asserted in-query (any BNLJ/CartesianProduct throws); at 100 TB this is O(points-per-bin × intervals-per-bin) shuffle work instead of O(|L|·|R|) pair work.",
+    "q221_bars_rollup" ->
+      "Bar rollup (r08): daily candles from MERGED hourly partials — struct-min/max open/close keys, decimal volume sums, no raw-trade re-scan; the oracle recomputes daily bars directly, so the hash gate IS the merge-associativity proof (the q160/q207 re-aggregation argument for OHLC state). The market-data storage pattern: persist fine bars once, derive every coarser granularity at |bars| cost.",
+    "q222_trade_signs" ->
+      "Lee-Ready classification (r08): the as-of window (prevailing mid) and the tick-rule lag window both partition by symbol — one exchange feeds both passes and the final per-symbol aggregate; O(1) state per key, signed volumes on the decimal route.")
 
   /** Micro-batch topology notes — one per streaming gate, so every
     * registry query has a PLANS.md entry. */

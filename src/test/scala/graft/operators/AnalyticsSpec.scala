@@ -128,4 +128,24 @@ class AnalyticsSpec extends SparkSpec {
       assert(r.getLong(2) < r.getLong(1), s"doc ${r.getLong(0)} kept all paras incl. boilerplate")
     }
   }
+
+  test("q221 rolled-up daily bars equal the directly-computed q66 bars") {
+    // the rollup path (hourly partials merged to daily) must reproduce
+    // the direct daily aggregation bit-for-bit — merge associativity
+    val direct = q("q66_ohlc_bars").collect().map(_.toString).sorted.toSeq
+    val rolled = q("q221_bars_rollup").collect().map(_.toString).sorted.toSeq
+    assert(rolled == direct)
+    assert(rolled.nonEmpty)
+  }
+
+  test("q222 trade signs partition the tape and signed volumes bound total volume") {
+    val rows = q("q222_trade_signs").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, b, s2, z) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(b + s2 + z == n, s"classification not a partition: $r")
+      assert(b > 0 && s2 > 0, s"fixture should produce both sides: $r")
+      assert(r.getDouble(5) > 0.0 && r.getDouble(6) > 0.0)
+    }
+  }
 }
