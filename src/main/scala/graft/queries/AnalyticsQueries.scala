@@ -722,7 +722,55 @@ object AnalyticsQueries extends Registry {
         ${OracleSql.dsum("CASE WHEN sgn = -1 THEN qty ELSE 0.0::DOUBLE END")} AS sell_volume
       FROM g GROUP BY symbol ORDER BY symbol"""))
 
+  /** Amihud illiquidity (Amihud 2002's price-impact proxy, the standard
+    * liquidity screen): per (symbol, day), |arithmetic daily return| per
+    * unit of traded notional, averaged per symbol over days with a
+    * defined return. Libm-free throughout (the q42/q147 stance): returns
+    * are one IEEE division, notional is the ratio-safe exact decimal sum
+    * of price×size products (q67's device), and the tiny-magnitude
+    * per-symbol mean rides the scale-18 decimal route.
+    *
+    * Scale: one shuffle to daily bars (close via the deterministic
+    * seqKey struct max, notional via decimal partials), one symbol-keyed
+    * lag window, one |symbols|-row final aggregate — the q147 profile
+    * with a liquidity numerator.
+    */
+  private val q223 = Q("q223_amihud_illiquidity",
+    (s, d) => {
+      val bars = trades(s, d)
+        .withColumn("day_bucket", expr("ts_exchange_ms div 86400000"))
+        .groupBy("symbol", "day_bucket")
+        .agg(max(seqKey).getField("p").as("close"),
+          StableAgg.dsum(col("price") * col("sz")).as("notional"))
+      val w = Window.partitionBy("symbol").orderBy("day_bucket")
+      bars
+        .withColumn("prev_close", lag(col("close"), 1).over(w))
+        .withColumn("illiq",
+          abs((col("close") - col("prev_close")) / col("prev_close")) /
+            col("notional"))
+        .filter(col("illiq").isNotNull)
+        .groupBy("symbol")
+        .agg(count(lit(1)).as("n_days"),
+          StableAgg.davg(col("illiq"), 18).as("amihud_illiq"),
+          max(col("illiq")).as("max_illiq"))
+        .orderBy("symbol")
+    },
+    Some(s"""WITH $duckTrades,
+      bars AS (SELECT symbol, ts // 86400000 AS day_bucket,
+          arg_max(price, $duckSeqKey) AS close,
+          ${OracleSql.dsum("price * sz")} AS notional
+        FROM tr GROUP BY symbol, day_bucket),
+      r AS (SELECT symbol,
+          abs((close - lag(close) OVER (PARTITION BY symbol ORDER BY day_bucket))
+            / lag(close) OVER (PARTITION BY symbol ORDER BY day_bucket))
+            / notional AS illiq
+        FROM bars)
+      SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
+        ${OracleSql.davg("illiq", 18)} AS amihud_illiq,
+        MAX(illiq) AS max_illiq
+      FROM r WHERE illiq IS NOT NULL GROUP BY symbol ORDER BY symbol"""))
+
   override val all: Seq[Q] =
     Seq(q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
-      q221, q222)
+      q221, q222, q223)
 }

@@ -333,7 +333,9 @@ object PlanAudit {
     "q221_bars_rollup" ->
       "Bar rollup (r08): daily candles from MERGED hourly partials — struct-min/max open/close keys, decimal volume sums, no raw-trade re-scan; the oracle recomputes daily bars directly, so the hash gate IS the merge-associativity proof (the q160/q207 re-aggregation argument for OHLC state). The market-data storage pattern: persist fine bars once, derive every coarser granularity at |bars| cost.",
     "q222_trade_signs" ->
-      "Lee-Ready classification (r08): the as-of window (prevailing mid) and the tick-rule lag window both partition by symbol — one exchange feeds both passes and the final per-symbol aggregate; O(1) state per key, signed volumes on the decimal route.")
+      "Lee-Ready classification (r08): the as-of window (prevailing mid) and the tick-rule lag window both partition by symbol — one exchange feeds both passes and the final per-symbol aggregate; O(1) state per key, signed volumes on the decimal route.",
+    "q223_amihud_illiquidity" ->
+      "Amihud illiquidity (r08): one shuffle to daily bars (deterministic struct-max close, decimal notional), one symbol-keyed lag window, one |symbols|-row aggregate — the q147 profile with a liquidity numerator; libm-free so the scale-18 mean hashes cross-engine.")
 
   /** Micro-batch topology notes — one per streaming gate, so every
     * registry query has a PLANS.md entry. */
