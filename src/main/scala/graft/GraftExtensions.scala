@@ -76,5 +76,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("sorted_intersect_count"),
       info("sorted_intersect_count", "sorted_intersect_count(a, b): |a ∩ b| merge walk over sorted duplicate-free array<string>"),
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs.head, exprs(1))))
+    // SQL surface for the range-join rewrite: `a JOIN b ON
+    // range_binned(p, lo, hi, w)` — semantically p BETWEEN lo AND hi,
+    // rewritten to the bin-bucketed equi-join by RangeJoinRewrite.
+    ext.injectFunction((FunctionIdentifier("range_binned"),
+      info("range_binned", "range_binned(point, lo, hi, width): point BETWEEN lo AND hi, tagged for the bin-bucketed range-join rewrite"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 4, "range_binned(point, lo, hi, width)")
+        val w = exprs(3).eval() match {
+          case n: Number => n.doubleValue()
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case other => throw new IllegalArgumentException(
+            s"width must be a numeric literal, got $other")
+        }
+        graft.plans.RangePredicate(exprs(0), exprs(1), exprs(2), w)
+      }))
   }
 }

@@ -245,5 +245,51 @@ object LakehouseQueries extends Registry {
         valid_to IS NULL AS is_current
       FROM v WHERE op <> 'D' ORDER BY o_orderkey, valid_from"""))
 
-  override val all: Seq[Q] = Seq(q208, q209, q210, q211)
+  private val q224Runs = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Schema evolution on read (the additive-column migration every
+    * long-lived table goes through): batch 1 is written with the v1
+    * schema, batch 2 adds `o_orderpriority`, and a `mergeSchema` read
+    * over both file sets must surface the union schema with v1 rows
+    * null-filled — the per-priority aggregate (NULL = pre-migration
+    * rows) hash-matches an oracle that reconstructs the same evolution
+    * from the base table.
+    *
+    * Scale: schema merging is a FOOTER-only operation (one task per
+    * file footer, no data read) and null-filling is free at scan time —
+    * this is why additive evolution is the only kind a 100 TB table
+    * does in place; anything else is a rewrite (q205's compaction
+    * path). The per-run write is the fixture build.
+    */
+  private val q224 = Q("q224_schema_evolution",
+    (s, d) => {
+      import java.io.File
+      val root = graft.streaming.TempDirs.register(new File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_q224_${ProcessHandle.current().pid()}_${q224Runs.incrementAndGet()}"))
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(new File(root, "b1").getPath)
+      o.filter(col("o_orderkey") % 2 =!= 0)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").parquet(new File(root, "b2").getPath)
+      val merged = s.read.option("mergeSchema", "true")
+        .parquet(new File(root, "b1").getPath, new File(root, "b2").getPath)
+      if (!merged.columns.contains("o_orderpriority"))
+        throw new IllegalStateException(
+          s"mergeSchema did not surface the evolved column: ${merged.columns.mkString(",")}")
+      merged.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+    Some(s"""SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL
+          ELSE o_orderpriority END AS o_orderpriority,
+        CAST(COUNT(*) AS BIGINT) AS n_orders,
+        ${graft.OracleSql.dsum("o_totalprice")} AS revenue
+      FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  override val all: Seq[Q] = Seq(q208, q209, q210, q211, q224)
 }

@@ -335,7 +335,9 @@ object PlanAudit {
     "q222_trade_signs" ->
       "Lee-Ready classification (r08): the as-of window (prevailing mid) and the tick-rule lag window both partition by symbol — one exchange feeds both passes and the final per-symbol aggregate; O(1) state per key, signed volumes on the decimal route.",
     "q223_amihud_illiquidity" ->
-      "Amihud illiquidity (r08): one shuffle to daily bars (deterministic struct-max close, decimal notional), one symbol-keyed lag window, one |symbols|-row aggregate — the q147 profile with a liquidity numerator; libm-free so the scale-18 mean hashes cross-engine.")
+      "Amihud illiquidity (r08): one shuffle to daily bars (deterministic struct-max close, decimal notional), one symbol-keyed lag window, one |symbols|-row aggregate — the q147 profile with a liquidity numerator; libm-free so the scale-18 mean hashes cross-engine.",
+    "q224_schema_evolution" ->
+      "Schema evolution (r08): mergeSchema unions file footers (metadata-only — no data read to discover the evolved column), v1 rows null-fill at scan time, and the evolved-column aggregate hash-matches an oracle reconstructing the same migration. Additive evolution is the only in-place kind at 100 TB; everything else is q205's rewrite path.")
 
   /** Micro-batch topology notes — one per streaming gate, so every
     * registry query has a PLANS.md entry. */

@@ -67,6 +67,24 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(canon(hinted).nonEmpty)
   }
 
+  test("SQL surface: range_binned() resolves from SQL text and rewrites the join") {
+    (0 until 200).map(i => (i.toLong, i * 0.5)).toDF("pid", "v")
+      .createOrReplaceTempView("rj_points")
+    Seq((1L, 10.0, 20.0), (2L, 77.0, 80.5)).toDF("iid", "lo", "hi")
+      .createOrReplaceTempView("rj_intervals")
+    val sqlDf = spark.sql(
+      """SELECT pid, iid FROM rj_points p JOIN rj_intervals i
+         ON range_binned(p.v, i.lo, i.hi, 5.0)""")
+    val plan = sqlDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"SQL range join kept nested loop:\n$plan")
+    val expect = spark.sql(
+      """SELECT pid, iid FROM rj_points p JOIN rj_intervals i
+         ON p.v >= i.lo AND p.v <= i.hi""").collect().map(_.toString).sorted.toSeq
+    assert(sqlDf.collect().map(_.toString).sorted.toSeq == expect)
+    assert(expect.nonEmpty)
+  }
+
   test("width trades replication: interval rows explode to span/width bins") {
     // whitebox: the optimized plan of a binned join must contain the
     // generated bin columns (proof the rewrite, not some other path, ran)
