@@ -1335,7 +1335,105 @@ object CurationQueries extends Registry {
     },
     Some(tagOracleSql))
 
+  /** Per-source language purity via Gini impurity (1 − Σ p²) — the
+    * log-free concentration measure (entropy needs libm `ln`, which no
+    * cross-engine hash can gate — the q42 stance): per source, the
+    * language mix, its Gini, and the deterministic majority language
+    * (max by (count, lang) — tie-safe). The data-quality screen that
+    * catches mislabeled or mixed-language sources before they pollute a
+    * mixture plan (q141).
+    *
+    * Scale: two keyed aggregates — (source, lang) counts then a
+    * |sources|-row rollup; p² terms are exact per-term IEEE ops and the
+    * Σ rides the scale-18 decimal route, so the impurity is
+    * partition-order-proof.
+    */
+  private val q225 = Q("q225_source_purity",
+    (s, d) => {
+      import graft.functions.{StableAgg => SA}
+      val byLang = Tables.documents(s, d)
+        .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      // window first (per-source totals), THEN aggregate — a window
+      // cannot nest inside an aggregate, and both key by source so the
+      // exchange is shared anyway
+      val withP = byLang
+        .withColumn("n_src",
+          sum(col("c")).over(Window.partitionBy("source")))
+        .withColumn("pr",
+          col("c").cast("double") / col("n_src").cast("double"))
+      val bySource = withP.groupBy("source")
+        .agg(max(col("n_src")).as("n_docs"), count(lit(1)).as("n_langs"),
+          max(struct(col("c"), col("lang"))).as("mx"),
+          SA.dsum(col("pr") * col("pr"), 18).as("sum_p2"))
+      bySource.select(col("source"), col("n_docs"), col("n_langs"),
+          col("mx.lang").as("majority_lang"),
+          (col("mx.c").cast("double") / col("n_docs").cast("double"))
+            .as("majority_share"),
+          (lit(1.0d) - col("sum_p2")).as("gini_impurity"))
+        .orderBy("source")
+    },
+    Some(s"""WITH bl AS (SELECT source, lang, COUNT(*) AS c
+        FROM documents GROUP BY source, lang),
+      p AS (SELECT source, lang, c,
+          CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY source) AS DOUBLE) AS pr
+        FROM bl),
+      g AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+          CAST(COUNT(*) AS BIGINT) AS n_langs,
+          arg_max(lang, printf('%012d|%s', c, lang)) AS majority_lang,
+          CAST(MAX(printf('%012d', c)) AS BIGINT) AS mx_c,
+          ${graft.OracleSql.dsum("pr * pr", 18)} AS sum_p2
+        FROM p GROUP BY source)
+      SELECT source, n_docs, n_langs, majority_lang,
+        CAST(mx_c AS DOUBLE) / CAST(n_docs AS DOUBLE) AS majority_share,
+        1.0::DOUBLE - sum_p2 AS gini_impurity
+      FROM g ORDER BY source"""))
+
+  /** Corpus distribution drift between two snapshots (the halves of the
+    * corpus by doc_id parity): per-token relative frequencies p (old)
+    * and q (new) over the UNION vocabulary, ranked by absolute drift —
+    * the token-level report a data-quality monitor emits when a new
+    * crawl shifts the distribution. Top-20 by (|p−q| desc, token asc) —
+    * a total order, so the cut is deterministic.
+    *
+    * Scale: one token explode, two conditional aggregates in a single
+    * (token)-keyed pass, two 1-row totals broadcast back, and the
+    * top-20 compiles to TakeOrderedAndProject — per-partition heaps,
+    * |vocab| never sorts globally.
+    */
+  private val q226 = Q("q226_distribution_drift",
+    (s, d) => {
+      val toks = Tables.fanOut(Tables.documents(s, d))
+        .select((col("doc_id") % 2 === 0).as("is_old"),
+          explode(TextAnalysis.tokens(col("text"))).as("t"))
+      val counts = toks.groupBy("t").agg(
+        sum(when(col("is_old"), 1L).otherwise(0L)).as("c_old"),
+        sum(when(!col("is_old"), 1L).otherwise(0L)).as("c_new"))
+      val totals = counts.agg(sum(col("c_old")).as("n_old"),
+        sum(col("c_new")).as("n_new"))
+      counts.crossJoin(broadcast(totals))
+        .withColumn("p_old", col("c_old").cast("double") / col("n_old").cast("double"))
+        .withColumn("p_new", col("c_new").cast("double") / col("n_new").cast("double"))
+        .withColumn("abs_drift", abs(col("p_old") - col("p_new")))
+        .select("t", "c_old", "c_new", "p_old", "p_new", "abs_drift")
+        .orderBy(col("abs_drift").desc, col("t").asc)
+        .limit(20)
+    },
+    Some("""WITH tk AS (SELECT doc_id % 2 = 0 AS is_old,
+          unnest(string_split(text, ' ')) AS t FROM documents),
+      c AS (SELECT t,
+          CAST(SUM(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT) AS c_old,
+          CAST(SUM(CASE WHEN is_old THEN 0 ELSE 1 END) AS BIGINT) AS c_new
+        FROM tk GROUP BY t),
+      tot AS (SELECT CAST(SUM(c_old) AS BIGINT) AS n_old,
+          CAST(SUM(c_new) AS BIGINT) AS n_new FROM c),
+      x AS (SELECT t, c_old, c_new,
+          CAST(c_old AS DOUBLE) / CAST(n_old AS DOUBLE) AS p_old,
+          CAST(c_new AS DOUBLE) / CAST(n_new AS DOUBLE) AS p_new
+        FROM c CROSS JOIN tot)
+      SELECT t, c_old, c_new, p_old, p_new, abs(p_old - p_new) AS abs_drift
+      FROM x ORDER BY abs_drift DESC, t LIMIT 20"""))
+
   override val all: Seq[Q] = Seq(q177, q178, q179, q180, q181, q182, q183,
     q184, q185, q186, q188, q189, q190, q191, q192, q193, q194, q195, q196,
-    q197, q198, q199, q200, q201, q202, q204, q205, q206, q207)
+    q197, q198, q199, q200, q201, q202, q204, q205, q206, q207, q225, q226)
 }

@@ -168,7 +168,8 @@ object PlanAudit {
     "q198_freshness_weights",   // 1-row max-day scalar crossJoin
     "q199_zipf_head",           // 1-row token-total scalar crossJoin on 20 rows
     "q203_modularity",          // 1-row 2m edge-count scalar crossJoin
-    "q214_dsir_importance")     // 1-row (nt, ns, V) corpus-stat scalar crossJoin
+    "q214_dsir_importance",     // 1-row (nt, ns, V) corpus-stat scalar crossJoin
+    "q226_distribution_drift")  // 1-row (n_old, n_new) totals scalar crossJoin
 
   // ---------------------------------------------------------------------
   // Curated scale narratives (kept from rounds 2-7; auto entries cover the
@@ -337,7 +338,11 @@ object PlanAudit {
     "q223_amihud_illiquidity" ->
       "Amihud illiquidity (r08): one shuffle to daily bars (deterministic struct-max close, decimal notional), one symbol-keyed lag window, one |symbols|-row aggregate — the q147 profile with a liquidity numerator; libm-free so the scale-18 mean hashes cross-engine.",
     "q224_schema_evolution" ->
-      "Schema evolution (r08): mergeSchema unions file footers (metadata-only — no data read to discover the evolved column), v1 rows null-fill at scan time, and the evolved-column aggregate hash-matches an oracle reconstructing the same migration. Additive evolution is the only in-place kind at 100 TB; everything else is q205's rewrite path.")
+      "Schema evolution (r08): mergeSchema unions file footers (metadata-only — no data read to discover the evolved column), v1 rows null-fill at scan time, and the evolved-column aggregate hash-matches an oracle reconstructing the same migration. Additive evolution is the only in-place kind at 100 TB; everything else is q205's rewrite path.",
+    "q225_source_purity" ->
+      "Source purity (r08): (source, lang) counts, a source-keyed window for totals, and a |sources|-row rollup all share ONE exchange; Gini (1 − Σp², log-free on purpose) rides the scale-18 decimal route and the majority language is a deterministic struct max.",
+    "q226_distribution_drift" ->
+      "Distribution drift (r08): one token explode feeds a single (token)-keyed conditional-count pass, the two corpus totals broadcast back as a 1-row aggregate, and the top-20 by (|p−q|, token) compiles to TakeOrderedAndProject — per-partition heaps, |vocab| never globally sorts.")
 
   /** Micro-batch topology notes — one per streaming gate, so every
     * registry query has a PLANS.md entry. */

@@ -299,4 +299,31 @@ class CurationCertificatesSpec extends SparkSpec {
     assert(rows.forall { case (a, b, d) => a < b && d >= 0 && d <= 3 })
     assert(rows.map(p => (p._1, p._2)).distinct.length == rows.length)
   }
+
+  test("q225 Gini impurity is bounded by the language count and zero iff pure") {
+    val rows = run("q225_source_purity")
+      .select("n_langs", "majority_share", "gini_impurity")
+      .as[(Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, share, gini) =>
+      assert(gini >= -1e-12 && gini <= 1.0 - 1.0 / k + 1e-12,
+        s"gini $gini out of [0, 1-1/$k]")
+      assert(share >= 1.0 / k - 1e-12 && share <= 1.0 + 1e-12)
+      if (k == 1) assert(math.abs(gini) < 1e-12, "pure source must have gini 0")
+    }
+  }
+
+  test("q226 drift rows are internally consistent and sorted by drift") {
+    val rows = run("q226_distribution_drift")
+      .select("p_old", "p_new", "abs_drift").as[(Double, Double, Double)].collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { case (p, q2, d) =>
+      assert(p >= 0 && p <= 1 && q2 >= 0 && q2 <= 1)
+      assert(math.abs(d - math.abs(p - q2)) < 1e-18)
+    }
+    assert(rows.map(_._3).toSeq.sliding(2).forall {
+      case Seq(a, b) => a >= b
+      case _ => true
+    }, "not sorted by descending drift")
+  }
 }
