@@ -797,8 +797,9 @@ object CurationQueries extends Registry {
     Some("""WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
           AS n_toks FROM documents),
       b AS (SELECT n_toks, ((n_toks + 15) // 16) * 16 AS bucket FROM t)
-      SELECT bucket, COUNT(*) AS n_docs, SUM(n_toks) AS real_tokens,
-        SUM(bucket - n_toks) AS padding,
+      SELECT bucket, COUNT(*) AS n_docs,
+        CAST(SUM(n_toks) AS BIGINT) AS real_tokens,
+        CAST(SUM(bucket - n_toks) AS BIGINT) AS padding,
         CAST(SUM(n_toks) AS DOUBLE) / (bucket * COUNT(*)) AS utilization
       FROM b GROUP BY bucket ORDER BY bucket"""))
 
@@ -956,9 +957,10 @@ object CurationQueries extends Registry {
             ORDER BY n_chars DESC, doc_id) AS rn
         FROM documents)
       SELECT source, COUNT(*) AS n_docs,
-        SUM(CASE WHEN rn <= 20 THEN 1 ELSE 0 END) AS n_kept,
-        SUM(CASE WHEN rn > 20 THEN 1 ELSE 0 END) AS n_spilled,
-        SUM(CASE WHEN rn <= 20 THEN doc_id ELSE 0 END) AS kept_checksum
+        CAST(SUM(CASE WHEN rn <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(SUM(CASE WHEN rn > 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_spilled,
+        CAST(SUM(CASE WHEN rn <= 20 THEN doc_id ELSE 0 END) AS BIGINT)
+          AS kept_checksum
       FROM r GROUP BY source ORDER BY source"""))
 
   /** Freshness-decay weighting with EXACT power-of-two half-life
@@ -1188,7 +1190,8 @@ object CurationQueries extends Registry {
     Some {
       val parts = fdCandidates.map { case (name, table, lhs, rhs) =>
         s"""SELECT '$name' AS fd, COUNT(*) AS n_lhs,
-          SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS n_violating,
+          CAST(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_violating,
           SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) = 0 AS holds
         FROM (SELECT $lhs, COUNT(DISTINCT $rhs) AS ndv
               FROM $table GROUP BY $lhs)"""
@@ -1253,8 +1256,9 @@ object CurationQueries extends Registry {
           SUM(bytes) OVER (ORDER BY bytes DESC, file_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         FROM files),
-      b AS (SELECT (cum - 1) // 1000 AS bin, bytes FROM c)
-      SELECT bin, COUNT(*) AS n_files, SUM(bytes) AS tot_bytes,
+      b AS (SELECT CAST((cum - 1) // 1000 AS BIGINT) AS bin, bytes FROM c)
+      SELECT bin, COUNT(*) AS n_files,
+        CAST(SUM(bytes) AS BIGINT) AS tot_bytes,
         CAST(SUM(bytes) AS DOUBLE) / 1000 AS fill
       FROM b GROUP BY bin ORDER BY bin"""))
 

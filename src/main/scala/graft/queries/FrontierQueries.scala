@@ -835,7 +835,8 @@ object FrontierQueries extends Registry {
       ein AS (SELECT a.lbl AS community, COUNT(*) AS e_in
         FROM e JOIN l1 a ON e.src = a.node JOIN l1 b ON e.dst = b.node
         WHERE a.lbl = b.lbl GROUP BY a.lbl),
-      dm AS (SELECT l1.lbl AS community, SUM(deg) AS deg_sum,
+      dm AS (SELECT l1.lbl AS community,
+          CAST(SUM(deg) AS BIGINT) AS deg_sum,
           COUNT(*) AS n_nodes
         FROM (SELECT src, COUNT(*) AS deg FROM e GROUP BY src) d
         JOIN l1 ON d.src = l1.node GROUP BY l1.lbl)
