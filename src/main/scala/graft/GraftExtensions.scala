@@ -83,6 +83,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("range_binned", "range_binned(point, lo, hi, width): point BETWEEN lo AND hi, tagged for the bin-bucketed range-join rewrite"),
       (exprs: Seq[Expression]) => {
         require(exprs.length == 4, "range_binned(point, lo, hi, width)")
+        // Check foldability BEFORE eval(): a column reference as width
+        // would otherwise throw an opaque unbound-attribute error from
+        // eval() instead of this usage message.
+        if (!exprs(3).resolved || !exprs(3).foldable)
+          throw new IllegalArgumentException(
+            "range_binned(point, lo, hi, width): width must be a numeric " +
+              s"literal (got non-foldable expression ${exprs(3).sql})")
         val w = exprs(3).eval() match {
           case n: Number => n.doubleValue()
           case d: org.apache.spark.sql.types.Decimal => d.toDouble

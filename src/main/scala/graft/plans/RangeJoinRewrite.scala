@@ -3,10 +3,13 @@ package graft.plans
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, BooleanType, ByteType,
+  DataType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 
 /** Opt-in range-join predicate for [[RangeJoinRewrite]]: semantically
   * `point >= lo AND point <= hi` (it evaluates and codegens as exactly
@@ -68,6 +71,26 @@ case class RangePredicate(point: Expression, lo: Expression, hi: Expression,
   * replaces the marker with its expanded comparisons, so the fixed-point
   * optimizer batch cannot re-fire.
   */
+/** Runtime guard target for [[RangeJoinRewrite]]'s interval explosion
+  * (invoked via `StaticInvoke`, so it codegens as a plain static call).
+  */
+object RangeBins {
+  /** Hard cap on bins one interval may explode to. A span past this is
+    * either a non-finite bound (+∞ saturates to a Long.MaxValue bin) or
+    * a width orders of magnitude below the data span — both would build
+    * a multi-million-element array PER ROW; failing fast with the cause
+    * beats an executor OOM, and silently emitting fewer bins would drop
+    * rows the plain BETWEEN keeps.
+    */
+  final val MaxBinsPerInterval: Long = 1L << 20
+
+  def overflow(binLo: Long, binHi: Long): ArrayData =
+    throw new IllegalArgumentException(
+      s"range_binned: one interval spans bins [$binLo, $binHi] — more " +
+        s"than $MaxBinsPerInterval bins per interval. A non-finite bound " +
+        "or a bin width far below the interval span; widen the width.")
+}
+
 object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
@@ -75,7 +98,14 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         if splitConjunctivePredicates(cond).exists(_.isInstanceOf[RangePredicate]) =>
       val conjuncts = splitConjunctivePredicates(cond)
       val h = conjuncts.collectFirst { case r: RangePredicate => r }.get
-      val rest = conjuncts.filterNot(_ eq h)
+      // Expand every OTHER marker to its comparisons in this same pass:
+      // the output must never contain a marker, even if the enclosing
+      // batch runs Once (a leftover marker is correct but unoptimized,
+      // and would silently skip the rewrite it asked for).
+      val rest = conjuncts.filterNot(_ eq h).map {
+        case r: RangePredicate => r.expanded
+        case e => e
+      }
 
       def within(e: Expression, side: LogicalPlan): Boolean =
         e.references.nonEmpty && e.references.subsetOf(side.outputSet)
@@ -88,11 +118,32 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           Some((right, left, true))
         else None
 
-      oriented match {
-        case Some((pointSide, intervalSide, flipped)) =>
+      // Exact binning only. Integral operands bin with native long
+      // floor-division (Math.floorDiv): casting a >2^53 long (e.g. a
+      // nanosecond epoch) to double first would round it, collapsing
+      // distinct values into coarsened bins and breaking the documented
+      // bin semantics. Floating operands keep the double path — IEEE
+      // divide and floor are monotone, so a point's bin always lies
+      // inside its covering interval's bin range. Anything else
+      // (decimal, mixed integral/floating) cannot bin exactly here and
+      // falls back to the expanded BETWEEN below.
+      val opTypes = Seq(h.point.dataType, h.lo.dataType, h.hi.dataType)
+      val binOfExact: Option[Expression => Expression] =
+        if (opTypes.forall(t => t == ByteType || t == ShortType ||
+              t == IntegerType || t == LongType) &&
+            h.width == math.floor(h.width) && h.width >= 1.0 &&
+            h.width <= (1L << 62).toDouble) {
+          val wL = Literal(h.width.toLong, LongType)
+          Some(e => StaticInvoke(classOf[java.lang.Math], LongType,
+            "floorDiv", Seq(Cast(e, LongType), wL), Seq(LongType, LongType),
+            returnNullable = false))
+        } else if (opTypes.forall(t => t == DoubleType || t == FloatType)) {
           val w = Literal(h.width, DoubleType)
-          def binOf(e: Expression): Expression =
-            Cast(Floor(Divide(Cast(e, DoubleType), w)), LongType)
+          Some(e => Cast(Floor(Divide(Cast(e, DoubleType), w)), LongType))
+        } else None
+
+      (oriented, binOfExact) match {
+        case (Some((pointSide, intervalSide, flipped)), Some(binOf)) =>
           val binL = Alias(binOf(h.point), "__graft_bin_l")()
           val points2 = Project(pointSide.output :+ binL, pointSide)
           val binR = AttributeReference("__graft_bin_r", LongType)()
@@ -106,10 +157,23 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           // plain BETWEEN returns for lo > hi).
           val binLo = binOf(h.lo)
           val binHi = binOf(h.hi)
-          val seq = If(LessThanOrEqual(binLo, binHi),
+          val arrTy = ArrayType(LongType, containsNull = false)
+          // Bin-explosion guard: a span past MaxBinsPerInterval means a
+          // non-finite bound (+∞ saturates to a Long.MaxValue bin) or a
+          // width far below the data span — fail fast with the cause
+          // instead of materializing a giant per-row array. The span is
+          // compared in double space so Long.MaxValue − Long.MinValue
+          // cannot wrap.
+          val span = Subtract(Cast(binHi, DoubleType), Cast(binLo, DoubleType))
+          val guarded = If(
+            LessThanOrEqual(span,
+              Literal(RangeBins.MaxBinsPerInterval.toDouble, DoubleType)),
             new Sequence(binLo, binHi, None, Some(conf.sessionLocalTimeZone)),
-            Literal.create(Array.empty[Long],
-              org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)))
+            StaticInvoke(classOf[RangeBins.type], arrTy, "overflow",
+              Seq(binLo, binHi), Seq(LongType, LongType),
+              returnNullable = false))
+          val seq = If(LessThanOrEqual(binLo, binHi), guarded,
+            Literal.create(Array.empty[Long], arrTy))
           val intervals2 = Generate(
             Explode(seq),
             unrequiredChildIndex = Nil, outer = false, qualifier = None,
@@ -119,10 +183,11 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           val (newLeft, newRight) =
             if (flipped) (intervals2, points2) else (points2, intervals2)
           Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), joinHint))
-        case None =>
-          // unrecognizable orientation (e.g. literal bounds): expand the
-          // marker to its comparisons so the batch terminates with the
-          // exact original semantics
+        case _ =>
+          // unrecognizable orientation (e.g. literal bounds) or operand
+          // types that cannot bin exactly: expand the marker to its
+          // comparisons so the batch terminates with the exact original
+          // semantics
           val expanded = (h.expanded +: rest).reduce(And)
           Join(left, right, Inner, Some(expanded), joinHint)
       }

@@ -18,7 +18,7 @@ trait Registry {
 /** Shared harness for the streaming replay gates (q108, q111, q119-q123,
   * q127, q131, q133).
   */
-private[queries] object StreamGate {
+private[graft] object StreamGate {
 
   /** Clamp shuffle (= streaming state-store) partitions around a replay
     * gate's stream. Each stateful operator loads and commits one state
@@ -65,9 +65,40 @@ private[queries] object StreamGate {
     val prevNd = s.conf.get(ndKey)
     s.conf.set(key, eff.toString)
     s.conf.set(ndKey, noDataBatches.toString)
-    try body finally {
+    try {
+      val r = body
+      r match {
+        case q: org.apache.spark.sql.streaming.StreamingQuery if capturing =>
+          capturedQueries += q
+        case _ =>
+      }
+      r
+    } finally {
       s.conf.set(key, prev)
       s.conf.set(ndKey, prevNd)
     }
   }
+
+  /** Plan-attestation hook: every StreamingQuery started through
+    * [[withStatePartitions]] (all 22 gates funnel their `.start()` here)
+    * is recorded while capture is on, so the plan-invariant harness can
+    * read each handle's `lastExecution` — the executed micro-batch plan —
+    * AFTER the gate returns: the IncrementalExecution object outlives
+    * `stop()`. Off by default; production paths retain nothing.
+    */
+  private val capturedQueries =
+    new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.streaming.StreamingQuery]
+  @volatile private var capturing = false
+
+  /** Run `body` (typically one registry streaming gate) and return its
+    * result plus every StreamingQuery it started. Synchronized: gates run
+    * one at a time in the audit paths that use this.
+    */
+  def captureStreamingQueries[A](body: => A): (A, Seq[org.apache.spark.sql.streaming.StreamingQuery]) =
+    synchronized {
+      capturing = true
+      capturedQueries.clear()
+      try { val r = body; (r, capturedQueries.toList) }
+      finally { capturing = false; capturedQueries.clear() }
+    }
 }

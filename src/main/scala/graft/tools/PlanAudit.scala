@@ -46,6 +46,11 @@ object PlanAudit {
   def batchQueryNames: Seq[String] =
     graft.SparkEntry.queries.keys.toSeq.filterNot(streamingGates).sorted
 
+  /** Streaming gates in name order — audited via their executed
+    * micro-batch plans (captured through StreamGate). */
+  def streamingQueryNames: Seq[String] =
+    graft.SparkEntry.queries.keys.toSeq.filter(streamingGates).sorted
+
   /** One plan-shape invariant record, derived purely from
     * `explain("formatted")` text so it captures exactly what a human plan
     * review reads. Counts cover the whole explain output including
@@ -56,6 +61,13 @@ object PlanAudit {
     * @param readSchemas       per-scan `<file>=<ReadSchema struct>` in plan
     *                          order (catches both lost column pruning and
     *                          fixture-encoding drift, the round-6 incident)
+    */
+  /** @param stateOps  streaming gates: stateful operator count in the
+    *                   executed micro-batch plan (state-store saves,
+    *                   TWS/fMGWS, streaming dedup/joins); 0 for batch
+    * @param mode       streaming gates: sink output mode of the last
+    *                   micro-batch ("Append"/"Complete"/"Update");
+    *                   "batch" for batch queries
     */
   final case class PlanRecord(
       name: String,
@@ -70,16 +82,19 @@ object PlanAudit {
       generates: Int,
       scans: Int,
       scansWithPushdown: Int,
-      readSchemas: Seq[String]) {
+      readSchemas: Seq[String],
+      stateOps: Int = 0,
+      mode: String = "batch") {
     def tsvLine: String =
       s"$name\t$exchanges\t$reusedExchanges\t$broadcastExchanges\t$bhj\t$smj" +
         s"\t$shj\t$bnlj\t$cartesian\t$generates\t$scans\t$scansWithPushdown" +
-        s"\t${readSchemas.mkString(";")}"
+        s"\t${readSchemas.mkString(";")}\t$stateOps\t$mode"
   }
 
   val tsvHeader: String =
     "name\texchanges\treused_exchanges\tbroadcast_exchanges\tbhj\tsmj\tshj" +
-      "\tbnlj\tcartesian\tgenerates\tscans\tscans_with_pushdown\tread_schemas"
+      "\tbnlj\tcartesian\tgenerates\tscans\tscans_with_pushdown\tread_schemas" +
+      "\tstate_ops\tmode"
 
   def parseTsv(text: String): Map[String, PlanRecord] =
     text.linesIterator.drop(1).filter(_.nonEmpty).map { l =>
@@ -87,7 +102,9 @@ object PlanAudit {
       val schemas = if (f(12).isEmpty) Seq.empty[String] else f(12).split(";").toSeq
       f(0) -> PlanRecord(f(0), f(1).toInt, f(2).toInt, f(3).toInt, f(4).toInt,
         f(5).toInt, f(6).toInt, f(7).toInt, f(8).toInt, f(9).toInt,
-        f(10).toInt, f(11).toInt, schemas)
+        f(10).toInt, f(11).toInt, schemas,
+        if (f.length > 13) f(13).toInt else 0,
+        if (f.length > 14) f(14) else "batch")
     }.toMap
 
   /** Formatted explain text for a registry query (initial physical plan;
@@ -140,6 +157,68 @@ object PlanAudit {
 
   def record(spark: SparkSession, name: String, sf: String): PlanRecord =
     record(name, planText(spark, name, sf))
+
+  /** Stateful streaming operator node names as they print in a
+    * SparkPlan tree (nodeName strips the Exec suffix). */
+  private val stateOpTokens = Set(
+    "StateStoreSave", "SessionWindowStateStoreSave", "TransformWithState",
+    "FlatMapGroupsWithState", "StreamingDeduplicate",
+    "StreamingDeduplicateWithinWatermark", "StreamingGlobalLimit",
+    "StreamingSymmetricHashJoin")
+
+  private val streamNode = """^[\s+:|*()0-9-]*([A-Za-z][A-Za-z]*)""".r.unanchored
+
+  /** Invariant record for a streaming gate, from the executed plans of
+    * the StreamingQuery handles the gate started (captured via
+    * `StreamGate.captureStreamingQueries`; `lastExecution` outlives
+    * `stop()`). Counts come from the LAST handle's last micro-batch —
+    * the resumed run for restart gates — except bnlj/cartesian, which
+    * take the max over every run so a nested loop in ANY micro-batch
+    * trips the gate. Scan schemas aren't pinned (the simple tree string
+    * truncates metadata); the dtype surface is the hash gate's job.
+    */
+  def streamRecord(name: String,
+      queries: Seq[org.apache.spark.sql.streaming.StreamingQuery]): PlanRecord = {
+    import org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper
+    require(queries.nonEmpty,
+      s"$name: gate started no StreamingQuery through StreamGate — cannot attest")
+    def lastExec(q: org.apache.spark.sql.streaming.StreamingQuery) = q match {
+      case w: StreamingQueryWrapper => Option(w.streamingQuery.lastExecution)
+        .getOrElse(throw new IllegalStateException(
+          s"$name: no micro-batch executed — cannot attest the streaming plan"))
+      case other => throw new IllegalStateException(
+        s"$name: cannot inspect ${other.getClass.getName}")
+    }
+    def tokens(plan: String): Seq[String] =
+      plan.linesIterator.toSeq.collect { case streamNode(t) => t }
+    val plans = queries.map(q => tokens(lastExec(q).executedPlan.toString))
+    val t = plans.last
+    def c(tok: String) = t.count(_ == tok)
+    PlanRecord(
+      name = name,
+      exchanges = c("Exchange"),
+      reusedExchanges = c("ReusedExchange"),
+      broadcastExchanges = c("BroadcastExchange"),
+      bhj = c("BroadcastHashJoin"),
+      smj = c("SortMergeJoin"),
+      shj = c("ShuffledHashJoin"),
+      bnlj = plans.map(_.count(_ == "BroadcastNestedLoopJoin")).max,
+      cartesian = plans.map(_.count(_ == "CartesianProduct")).max,
+      generates = c("Generate"),
+      scans = c("FileScan"),
+      scansWithPushdown = 0,
+      readSchemas = Nil,
+      stateOps = t.count(stateOpTokens),
+      mode = lastExec(queries.last).outputMode.toString)
+  }
+
+  /** Run one streaming gate under capture and derive its record. */
+  def streamRecord(spark: SparkSession, name: String, sf: String): PlanRecord = {
+    val (_, qs) = graft.queries.StreamGate.captureStreamingQueries {
+      graft.SparkEntry.queries(name)(spark, sf).count() // drive the gate
+    }
+    streamRecord(name, qs)
+  }
 
   /** The SF both the generator and PlanInvariantsSpec plan against — the
     * driver's correctness SF, so broadcast-threshold decisions in the
@@ -407,7 +486,13 @@ object PlanAudit {
     allNames.foreach { name =>
       if (streamingGates(name)) {
         val note = streamingNotes.getOrElse(name, "streaming gate")
+        val rec = streamRecord(spark, name, sf)
+        records += rec
         sb.append(s"## $name (streaming gate)\n\n$note\n\n")
+        sb.append(s"Executed micro-batch plan invariants (last batch): " +
+          s"state_ops=${rec.stateOps}, mode=${rec.mode}, " +
+          s"exchanges=${rec.exchanges}, bnlj=${rec.bnlj}, " +
+          s"cartesian=${rec.cartesian}.\n\n")
       } else {
         val note = audited.getOrElse(name,
           "Auto-audited: plan-shape invariants pinned in plan_invariants.tsv (PlanInvariantsSpec).")

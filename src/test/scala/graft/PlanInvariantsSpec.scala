@@ -2,13 +2,18 @@ package graft
 
 import graft.tools.PlanAudit
 
-/** The asserting half of the plan audit: recomputes every batch query's
-  * plan-shape invariant record (exchange/join/scan node counts, pushdown
-  * coverage, per-scan ReadSchema) and diffs it against the checked-in
-  * golden `docs/plan_invariants.tsv`, so a plan regression — an extra
-  * shuffle, a lost PushedFilters, a broadcast→SMJ flip, a widened
-  * ReadSchema, a CartesianProduct sneaking in — fails `sbt test` exactly
-  * the way a wrong answer fails CORRECTNESS.
+/** The asserting half of the plan audit: recomputes every registry
+  * query's plan-shape invariant record and diffs it against the
+  * checked-in golden `docs/plan_invariants.tsv`, so a plan regression —
+  * an extra shuffle, a lost PushedFilters, a broadcast→SMJ flip, a
+  * widened ReadSchema, a CartesianProduct sneaking in — fails `sbt test`
+  * exactly the way a wrong answer fails CORRECTNESS.
+  *
+  * Batch queries are audited from their formatted explain; streaming
+  * gates are audited from the EXECUTED last micro-batch plan of every
+  * StreamingQuery the gate starts (captured through StreamGate, read
+  * via lastExecution after the gate returns) — state-operator count,
+  * sink output mode, exchange/join shape.
   *
   * After an INTENTIONAL plan change, regenerate with
   * `sbt -batch "runMain graft.tools.PlanAudit"` and review the tsv diff —
@@ -24,18 +29,26 @@ class PlanInvariantsSpec extends SparkSpec {
     PlanAudit.batchQueryNames
       .map(n => n -> PlanAudit.record(spark, n, PlanAudit.invariantSf)).toMap
 
-  test("every batch registry query has a golden plan-invariant record") {
-    val missing = PlanAudit.batchQueryNames.filterNot(golden.contains)
+  private lazy val currentStream: Map[String, PlanAudit.PlanRecord] =
+    PlanAudit.streamingQueryNames
+      .map(n => n -> PlanAudit.streamRecord(spark, n, PlanAudit.invariantSf)).toMap
+
+  private def allNames: Seq[String] =
+    PlanAudit.batchQueryNames ++ PlanAudit.streamingQueryNames
+
+  test("every registry query (batch AND streaming) has a golden plan-invariant record") {
+    val missing = allNames.filterNot(golden.contains)
     assert(missing.isEmpty,
       s"queries missing from docs/plan_invariants.tsv (regenerate with " +
         s"`sbt \"runMain graft.tools.PlanAudit\"`): ${missing.mkString(", ")}")
-    val stale = golden.keys.filterNot(PlanAudit.batchQueryNames.contains).toSeq.sorted
+    val stale = golden.keys.filterNot(allNames.contains).toSeq.sorted
     assert(stale.isEmpty, s"golden records for queries no longer in the registry: ${stale.mkString(", ")}")
   }
 
   test("plan-shape records match the golden file (no silent plan regressions)") {
-    val diffs = PlanAudit.batchQueryNames.flatMap { n =>
-      (golden.get(n), current.get(n)) match {
+    val combined = current ++ currentStream
+    val diffs = allNames.flatMap { n =>
+      (golden.get(n), combined.get(n)) match {
         case (Some(g), Some(c)) if g != c =>
           Some(s"$n:\n  golden : ${g.tsvLine}\n  current: ${c.tsvLine}")
         case _ => None
@@ -48,12 +61,30 @@ class PlanInvariantsSpec extends SparkSpec {
   }
 
   test("no CartesianProduct anywhere; BNLJ only on documented tiny sides") {
-    val cart = current.values.filter(_.cartesian > 0).map(_.name).toSeq.sorted
+    val all = current.values ++ currentStream.values
+    val cart = all.filter(_.cartesian > 0).map(_.name).toSeq.sorted
     assert(cart.isEmpty, s"CartesianProduct in: ${cart.mkString(", ")}")
-    val badBnlj = current.values
+    val badBnlj = all
       .filter(r => r.bnlj > 0 && !PlanAudit.bnljAllowed(r.name)).map(_.name).toSeq.sorted
     assert(badBnlj.isEmpty,
       s"BroadcastNestedLoopJoin outside the documented tiny-side allowlist " +
         s"(PlanAudit.bnljAllowed): ${badBnlj.mkString(", ")}")
+  }
+
+  test("streaming gates carry executed-plan evidence: a real sink mode, state where claimed") {
+    // every streaming record must come from an actual micro-batch (mode
+    // is the IncrementalExecution's, never the "batch" placeholder), and
+    // the stateless gates are exactly the documented stateless set
+    // stateless appenders: stream-static joins (ANN probe, range join),
+    // the per-row tagger, and the foreachBatch overwrite sink
+    val stateless = Set("q127_streaming_ann", "q220_streaming_range_join",
+      "q154_foreach_batch_sink", "q204_streaming_tagging")
+    currentStream.values.foreach { r =>
+      assert(r.mode != "batch", s"${r.name}: no executed micro-batch plan captured")
+      if (stateless(r.name))
+        assert(r.stateOps == 0, s"${r.name}: expected stateless, got ${r.stateOps} state ops")
+      else
+        assert(r.stateOps > 0, s"${r.name}: claimed stateful but no state operator in the executed plan")
+    }
   }
 }

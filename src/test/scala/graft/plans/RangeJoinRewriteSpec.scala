@@ -85,6 +85,93 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(expect.nonEmpty)
   }
 
+  test("integral operands past 2^53 bin exactly (long floorDiv, no double rounding)") {
+    // nanosecond-epoch magnitudes: base 2^60 — a long→double cast here
+    // rounds to multiples of 256, which would coarsen bins; the exact
+    // floorDiv path must keep the binned join identical to plain BETWEEN
+    // AND nested-loop-free
+    val base = 1L << 60
+    val pts = (0L until 400L).map(i => (i, base + i * 3)).toDF("pid", "v")
+    val iv = Seq((1L, base + 10, base + 40), (2L, base + 100, base + 100),
+      (3L, base + 500, base + 200), // inverted → empty
+      (4L, base + 700, base + 1300)).toDF("iid", "lo", "hi")
+    val plain = pts.join(iv, $"v" >= $"lo" && $"v" <= $"hi")
+    val binned = RangeJoin.binned(pts, $"v", iv, $"lo", $"hi", width = 7.0)
+    assert(canon(binned) == canon(plain))
+    assert(canon(binned).nonEmpty)
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"integral range join kept nested loop:\n$plan")
+  }
+
+  test("integral operands with a fractional width fall back to exact BETWEEN") {
+    // 0.5 bins cannot be computed exactly in long arithmetic and the
+    // double path would round >2^53 longs — the rule must expand the
+    // marker (correct results; no silent mis-binning)
+    val base = 1L << 60
+    val pts = (0L until 50L).map(i => (i, base + i)).toDF("pid", "v")
+    val iv = Seq((1L, base + 5, base + 12)).toDF("iid", "lo", "hi")
+    val plain = pts.join(iv, $"v" >= $"lo" && $"v" <= $"hi")
+    val binned = RangeJoin.binned(pts, $"v", iv, $"lo", $"hi", width = 0.5)
+    assert(canon(binned) == canon(plain))
+    assert(canon(binned).nonEmpty)
+    val opt = binned.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("__graft_bin_l"), s"should not have binned:\n$opt")
+  }
+
+  test("a non-finite bound fails fast with the bin-overflow message, not an OOM") {
+    val pts = Seq((1L, 5.0)).toDF("pid", "v")
+    val iv = Seq((1L, 0.0, Double.PositiveInfinity)).toDF("iid", "lo", "hi")
+    val ex = intercept[Exception] {
+      RangeJoin.binned(pts, $"v", iv, $"lo", $"hi", width = 1.0).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).exists(c => c.getMessage != null &&
+        c.getMessage.contains("range_binned")), s"unexpected error: $ex")
+  }
+
+  test("two range markers on one join: no marker survives a single pass") {
+    // second marker must be expanded to its comparisons in the SAME
+    // rewrite application (batch may run Once); results stay exact
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val pts = (0 until 100).map(i => (i.toLong, i * 1.0, i * 2.0))
+      .toDF("pid", "v", "u")
+    val iv = Seq((1L, 10.0, 30.0, 25.0, 45.0), (2L, 50.0, 60.0, 90.0, 130.0))
+      .toDF("iid", "lo", "hi", "lo2", "hi2")
+    val cond = ColumnBridge.column(RangePredicate(
+      ColumnBridge.expression($"v"), ColumnBridge.expression($"lo"),
+      ColumnBridge.expression($"hi"), 5.0)) &&
+      ColumnBridge.column(RangePredicate(
+        ColumnBridge.expression($"u"), ColumnBridge.expression($"lo2"),
+        ColumnBridge.expression($"hi2"), 5.0))
+    val both = pts.join(iv, cond)
+    val plain = pts.join(iv, $"v" >= $"lo" && $"v" <= $"hi" &&
+      $"u" >= $"lo2" && $"u" <= $"hi2")
+    assert(canon(both) == canon(plain))
+    assert(canon(both).nonEmpty)
+    val opt = both.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("rangepredicate") && !opt.contains("RangePredicate"),
+      s"marker survived optimization:\n$opt")
+  }
+
+  test("range_binned rejects a non-literal width with the usage message") {
+    (0 until 5).map(i => (i.toLong, i * 1.0)).toDF("pid", "v")
+      .createOrReplaceTempView("rj_badw_points")
+    Seq((1L, 0.0, 3.0)).toDF("iid", "lo", "hi")
+      .createOrReplaceTempView("rj_badw_iv")
+    val ex = intercept[Exception] {
+      spark.sql("""SELECT * FROM rj_badw_points p JOIN rj_badw_iv i
+         ON range_binned(p.v, i.lo, i.hi, i.hi)""").collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => c.getMessage != null &&
+      c.getMessage.contains("width must be a numeric literal")),
+      s"unexpected error: $ex")
+  }
+
   test("width trades replication: interval rows explode to span/width bins") {
     // whitebox: the optimized plan of a binned join must contain the
     // generated bin columns (proof the rewrite, not some other path, ran)
