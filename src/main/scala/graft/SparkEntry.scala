@@ -16,7 +16,8 @@ object SparkEntry {
   private val registries: Seq[Registry] =
     Seq(CoreQueries, NormalizerQueries, TrainingDataQueries, PipelineQueries,
       AnalyticsQueries, RelationalQueries, ExtendedQueries, ScaleQueries,
-      FrontierQueries, CurationQueries, LakehouseQueries, GovernanceQueries)
+      FrontierQueries, CurationQueries, LakehouseQueries, GovernanceQueries,
+      MicrostructureQueries)
 
   private lazy val qs: Seq[Q] = registries.flatMap(_.all)
 

@@ -89,8 +89,11 @@ object GraphOps {
     val e = edges.localCheckpoint()
     var lbl = nodes.withColumn("lbl", col("node"))
     for (_ <- 1 to iters) {
+      // no broadcast hint: the label table is |V|-sized, so the join
+      // strategy is AQE's call — broadcast while small, shuffle join
+      // (bucketed by node id at ingest → co-partitioned) at scale
       val fromNbrs = e
-        .join(broadcast(lbl.withColumnRenamed("node", "s")), col("src") === col("s"))
+        .join(lbl.withColumnRenamed("node", "s"), col("src") === col("s"))
         .select(col("dst").as("node"), col("lbl"))
       lbl = fromNbrs.unionByName(lbl)
         .groupBy("node").agg(min(col("lbl")).as("lbl"))

@@ -176,6 +176,16 @@ object TextAnalysis {
           j - 1 + (lit(w) + 1 - array_position(reverse(win), array_min(win)))
         })))
 
+  /** One-pass native winnowing (the [[winnowSelect]] semantics fused
+    * with hashing — see [[graft.functions.WinnowFingerprints]]):
+    * array<struct<pos, hash>> of selected fingerprints, ascending,
+    * positions 1-based into the k-gram sequence.
+    */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.WinnowFingerprints(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), k, w))
+
   def cdcChunkEnds(text: Column, w: Int): Column =
     // sequence(a, b) DESCENDS when a > b, so short docs need the guard,
     // not a least(): a doc shorter than one window has no boundary

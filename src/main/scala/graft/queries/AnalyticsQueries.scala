@@ -21,7 +21,7 @@ import graft.operators.Normalizer
 object AnalyticsQueries extends Registry {
 
   /** Normalized trade stream (the q17 shape, flattened). */
-  private def trades(s: SparkSession, d: String): DataFrame =
+  private[queries] def trades(s: SparkSession, d: String): DataFrame =
     Normalizer.normalize(NormalizerQueries.framedTrades(s, d), passthrough = Seq("src_id"))
       .select(col("src_id"), col("symbol"), col("ts_exchange_ms"),
         col("trade.price").as("price"), col("trade.size").as("sz"),
@@ -43,7 +43,7 @@ object AnalyticsQueries extends Registry {
     * struct buffer keeps the aggregate on the SortAggregate path —
     * partial combine still ships only |bars| per partition.
     */
-  private def seqKey: Column =
+  private[queries] def seqKey: Column =
     struct(((col("ts_exchange_ms") % 86400000L) * 68719476736L + col("src_id")).as("k"),
       col("price").as("p"))
 
@@ -67,7 +67,7 @@ object AnalyticsQueries extends Registry {
           CASE WHEN l_linenumber % 2 = 0 THEN 'sell' ELSE 'buy' END
         FROM base WHERE l_suppkey % 4 <> 0)"""
 
-  private val duckSeqKey = "printf('%09d|%012d|%018.6f', ts % 86400000, src_id, price)"
+  private[queries] val duckSeqKey = "printf('%09d|%012d|%018.6f', ts % 86400000, src_id, price)"
 
   /** OHLC bars (A-series extension): per (symbol, day) candle from the
     * normalized trade stream. open/close are min/max over the [[seqKey]]
@@ -770,7 +770,67 @@ object AnalyticsQueries extends Registry {
         MAX(illiq) AS max_illiq
       FROM r WHERE illiq IS NOT NULL GROUP BY symbol ORDER BY symbol"""))
 
+  /** Robust anomaly detection via median/MAD (Hampel's 3-MAD rule —
+    * the outlier screen that survives the outliers it hunts, where
+    * mean±3σ is dragged by the very tail it should flag): per event
+    * type, the exact floor-index median (q9's ExactPercentile device),
+    * the median absolute deviation around it, and the count of values
+    * past 3·MAD. Inherently two-pass (the deviation needs the median
+    * first); pass results join back as |keys|-row broadcasts.
+    *
+    * Scale: three scans but every aggregate is per-key partial/final
+    * and both join sides after pass 1 are |event_types| rows — the scan
+    * cost is the floor, and at 100 TB the exact percentiles swap for
+    * the q157 GK sketch with the identical downstream shape.
+    */
+  private val q234 = Q("q234_mad_outliers",
+    (s, d) => {
+      import graft.functions.ExactPercentile
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val med = ev.groupBy("event_type")
+        .agg(element_at(ExactPercentile(col("value"), Seq(0.5)), 1).as("med"))
+      val dev = ev.join(med, "event_type")
+        .withColumn("dev", abs(col("value") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(element_at(ExactPercentile(col("dev"), Seq(0.5)), 1).as("mad"))
+      dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          max(col("med")).as("med"),
+          max(col("mad")).as("mad"),
+          sum(when(col("dev") > lit(3.0d) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .withColumn("outlier_rate",
+          col("n_outliers").cast("double") / col("n").cast("double"))
+        .orderBy("event_type")
+    },
+    Some("""WITH r AS (SELECT event_type, value,
+          row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events),
+      med AS (SELECT event_type,
+          MAX(CASE WHEN rn = CAST(floor(0.50::DOUBLE * (n - 1)) AS BIGINT)
+            THEN value END) AS med
+        FROM r GROUP BY 1),
+      dv AS (SELECT e.event_type, abs(e.value - m.med) AS dev, m.med
+        FROM events e JOIN med m USING (event_type)),
+      r2 AS (SELECT event_type, dev, med,
+          row_number() OVER (PARTITION BY event_type ORDER BY dev) - 1 AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM dv),
+      mad AS (SELECT event_type,
+          MAX(CASE WHEN rn = CAST(floor(0.50::DOUBLE * (n - 1)) AS BIGINT)
+            THEN dev END) AS mad
+        FROM r2 GROUP BY 1)
+      SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        MAX(d.med) AS med, MAX(m.mad) AS mad,
+        CAST(SUM(CASE WHEN d.dev > 3.0::DOUBLE * m.mad THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_outliers,
+        CAST(SUM(CASE WHEN d.dev > 3.0::DOUBLE * m.mad THEN 1 ELSE 0 END)
+          AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS outlier_rate
+      FROM dv d JOIN mad m USING (event_type) GROUP BY 1 ORDER BY 1"""))
+
   override val all: Seq[Q] =
     Seq(q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
-      q221, q222, q223)
+      q221, q222, q223, q234)
 }

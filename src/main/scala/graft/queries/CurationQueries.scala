@@ -1437,7 +1437,89 @@ object CurationQueries extends Registry {
       SELECT t, c_old, c_new, p_old, p_new, abs(p_old - p_new) AS abs_drift
       FROM x ORDER BY abs_drift DESC, t LIMIT 20"""))
 
+  /** Gopher REPETITION rules (Rae et al. 2021 §A1.1 — the repetition
+    * half of the quality suite; q140 covers the word-count/character
+    * rules): per document, the fraction of word 2-grams claimed by the
+    * single most frequent 2-gram (tie → lexicographically smallest) and
+    * the fraction of word 3-grams that are duplicate occurrences
+    * (Σ (c−1) over 3-grams with c > 1). High values flag boilerplate /
+    * template spam that the length-based rules can't see.
+    *
+    * Scale: n-grams explode once per size, counts collapse map-side on
+    * (doc_id, gram), the top-1 filter compiles to a per-doc
+    * WindowGroupLimit, and the final join keys are all doc_id — the
+    * per-doc output is |docs| rows however large the corpus.
+    */
+  private val q232 = Q("q232_repetition_rules",
+    (s, d) => {
+      val base = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+      val n = base.select(col("doc_id"), size(col("ts")).as("n_toks"))
+      val c2 = base
+        .select(col("doc_id"),
+          explode(TextAnalysis.shingles(col("ts"), 2)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      val wTop = Window.partitionBy("doc_id").orderBy(desc("c"), asc("g"))
+      val top2 = c2.withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("g").as("top2_gram"),
+          col("c").as("top2_count"))
+      val d3 = base
+        .select(col("doc_id"),
+          explode(TextAnalysis.shingles(col("ts"), 3)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("c") > 1, col("c") - 1).otherwise(0L))
+          .as("dup3_extra"))
+      n.join(top2, Seq("doc_id"), "left")
+        .join(d3, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("top2_count", "dup3_extra"))
+        .withColumn("top2_frac",
+          when(col("n_toks") >= 2,
+            col("top2_count").cast("double") / (col("n_toks") - 1))
+            .otherwise(0.0d))
+        .withColumn("dup3_frac",
+          when(col("n_toks") >= 3,
+            col("dup3_extra").cast("double") / (col("n_toks") - 2))
+            .otherwise(0.0d))
+        .select("doc_id", "n_toks", "top2_gram", "top2_count", "top2_frac",
+          "dup3_extra", "dup3_frac")
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+          FROM documents),
+      n AS (SELECT doc_id, CAST(len(ts) AS INTEGER) AS n_toks FROM toks),
+      g2 AS (SELECT doc_id, ts[CAST(u.i AS INTEGER)] || ' ' ||
+            ts[CAST(u.i + 1 AS INTEGER)] AS g
+        FROM toks, unnest(range(1, greatest(len(ts) - 1, 0) + 1)) u(i)),
+      c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+      t2 AS (SELECT doc_id, g AS top2_gram, CAST(c AS BIGINT) AS top2_count
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY c DESC, g) AS rn FROM c2)
+        WHERE rn = 1),
+      g3 AS (SELECT doc_id, ts[CAST(u.i AS INTEGER)] || ' ' ||
+            ts[CAST(u.i + 1 AS INTEGER)] || ' ' ||
+            ts[CAST(u.i + 2 AS INTEGER)] AS g
+        FROM toks, unnest(range(1, greatest(len(ts) - 2, 0) + 1)) u(i)),
+      c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+      d3 AS (SELECT doc_id,
+          CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+            AS dup3_extra
+        FROM c3 GROUP BY 1)
+      SELECT n.doc_id, n.n_toks, t2.top2_gram,
+        COALESCE(t2.top2_count, 0) AS top2_count,
+        CASE WHEN n.n_toks >= 2 THEN
+          CAST(COALESCE(t2.top2_count, 0) AS DOUBLE) / (n.n_toks - 1)
+        ELSE 0.0::DOUBLE END AS top2_frac,
+        COALESCE(d3.dup3_extra, 0) AS dup3_extra,
+        CASE WHEN n.n_toks >= 3 THEN
+          CAST(COALESCE(d3.dup3_extra, 0) AS DOUBLE) / (n.n_toks - 2)
+        ELSE 0.0::DOUBLE END AS dup3_frac
+      FROM n LEFT JOIN t2 USING (doc_id) LEFT JOIN d3 USING (doc_id)
+      ORDER BY doc_id"""))
+
   override val all: Seq[Q] = Seq(q177, q178, q179, q180, q181, q182, q183,
     q184, q185, q186, q188, q189, q190, q191, q192, q193, q194, q195, q196,
-    q197, q198, q199, q200, q201, q202, q204, q205, q206, q207, q225, q226)
+    q197, q198, q199, q200, q201, q202, q204, q205, q206, q207, q225, q226,
+    q232)
 }

@@ -2203,9 +2203,145 @@ object ExtendedQueries extends Registry {
           (acc, v) -> acc + v) AS top3_sum
       FROM t ORDER BY vec_id"""))
 
+  private val q235Runs = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Update-output-mode gate — the third (and previously ungated) sink
+    * mode next to append (q153 …) and complete (q122/q123 …): a keyed
+    * aggregate in update mode emits, per micro-batch, ONLY the keys that
+    * changed in that batch. The memory sink accumulates every emission,
+    * so the sink table is the full update LOG: per key, the final
+    * aggregate is the row with the largest count (counts are monotone)
+    * and the number of log rows IS the number of batches that touched
+    * the key — which the oracle recomputes from the deterministic
+    * 3-chunk replay split. A broken update mode (complete re-emitting
+    * everything, or append suppressing changes) hash-fails on
+    * n_emissions.
+    *
+    * Scale: update mode is the production choice for high-cardinality
+    * keyed state pushed to a KV store — per batch the sink receives
+    * O(changed keys), never O(|keys|).
+    */
+  private val q235 = Q("q235_streaming_update_mode",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rows: Seq[(Long, Long)] = Tables.events(s, d)
+        .filter(col("user_id") < 40)
+        .select(col("user_id"), col("event_id")).orderBy("event_id")
+        .collect().iterator.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val mem = MemoryStream[(Long, Long)]
+      val counts = mem.toDF().toDF("user_id", "event_id")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("id_sum"))
+      val sinkName = s"q235_um_${q235Runs.incrementAndGet()}"
+      val query = StreamGate.withStatePartitions(s, noDataBatches = false) {
+        counts.writeStream.format("memory").queryName(sinkName)
+          .outputMode("update").start()
+      }
+      try {
+        rows.grouped(math.max(1, (rows.size + 2) / 3)).foreach { chunk =>
+          mem.addData(chunk: _*)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      s.table(sinkName)
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("id_sum"))).as("fin"),
+          count(lit(1)).as("n_emissions"))
+        .select(col("user_id"), col("fin.n_events").as("n_events"),
+          col("fin.id_sum").as("id_sum"), col("n_emissions"))
+        .orderBy("user_id")
+    },
+    Some("""WITH f AS (SELECT user_id, event_id,
+          row_number() OVER (ORDER BY event_id) AS rn,
+          COUNT(*) OVER () AS n
+        FROM events WHERE user_id < 40),
+      c AS (SELECT user_id, event_id,
+          (rn - 1) // ((n + 2) // 3) AS chunk FROM f)
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(SUM(event_id) AS BIGINT) AS id_sum,
+        CAST(COUNT(DISTINCT chunk) AS BIGINT) AS n_emissions
+      FROM c GROUP BY user_id ORDER BY user_id"""))
+
+  private val q236Runs = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Stream-stream FULL OUTER attribution join — completes the
+    * stream-join output-type matrix (inner q131, left outer q137):
+    * matched (impression, click) pairs plus unconverted impressions AND
+    * orphan clicks, each null side emitted exactly once, only after the
+    * global watermark proves no future match can arrive. The same
+    * two-sentinel watermark-advance protocol as q137 forces both flush
+    * paths deterministically; the batch FULL JOIN oracle must
+    * hash-match, so a missing or duplicated orphan emission fails.
+    *
+    * Scale: identical state bound to q137 — both sides buffer only
+    * inside the watermark-delayed horizon window; the orphan-click
+    * flush adds no state, it reuses the click buffer's expiry scan.
+    */
+  private val q236 = Q("q236_streaming_full_outer",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts_ms"))
+        .filter(col("user_id") < 50)
+        .orderBy("ts_ms", "event_id")
+        .collect()
+      def side(parity: Long): Seq[(Long, Long, Long)] = ev.iterator
+        .filter(_.getLong(0) % 2 == parity)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val imps = side(0L)
+      val clks = side(1L)
+      val maxTs = ev.iterator.map(_.getLong(2)).max
+      val horizonMs = 86400000L
+      val memI = MemoryStream[(Long, Long, Long)]
+      val memC = MemoryStream[(Long, Long, Long)]
+      val iDf = memI.toDF().toDF("imp_id", "i_user", "i_ts")
+        .withColumn("i_time", timestamp_millis(col("i_ts")))
+        .withWatermark("i_time", "0 seconds")
+      val cDf = memC.toDF().toDF("clk_id", "c_user", "c_ts")
+        .withColumn("c_time", timestamp_millis(col("c_ts")))
+        .withWatermark("c_time", "0 seconds")
+      val joined = graft.streaming.Joins
+        .attribution(iDf, cDf, "24 hours", joinType = "fullOuter")
+      val sinkName = s"q236_fo_${q236Runs.incrementAndGet()}"
+      val query = StreamGate.withStatePartitions(s, noDataBatches = false) {
+        joined.writeStream.format("memory").queryName(sinkName)
+          .outputMode("append").start()
+      }
+      try {
+        val iChunks = imps.grouped(math.max(1, (imps.size + 1) / 2)).toSeq
+        val cChunks = clks.grouped(math.max(1, (clks.size + 1) / 2)).toSeq
+        (0 until math.max(iChunks.size, cChunks.size)).foreach { i =>
+          if (i < iChunks.size) memI.addData(iChunks(i): _*)
+          if (i < cChunks.size) memC.addData(cChunks(i): _*)
+          query.processAllAvailable()
+        }
+        (1 to 2).foreach { k =>
+          val sentinelTs = maxTs + horizonMs + k * 3600000L
+          memI.addData((-1L, -1L, sentinelTs))
+          memC.addData((-1L, -1L, sentinelTs))
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      s.table(sinkName)
+        .filter(col("user_id") >= 0)
+        .orderBy("imp_id", "clk_id")
+    },
+    Some("""SELECT i.event_id AS imp_id, c.event_id AS clk_id,
+        COALESCE(i.user_id, c.user_id) AS user_id
+      FROM (SELECT * FROM events WHERE event_id % 2 = 0 AND user_id < 50) i
+      FULL JOIN (SELECT * FROM events WHERE event_id % 2 = 1 AND user_id < 50) c
+        ON i.user_id = c.user_id
+        AND epoch_ms(c.ts) BETWEEN epoch_ms(i.ts) AND epoch_ms(i.ts) + 86400000
+      ORDER BY imp_id, clk_id"""))
+
   override val all: Seq[Q] =
     Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
       q101, q102, q103, q104, q105, q106, q108, q109, q110, q111, q113, q116,
       q117, q118, q119, q120, q121, q122, q123, q128, q129, q130, q131, q132,
-      q133, q136, q137, q138, q139, q144, q148, q149, q152, q153, q154, q155)
+      q133, q136, q137, q138, q139, q144, q148, q149, q152, q153, q154, q155,
+      q235, q236)
 }

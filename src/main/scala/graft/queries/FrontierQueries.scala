@@ -604,18 +604,22 @@ object FrontierQueries extends Registry {
     */
   private val q175 = Q("q175_winnowing_fingerprints",
     (s, d) => {
+      // the one-pass native fingerprinter (primitive hash buffer +
+      // monotone deque — no per-window array churn); WinnowingSpec
+      // asserts it value-identical to the declarative
+      // winnowSelect∘kgramHashes chain this query originally ran
       val k = 5; val w = 4
       Tables.fanOut(Tables.documents(s, d))
-        .withColumn("hs",
-          graft.operators.TextAnalysis.kgramHashes(col("text"), k))
-        .withColumn("sel",
-          graft.operators.TextAnalysis.winnowSelect(col("hs"), w))
+        .withColumn("fp",
+          graft.operators.TextAnalysis.winnowFingerprints(col("text"), k, w))
         .select(col("doc_id"),
-          size(col("hs")).as("n_kgrams"),
-          size(col("sel")).as("n_selected"),
-          aggregate(col("sel"), lit(0L), (a, p) => a + p).as("sel_pos_sum"),
-          aggregate(col("sel"), lit(0L),
-            (a, p) => a + element_at(col("hs"), p.cast("int"))).as("sel_hash_sum"))
+          greatest(length(col("text")) - (k - 1), lit(0)).cast("int")
+            .as("n_kgrams"),
+          size(col("fp")).as("n_selected"),
+          aggregate(col("fp"), lit(0L),
+            (a, x) => a + x.getField("pos")).as("sel_pos_sum"),
+          aggregate(col("fp"), lit(0L),
+            (a, x) => a + x.getField("hash")).as("sel_hash_sum"))
         .orderBy("doc_id")
     },
     Some(s"""WITH hp AS (
@@ -798,7 +802,11 @@ object FrontierQueries extends Registry {
     */
   private val q203 = Q("q203_modularity",
     (s, d) => {
-      val g = tradeGraph(s, d)
+      // the edge list feeds FOUR subtrees (2m scalar, e_in's two label
+      // joins, the degree mass) plus the propagation round — checkpoint
+      // it once so each reads materialized blocks instead of re-running
+      // the orders×lineitem distinct (the r8 GC-variance culprit)
+      val g = tradeGraph(s, d).localCheckpoint()
       val lbl = GraphOps.labelPropagationMin(g, 1)
       val tm = g.agg(count(lit(1)).as("tm"))
       val lab = lbl.select(col("node"), col("lbl"))

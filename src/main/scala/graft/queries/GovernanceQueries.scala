@@ -238,5 +238,67 @@ object GovernanceQueries extends Registry {
            (((CAST(n AS DOUBLE) * syy) - (sy * sy)))) AS r2
       FROM c ORDER BY event_type"""))
 
-  override val all: Seq[Q] = Seq(q212, q213, q214, q215)
+  /** Luhn checksum detection (ISO/IEC 7812's mod-10 check — the
+    * validity test that separates a real card/account number from a
+    * random 16-digit string, the precision filter every PII scrubber
+    * runs after its regex pass; complements q71's pattern-level
+    * redaction): derive a deterministic 16-digit candidate per order,
+    * evaluate the checksum as a higher-order fold over the digits
+    * (double every second digit from the right, subtract 9 past 9, sum
+    * mod 10), and census validity per order priority. ~1/10 of
+    * candidates pass — exactly the checksum's discriminating power.
+    *
+    * Scale: the digit fold is a codegen'd per-row HOF chain — zero
+    * shuffle before the |priorities|-row aggregate; at 100 TB this is a
+    * scan-speed column like every other quality signal.
+    */
+  private val q233 = Q("q233_luhn_pii",
+    (s, d) => {
+      val pan = lpad(((col("o_orderkey") * 48271L) % 10000000000000000L)
+        .cast("string"), 16, "0")
+      val digitTerms = sequence(lit(1), lit(16))
+      val luhnSum = aggregate(digitTerms, lit(0L), (acc, i) => {
+        val dig = col("pan").substr(lit(17) - i, lit(1)).cast("long")
+        val term = when(i % 2 === 0,
+          when(dig * 2 > 9, dig * 2 - 9).otherwise(dig * 2)).otherwise(dig)
+        acc + term
+      })
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), pan.as("pan"))
+        .withColumn("luhn_valid", (luhnSum % 10) === 0)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("luhn_valid"), 1L).otherwise(0L)).as("n_valid"),
+          sum(when(col("luhn_valid"), col("o_orderkey")).otherwise(0L))
+            .as("valid_key_sum"))
+        .withColumn("valid_rate",
+          col("n_valid").cast("double") / col("n").cast("double"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH p AS (SELECT o_orderkey, o_orderpriority,
+          lpad(CAST((o_orderkey * 48271) % 10000000000000000 AS VARCHAR),
+            16, '0') AS pan
+        FROM orders),
+      l AS (SELECT o_orderkey, o_orderpriority,
+          list_sum(list_transform(range(1, 17), i ->
+            CASE WHEN i % 2 = 0 THEN
+              CASE WHEN CAST(substr(pan, CAST(17 - i AS INTEGER), 1)
+                    AS BIGINT) * 2 > 9
+                THEN CAST(substr(pan, CAST(17 - i AS INTEGER), 1)
+                    AS BIGINT) * 2 - 9
+                ELSE CAST(substr(pan, CAST(17 - i AS INTEGER), 1)
+                    AS BIGINT) * 2 END
+            ELSE CAST(substr(pan, CAST(17 - i AS INTEGER), 1) AS BIGINT)
+            END)) % 10 = 0 AS luhn_valid
+        FROM p)
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN luhn_valid THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_valid,
+        CAST(SUM(CASE WHEN luhn_valid THEN o_orderkey ELSE 0 END) AS BIGINT)
+          AS valid_key_sum,
+        CAST(SUM(CASE WHEN luhn_valid THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS valid_rate
+      FROM l GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  override val all: Seq[Q] = Seq(q212, q213, q214, q215, q233)
 }

@@ -670,8 +670,73 @@ object ScaleQueries extends Registry {
       FROM events e JOIN iv ON e.value >= iv.lo AND e.value <= iv.hi
       GROUP BY interval_id ORDER BY interval_id"""))
 
+  /** AQE skew-join handling — the runtime half of the q49 salting story:
+    * a 70%-hot join key makes one shuffle partition carry most of the
+    * fact table, and AQE's OptimizeSkewedJoin must SPLIT that partition
+    * into parallel sub-reads at runtime (asserted in-query: the final
+    * adaptive plan must carry `skew=true`; its absence throws). Salting
+    * (q49) rewrites the QUERY to spread a known hot key; AQE skew
+    * handling fixes the same straggler with NO query change, from
+    * runtime shuffle statistics — the two complementary answers the
+    * engine ships for skew at 100 TB. Broadcast is disabled so the join
+    * actually shuffles; thresholds are lowered to make the sf0.01
+    * fixture's hot partition register as skewed; the aggregate must
+    * still hash-match the plain oracle (splitting a partition cannot
+    * change the answer).
+    */
+  private val q237 = Q("q237_aqe_skew_join",
+    (s, d) => {
+      val tuned = Seq(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+      val prev = tuned.map { case (k, _) => k -> s.conf.getOption(k) }
+      try {
+        tuned.foreach { case (k, v) => s.conf.set(k, v) }
+        // fanOut matters beyond parallelism here: AQE splits a skewed
+        // reduce partition at MAP-OUTPUT granularity, so a single-mapper
+        // scan (one small parquet file) leaves nothing to split and the
+        // rule silently never fires — exactly the single-file trap a
+        // 100 TB table never has
+        val fact = Tables.fanOut(Tables.lineitem(s, d)).select(
+          when(col("l_orderkey") % 10 < 7, 0L)
+            .otherwise(col("l_orderkey") % 97).as("k"),
+          col("l_extendedprice"), col("l_quantity"))
+        val dim = s.range(0L, 97L)
+          .select(col("id").as("k"), (col("id") % 7).as("grp"))
+        val agg = fact.join(dim, "k")
+          .groupBy("grp")
+          .agg(StableAgg.dsum(col("l_extendedprice")).as("revenue"),
+            count(lit(1)).as("n_items"),
+            StableAgg.dsum(col("l_quantity")).as("qty"))
+          .orderBy("grp")
+        val out = agg.collect().toIndexedSeq
+          .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+        val plan = agg.queryExecution.executedPlan.toString
+        if (!plan.contains("skew=true"))
+          throw new IllegalStateException(
+            s"AQE did not split the skewed join partition:\n$plan")
+        s.createDataFrame(out).toDF("grp", "revenue", "n_items", "qty")
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+    },
+    Some(s"""SELECT CAST(k % 7 AS BIGINT) AS grp,
+        ${O.dsum("l_extendedprice")} AS revenue,
+        CAST(COUNT(*) AS BIGINT) AS n_items,
+        ${O.dsum("l_quantity")} AS qty
+      FROM (SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0
+            ELSE l_orderkey % 97 END AS k,
+          l_extendedprice, l_quantity FROM lineitem)
+      GROUP BY 1 ORDER BY 1"""))
+
   override val all: Seq[Q] =
-    Seq(q156, q157, q158, q159, q160, q161, q162, q216, q217, q219, q220)
+    Seq(q156, q157, q158, q159, q160, q161, q162, q216, q217, q219, q220,
+      q237)
 }
 
 /** Serializable Count-Min probe: holds the sketch BYTES (what the

@@ -31,7 +31,10 @@ object Joins {
     * inputs) passes `i_time + horizon`, the point at which no future
     * click can still match it. That deferred-null emission is the
     * semantic difference between a streaming and a batch outer join,
-    * and exactly what q137 gates.
+    * and exactly what q137 gates. `"fullOuter"` adds the orphan clicks
+    * too (flushed once the watermark passes their own event time —
+    * q236); `user_id` coalesces across sides so orphan rows keep their
+    * key.
     */
   def attribution(imps: DataFrame, clicks: DataFrame, horizon: String,
       joinType: String = "inner"): DataFrame =
@@ -40,5 +43,6 @@ object Joins {
         col("c_time") >= col("i_time") &&
         col("c_time") <= col("i_time") + expr(s"interval $horizon"),
       joinType)
-      .select(col("imp_id"), col("clk_id"), col("i_user").as("user_id"))
+      .select(col("imp_id"), col("clk_id"),
+        coalesce(col("i_user"), col("c_user")).as("user_id"))
 }

@@ -40,7 +40,8 @@ object PlanAudit {
     "q152_streaming_restart", "q153_streaming_late_drop",
     "q154_foreach_batch_sink", "q155_streaming_chained_aggs",
     "q159_stateful_restart", "q204_streaming_tagging",
-    "q208_streaming_upsert", "q220_streaming_range_join")
+    "q208_streaming_upsert", "q220_streaming_range_join",
+    "q235_streaming_update_mode", "q236_streaming_full_outer")
 
   /** Batch registry queries in name order — the plan-audited surface. */
   def batchQueryNames: Seq[String] =
@@ -467,7 +468,11 @@ object PlanAudit {
     "q208_streaming_upsert" ->
       "Streaming merge-on-read compaction (r08): the q205 change log replays one micro-batch PER COMMIT VERSION through a complete-mode per-key max(struct(ver, op, price)) aggregate — latest-wins is correct only if key state survives across batches (inserts land a batch before updates, updates before tombstones). Final complete-mode table = compacted snapshot, hash-matched against the batch q205-shape oracle; per-key state is one fixed-width argmax struct, merged associatively (the map-side-combine algebra), so state is |live keys| not |log|.",
     "q220_streaming_range_join" ->
-      "Streaming range join (r08): the engine's injected RangeJoinRewrite must fire inside IncrementalExecution — streaming points bin-join the static interval table per micro-batch (stateless append), the LAST micro-batch's executed plan is asserted nested-loop-free in-query, and the post-stream aggregate hash-matches q219's batch oracle. The attribution shape (event stream × band table) with O(|L|·|R|) eliminated per batch.")
+      "Streaming range join (r08): the engine's injected RangeJoinRewrite must fire inside IncrementalExecution — streaming points bin-join the static interval table per micro-batch (stateless append), the LAST micro-batch's executed plan is asserted nested-loop-free in-query, and the post-stream aggregate hash-matches q219's batch oracle. The attribution shape (event stream × band table) with O(|L|·|R|) eliminated per batch.",
+    "q235_streaming_update_mode" ->
+      "Update-output-mode gate (r09): keyed aggregate emitting ONLY changed keys per micro-batch; the memory sink accumulates the update log, so per-key emission count equals batches-that-touched-the-key — recomputed by the oracle from the deterministic 3-chunk split. Completes the sink-mode matrix (append/complete/update).",
+    "q236_streaming_full_outer" ->
+      "Stream-stream FULL OUTER attribution join (r09): matched pairs plus watermark-flushed unconverted impressions AND orphan clicks, each emitted once (the q137 two-sentinel advance protocol); hash-matched against the batch FULL JOIN. Completes the stream-join output-type matrix (inner/leftOuter/fullOuter); state bound identical to q137.")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get("plan-audit", "8")

@@ -55,4 +55,31 @@ class WinnowingSpec extends SparkSpec {
   test("short texts yield no fingerprints, not errors") {
     assert(fingerprints("abc", "abcdefg").forall(_.isEmpty))
   }
+
+  test("native one-pass expression equals the declarative winnow chain") {
+    val rnd = new scala.util.Random(23)
+    def noise(n: Int) =
+      Seq.fill(n)("abcde" (rnd.nextInt(5))).mkString // heavy hash ties
+    val texts = Seq("", "abc", "abcdefg", "abcdefgh", "aaaaaaaaaaaaaaaa",
+      "héllo wörld ünïcode padded out to length", // multi-byte path
+      "the quick brown fox jumps over the lazy dog") ++
+      (1 to 40).map(_ => noise(10 + rnd.nextInt(120)))
+    val df = texts.toDF("text")
+      .withColumn("hs", TextAnalysis.kgramHashes(col("text"), k))
+      .withColumn("sel", TextAnalysis.winnowSelect(col("hs"), w))
+      .withColumn("fp", TextAnalysis.winnowFingerprints(col("text"), k, w))
+      .select(
+        col("sel"),
+        transform(col("sel"), p => element_at(col("hs"), p.cast("int")))
+          .as("selh"),
+        transform(col("fp"), x => x.getField("pos")).as("fpp"),
+        transform(col("fp"), x => x.getField("hash")).as("fph"))
+      .as[(Seq[Long], Seq[Long], Seq[Long], Seq[Long])].collect()
+    df.foreach { case (sel, selh, fpp, fph) =>
+      // declarative array_distinct preserves first-occurrence order and
+      // the deque emits ascending — both must be the SAME sequence
+      assert(fpp == sel, s"positions: native $fpp vs declarative $sel")
+      assert(fph == selh, s"hashes: native $fph vs declarative $selh")
+    }
+  }
 }
