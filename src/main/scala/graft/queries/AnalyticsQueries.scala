@@ -830,7 +830,66 @@ object AnalyticsQueries extends Registry {
           AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS outlier_rate
       FROM dv d JOIN mad m USING (event_type) GROUP BY 1 ORDER BY 1"""))
 
+  /** Depth-weighted microprice (Gatheral/Stoikov's fair-price estimator
+    * generalized to full visible depth): weight each best quote by the
+    * OPPOSITE side's depth — micro = (bid·askDepth + ask·bidDepth) /
+    * (bidDepth + askDepth) — so the price leans toward the thin side
+    * that will move first; the premium over the plain mid is the
+    * imbalance signal. Runs on the full normalizer path (frame decode →
+    * books5 assembly), summing all parsed levels per side (q68's depth
+    * device), so the malformed-level drop rule shifts depth exactly as
+    * the oracle's closed form predicts.
+    *
+    * Scale: per-frame arithmetic at scan speed, one |symbols|-row
+    * aggregate — the q66-q68 end-to-end profile.
+    */
+  private val q242 = Q("q242_microprice",
+    (s, d) => {
+      val books = Normalizer.normalize(NormalizerQueries.framedBooks(s, d),
+        passthrough = Seq("src_id"))
+      def depth(side: String): Column =
+        (1 to 5).map(i =>
+          coalesce(try_element_at(col(s"book.$side"), lit(i)).getField("size"), lit(0.0d)))
+          .reduce(_ + _)
+      books
+        .select(col("symbol"),
+          col("book.best_bid").as("bid"), col("book.best_ask").as("ask"),
+          depth("bids").as("bd"), depth("asks").as("ad"))
+        .withColumn("mid", (col("bid") + col("ask")) / 2.0d)
+        .withColumn("micro",
+          (col("bid") * col("ad") + col("ask") * col("bd"))
+            / (col("bd") + col("ad")))
+        .groupBy("symbol")
+        .agg(count(lit(1)).as("n_books"),
+          StableAgg.davg(col("micro"), 12).as("avg_micro"),
+          StableAgg.davg(col("micro") - col("mid"), 18).as("avg_premium"),
+          min(col("micro") - col("mid")).as("min_premium"),
+          max(col("micro") - col("mid")).as("max_premium"))
+        .orderBy("symbol")
+    },
+    Some {
+      // framedBooks synthesis: best_bid = px, best_ask = px + 1.0;
+      // bidDepth = qty (+ qty+1.0 unless the level-2 row is malformed:
+      // linenumber % 3 = 0 drops it), askDepth = qty.
+      val bd = "(qty + (CASE WHEN l_linenumber % 3 = 0 THEN 0.0::DOUBLE ELSE qty + 1.0 END))"
+      s"""WITH b AS (
+        SELECT 'SYM-' || CAST(l_partkey % 10 AS VARCHAR) AS symbol,
+          l_quantity AS qty, l_linenumber, l_extendedprice AS px
+        FROM lineitem
+        WHERE l_orderkey % 17 <> 0 AND l_orderkey % 11 <> 0 AND l_orderkey % 13 <> 0),
+      m AS (SELECT symbol,
+          (px + (px + 1.0)) / 2.0 AS mid,
+          (px * qty + (px + 1.0) * $bd) / ($bd + qty) AS micro
+        FROM b)
+      SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_books,
+        ${OracleSql.davg("micro", 12)} AS avg_micro,
+        ${OracleSql.davg("micro - mid", 18)} AS avg_premium,
+        MIN(micro - mid) AS min_premium,
+        MAX(micro - mid) AS max_premium
+      FROM m GROUP BY symbol ORDER BY symbol"""
+    })
+
   override val all: Seq[Q] =
     Seq(q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
-      q221, q222, q223, q234)
+      q221, q222, q223, q234, q242)
 }

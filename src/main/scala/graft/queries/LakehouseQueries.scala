@@ -291,5 +291,138 @@ object LakehouseQueries extends Registry {
         ${graft.OracleSql.dsum("o_totalprice")} AS revenue
       FROM orders GROUP BY 1 ORDER BY 1"""))
 
-  override val all: Seq[Q] = Seq(q208, q209, q210, q211, q224)
+  /** Time travel (`VERSION AS OF`) over the shared change log: the
+    * snapshot at version v is latest-wins over every entry with
+    * ver ≤ v, minus tombstones — reconstructed for ALL of v ∈ {0,1,2}
+    * in ONE pass by exploding each log entry to the versions it is
+    * visible at, then the same max(struct(ver, op, price)) argmax as
+    * q205. Per-version row counts and checksums certify each historic
+    * snapshot (ver 0 = all inserts, ver 1 = updates applied, ver 2 =
+    * deletes applied).
+    *
+    * Scale: the explode multiplies the log by ≤ |versions| (metadata-
+    * bounded, not data-bounded in a real table format — the log IS the
+    * commit history), and the single (as_of, key) exchange carries one
+    * fixed-width argmax struct per key per version.
+    */
+  private val q238 = Q("q238_time_travel",
+    (s, d) => {
+      changeLog(s, d)
+        .withColumn("as_of", explode(sequence(col("ver"), lit(2L))))
+        .groupBy("as_of", "o_orderkey")
+        .agg(max(struct(col("ver"), col("op"), col("price"))).as("last"))
+        .filter(col("last.op") =!= "D")
+        .groupBy("as_of")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("key_sum"),
+          graft.functions.StableAgg.dsum(col("last.price")).as("price_sum"))
+        .orderBy("as_of")
+    },
+    Some(s"""WITH ${duckLogCtes("TRUE")},
+      vis AS (SELECT l.o_orderkey, l.ver, l.op, l.price,
+          CAST(u.v AS BIGINT) AS as_of
+        FROM log l, unnest(range(0, 3)) u(v) WHERE l.ver <= u.v),
+      snap AS (SELECT as_of, o_orderkey,
+          arg_max(op, ver) AS op, arg_max(price, ver) AS price
+        FROM vis GROUP BY 1, 2)
+      SELECT as_of, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        ${graft.OracleSql.dsum("price")} AS price_sum
+      FROM snap WHERE op <> 'D' GROUP BY as_of ORDER BY as_of"""))
+
+  /** Deletion vectors (the Delta/Iceberg merge-on-read ROW-level delete
+    * representation): data files stay immutable; a sidecar per file
+    * lists the ordinal positions of deleted rows, and the read path
+    * anti-joins (file, position) against the vector. The fixture
+    * assigns rows to files of 100 (ordinal = rank within file) and
+    * deletes every position whose key ≡ 0 mod 7; surviving counts and
+    * checksums per file bucket must match the oracle's direct filter —
+    * the proof the positional indirection loses and resurrects nothing.
+    *
+    * Scale: the DV table is |deleted rows| (≪ |rows|), the anti-join
+    * key is (file_id, pos) — hash-partitionable, no file rewrite; this
+    * is why DVs beat copy-on-write for scattered deletes at 100 TB.
+    */
+  private val q239 = Q("q239_deletion_vectors",
+    (s, d) => {
+      val wFile = Window.partitionBy("file_id").orderBy("o_orderkey")
+      val rows = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          expr("o_orderkey div 100").as("file_id"))
+        .withColumn("pos", row_number().over(wFile).cast("long"))
+      val dv = rows.filter(col("o_orderkey") % 7 === 0)
+        .select(col("file_id"), col("pos"))
+      rows.join(dv, Seq("file_id", "pos"), "left_anti")
+        .groupBy((col("file_id") % 10).as("file_bucket"))
+        .agg(count(lit(1)).as("n_live"),
+          sum(col("o_orderkey")).as("key_sum"),
+          graft.functions.StableAgg.dsum(col("o_totalprice")).as("price_sum"))
+        .orderBy("file_bucket")
+    },
+    Some(s"""WITH rows_t AS (SELECT o_orderkey, o_totalprice,
+          o_orderkey // 100 AS file_id FROM orders)
+      SELECT CAST(file_id % 10 AS BIGINT) AS file_bucket,
+        CAST(COUNT(*) AS BIGINT) AS n_live,
+        CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        ${graft.OracleSql.dsum("o_totalprice")} AS price_sum
+      FROM rows_t WHERE o_orderkey % 7 <> 0
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** VACUUM planning (retention-horizon file reclamation): from the
+    * table's file metadata — (file, added_ver, removed_ver) — a file is
+    * reclaimable iff it was removed at or before `current − retention`
+    * versions; files removed inside the horizon must survive for time
+    * travel (q238's reader). Pure metadata-plane arithmetic: the
+    * planner never opens a data file, and the output sizes the
+    * reclamation per added-version cohort.
+    *
+    * Scale: |files| rows however big the table — the same
+    * metadata-only contract as q210's zone maps and q206's compaction
+    * bins.
+    */
+  private val q240 = Q("q240_vacuum_plan",
+    (s, d) => {
+      val files = Tables.orders(s, d)
+        .groupBy(expr("o_orderkey div 50").as("file_id"))
+        .agg(count(lit(1)).as("bytes"))
+        .withColumn("added_ver", col("file_id") % 3)
+        .withColumn("removed_ver",
+          when(col("file_id") % 4 === 0,
+            col("added_ver") + 1 + col("file_id") % 2))
+      val currentVer = 4L
+      val retention = 2L
+      files
+        .withColumn("reclaimable",
+          col("removed_ver").isNotNull &&
+            col("removed_ver") <= lit(currentVer - retention))
+        .groupBy("added_ver")
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("reclaimable"), 1L).otherwise(0L)).as("n_reclaimable"),
+          sum(when(col("reclaimable"), col("bytes")).otherwise(0L))
+            .as("bytes_reclaimed"),
+          sum(when(col("removed_ver").isNotNull && !col("reclaimable"), 1L)
+            .otherwise(0L)).as("n_held_for_travel"))
+        .orderBy("added_ver")
+    },
+    Some("""WITH files AS (SELECT o_orderkey // 50 AS file_id,
+          CAST(COUNT(*) AS BIGINT) AS bytes
+        FROM orders GROUP BY 1),
+      meta AS (SELECT file_id, bytes, file_id % 3 AS added_ver,
+          CASE WHEN file_id % 4 = 0
+            THEN file_id % 3 + 1 + file_id % 2 END AS removed_ver
+        FROM files),
+      f AS (SELECT *, removed_ver IS NOT NULL AND removed_ver <= 2
+          AS reclaimable FROM meta)
+      SELECT CAST(added_ver AS BIGINT) AS added_ver,
+        CAST(COUNT(*) AS BIGINT) AS n_files,
+        CAST(SUM(CASE WHEN reclaimable THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_reclaimable,
+        CAST(SUM(CASE WHEN reclaimable THEN bytes ELSE 0 END) AS BIGINT)
+          AS bytes_reclaimed,
+        CAST(SUM(CASE WHEN removed_ver IS NOT NULL AND NOT reclaimable
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_held_for_travel
+      FROM f GROUP BY 1 ORDER BY 1"""))
+
+  override val all: Seq[Q] = Seq(q208, q209, q210, q211, q224, q238, q239,
+    q240)
 }

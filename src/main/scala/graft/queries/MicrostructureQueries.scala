@@ -338,5 +338,72 @@ object MicrostructureQueries extends Registry {
         END AS xcorr
       FROM m ORDER BY lag"""))
 
-  override val all: Seq[Q] = Seq(q227, q228, q229, q230, q231)
+  /** Realized correlation matrix (the RiskMetrics daily-return
+    * estimator): Pearson correlation of daily close-to-close returns
+    * for EVERY symbol pair (upper triangle, sym_a < sym_b) — the
+    * portfolio-risk companion to q231's lead-lag scan on one pair.
+    * Returns join themselves on the day key (an equi-join, |days| rows
+    * per symbol), and each pair's correlation is closed-form from five
+    * decimal-route moments with sqrt the only libm touch.
+    *
+    * Scale: the pair join fans |symbols|² over a |days|-keyed equi-join
+    * of two tiny bar tables — the tape is read once for the bars; at a
+    * 5k-symbol universe the same plan shuffles (day, symbol) bars, and
+    * the quadratic lives in the final |pairs|-row aggregate, never in
+    * tape space.
+    */
+  private val q243 = Q("q243_realized_corr",
+    (s, d) => {
+      val w = Window.partitionBy("symbol").orderBy("day_bucket")
+      val rets = dailyFlow(s, d)
+        .withColumn("r",
+          col("close") / lag(col("close"), 1).over(w) - lit(1.0d))
+        .filter(col("r").isNotNull)
+        .select(col("symbol"), col("day_bucket"), col("r"))
+      val a = rets.select(col("symbol").as("sym_a"), col("day_bucket"),
+        col("r").as("x"))
+      val b = rets.select(col("symbol").as("sym_b"), col("day_bucket"),
+        col("r").as("y"))
+      a.join(b, "day_bucket")
+        .filter(col("sym_a") < col("sym_b"))
+        .groupBy("sym_a", "sym_b")
+        .agg(count(lit(1)).as("n"),
+          StableAgg.dsum(col("x"), 18).as("sx"),
+          StableAgg.dsum(col("y"), 18).as("sy"),
+          StableAgg.dsum(col("x") * col("x"), 18).as("sxx"),
+          StableAgg.dsum(col("y") * col("y"), 18).as("syy"),
+          StableAgg.dsum(col("x") * col("y"), 18).as("sxy"))
+        .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+        .withColumn("rcorr",
+          when(col("vx") > 0.0d && col("vy") > 0.0d,
+            (col("n") * col("sxy") - col("sx") * col("sy"))
+              / (sqrt(col("vx")) * sqrt(col("vy")))))
+        .select("sym_a", "sym_b", "n", "rcorr")
+        .orderBy("sym_a", "sym_b")
+    },
+    Some(s"""WITH $duckTrades,
+      $duckDailyFlow,
+      r AS (SELECT symbol, day_bucket,
+          close / lag(close) OVER (PARTITION BY symbol ORDER BY day_bucket)
+            - 1.0::DOUBLE AS r
+        FROM bars),
+      rr AS (SELECT symbol, day_bucket, r FROM r WHERE r IS NOT NULL),
+      j AS (SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.r AS x, b.r AS y
+        FROM rr a JOIN rr b ON a.day_bucket = b.day_bucket
+        WHERE a.symbol < b.symbol),
+      m AS (SELECT sym_a, sym_b, CAST(COUNT(*) AS BIGINT) AS n,
+          ${O.dsum("x", 18)} AS sx, ${O.dsum("y", 18)} AS sy,
+          ${O.dsum("x * x", 18)} AS sxx, ${O.dsum("y * y", 18)} AS syy,
+          ${O.dsum("x * y", 18)} AS sxy
+        FROM j GROUP BY 1, 2)
+      SELECT sym_a, sym_b, n,
+        CASE WHEN n * sxx - sx * sx > 0.0::DOUBLE
+            AND n * syy - sy * sy > 0.0::DOUBLE
+          THEN (n * sxy - sx * sy)
+            / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        END AS rcorr
+      FROM m ORDER BY sym_a, sym_b"""))
+
+  override val all: Seq[Q] = Seq(q227, q228, q229, q230, q231, q243)
 }

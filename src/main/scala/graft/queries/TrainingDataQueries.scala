@@ -2161,8 +2161,64 @@ object TrainingDataQueries extends Registry {
         coalesce(string_agg(mt, ' ' ORDER BY pos), '') AS target_text
       FROM g GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Label-noise detection via k-NN agreement (the Confident-Learning /
+    * deep-k-NN screen: a label that disagrees with its feature-space
+    * neighborhood is probably wrong): for each anchor vector, take its
+    * 10 nearest corpus neighbors by exact cosine (the q26 broadcast
+    * shape) and score the fraction whose label matches the anchor's;
+    * agreement < 0.5 flags the anchor for relabeling. The embeddings
+    * fixture carries a `label` column, so the whole audit is oracled.
+    *
+    * Scale: anchors broadcast against one corpus scan (never the
+    * reverse); at full corpus-×-corpus scale the neighbor search swaps
+    * for q27's LSH buckets with the identical agreement tail.
+    */
+  private val q241 = Q("q241_knn_label_agreement",
+    (s, d) => {
+      val e = Tables.fanOut(Tables.embeddings(s, d))
+      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val anchors = e.filter(col("vec_id") % 29 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      Similarity.bruteForceTopK(corpus, anchors, 10)
+        .join(labels.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_label")), "neighbor_id")
+        .join(labels.select(col("vec_id").as("qid"),
+          col("label").as("q_label")), "qid")
+        .groupBy("qid")
+        .agg(max(col("q_label")).as("label"),
+          count(lit(1)).as("k"),
+          sum(when(col("n_label") === col("q_label"), 1L).otherwise(0L))
+            .as("n_agree"))
+        .withColumn("agreement",
+          col("n_agree").cast("double") / col("k").cast("double"))
+        .withColumn("flag_noisy", col("agreement") < 0.5d)
+        .orderBy("qid")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+        FROM embeddings WHERE vec_id % 29 = 0),
+      c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+      sim AS (SELECT qid, id, ${duckCos("qvec", "vec")} AS cos_sim
+        FROM q CROSS JOIN c WHERE id <> qid),
+      r AS (SELECT qid, id,
+        row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, id)
+          AS rank FROM sim),
+      nn AS (SELECT qid, id FROM r WHERE rank <= 10),
+      j AS (SELECT nn.qid, ql.label AS q_label, nl.label AS n_label
+        FROM nn JOIN embeddings nl ON nn.id = nl.vec_id
+          JOIN embeddings ql ON nn.qid = ql.vec_id)
+      SELECT qid, MAX(q_label) AS label, CAST(COUNT(*) AS BIGINT) AS k,
+        CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_agree,
+        CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS agreement,
+        CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) < 0.5 AS flag_noisy
+      FROM j GROUP BY qid ORDER BY qid"""))
+
   override val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q38, q41, q42, q43, q44, q45, q47, q107, q112, q114, q115,
     q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q79, q124, q125, q126,
-    q127, q134, q135, q140, q141, q142, q146, q150, q151, q163, q164, q218)
+    q127, q134, q135, q140, q141, q142, q146, q150, q151, q163, q164, q218,
+    q241)
 }
