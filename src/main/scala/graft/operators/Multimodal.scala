@@ -109,6 +109,43 @@ object Multimodal {
       }
       Decoded(w, h, sum, c, sum.toDouble / (w.toLong * h * 255).toDouble)
     }
+
+    final case class DHash(hashLo: Long, hashHi: Long)
+
+    /** Perceptual difference-hash over the DECODED raster (the standard
+      * dHash: nearest-neighbor downsample to a 9×8 grid, emit one bit per
+      * horizontal neighbor comparison → 64 bits). Nearest-neighbor
+      * sampling (`x_i = ⌊i·w/9⌋`) keeps the whole pipeline in exact
+      * integer arithmetic — a block-average resize would round and the
+      * closed-form oracle could not reproduce it cross-engine. The 64
+      * bits are returned as two NON-NEGATIVE 32-bit halves so they ride
+      * BIGINT columns on any engine without sign traps.
+      */
+    def dHash(bytes: Array[Byte]): DHash = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val raster = img.getRaster
+      val w = img.getWidth
+      val h = img.getHeight
+      var lo = 0L
+      var hi = 0L
+      var j = 0
+      while (j < 8) {
+        val y = j * h / 8
+        var i = 0
+        var prev = raster.getSample(0, y, 0)
+        while (i < 8) {
+          val cur = raster.getSample((i + 1) * w / 9, y, 0)
+          if (cur > prev) {
+            val b = j * 8 + i
+            if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+          }
+          prev = cur
+          i += 1
+        }
+        j += 1
+      }
+      DHash(lo, hi)
+    }
   }
 
   /** RGB (multi-band) arm of [[ImageCodec]]: 3-channel truecolor PNG
@@ -259,6 +296,26 @@ object Multimodal {
       }(enc)
   }
 
+  /** Perceptual hash per image through the real PNG decode path (decode →
+    * raster → dHash; no closed-form shortcut on the engine side — the
+    * oracle recomputes the grid from the pattern, so a codec or sampling
+    * bug hash-mismatches).
+    */
+  def imageDHashes(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("hash_lo", LongType),
+      StructField("hash_hi", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select(col("doc_id"), col("media_bytes"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val d = ImageCodec.dHash(r.getAs[Array[Byte]]("media_bytes"))
+          Row(r.getLong(0), d.hashLo, d.hashHi)
+        }
+      }(enc)
+  }
+
   /** Real JVM audio codec: WAV (RIFF/WAVE, PCM signed 16-bit LE mono) via
     * `javax.sound.sampled.AudioSystem` (JDK-builtin, no external deps and
     * no audio device needed — pure file-format I/O). Synthesis writes the
@@ -378,6 +435,69 @@ object Multimodal {
         fmt.getSampleSizeInBits, n, sum, abs, c,
         abs.toDouble / (n.toDouble * 32768.0d))
     }
+
+    /** Loudness census thresholds: a window is CLIPPED when its peak
+      * reaches the top of the 16-bit range (|v| ≥ 32760 — near-full-scale
+      * samples mean the recording chain saturated) and QUIET when its
+      * mean |v| < 8192 (< −12 dBFS on average). Both comparisons are
+      * exact integer arithmetic so the census bit-reproduces anywhere.
+      */
+    val WindowSamples = 128
+    val ClipPeak = 32760
+    val QuietAbsSum: Long = WindowSamples.toLong * 8192L
+
+    final case class Loudness(nSamples: Long, nWindows: Long, nClipped: Long,
+        nQuiet: Long, energy: Long, peakAbs: Int)
+
+    /** Windowed loudness/clipping census over the decoded PCM — the audio
+      * curation pass (drop saturated takes, trim dead air) run as exact
+      * integer window aggregates on FULL windows of [[WindowSamples]]
+      * samples (the ragged tail is excluded from every stat, so window
+      * boundaries are engine-independent). energy = Σ v² fits a long with
+      * huge margin (128·32768² per window).
+      */
+    def decodeLoudness(bytes: Array[Byte]): Loudness = {
+      val in = openStream(bytes)
+      val fmt = in.getFormat
+      val pcm = in.readAllBytes()
+      in.close()
+      if (fmt.getSampleSizeInBits != 16)
+        throw new IllegalArgumentException(
+          s"decodeLoudness supports 16-bit PCM only; got ${fmt.getSampleSizeInBits}-bit")
+      val bytesPerSample = fmt.getSampleSizeInBits / 8
+      val frameSize = fmt.getFrameSize
+      val n = pcm.length / frameSize
+      val nWin = n / WindowSamples
+      var nClipped = 0L
+      var nQuiet = 0L
+      var energy = 0L
+      var peak = 0
+      var k = 0
+      while (k < nWin) {
+        var absSum = 0L
+        var winPeak = 0
+        var i = k * WindowSamples
+        val end = i + WindowSamples
+        while (i < end) {
+          val off = i * frameSize
+          val v =
+            if (fmt.isBigEndian)
+              ((pcm(off) << 8) | (pcm(off + 1) & 0xff)).toShort.toInt
+            else
+              ((pcm(off + bytesPerSample - 1) << 8) | (pcm(off) & 0xff)).toShort.toInt
+          val a = math.abs(v)
+          absSum += a
+          if (a > winPeak) winPeak = a
+          energy += v.toLong * v.toLong
+          i += 1
+        }
+        if (winPeak >= ClipPeak) nClipped += 1
+        if (absSum < QuietAbsSum) nQuiet += 1
+        if (winPeak > peak) peak = winPeak
+        k += 1
+      }
+      Loudness(n, nWin, nClipped, nQuiet, energy, peak)
+    }
   }
 
   /** Deterministic per-doc sample counts: n = doc_id%480 + 240. */
@@ -421,6 +541,27 @@ object Multimodal {
           val d = AudioCodec.decode(r.getAs[Array[Byte]]("media_bytes"))
           Row(r.getLong(0), d.sampleRate, d.channels, d.bits, d.nSamples,
             d.sampleSum, d.absSum, d.sampleChecksum, d.meanAbs)
+        }
+      }(enc)
+  }
+
+  /** Windowed loudness census through the real WAV decode path. */
+  def decodeAudioLoudness(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_samples", LongType),
+      StructField("n_windows", LongType),
+      StructField("n_clipped", LongType),
+      StructField("n_quiet", LongType),
+      StructField("energy", LongType),
+      StructField("peak_abs", IntegerType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select(col("doc_id"), col("media_bytes"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val d = AudioCodec.decodeLoudness(r.getAs[Array[Byte]]("media_bytes"))
+          Row(r.getLong(0), d.nSamples, d.nWindows, d.nClipped, d.nQuiet,
+            d.energy, d.peakAbs)
         }
       }(enc)
   }

@@ -423,6 +423,63 @@ object LakehouseQueries extends Registry {
           THEN 1 ELSE 0 END) AS BIGINT) AS n_held_for_travel
       FROM f GROUP BY 1 ORDER BY 1"""))
 
+  private val q244Runs = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Partition-spec evolution (the layout twin of q224's schema
+    * evolution): generation 1 of the table was written UNPARTITIONED,
+    * generation 2 partitioned by the query column — the Iceberg
+    * partition-evolution situation, where old files keep their old
+    * layout forever and the reader must span both. The union read
+    * filters on the partition column; the in-query plan assertion
+    * requires the v2 arm to prune via PartitionFilters (directory-level
+    * skip) while the v1 arm pushes the same predicate as a data filter —
+    * absence of either throws. The aggregate hash-matches the plain
+    * oracle, proving the split-layout read loses nothing.
+    *
+    * Scale: this is how layout migrations actually ship at 100 TB — new
+    * data lands in the better layout immediately, old files are
+    * rewritten lazily (q206's compaction bins) or never; queries prune
+    * what they can per generation.
+    */
+  private val q244 = Q("q244_partition_evolution",
+    (s, d) => {
+      import java.io.File
+      val dir = graft.streaming.TempDirs.register(new File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_q244_${ProcessHandle.current().pid()}_${q244Runs.incrementAndGet()}"))
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      val v1 = base.filter(col("o_orderkey") % 2 === 0)
+      val v2 = base.filter(col("o_orderkey") % 2 =!= 0)
+      v1.write.mode("overwrite").parquet(new File(dir, "gen1").getPath)
+      v2.write.mode("overwrite").partitionBy("o_orderpriority")
+        .parquet(new File(dir, "gen2").getPath)
+      val unioned = s.read.parquet(new File(dir, "gen1").getPath)
+        .unionByName(s.read.parquet(new File(dir, "gen2").getPath))
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      val plan = unioned.queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      val partFiltered = plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters: [") && l.contains("o_orderpriority"))
+      val dataFiltered = plan.linesIterator.exists(l =>
+        l.contains("PushedFilters: [") && l.contains("o_orderpriority"))
+      if (!partFiltered || !dataFiltered)
+        throw new IllegalStateException(
+          s"partition-evolution read did not prune both generations " +
+            s"(partition=$partFiltered, data=$dataFiltered):\n$plan")
+      val out = unioned.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          graft.functions.StableAgg.dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("o_orderpriority")
+        .collect().toIndexedSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      s.createDataFrame(out).toDF("o_orderpriority", "n_orders", "revenue")
+    },
+    Some(s"""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        ${graft.OracleSql.dsum("o_totalprice")} AS revenue
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   override val all: Seq[Q] = Seq(q208, q209, q210, q211, q224, q238, q239,
-    q240)
+    q240, q244)
 }

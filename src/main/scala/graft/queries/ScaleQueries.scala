@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{OracleSql => O, Tables}
@@ -734,9 +734,100 @@ object ScaleQueries extends Registry {
           l_extendedprice, l_quantity FROM lineitem)
       GROUP BY 1 ORDER BY 1"""))
 
+  /** AMS "tug-of-war" join-size estimation (Alon-Matias-Szegedy 1996 —
+    * the sketch a cost-based optimizer consults before picking a join
+    * strategy): each side folds to 64 signed counters
+    * S[i] = Σ_k n_k·s_i(k) with s_i(k) ∈ {−1,+1} the i-th bit of
+    * md5(key); E[S_A[i]·S_B[i]] = |A ⋈ B| exactly, and averaging the 64
+    * products estimates the join size from TWO 64-long sketches instead
+    * of a join. The signs are pure md5-nibble arithmetic, so the
+    * ESTIMATE ITSELF is deterministic and hash-matched (not just
+    * bounded) — plus the exact size, the relative error, and a
+    * 0.5-bound flag the oracle pins.
+    *
+    * Scale: one hash exchange on the key (the same pass also computes
+    * the exact multiplicity product Σ n_a·n_b as the control), then a
+    * single 129-column global fold. In production the two sketch
+    * vectors are persisted per table/column at ingest and the estimator
+    * runs at PLANNING time — zero data touched per query; the exact arm
+    * drops out.
+    */
+  private val q245 = Q("q245_ams_join_size",
+    (s, d) => {
+      val a = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("key"), lit(1L).as("na"), lit(0L).as("nb"))
+      val b = Tables.part(s, d)
+        .select(col("p_partkey").as("key"), lit(0L).as("na"), lit(1L).as("nb"))
+      def hex32(hexStr: Column, off: Int): Column = {
+        def nibble(pos: Int): Column = {
+          val c = ascii(substring(hexStr, pos, 1)).cast("long")
+          when(c >= 97, c - 87).otherwise(c - 48)
+        }
+        ((off + 1) to (off + 8))
+          .map(p => shiftleft(nibble(p), (8 - (p - off)) * 4)).reduce(_ + _)
+      }
+      val perKey = a.unionByName(b)
+        .groupBy("key")
+        .agg(sum(col("na")).as("na"), sum(col("nb")).as("nb"))
+        .withColumn("mdh", md5(col("key").cast("string")))
+        .withColumn("h1", hex32(col("mdh"), 0))
+        .withColumn("h2", hex32(col("mdh"), 8))
+      def sign(i: Int): Column = {
+        val h = if (i < 32) col("h1") else col("h2")
+        (shiftright(h, i % 32).bitwiseAND(lit(1L)) * 2 - 1)
+      }
+      val sketchCols = (0 until 64).flatMap(i => Seq(
+        sum(col("na") * sign(i)).as(s"sa_$i"),
+        sum(col("nb") * sign(i)).as(s"sb_$i")))
+      val g = perKey.agg(
+        sum(col("na") * col("nb")).as("exact_join_size"),
+        sketchCols: _*)
+      val prod = (0 until 64).map(i => col(s"sa_$i") * col(s"sb_$i")).reduce(_ + _)
+      g.withColumn("ams_estimate", prod.cast("double") / 64.0d)
+        .withColumn("rel_err",
+          abs(col("ams_estimate") - col("exact_join_size").cast("double"))
+            / col("exact_join_size").cast("double"))
+        .withColumn("bound_ok", col("rel_err") <= 0.5d)
+        .select("exact_join_size", "ams_estimate", "rel_err", "bound_ok")
+    },
+    Some {
+      def duckNib(p: Int) =
+        s"(CASE WHEN ascii(substr(mdh, $p, 1)) >= 97 " +
+          s"THEN CAST(ascii(substr(mdh, $p, 1)) - 87 AS BIGINT) " +
+          s"ELSE CAST(ascii(substr(mdh, $p, 1)) - 48 AS BIGINT) END)"
+      def duckHex32(off: Int) =
+        ((off + 1) to (off + 8))
+          .map(p => s"(${duckNib(p)} << ${(8 - (p - off)) * 4})").mkString(" + ")
+      def sign(i: Int) =
+        if (i < 32) s"(((h1 >> ${i % 32}) & 1) * 2 - 1)"
+        else s"(((h2 >> ${i % 32}) & 1) * 2 - 1)"
+      val sketchSums = (0 until 64).flatMap(i => Seq(
+        s"CAST(SUM(na * ${sign(i)}) AS BIGINT) AS sa_$i",
+        s"CAST(SUM(nb * ${sign(i)}) AS BIGINT) AS sb_$i")).mkString(",\n          ")
+      val prod = (0 until 64).map(i => s"sa_$i * sb_$i").mkString(" + ")
+      s"""WITH u AS (
+        SELECT l_partkey AS key, 1 AS na, 0 AS nb FROM lineitem
+        UNION ALL SELECT p_partkey, 0, 1 FROM part),
+      pk AS (SELECT key, CAST(SUM(na) AS BIGINT) AS na,
+          CAST(SUM(nb) AS BIGINT) AS nb, md5(CAST(key AS VARCHAR)) AS mdh
+        FROM u GROUP BY key, md5(CAST(key AS VARCHAR))),
+      ph AS (SELECT key, na, nb, ${duckHex32(0)} AS h1, ${duckHex32(8)} AS h2
+        FROM pk),
+      g AS (SELECT CAST(SUM(na * nb) AS BIGINT) AS exact_join_size,
+          $sketchSums
+        FROM ph)
+      SELECT exact_join_size,
+        CAST(($prod) AS DOUBLE) / 64.0 AS ams_estimate,
+        abs(CAST(($prod) AS DOUBLE) / 64.0 - CAST(exact_join_size AS DOUBLE))
+          / CAST(exact_join_size AS DOUBLE) AS rel_err,
+        abs(CAST(($prod) AS DOUBLE) / 64.0 - CAST(exact_join_size AS DOUBLE))
+          / CAST(exact_join_size AS DOUBLE) <= 0.5 AS bound_ok
+      FROM g"""
+    })
+
   override val all: Seq[Q] =
     Seq(q156, q157, q158, q159, q160, q161, q162, q216, q217, q219, q220,
-      q237)
+      q237, q245)
 }
 
 /** Serializable Count-Min probe: holds the sketch BYTES (what the

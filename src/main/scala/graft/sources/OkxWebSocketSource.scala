@@ -246,17 +246,22 @@ class WebSocketFrameProvider(options: CaseInsensitiveStringMap) extends FramePro
 
   override def start(emit: String => Unit): Unit = {
     thread = new Thread(() => {
+      // NOTE: no `return` in here — inside a lambda it would throw
+      // NonLocalReturnControl, which escapes as an uncaught exception on
+      // this thread (the enclosing start() returned long ago).
       var attempt = 0
-      while (!stopped.get()) {
+      var interrupted = false
+      while (!stopped.get() && !interrupted) {
         try {
           runOnce(emit)
           attempt = 0 // reset on clean session (okx_ws.py:60)
         } catch {
-          case _: InterruptedException => return
+          case _: InterruptedException => interrupted = true
           case _: Throwable =>
             attempt += 1
-            Thread.sleep(WebSocketFrameProvider.backoffMillis(attempt,
+            try Thread.sleep(WebSocketFrameProvider.backoffMillis(attempt,
               (System.nanoTime() % 1000) / 1000.0))
+            catch { case _: InterruptedException => interrupted = true }
         }
       }
     }, "okx-ws-provider")
