@@ -333,11 +333,33 @@ object Multimodal {
     def sampleAt(docId: Long, i: Int): Int =
       ((i * 7L + docId * 31L) % 65536L).toInt - 32768
 
-    def synthesizeWav(docId: Long, nSamples: Int): Array[Byte] = {
+    def synthesizeWav(docId: Long, nSamples: Int): Array[Byte] =
+      synthesizeWavWith(nSamples, sampleAt(docId, _))
+
+    /** Gained waveform for the loudness census (q249): the base ramp is
+      * phase-spread across documents (stride 9973 ≫ the doc count, so doc
+      * phases cover the full 16-bit range), scaled by a PER-WINDOW gain
+      * `g = (37·doc + 53·window) mod 80` with saturation — `g > 64`
+      * amplifies past full scale and clamps at ±32767/−32768, exactly how
+      * a hot recording chain clips. All arithmetic is non-negative
+      * integer mod/floor-div before the final shift, so Scala `/` and
+      * DuckDB `//` agree term for term.
+      */
+    def gainedSampleAt(docId: Long, i: Int): Int = {
+      val g = ((37L * docId + 53L * (i / WindowSamples)) % 80L).toInt
+      val raw = ((i * 7L + docId * 9973L) % 65536L).toInt
+      val v = (raw * g) / 64 - 512 * g
+      math.max(-32768, math.min(32767, v))
+    }
+
+    def synthesizeGainedWav(docId: Long, nSamples: Int): Array[Byte] =
+      synthesizeWavWith(nSamples, gainedSampleAt(docId, _))
+
+    private def synthesizeWavWith(nSamples: Int, f: Int => Int): Array[Byte] = {
       val pcm = new Array[Byte](nSamples * 2)
       var i = 0
       while (i < nSamples) {
-        val v = sampleAt(docId, i)
+        val v = f(i)
         pcm(2 * i) = (v & 0xff).toByte
         pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
         i += 1
@@ -541,6 +563,24 @@ object Multimodal {
           val d = AudioCodec.decode(r.getAs[Array[Byte]]("media_bytes"))
           Row(r.getLong(0), d.sampleRate, d.channels, d.bits, d.nSamples,
             d.sampleSum, d.absSum, d.sampleChecksum, d.meanAbs)
+        }
+      }(enc)
+  }
+
+  /** Encode the gained (saturating) waveform per document — the loudness
+    * census fixture (same WAV plumbing as [[synthesizeAudio]]).
+    */
+  def synthesizeGainedAudio(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("media_bytes", BinaryType),
+      StructField("media_type", StringType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    docs.select(col("doc_id"), audioDimCol)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, AudioCodec.synthesizeGainedWav(id, r.getInt(1)), "audio/wav")
         }
       }(enc)
   }

@@ -480,6 +480,112 @@ object LakehouseQueries extends Registry {
       FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** Hilbert-curve clustering vs Z-order vs single-column sort — the
+    * layout bake-off a lakehouse clustering decision runs, measured by
+    * the metric that matters: probe-rectangle file skips against each
+    * layout's per-file min/max zone maps (q210's pruning rule). The
+    * domain is the DISTINCT (x, y) cell grid (≤ 65536 cells at any data
+    * scale — the layout decision operates on the key-space census, not
+    * the row count), each layout assigns cells to 64 equal files by
+    * `ntile` over its curve key, and 16 fixed 41×41 probe rectangles
+    * count how many (file, probe) pairs prune. Hilbert's
+    * every-step-adjacent walk yields the tightest bounding boxes, the
+    * bit-interleaved Z-order next, the x-major sort last
+    * ([[graft.operators.SpaceFillingCurves]]; the ordering is asserted
+    * by LakehouseCertificatesSpec, the exact counts by the oracle).
+    *
+    * Scale: at 100 TB the census is a groupBy bounded by the 65536-cell
+    * grid, the layout write is one `repartitionByRange(curve_key)`, and
+    * this query IS the planning pass that justifies it — the ntile
+    * window runs over the bounded cell table, never the data.
+    */
+  private val q250 = Q("q250_hilbert_layout",
+    (s, d) => {
+      import graft.operators.SpaceFillingCurves
+      val cells = Tables.fanOut(Tables.lineitem(s, d))
+        .select(pmod(col("l_partkey"), lit(256)).cast("int").as("x"),
+          pmod(col("l_suppkey"), lit(256)).cast("int").as("y"))
+        .distinct()
+        .withColumn("hkey", SpaceFillingCurves.hilbertKey(col("x"), col("y")))
+        .withColumn("zkey", SpaceFillingCurves.zorderKey(col("x"), col("y")))
+        .withColumn("xkey", col("x").cast("long") * 256L + col("y"))
+      val layouts = Seq("hilbert" -> "hkey", "zorder" -> "zkey",
+        "xsort" -> "xkey")
+      val keyed = layouts.map { case (name, k) =>
+        cells.select(lit(name).as("layout"), col(k).as("curve_key"),
+          col("x"), col("y"))
+      }.reduce(_ unionByName _)
+      val filed = keyed.withColumn("file_id",
+        ntile(64).over(Window.partitionBy("layout")
+          .orderBy("curve_key", "x", "y")))
+      val boxes = filed.groupBy("layout", "file_id")
+        .agg(min("x").as("xmin"), max("x").as("xmax"),
+          min("y").as("ymin"), max("y").as("ymax"))
+      boxes
+        .select(col("layout"), col("file_id"), col("xmin"), col("xmax"),
+          col("ymin"), col("ymax"),
+          explode(typedLit((0 until 16).toArray)).as("p"))
+        .withColumn("xlo", pmod(col("p") * 37, lit(200)))
+        .withColumn("ylo", pmod(col("p") * 53, lit(200)))
+        .withColumn("skip",
+          when(col("xmax") < col("xlo") || col("xmin") > col("xlo") + 40 ||
+            col("ymax") < col("ylo") || col("ymin") > col("ylo") + 40, 1L)
+            .otherwise(0L))
+        .groupBy("layout")
+        .agg(countDistinct(col("file_id")).as("n_files"),
+          count(lit(1)).as("n_file_probes"),
+          sum(col("skip")).as("n_skipped"))
+        .orderBy("layout")
+    },
+    Some {
+      // 8 unrolled Hilbert levels: quadrant accumulate + reflect/transpose
+      def lvl(sv: Int, src: String, dst: String) =
+        s"""$dst AS (SELECT x, y, zkey,
+          d + ${sv.toLong * sv} * (CASE WHEN (wx & $sv) > 0
+              THEN (CASE WHEN (wy & $sv) > 0 THEN 2 ELSE 3 END)
+              ELSE (CASE WHEN (wy & $sv) > 0 THEN 1 ELSE 0 END) END) AS d,
+          CASE WHEN (wy & $sv) > 0 THEN wx
+            ELSE (CASE WHEN (wx & $sv) > 0 THEN 255 - wy ELSE wy END) END AS wx,
+          CASE WHEN (wy & $sv) > 0 THEN wy
+            ELSE (CASE WHEN (wx & $sv) > 0 THEN 255 - wx ELSE wx END) END AS wy
+        FROM $src)"""
+      val levels = Seq(128, 64, 32, 16, 8, 4, 2, 1).zipWithIndex
+        .map { case (sv, i) =>
+          lvl(sv, if (i == 0) "base" else s"l$i", s"l${i + 1}") }
+        .mkString(",\n        ")
+      val zterms = (0 until 8).map { b =>
+        s"((((x % 256) >> $b) & 1) << ${2 * b}) + " +
+          s"((((y % 256) >> $b) & 1) << ${2 * b + 1})"
+      }.mkString("(", ") + (", ")")
+      s"""WITH cells AS (SELECT DISTINCT l_partkey % 256 AS x,
+            l_suppkey % 256 AS y FROM lineitem),
+        base AS (SELECT x, y, $zterms AS zkey,
+            CAST(0 AS BIGINT) AS d, x AS wx, y AS wy FROM cells),
+        $levels,
+        keys AS (SELECT x, y, d AS hkey, zkey,
+            CAST(x AS BIGINT) * 256 + y AS xkey FROM l8),
+        u AS (
+          SELECT 'hilbert' AS layout, hkey AS curve_key, x, y FROM keys
+          UNION ALL SELECT 'zorder', zkey, x, y FROM keys
+          UNION ALL SELECT 'xsort', xkey, x, y FROM keys),
+        f AS (SELECT layout, x, y,
+            ntile(64) OVER (PARTITION BY layout ORDER BY curve_key, x, y)
+              AS file_id
+          FROM u),
+        bb AS (SELECT layout, file_id,
+            MIN(x) AS xmin, MAX(x) AS xmax, MIN(y) AS ymin, MAX(y) AS ymax
+          FROM f GROUP BY 1, 2),
+        pr AS (SELECT layout, file_id, xmin, xmax, ymin, ymax, t.p,
+            (t.p * 37) % 200 AS xlo, (t.p * 53) % 200 AS ylo
+          FROM bb, range(0, 16) t(p))
+      SELECT layout, CAST(COUNT(DISTINCT file_id) AS BIGINT) AS n_files,
+        CAST(COUNT(*) AS BIGINT) AS n_file_probes,
+        CAST(SUM(CASE WHEN xmax < xlo OR xmin > xlo + 40
+            OR ymax < ylo OR ymin > ylo + 40 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_skipped
+      FROM pr GROUP BY layout ORDER BY layout"""
+    })
+
   override val all: Seq[Q] = Seq(q208, q209, q210, q211, q224, q238, q239,
-    q240, q244)
+    q240, q244, q250)
 }

@@ -825,9 +825,135 @@ object ScaleQueries extends Registry {
       FROM g"""
     })
 
+  /** Observable metrics (`Dataset.observe` + `Observation`): ingest QC
+    * counters — raw row count, bulk-quantity count, zero-discount count —
+    * computed AT THE SCAN, inside the same job that runs the downstream
+    * filtered aggregate. The observed numbers cover ALL rows while the
+    * aggregate sees only the filtered subset, and both surface in one
+    * result (observed rows carry the `_observed:` prefix), so the gate
+    * proves the metrics came from the pre-filter stage and cost no
+    * second scan.
+    *
+    * Scale: this is THE mechanism for data-quality accounting at 100 TB —
+    * per-batch QC counters ride the production job as map-side
+    * accumulators (one `CollectMetrics` node, no extra pass, no
+    * `cache()`+`count()` double-scan), and the same call works unchanged
+    * under Structured Streaming where the metrics land in each
+    * `StreamingQueryProgress`.
+    */
+  private val q246 = Q("q246_observe_metrics",
+    (s, d) => {
+      val obs = org.apache.spark.sql.Observation("q246_ingest_qc")
+      val li = Tables.fanOut(Tables.lineitem(s, d))
+        .select(col("l_returnflag"), col("l_quantity"), col("l_discount"),
+          col("l_extendedprice"))
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum(when(col("l_quantity") > 30.0d, 1L).otherwise(0L)).as("n_bulk"),
+          sum(when(col("l_discount") === 0.0d, 1L).otherwise(0L)).as("n_nodisc"))
+      val agg = li.filter(col("l_quantity") > 5.0d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), StableAgg.dsum(col("l_extendedprice")).as("revenue"))
+      val main = agg.collect().toIndexedSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      val m = obs.get // filled by the job above — throws if never observed
+      val observed = Seq("n_rows", "n_bulk", "n_nodisc")
+        .map(k => (s"_observed:$k", m(k).asInstanceOf[Long], 0.0d))
+      s.createDataFrame(main ++ observed)
+        .toDF("metric", "n", "revenue")
+        .orderBy("metric")
+    },
+    Some(s"""SELECT l_returnflag AS metric, CAST(COUNT(*) AS BIGINT) AS n,
+        ${O.dsum("l_extendedprice")} AS revenue
+      FROM lineitem WHERE l_quantity > 5 GROUP BY 1
+      UNION ALL SELECT '_observed:n_rows', CAST(COUNT(*) AS BIGINT),
+        0.0::DOUBLE FROM lineitem
+      UNION ALL SELECT '_observed:n_bulk',
+        CAST(SUM(CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END) AS BIGINT),
+        0.0::DOUBLE FROM lineitem
+      UNION ALL SELECT '_observed:n_nodisc',
+        CAST(SUM(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS BIGINT),
+        0.0::DOUBLE FROM lineitem
+      ORDER BY metric"""))
+
+  private val q247Runs = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Cost-based join reorder (the catalog-statistics leg of the optimizer
+    * family, next to q216's runtime bloom filter, q217's DPP and q237's
+    * AQE skew split): the query is WRITTEN fact⋈supplier⋈part with the
+    * selective predicate on PART — the worst order, joining the whole
+    * fact against supplier first. With `ANALYZE TABLE ... COMPUTE
+    * STATISTICS FOR ALL COLUMNS` row counts + column histograms in the
+    * catalog and `spark.sql.cbo.joinReorder.enabled`, Catalyst's
+    * CostBasedJoinReorder must flip the tree to join the ~4 %-selectivity
+    * part side first. The flip is asserted structurally in-query (the
+    * innermost Join must carry part's attributes and not supplier's;
+    * absence throws) and the aggregate hash-matches the plain oracle —
+    * reordering may never change results.
+    *
+    * Scale: at 100 TB join order is THE difference between shuffling the
+    * fact table once against a 4 % slice vs twice against everything;
+    * stats collection (one ANALYZE pass per table at ingest) is what
+    * makes the optimizer able to see that before running anything.
+    */
+  private val q247 = Q("q247_cbo_join_reorder",
+    (s, d) => {
+      import org.apache.spark.sql.catalyst.plans.logical.Join
+      val pfx = s"q247_${ProcessHandle.current().pid()}_${q247Runs.incrementAndGet()}"
+      val tuned = Seq(
+        "spark.sql.cbo.enabled" -> "true",
+        "spark.sql.cbo.joinReorder.enabled" -> "true")
+      val prev = tuned.map { case (k, _) => k -> s.conf.get(k) }
+      try {
+        tuned.foreach { case (k, v) => s.conf.set(k, v) }
+        // deterministic fact subset keeps the per-run catalog write cheap
+        Tables.lineitem(s, d).filter(col("l_orderkey") % 4 === 0)
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
+          .write.mode("overwrite").saveAsTable(s"${pfx}_li")
+        Tables.part(s, d).select("p_partkey", "p_size")
+          .write.mode("overwrite").saveAsTable(s"${pfx}_part")
+        Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+          .write.mode("overwrite").saveAsTable(s"${pfx}_supp")
+        Seq("li", "part", "supp").foreach { t =>
+          s.sql(s"ANALYZE TABLE ${pfx}_$t COMPUTE STATISTICS FOR ALL COLUMNS")
+        }
+        val agg = s.table(s"${pfx}_li")
+          .join(s.table(s"${pfx}_supp"), col("l_suppkey") === col("s_suppkey"))
+          .join(s.table(s"${pfx}_part").filter(col("p_size") < 3),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n_items"),
+            StableAgg.dsum(col("l_extendedprice")).as("revenue"))
+          .orderBy("s_nationkey")
+        val joins = agg.queryExecution.optimizedPlan.collect { case j: Join => j }
+        val innermost = joins.lastOption.getOrElse(
+          throw new IllegalStateException("no Join in the optimized plan"))
+        val names = innermost.output.map(_.name).toSet
+        if (!names.contains("p_partkey") || names.contains("s_suppkey"))
+          throw new IllegalStateException(
+            "CBO did not reorder the selective part join innermost: " +
+              s"innermost join output = $names\n" +
+              agg.queryExecution.optimizedPlan.toString)
+        val out = agg.collect().toIndexedSeq
+          .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+        s.createDataFrame(out).toDF("s_nationkey", "n_items", "revenue")
+      } finally {
+        prev.foreach { case (k, v) => s.conf.set(k, v) }
+        Seq("li", "part", "supp").foreach(t =>
+          s.sql(s"DROP TABLE IF EXISTS ${pfx}_$t"))
+      }
+    },
+    Some(s"""SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+        ${O.dsum("l_extendedprice")} AS revenue
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE l_orderkey % 4 = 0 AND p_size < 3
+      GROUP BY 1 ORDER BY 1"""))
+
   override val all: Seq[Q] =
     Seq(q156, q157, q158, q159, q160, q161, q162, q216, q217, q219, q220,
-      q237, q245)
+      q237, q245, q246, q247)
 }
 
 /** Serializable Count-Min probe: holds the sketch BYTES (what the

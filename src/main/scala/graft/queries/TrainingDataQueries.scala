@@ -2216,9 +2216,120 @@ object TrainingDataQueries extends Registry {
           / CAST(COUNT(*) AS DOUBLE) < 0.5 AS flag_noisy
       FROM j GROUP BY qid ORDER BY qid"""))
 
+  /** Perceptual image deduplication via difference-hash (dHash): every
+    * image decodes through the REAL PNG codec, downsamples to a 9×8
+    * nearest-neighbor grid, and emits 64 gradient-sign bits; exact-hash
+    * groups are the perceptual duplicate clusters (re-encodes, resizes
+    * and brightness shifts of one image collide — the standard image-
+    * dedup pass in multimodal training-data pipelines). The oracle
+    * recomputes the grid from the closed-form pattern, so a codec,
+    * sampling-grid, or bit-packing bug hash-mismatches.
+    *
+    * Scale: one codec pass (mapPartitions, CPU-local) then a single
+    * hash-partitioned groupBy on the 64-bit hash — never pairwise; group
+    * sizes are bounded by true duplicate multiplicity, so no skew. The
+    * hash rides as two non-negative 32-bit halves in BIGINTs to stay
+    * sign-portable across engines.
+    */
+  private val q248 = Q("q248_image_dhash_dedup",
+    (s, d) => {
+      val media = Multimodal.synthesizeImages(Tables.fanOut(Tables.documents(s, d)))
+      Multimodal.imageDHashes(media)
+        .groupBy("hash_lo", "hash_hi")
+        .agg(count(lit(1)).as("group_size"),
+          min(col("doc_id")).as("keeper_doc_id"),
+          array_join(
+            transform(sort_array(collect_list(col("doc_id"))),
+              _.cast("string")), ",").as("doc_ids"))
+        .filter(col("group_size") >= 2)
+        .orderBy("hash_lo", "hash_hi")
+    },
+    Some {
+      // g(x,y) = (7x + 13y + 31·doc) mod 256 sampled at the nearest-
+      // neighbor grid x_i = (i·w)//9, y_j = (j·h)//8; bit b (i=b%8,
+      // j=b//8) set when the right grid sample strictly exceeds the left.
+      def bitTerm(shift: String) =
+        s"""CASE WHEN (7*((((b%8)+1)*w)//9) + 13*(((b//8)*h)//8) + 31*doc_id) % 256
+             > (7*(((b%8)*w)//9) + 13*(((b//8)*h)//8) + 31*doc_id) % 256
+           THEN (CAST(1 AS BIGINT) << ($shift)) ELSE CAST(0 AS BIGINT) END"""
+      s"""WITH dims AS (SELECT doc_id, doc_id % 64 + 16 AS w,
+          doc_id % 48 + 16 AS h FROM documents),
+        hb AS (SELECT doc_id,
+          CAST(list_sum(list_transform(range(0,32), b -> ${bitTerm("b")}))
+            AS BIGINT) AS hash_lo,
+          CAST(list_sum(list_transform(range(32,64), b -> ${bitTerm("b-32")}))
+            AS BIGINT) AS hash_hi
+        FROM dims)
+      SELECT hash_lo, hash_hi, CAST(COUNT(*) AS BIGINT) AS group_size,
+        MIN(doc_id) AS keeper_doc_id,
+        string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+      FROM hb GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2"""
+    })
+
+  /** Audio loudness/clipping census — the audio-curation pass (drop
+    * saturated takes, flag dead air) over a gained, saturating waveform
+    * encoded and decoded through the REAL WAV codec: per 128-sample
+    * window, exact integer peak/|v|-sum/energy; a window is CLIPPED at
+    * peak ≥ 32760 and QUIET below mean |v| of 8192. The verdict `keep`
+    * (no clipping, at most half the windows quiet) is the filter a
+    * speech-pretraining pipeline applies before transcription.
+    *
+    * Scale: pure scan-local codec + integer window folds (mapPartitions),
+    * no shuffle until the final per-doc row — the same shape at 100 TB
+    * with the codec as the only CPU cost.
+    */
+  private val q249 = Q("q249_audio_loudness_census",
+    (s, d) => {
+      val media = Multimodal.synthesizeGainedAudio(
+        Tables.fanOut(Tables.documents(s, d)))
+      Multimodal.decodeAudioLoudness(media)
+        .withColumn("clip_frac",
+          col("n_clipped").cast("double") / col("n_windows").cast("double"))
+        .withColumn("quiet_frac",
+          col("n_quiet").cast("double") / col("n_windows").cast("double"))
+        .withColumn("keep",
+          col("n_clipped") === 0L && col("n_quiet") * 2 <= col("n_windows"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH dims AS (SELECT doc_id,
+          CAST(doc_id % 480 + 240 AS BIGINT) AS n FROM documents),
+      w AS (SELECT doc_id, n, n // 128 AS n_windows FROM dims),
+      win AS (SELECT doc_id, n, n_windows,
+          unnest(range(0, n_windows)) AS k FROM w),
+      smp AS (SELECT doc_id, n, n_windows, k,
+          list_transform(range(k*128, (k+1)*128), i ->
+            greatest(-32768, least(32767,
+              ((((i*7 + doc_id*9973) % 65536)
+                  * ((37*doc_id + 53*(i//128)) % 80)) // 64)
+                - 512*((37*doc_id + 53*(i//128)) % 80)))) AS vals
+        FROM win),
+      ws AS (SELECT doc_id, n, n_windows, k,
+          CAST(list_max(list_transform(vals, x -> abs(x))) AS BIGINT)
+            AS win_peak,
+          CAST(list_sum(list_transform(vals, x -> abs(x))) AS BIGINT)
+            AS abs_sum,
+          CAST(list_sum(list_transform(vals,
+            x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS win_energy
+        FROM smp),
+      agg AS (SELECT doc_id, MAX(n) AS n_samples,
+          CAST(MAX(n_windows) AS BIGINT) AS n_windows,
+          CAST(SUM(CASE WHEN win_peak >= 32760 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_clipped,
+          CAST(SUM(CASE WHEN abs_sum < 1048576 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_quiet,
+          CAST(SUM(win_energy) AS BIGINT) AS energy,
+          CAST(MAX(win_peak) AS INTEGER) AS peak_abs
+        FROM ws GROUP BY doc_id)
+      SELECT doc_id, n_samples, n_windows, n_clipped, n_quiet, energy,
+        peak_abs,
+        CAST(n_clipped AS DOUBLE) / CAST(n_windows AS DOUBLE) AS clip_frac,
+        CAST(n_quiet AS DOUBLE) / CAST(n_windows AS DOUBLE) AS quiet_frac,
+        (n_clipped = 0 AND n_quiet * 2 <= n_windows) AS keep
+      FROM agg ORDER BY doc_id"""))
+
   override val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q38, q41, q42, q43, q44, q45, q47, q107, q112, q114, q115,
     q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q79, q124, q125, q126,
     q127, q134, q135, q140, q141, q142, q146, q150, q151, q163, q164, q218,
-    q241)
+    q241, q248, q249)
 }

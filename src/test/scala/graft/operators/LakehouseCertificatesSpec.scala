@@ -81,4 +81,25 @@ class LakehouseCertificatesSpec extends SparkSpec {
     val live = keys.count(_ % 11 != 0)
     assert(hist.count(_._4) == live, "one current row per live key")
   }
+
+  test("q250 layout quality orders hilbert >= zorder >= xsort on probe skips") {
+    // sf0.01: with ~23k of 65k grid cells occupied the locality effect is
+    // real; at sf0.001 the grid is so sparse (~1.9k cells) that narrow
+    // x-stripes prune as well as anything and the ordering is noise
+    val skips = SparkEntry.queries("q250_hilbert_layout")(spark, "/root/testdata/sf0.01")
+      .select("layout", "n_files", "n_file_probes", "n_skipped")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(skips.keySet == Set("hilbert", "zorder", "xsort"))
+    skips.values.foreach { case (l, nf, np, ns) =>
+      assert(nf == 64 && np == 64 * 16, s"$l file accounting off: $nf/$np")
+      assert(ns >= 0 && ns <= np, s"$l skip count out of range: $ns")
+    }
+    // the reason Hilbert exists: tighter per-file boxes => at least as
+    // much pruning as Z-order, which beats a single-column sort
+    assert(skips("hilbert")._4 >= skips("zorder")._4,
+      s"hilbert pruned less than zorder: $skips")
+    assert(skips("zorder")._4 >= skips("xsort")._4,
+      s"zorder pruned less than xsort: $skips")
+  }
 }
