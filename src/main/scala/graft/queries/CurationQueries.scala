@@ -1518,8 +1518,84 @@ object CurationQueries extends Registry {
       FROM n LEFT JOIN t2 USING (doc_id) LEFT JOIN d3 USING (doc_id)
       ORDER BY doc_id"""))
 
+  /** URL canonicalization + host-level duplicate grouping — the crawl-
+    * side dedup key every web-corpus pipeline computes before any
+    * content hash (Common Crawl dedups by canonical URL first): parse
+    * scheme/host/path/query/fragment with shared-dialect regexes, then
+    * lowercase scheme+host, strip the default port and `www.`, drop the
+    * fragment, resolve `segment/..` path climbs (bounded depth 2 —
+    * documented; crawl frontiers normalize deeper paths at fetch time),
+    * drop `utm_*` tracking parameters, and SORT the surviving query
+    * parameters. Docs whose raw URLs differ only in case/port/tracking/
+    * param-order collapse to one canonical group. The raw URLs are
+    * synthesized deterministically from (source, doc_id) — the fixture
+    * carries no URL column — with every rule exercised by construction.
+    *
+    * Scale: pure scan-local string work (regex + split/sort of ≤ 3
+    * params) followed by one hash-partitioned groupBy on the canonical
+    * key; identical shape at crawl scale.
+    */
+  private val q252 = Q("q252_url_canonical_dedup",
+    (s, d) => {
+      val raw = concat(lit("HTTPS://WWW."), upper(col("source")),
+        lit(".Example.COM:443/Dir"), pmod(col("doc_id"), lit(7)),
+        lit("/../p"), pmod(col("doc_id"), lit(13)),
+        lit("?utm_src=crawl&b="), pmod(col("doc_id"), lit(3)),
+        lit("&a="), pmod(col("doc_id"), lit(5)), lit("#sec"))
+      val parts = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), raw.as("raw_url"))
+        .withColumn("scheme", lower(regexp_extract(col("raw_url"), "^([A-Za-z]+)://", 1)))
+        .withColumn("host",
+          regexp_replace(regexp_replace(
+            lower(regexp_extract(col("raw_url"), "^[A-Za-z]+://([^/?#]+)", 1)),
+            ":443$", ""), "^www\\.", ""))
+        .withColumn("path0",
+          regexp_extract(col("raw_url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1))
+        .withColumn("path",
+          regexp_replace(regexp_replace(col("path0"),
+            "/[^/]+/\\.\\./", "/"), "/[^/]+/\\.\\./", "/"))
+        .withColumn("qsorted",
+          array_join(array_sort(filter(
+            split(regexp_extract(col("raw_url"), "\\?([^#]*)", 1), "&"),
+            x => !x.startsWith("utm_"))), "&"))
+      parts
+        .withColumn("canonical_url",
+          concat(col("scheme"), lit("://"), col("host"), col("path"),
+            when(col("qsorted") === "", lit("")).otherwise(concat(lit("?"), col("qsorted")))))
+        .groupBy("canonical_url", "host")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_doc_id"))
+        .orderBy("canonical_url")
+    },
+    Some("""WITH raw AS (SELECT doc_id,
+          'HTTPS://WWW.' || upper(source) || '.Example.COM:443/Dir'
+            || CAST(doc_id % 7 AS VARCHAR) || '/../p'
+            || CAST(doc_id % 13 AS VARCHAR) || '?utm_src=crawl&b='
+            || CAST(doc_id % 3 AS VARCHAR) || '&a='
+            || CAST(doc_id % 5 AS VARCHAR) || '#sec' AS raw_url
+        FROM documents),
+      parts AS (SELECT doc_id,
+          lower(regexp_extract(raw_url, '^([A-Za-z]+)://', 1)) AS scheme,
+          regexp_replace(regexp_replace(
+            lower(regexp_extract(raw_url, '^[A-Za-z]+://([^/?#]+)', 1)),
+            ':443$', ''), '^www\.', '') AS host,
+          regexp_replace(regexp_replace(
+            regexp_extract(raw_url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+            '/[^/]+/\.\./', '/'), '/[^/]+/\.\./', '/') AS path,
+          array_to_string(list_sort(list_filter(
+            string_split(regexp_extract(raw_url, '\?([^#]*)', 1), '&'),
+            x -> NOT starts_with(x, 'utm_'))), '&') AS qsorted
+        FROM raw),
+      canon AS (SELECT doc_id, host,
+          scheme || '://' || host || path ||
+            (CASE WHEN qsorted = '' THEN '' ELSE '?' || qsorted END)
+            AS canonical_url
+        FROM parts)
+      SELECT canonical_url, host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        MIN(doc_id) AS keeper_doc_id
+      FROM canon GROUP BY 1, 2 ORDER BY canonical_url"""))
+
   override val all: Seq[Q] = Seq(q177, q178, q179, q180, q181, q182, q183,
     q184, q185, q186, q188, q189, q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q204, q205, q206, q207, q225, q226,
-    q232)
+    q232, q252)
 }

@@ -2338,10 +2338,73 @@ object ExtendedQueries extends Registry {
         AND epoch_ms(c.ts) BETWEEN epoch_ms(i.ts) AND epoch_ms(i.ts) + 86400000
       ORDER BY imp_id, clk_id"""))
 
+  /** Interval union (gaps-and-islands): total COVERED time per user over
+    * overlapping activity intervals — the classic de-overlap that naive
+    * duration sums double-count (billing, engagement, GPU-hour
+    * accounting). Islands form where an interval starts after the
+    * running max of all previous ends (window ordered by the tie-free
+    * (start, event_id) key); per-island coverage is max(end)−min(start).
+    * Every quantity is exact 64-bit millisecond arithmetic.
+    *
+    * Scale: one user-keyed exchange feeds both windows and both
+    * aggregations; per-row state is a running max — the sweep-line in
+    * SQL form, no self-join, no explode of the time axis.
+    */
+  private val q253 = Q("q253_interval_union",
+    (s, d) => {
+      val iv = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        col("ts_ms").as("st"),
+        (col("ts_ms") + (pmod(col("event_id"), lit(300)) + 60) * 1000L).as("en"))
+      val order = Window.partitionBy("user_id").orderBy("st", "event_id")
+      val marked = iv
+        .withColumn("prev_max_en",
+          max("en").over(order.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_island",
+          when(col("prev_max_en").isNull || col("st") > col("prev_max_en"), 1L)
+            .otherwise(0L))
+        .withColumn("island",
+          sum("new_island").over(order.rowsBetween(Window.unboundedPreceding, 0)))
+      marked.groupBy("user_id", "island")
+        .agg(count(lit(1)).as("n_iv"), min("st").as("ist"), max("en").as("ien"),
+          sum(col("en") - col("st")).as("raw"))
+        .groupBy("user_id")
+        .agg(sum(col("n_iv")).as("n_intervals"),
+          count(lit(1)).as("n_islands"),
+          sum(col("raw")).as("raw_ms"),
+          sum(col("ien") - col("ist")).as("covered_ms"))
+        .withColumn("overlap_ms", col("raw_ms") - col("covered_ms"))
+        .orderBy("user_id")
+    },
+    Some("""WITH iv AS (SELECT user_id, event_id, epoch_ms(ts) AS st,
+          epoch_ms(ts) + ((event_id % 300) + 60) * 1000 AS en
+        FROM events),
+      m AS (SELECT user_id, event_id, st, en,
+          MAX(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_en
+        FROM iv),
+      f AS (SELECT user_id, st, en,
+          CASE WHEN prev_max_en IS NULL OR st > prev_max_en
+            THEN 1 ELSE 0 END AS new_island,
+          event_id
+        FROM m),
+      isl AS (SELECT user_id, st, en,
+          SUM(new_island) OVER (PARTITION BY user_id ORDER BY st, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM f),
+      g AS (SELECT user_id, island, COUNT(*) AS n_iv,
+          MIN(st) AS ist, MAX(en) AS ien, SUM(en - st) AS raw
+        FROM isl GROUP BY 1, 2)
+      SELECT user_id, CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+        CAST(COUNT(*) AS BIGINT) AS n_islands,
+        CAST(SUM(raw) AS BIGINT) AS raw_ms,
+        CAST(SUM(ien - ist) AS BIGINT) AS covered_ms,
+        CAST(SUM(raw) - SUM(ien - ist) AS BIGINT) AS overlap_ms
+      FROM g GROUP BY user_id ORDER BY user_id"""))
+
   override val all: Seq[Q] =
     Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
       q101, q102, q103, q104, q105, q106, q108, q109, q110, q111, q113, q116,
       q117, q118, q119, q120, q121, q122, q123, q128, q129, q130, q131, q132,
       q133, q136, q137, q138, q139, q144, q148, q149, q152, q153, q154, q155,
-      q235, q236)
+      q235, q236, q253)
 }

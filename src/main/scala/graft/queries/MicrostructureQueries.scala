@@ -405,5 +405,54 @@ object MicrostructureQueries extends Registry {
         END AS rcorr
       FROM m ORDER BY sym_a, sym_b"""))
 
-  override val all: Seq[Q] = Seq(q227, q228, q229, q230, q231, q243)
+  /** Theil–Sen robust trend (Theil 1950 / Sen 1968): per event family,
+    * the MEDIAN of all pairwise daily-mean slopes — the estimator that
+    * shrugs off the outlier days that wreck q228's OLS (breakdown point
+    * 29 % vs 0 %). The daily means ride the decimal route; each pairwise
+    * slope is one IEEE division of identical operands on either engine;
+    * the median is the exact floor-index percentile (q9's device), so
+    * the whole estimate hash-reproduces.
+    *
+    * Scale: the O(n²) pair join is per-group over DAILY aggregates —
+    * bounded by the calendar (≤ 365²/2 pairs per key-year), never by
+    * row count; one exchange builds the daily table, the pair join is
+    * group-local.
+    */
+  private val q251 = Q("q251_theil_sen_trend",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
+        .agg((StableAgg.dsum(col("value")) / count(lit(1))).as("v"))
+      val a = daily.select(col("event_type"), col("day").as("d1"), col("v").as("v1"))
+      val b = daily.select(col("event_type").as("et2"), col("day").as("d2"), col("v").as("v2"))
+      a.join(b, col("event_type") === col("et2") && col("d1") < col("d2"))
+        .select(col("event_type"),
+          ((col("v2") - col("v1"))
+            / (col("d2") - col("d1")).cast("double")).as("slope"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          element_at(graft.functions.ExactPercentile(col("slope"), Seq(0.5)), 1)
+            .as("theil_sen_slope"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH daily AS (
+        SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+          ${O.dsum("value")} / COUNT(*) AS v
+        FROM events GROUP BY 1, 2),
+      slopes AS (
+        SELECT a.event_type,
+          (b.v - a.v) / CAST(b.day - a.day AS DOUBLE) AS slope
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day),
+      r AS (
+        SELECT event_type, slope,
+          row_number() OVER (PARTITION BY event_type ORDER BY slope) - 1 AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM slopes)
+      SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_pairs,
+        MAX(CASE WHEN rn = CAST(floor(0.5::DOUBLE * (n-1)) AS BIGINT)
+          THEN slope END) AS theil_sen_slope
+      FROM r GROUP BY event_type ORDER BY event_type"""))
+
+  override val all: Seq[Q] = Seq(q227, q228, q229, q230, q231, q243, q251)
 }

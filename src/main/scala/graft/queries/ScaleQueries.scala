@@ -951,9 +951,96 @@ object ScaleQueries extends Registry {
       WHERE l_orderkey % 4 = 0 AND p_size < 3
       GROUP BY 1 ORDER BY 1"""))
 
+  /** AQE partition coalescing — the runtime complement of q237's skew
+    * SPLIT: a shuffle planned at 64 partitions whose output is KB-sized
+    * must be READ back as a handful of coalesced partitions (the final
+    * plan's AQEShuffleRead must report `coalesced`; its absence throws).
+    * At 100 TB the same mechanism works in reverse importance: nobody
+    * can statically pick `spark.sql.shuffle.partitions` that suits both
+    * the TB-scale first aggregate and the KB-scale final rollup of one
+    * query — AQE sizes each exchange read from actual map-output stats,
+    * which is why the engine leaves partition counts alone and lets
+    * runtime statistics drive them (`parallelismFirst=false`, the
+    * size-respecting production setting).
+    */
+  private val q254 = Q("q254_aqe_coalesce",
+    (s, d) => {
+      val tuned = Seq(
+        "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "64",
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8MB")
+      val prev = tuned.map { case (k, _) => k -> s.conf.getOption(k) }
+      try {
+        tuned.foreach { case (k, v) => s.conf.set(k, v) }
+        val agg = Tables.fanOut(Tables.orders(s, d))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            StableAgg.dsum(col("o_totalprice")).as("revenue"))
+          .orderBy("o_orderpriority")
+        val out = agg.collect().toIndexedSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        val plan = agg.queryExecution.executedPlan.toString
+        if (!plan.contains("AQEShuffleRead") || !plan.contains("coalesced"))
+          throw new IllegalStateException(
+            s"AQE did not coalesce the small shuffle read:\n$plan")
+        s.createDataFrame(out).toDF("o_orderpriority", "n_orders", "revenue")
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+    },
+    Some(s"""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        ${O.dsum("o_totalprice")} AS revenue
+      FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  /** Exchange reuse — Catalyst must recognize that both sides of a
+    * self-join are the SAME aggregate subtree and ship its shuffle once
+    * (the executed plan must carry a ReusedExchange; absence throws):
+    * customers-with-equal-order-count pairs join the per-customer count
+    * table to itself on the count. Broadcast is disabled so both sides
+    * plan the identical shuffle exchange that reuse deduplicates.
+    *
+    * Scale: self-joins of derived tables are everywhere in analytics
+    * (cohort vs cohort, week vs week); reuse halves the scan+aggregate
+    * cost and is only visible when the plan keeps both sides literally
+    * identical — the reason the engine builds such queries from ONE
+    * shared DataFrame value rather than re-deriving per side.
+    */
+  private val q255 = Q("q255_reuse_exchange",
+    (s, d) => {
+      val tuned = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val prev = tuned.map { case (k, _) => k -> s.conf.get(k) }
+      try {
+        tuned.foreach { case (k, v) => s.conf.set(k, v) }
+        val byCust = Tables.fanOut(Tables.orders(s, d))
+          .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+        val pairs = byCust.select(col("o_custkey").as("c1"), col("n_orders"))
+          .join(byCust.select(col("o_custkey").as("c2"),
+            col("n_orders").as("n2")),
+            col("n_orders") === col("n2") && col("c1") < col("c2"))
+        val agg = pairs.groupBy("n_orders")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("n_orders")
+        val out = agg.collect().toIndexedSeq
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val plan = agg.queryExecution.executedPlan.toString
+        if (!plan.contains("ReusedExchange"))
+          throw new IllegalStateException(
+            s"self-join did not reuse the aggregate's exchange:\n$plan")
+        s.createDataFrame(out).toDF("n_orders", "n_pairs")
+      } finally prev.foreach { case (k, v) => s.conf.set(k, v) }
+    },
+    Some("""WITH c AS (SELECT o_custkey, COUNT(*) AS n_orders
+          FROM orders GROUP BY 1),
+        g AS (SELECT n_orders, COUNT(*) AS k FROM c GROUP BY 1)
+      SELECT CAST(n_orders AS BIGINT) AS n_orders,
+        CAST((k * (k - 1)) // 2 AS BIGINT) AS n_pairs
+      FROM g WHERE k >= 2 ORDER BY n_orders"""))
+
   override val all: Seq[Q] =
     Seq(q156, q157, q158, q159, q160, q161, q162, q216, q217, q219, q220,
-      q237, q245, q246, q247)
+      q237, q245, q246, q247, q254, q255)
 }
 
 /** Serializable Count-Min probe: holds the sketch BYTES (what the
