@@ -2338,6 +2338,79 @@ object ExtendedQueries extends Registry {
         AND epoch_ms(c.ts) BETWEEN epoch_ms(i.ts) AND epoch_ms(i.ts) + 86400000
       ORDER BY imp_id, clk_id"""))
 
+  private val q256Runs = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Streaming observable metrics — q246's `observe` under Structured
+    * Streaming, where the metrics surface PER MICRO-BATCH in each
+    * `StreamingQueryProgress.observedMetrics`: a 3-chunk replay of the
+    * events slice is counted and QC'd (rows, high-value rows, value sum
+    * on the decimal route) by an `observe` node on the RAW stream while
+    * the query itself just passes rows through to the sink. The gate
+    * emits one row per micro-batch from the progress objects and the
+    * oracle reconstructs the chunking arithmetic — a lost batch,
+    * double-fired observation, or metrics computed post-filter all
+    * hash-mismatch.
+    *
+    * Scale: per-batch QC without a second aggregation stream — the
+    * observe node folds map-side inside the batch's own tasks; this is
+    * how a production ingest reports per-trigger row/error counts with
+    * zero extra passes.
+    */
+  private val q256 = Q("q256_streaming_observe",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rows: Seq[(Long, Long, Double)] = Tables.events(s, d)
+        .filter(col("user_id") < 40)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .orderBy("event_id")
+        .collect().iterator.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val mem = MemoryStream[(Long, Long, Double)]
+      val observed = mem.toDF().toDF("user_id", "event_id", "value")
+        .observe("batch_qc",
+          count(lit(1)).as("n_rows"),
+          sum(when(col("value") > 50.0d, 1L).otherwise(0L)).as("n_high"),
+          sum(col("value").cast("decimal(38,6)")).as("dval"))
+      val sinkName = s"q256_obs_${q256Runs.incrementAndGet()}"
+      val query = StreamGate.withStatePartitions(s) {
+        observed.select("user_id", "event_id")
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode("append").start()
+      }
+      val perBatch = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Double)]
+      try {
+        var chunkIdx = 0
+        rows.grouped(math.max(1, (rows.size + 2) / 3)).foreach { chunk =>
+          mem.addData(chunk: _*)
+          query.processAllAvailable()
+          val om = query.lastProgress.observedMetrics.get("batch_qc")
+          if (om == null) throw new IllegalStateException(
+            s"micro-batch $chunkIdx carried no observed metrics")
+          perBatch += ((chunkIdx, om.getAs[Long]("n_rows"),
+            om.getAs[Long]("n_high"),
+            om.getAs[java.math.BigDecimal]("dval").doubleValue()))
+          chunkIdx += 1
+        }
+        val sunk = s.table(sinkName).count()
+        if (sunk != rows.size) throw new IllegalStateException(
+          s"sink saw $sunk rows, stream carried ${rows.size}")
+      } finally query.stop()
+      s.createDataFrame(perBatch.toSeq)
+        .toDF("chunk", "n_rows", "n_high", "value_sum")
+        .orderBy("chunk")
+    },
+    Some(s"""WITH f AS (SELECT event_id, value,
+          row_number() OVER (ORDER BY event_id) AS rn,
+          COUNT(*) OVER () AS n
+        FROM events WHERE user_id < 40),
+      c AS (SELECT event_id, value,
+          CAST((rn - 1) // ((n + 2) // 3) AS INTEGER) AS chunk FROM f)
+      SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        ${O.dsum("value")} AS value_sum
+      FROM c GROUP BY chunk ORDER BY chunk"""))
+
   /** Interval union (gaps-and-islands): total COVERED time per user over
     * overlapping activity intervals — the classic de-overlap that naive
     * duration sums double-count (billing, engagement, GPU-hour
@@ -2406,5 +2479,5 @@ object ExtendedQueries extends Registry {
       q101, q102, q103, q104, q105, q106, q108, q109, q110, q111, q113, q116,
       q117, q118, q119, q120, q121, q122, q123, q128, q129, q130, q131, q132,
       q133, q136, q137, q138, q139, q144, q148, q149, q152, q153, q154, q155,
-      q235, q236, q253)
+      q235, q236, q253, q256)
 }

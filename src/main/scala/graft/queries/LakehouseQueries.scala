@@ -586,6 +586,56 @@ object LakehouseQueries extends Registry {
       FROM pr GROUP BY layout ORDER BY layout"""
     })
 
+  private val q257Runs = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Dynamic partition overwrite (`partitionOverwriteMode=dynamic`) — the
+    * idempotent-backfill primitive: generation 1 writes all five
+    * priority partitions; a corrected recompute of ONLY the urgent/high
+    * slice (prices bumped by an exact integer amount) is written with
+    * `mode(overwrite)`, and dynamic mode must replace ONLY the two
+    * partitions present in the new data. The read-back aggregate
+    * hash-matches an oracle where urgent/high carry updated prices and
+    * the other three partitions keep generation-1 values — under STATIC
+    * overwrite semantics the three untouched partitions would be
+    * deleted and the row counts collapse, so the gate is
+    * self-certifying.
+    *
+    * Scale: this is how daily reprocessing lands at 100 TB — recompute
+    * the affected date/priority partitions, overwrite exactly those
+    * directories atomically-per-partition, never rewrite (or lock) the
+    * rest of the table.
+    */
+  private val q257 = Q("q257_dynamic_partition_overwrite",
+    (s, d) => {
+      import java.io.File
+      val dir = graft.streaming.TempDirs.register(new File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_q257_${ProcessHandle.current().pid()}_${q257Runs.incrementAndGet()}"))
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.get(key)
+      try {
+        s.conf.set(key, "dynamic")
+        val base = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        base.write.mode("overwrite").partitionBy("o_orderpriority")
+          .parquet(dir.getPath)
+        base.filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0d)
+          .write.mode("overwrite").partitionBy("o_orderpriority")
+          .parquet(dir.getPath)
+        s.read.parquet(dir.getPath)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            graft.functions.StableAgg.dsum(col("o_totalprice")).as("revenue"))
+          .orderBy("o_orderpriority")
+      } finally s.conf.set(key, prev)
+    },
+    Some(s"""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        ${graft.OracleSql.dsum(
+          "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') " +
+            "THEN o_totalprice + 1000.0 ELSE o_totalprice END")} AS revenue
+      FROM orders GROUP BY 1 ORDER BY 1"""))
+
   override val all: Seq[Q] = Seq(q208, q209, q210, q211, q224, q238, q239,
-    q240, q244, q250)
+    q240, q244, q250, q257)
 }

@@ -2327,9 +2327,95 @@ object TrainingDataQueries extends Registry {
         (n_clipped = 0 AND n_quiet * 2 <= n_windows) AS keep
       FROM agg ORDER BY doc_id"""))
 
+  /** ANN index-quality evaluation: recall@10 of the LSH-bucketed index
+    * (q27's production path, UNMODIFIED) against brute-force cosine
+    * truth (q26's path) over the q241 anchor set — the recall curve a
+    * team reads before choosing plane count / probe strategy, as a
+    * first-class gated operator like q188's dedup evaluation. Per
+    * anchor: truth size, predicted size (a singleton bucket may predict
+    * nothing — LEFT join, zero-filled), hits, recall. Every ingredient
+    * is already deterministic (md5-derived planes, ordered-fold dots,
+    * tie-broken ranks), so the evaluation itself hash-reproduces.
+    *
+    * Scale: the truth side is the only quadratic piece and runs over
+    * anchors×corpus exactly like q26 (broadcast anchors, one corpus
+    * scan); production evaluates on a fixed anchor sample exactly this
+    * way — index quality is estimated, never computed corpus×corpus.
+    */
+  private val q258 = Q("q258_ann_recall_eval",
+    (s, d) => {
+      val e = Tables.fanOut(Tables.embeddings(s, d))
+      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val anchors = e.filter(col("vec_id") % 29 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val truth = Similarity.bruteForceTopK(corpus, anchors, 10)
+        .select(col("qid"), col("neighbor_id"))
+      val pred = Similarity.lshBucketedTopK(corpus, anchors, 10, numPlanes = 8)
+        .select(col("qid").as("pqid"), col("neighbor_id").as("pnid"))
+      val hits = truth
+        .join(pred, col("qid") === col("pqid") && col("neighbor_id") === col("pnid"),
+          "left")
+        .groupBy("qid")
+        .agg(count(lit(1)).as("n_true"),
+          sum(when(col("pnid").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      val nPred = pred.groupBy(col("pqid").as("qid"))
+        .agg(count(lit(1)).as("n_pred"))
+      hits.join(nPred, Seq("qid"), "left")
+        .withColumn("n_pred", coalesce(col("n_pred"), lit(0L)))
+        .withColumn("recall_at_10", col("n_hit").cast("double") / 10.0d)
+        .select("qid", "n_true", "n_pred", "n_hit", "recall_at_10")
+        .orderBy("qid")
+    },
+    Some {
+      val mdExpr = "md5('plane' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR))"
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+          FROM embeddings WHERE vec_id % 29 = 0),
+        c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        bsim AS (SELECT qid, id, ${duckCos("qvec", "vec")} AS cos_sim
+          FROM q CROSS JOIN c WHERE id <> qid),
+        br AS (SELECT qid, id,
+          row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, id)
+            AS rank FROM bsim),
+        truth AS (SELECT qid, id FROM br WHERE rank <= 10),
+        pc AS (SELECT p, i,
+            (CAST(${duckHash32(mdExpr)} AS DOUBLE) / 4294967296.0 - 0.5::DOUBLE)
+              AS comp
+          FROM range(0, 8) t1(p), range(0, 64) t2(i)),
+        pl AS (SELECT p, list(comp ORDER BY i) AS comps FROM pc GROUP BY p),
+        cd AS (SELECT id, p,
+            list_reduce(list_transform(range(1, len(vec)+1),
+              i -> CAST(vec[i] AS DOUBLE) * comps[i]), (a, b) -> a + b) AS dot
+          FROM c CROSS JOIN pl),
+        cb AS (SELECT id,
+            SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+              AS bucket
+          FROM cd GROUP BY id),
+        corp AS (SELECT cb.id, c.vec, bucket FROM cb JOIN c USING (id)),
+        qb AS (SELECT id AS qid, vec AS qvec, bucket FROM corp
+          WHERE id % 29 = 0),
+        j AS (SELECT qid, qvec, id, vec
+          FROM qb JOIN corp USING (bucket) WHERE id <> qid),
+        lsim AS (SELECT qid, id, ${duckCos("qvec", "vec")} AS cos_sim FROM j),
+        lr AS (SELECT qid, id,
+          row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, id)
+            AS rank FROM lsim),
+        pred AS (SELECT qid, id FROM lr WHERE rank <= 10),
+        h AS (SELECT t.qid, CAST(COUNT(*) AS BIGINT) AS n_true,
+            CAST(SUM(CASE WHEN p.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_hit
+          FROM truth t LEFT JOIN pred p ON t.qid = p.qid AND t.id = p.id
+          GROUP BY t.qid),
+        np AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_pred
+          FROM pred GROUP BY qid)
+      SELECT h.qid, h.n_true, COALESCE(np.n_pred, 0) AS n_pred, h.n_hit,
+        CAST(h.n_hit AS DOUBLE) / 10.0 AS recall_at_10
+      FROM h LEFT JOIN np ON h.qid = np.qid
+      ORDER BY h.qid"""
+    })
+
   override val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q38, q41, q42, q43, q44, q45, q47, q107, q112, q114, q115,
     q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q79, q124, q125, q126,
     q127, q134, q135, q140, q141, q142, q146, q150, q151, q163, q164, q218,
-    q241, q248, q249)
+    q241, q248, q249, q258)
 }

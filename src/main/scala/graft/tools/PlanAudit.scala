@@ -246,6 +246,7 @@ object PlanAudit {
     "q184_quantile_normalize",  // 1-row N scalar + KB interval-table range join
     "q191_hard_negatives",      // 5-row anchor set broadcast vs corpus scan (q26 shape)
     "q241_knn_label_agreement", // anchor set broadcast vs corpus scan (q26 shape)
+    "q258_ann_recall_eval",     // anchor set broadcast vs corpus scan (q26 truth side)
     "q198_freshness_weights",   // 1-row max-day scalar crossJoin
     "q199_zipf_head",           // 1-row token-total scalar crossJoin on 20 rows
     "q203_modularity",          // 1-row 2m edge-count scalar crossJoin
