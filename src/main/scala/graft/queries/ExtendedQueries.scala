@@ -2474,10 +2474,152 @@ object ExtendedQueries extends Registry {
         CAST(SUM(raw) - SUM(ien - ist) AS BIGINT) AS overlap_ms
       FROM g GROUP BY user_id ORDER BY user_id"""))
 
+  /** Semi-structured VARIANT processing (Spark 4's `parse_json` /
+    * `variant_get` / `try_variant_get` — the open-ended-JSON path that
+    * needs NO up-front schema, unlike q18's `from_json`): each event's
+    * props payload is wrapped into a nested document with a
+    * variable-length tag array, parsed ONCE to a variant, and fields are
+    * extracted by path — including an out-of-range array index that
+    * `try_variant_get` must null rather than throw. The double field
+    * round-trips JSON text bit-exactly (shortest-round-trip rendering on
+    * both engines), so even the decimal-route sum hash-matches.
+    *
+    * Scale: variant is the 100 TB answer to schema-drift ingestion —
+    * parse once into a binary-encoded tree, push extraction into the
+    * scan, never re-parse text per query; this gate pins the extraction
+    * semantics the shredded columns must reproduce.
+    */
+  private val q259 = Q("q259_variant_extract",
+    (s, d) => {
+      val doc = concat(lit("{\"id\": "), col("event_id"),
+        lit(", \"tags\": [\"t0\""),
+        when(pmod(col("event_id"), lit(3)) >= 1, lit(", \"t1\"")).otherwise(lit("")),
+        when(pmod(col("event_id"), lit(3)) === 2, lit(", \"t2\"")).otherwise(lit("")),
+        lit("], \"m\": {\"v\": "), col("value"),
+        lit(", \"props\": "), col("props"), lit("}}"))
+      Tables.fanOut(Tables.events(s, d))
+        .select(col("event_type"), parse_json(doc).as("v"))
+        .select(col("event_type"),
+          expr("variant_get(v, '$.id', 'bigint')").as("id"),
+          expr("variant_get(v, '$.m.v', 'double')").as("val"),
+          expr("variant_get(v, '$.m.props.k', 'bigint')").as("k"),
+          expr("try_variant_get(v, '$.tags[1]', 'string')").as("t1"),
+          expr("try_variant_get(v, '$.tags[2]', 'string')").as("t2"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("id")).as("id_sum"),
+          sum(col("k")).as("k_sum"),
+          StableAgg.dsum(col("val")).as("val_sum"),
+          sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("n_t1"),
+          sum(when(col("t2").isNotNull, 1L).otherwise(0L)).as("n_t2"))
+        .orderBy("event_type")
+    },
+    Some(s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(event_id) AS BIGINT) AS id_sum,
+        CAST(SUM(CAST(props->>'$$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+        ${O.dsum("value")} AS val_sum,
+        CAST(SUM(CASE WHEN event_id % 3 >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_t1,
+        CAST(SUM(CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_t2
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** try_* dirty-data cleanup (`try_cast`, `try_divide`) — the ingestion
+    * hygiene pass under ANSI semantics, where a plain CAST of 'N/A'
+    * ABORTS the job: a synthesized dirty column cycles clean digits,
+    * whitespace-padded digits, alpha garbage, empty string and NULL;
+    * `try_cast` must recover exactly the two parseable shapes, and
+    * `try_divide` must null the cyclic zero denominators instead of
+    * raising. The oracle computes the EXPECTED cleanup from the cycle
+    * arithmetic, so any drift in Spark's try semantics (trim behavior,
+    * empty-string handling, zero-division) fails the hash.
+    *
+    * Scale: at 100 TB the difference between `cast` and `try_cast` is a
+    * 6-hour job dying at hour 5 on one malformed row vs a counted,
+    * quarantined null — this is the contract every bronze→silver layer
+    * runs on.
+    */
+  private val q260 = Q("q260_try_cast_cleanup",
+    (s, d) => {
+      val k = expr("variant_get(parse_json(props), '$.k', 'bigint')")
+      val dirty = when(pmod(col("event_id"), lit(5)) === 0, col("k0").cast("string"))
+        .when(pmod(col("event_id"), lit(5)) === 1,
+          concat(lit("  "), col("k0").cast("string"), lit(" ")))
+        .when(pmod(col("event_id"), lit(5)) === 2, lit("N/A"))
+        .when(pmod(col("event_id"), lit(5)) === 3, lit(""))
+      Tables.fanOut(Tables.events(s, d))
+        .withColumn("k0", k)
+        .withColumn("dirty", dirty)
+        .withColumn("parsed", expr("try_cast(dirty AS BIGINT)"))
+        .withColumn("denom", pmod(col("event_id"), lit(7)))
+        .withColumn("ratio", expr("try_divide(value, denom)"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("parsed").isNotNull, 1L).otherwise(0L)).as("n_parsed"),
+          sum(col("parsed")).as("parsed_sum"),
+          sum(when(col("ratio").isNull, 1L).otherwise(0L)).as("n_div_null"),
+          StableAgg.dsum(coalesce(col("ratio"), lit(0.0d)), 12).as("ratio_sum"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH e AS (SELECT event_type, event_id, value,
+          CAST(props->>'$$.k' AS BIGINT) AS k0 FROM events)
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CASE WHEN event_id % 5 IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_parsed,
+        CAST(SUM(CASE WHEN event_id % 5 IN (0, 1) THEN k0 END) AS BIGINT)
+          AS parsed_sum,
+        CAST(SUM(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_div_null,
+        ${O.dsum(
+          "CASE WHEN event_id % 7 = 0 THEN 0.0 " +
+            "ELSE value / CAST(event_id % 7 AS DOUBLE) END", 12)} AS ratio_sum
+      FROM e GROUP BY event_type ORDER BY event_type"""))
+
+  /** Seasonal-naive forecast backtest: tomorrow looks like the same
+    * weekday last week (forecast(d) = count(d−7)), scored by MAE and
+    * mean bias per event family — the baseline every demand/traffic
+    * forecasting system must beat, and the shape of a backtest harness
+    * as a relational query: self-join the daily aggregate to its lagged
+    * twin, exact integer errors, one division per final metric.
+    *
+    * Scale: daily aggregates then a calendar-bounded self-join — the
+    * fact table is touched once; the backtest joins tables whose size is
+    * days × keys regardless of event volume.
+    */
+  private val q261 = Q("q261_seasonal_backtest",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val fc = daily.select(col("event_type").as("et2"),
+        (col("day") + 7).as("fday"), col("c").as("f"))
+      daily.join(fc, col("event_type") === col("et2") && col("day") === col("fday"))
+        .select(col("event_type"), col("c"), col("f"),
+          abs(col("c") - col("f")).as("ae"), (col("c") - col("f")).as("err"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_eval"),
+          sum(col("ae")).as("abs_err_sum"),
+          (sum(col("ae")).cast("double") / count(lit(1)).cast("double")).as("mae"),
+          (sum(col("err")).cast("double") / count(lit(1)).cast("double")).as("mean_bias"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+          COUNT(*) AS c
+        FROM events GROUP BY 1, 2),
+      j AS (SELECT a.event_type, a.c, b.c AS f,
+          abs(a.c - b.c) AS ae, a.c - b.c AS err
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day = b.day + 7)
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_eval,
+        CAST(SUM(ae) AS BIGINT) AS abs_err_sum,
+        CAST(SUM(ae) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mae,
+        CAST(SUM(err) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_bias
+      FROM j GROUP BY event_type ORDER BY event_type"""))
+
   override val all: Seq[Q] =
     Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
       q101, q102, q103, q104, q105, q106, q108, q109, q110, q111, q113, q116,
       q117, q118, q119, q120, q121, q122, q123, q128, q129, q130, q131, q132,
       q133, q136, q137, q138, q139, q144, q148, q149, q152, q153, q154, q155,
-      q235, q236, q253, q256)
+      q235, q236, q253, q256, q259, q260, q261)
 }
