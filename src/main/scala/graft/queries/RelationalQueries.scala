@@ -475,6 +475,165 @@ object RelationalQueries extends Registry {
         sqrt(srr / CAST(n_days AS DOUBLE)) AS range_rms
       FROM agg ORDER BY event_type"""))
 
+  /** XML extraction (`from_xml`, native in Spark 4 — the third
+    * semi-structured leaf next to q18's JSON schema-parse and q259's
+    * schemaless variant): each event is wrapped into an XML record with
+    * an ATTRIBUTE (`id`, surfacing the `_`-prefix attribute mapping), a
+    * repeated element (`<t>` → array<string>), and numeric leaf
+    * elements; the parse must navigate all three shapes. Doubles
+    * round-trip the XML text bit-exactly (shortest-round-trip render on
+    * write, exact parse on read), so the decimal-route sum gates the
+    * codec, not an approximation.
+    *
+    * Scale: same story as variant — parse is scan-local codegen'd work,
+    * one pass, and the aggregate is the only exchange; feed XML at
+    * 100 TB (SEC filings, PubMed, legacy B2B) and the plan is unchanged.
+    */
+  private val q262 = Q("q262_xml_extract",
+    (s, d) => {
+      import org.apache.spark.sql.types._
+      val xml = concat(lit("<rec id=\""), col("event_id"), lit("\"><v>"),
+        col("value"), lit("</v><k>"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')"),
+        lit("</k><tags><t>t0</t>"),
+        when(pmod(col("event_id"), lit(3)) >= 1, lit("<t>t1</t>")).otherwise(lit("")),
+        when(pmod(col("event_id"), lit(3)) === 2, lit("<t>t2</t>")).otherwise(lit("")),
+        lit("</tags></rec>"))
+      val schema = StructType(Seq(
+        StructField("_id", LongType),
+        StructField("v", DoubleType),
+        StructField("k", LongType),
+        StructField("tags", StructType(Seq(
+          StructField("t", ArrayType(StringType)))))))
+      Tables.fanOut(Tables.events(s, d))
+        .select(col("event_type"), from_xml(xml, schema).as("x"))
+        .select(col("event_type"), col("x._id").as("id"), col("x.v").as("v"),
+          col("x.k").as("k"), size(col("x.tags.t")).as("n_tags"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("id")).as("id_sum"),
+          sum(col("k")).as("k_sum"),
+          StableAgg.dsum(col("v")).as("v_sum"),
+          sum(col("n_tags")).as("tag_total"))
+        .orderBy("event_type")
+    },
+    Some(s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(event_id) AS BIGINT) AS id_sum,
+        CAST(SUM(CAST(props->>'$$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+        ${O.dsum("value")} AS v_sum,
+        CAST(SUM(1 + (CASE WHEN event_id % 3 >= 1 THEN 1 ELSE 0 END)
+          + (CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END)) AS BIGINT)
+          AS tag_total
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  private val q263Runs = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Parameterized SQL (`spark.sql(text, args)` named parameters + the
+    * `IDENTIFIER(:param)` clause + lateral column aliases): the query
+    * template names its table through an identifier parameter and its
+    * thresholds through value parameters — the injection-safe template
+    * mechanism a multi-tenant query service uses instead of string
+    * interpolation — and the projection chains lateral aliases
+    * (`doubled` referencing `halved` in the same SELECT). Values arrive
+    * through the parameter binding, never the SQL text.
+    *
+    * Scale: parameter binding is a parse-time substitution — plans for
+    * the same template are structurally identical across bindings, which
+    * is what makes plan-cache hit rates work on a busy cluster.
+    */
+  private val q263 = Q("q263_parameterized_sql",
+    (s, d) => {
+      val view = s"q263_events_${ProcessHandle.current().pid()}_${q263Runs.incrementAndGet()}"
+      Tables.fanOut(Tables.events(s, d)).createOrReplaceTempView(view)
+      try {
+        s.sql(
+          """SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(CAST(value / 2 AS STRING) AS DECIMAL(38, 6))) AS DOUBLE)
+                 AS half_sum,
+               CAST(SUM(CASE WHEN doubled > :dblThr THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_big
+             FROM (
+               SELECT event_type, value, value / 2 AS halved,
+                 halved * 4 AS doubled
+               FROM IDENTIFIER(:tbl) WHERE value > :minVal AND user_id < :maxUser)
+             GROUP BY event_type ORDER BY event_type""",
+          Map("tbl" -> view, "minVal" -> 5.0d, "maxUser" -> 120L,
+            "dblThr" -> 100.0d))
+          .localCheckpoint(true)
+      } finally s.catalog.dropTempView(view)
+    },
+    Some(s"""WITH f AS (SELECT event_type, value, value / 2 AS halved,
+          (value / 2) * 4 AS doubled
+        FROM events WHERE value > 5.0::DOUBLE AND user_id < 120)
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        ${O.dsum("value / 2")} AS half_sum,
+        CAST(SUM(CASE WHEN doubled > 100.0::DOUBLE THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_big
+      FROM f GROUP BY event_type ORDER BY event_type"""))
+
+  private val q264Runs = new java.util.concurrent.atomic.AtomicInteger
+
+  /** SQL scripting (Spark 4 compound statements: BEGIN/END, DECLARE
+    * variables, WHILE, SET VAR) — the procedural control-flow surface
+    * that lets an iterative algorithm live entirely in SQL: three
+    * rounds of progressive mean-trimming (each round recomputes the
+    * decimal-route mean of the rows above the previous threshold — the
+    * iterative-threshold idiom of outlier trimming), then the final
+    * SELECT reports per-family survivors against the converged
+    * threshold. The oracle unrolls the three rounds as CTEs, so the
+    * loop must execute exactly three times with exactly this
+    * arithmetic.
+    *
+    * Scale: each loop iteration is one ordinary distributed aggregate;
+    * the script only moves SCALARS (the threshold) between rounds —
+    * the same driver-side-scalar/cluster-side-scan split as q126's BPE
+    * loop, but expressed in the SQL-native control flow a warehouse
+    * migration brings along.
+    */
+  private val q264 = Q("q264_sql_scripting",
+    (s, d) => {
+      val view = s"q264_events_${ProcessHandle.current().pid()}_${q264Runs.incrementAndGet()}"
+      Tables.fanOut(Tables.events(s, d)).createOrReplaceTempView(view)
+      val key = "spark.sql.scripting.enabled"
+      val prev = s.conf.get(key)
+      try {
+        s.conf.set(key, "true")
+        s.sql(
+          s"""BEGIN
+               DECLARE i INT DEFAULT 0;
+               DECLARE thr DOUBLE DEFAULT 0.0;
+               WHILE i < 3 DO
+                 SET thr = (
+                   SELECT CAST(SUM(CAST(CAST(value AS STRING) AS DECIMAL(38, 6)))
+                       AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   FROM $view WHERE value >= thr);
+                 SET i = i + 1;
+               END WHILE;
+               SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                 CAST(SUM(CAST(CAST(value AS STRING) AS DECIMAL(38, 6)))
+                     AS DOUBLE) AS kept_sum,
+                 MAX(thr) AS final_thr
+               FROM $view WHERE value >= thr
+               GROUP BY event_type ORDER BY event_type;
+             END""").localCheckpoint(true)
+      } finally {
+        s.conf.set(key, prev)
+        s.catalog.dropTempView(view)
+      }
+    },
+    Some(s"""WITH m0 AS (SELECT ${O.dsum("value")} / CAST(COUNT(*) AS DOUBLE)
+          AS thr FROM events),
+      m1 AS (SELECT ${O.dsum("value")} / CAST(COUNT(*) AS DOUBLE) AS thr
+        FROM events, m0 WHERE value >= m0.thr),
+      m2 AS (SELECT ${O.dsum("value")} / CAST(COUNT(*) AS DOUBLE) AS thr
+        FROM events, m1 WHERE value >= m1.thr)
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        ${O.dsum("value")} AS kept_sum,
+        MAX(m2.thr) AS final_thr
+      FROM events, m2 WHERE value >= m2.thr
+      GROUP BY event_type ORDER BY event_type"""))
+
   override val all: Seq[Q] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88,
-    q143, q145, q147)
+    q143, q145, q147, q262, q263, q264)
 }
