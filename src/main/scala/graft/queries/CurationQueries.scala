@@ -1594,8 +1594,71 @@ object CurationQueries extends Registry {
         MIN(doc_id) AS keeper_doc_id
       FROM canon GROUP BY 1, 2 ORDER BY canonical_url"""))
 
+  /** Weak supervision by majority vote (the Snorkel labeling-function
+    * model in its deterministic majority flavor): four labeling
+    * functions — language, length, keyword presence, source parity —
+    * each vote +1 / −1 / 0 (abstain) per document; the label is the
+    * vote-sum's sign (ties and all-abstain → abstain), confidence is
+    * |sum| over non-abstaining votes. LF agreement/conflict counts per
+    * document are what a label-model diagnostic reads before training
+    * on the programmatic labels.
+    *
+    * Scale: labeling functions are scan-local boolean/arithmetic
+    * columns — the entire labeling pass is one projection, no shuffle
+    * until the (optional) per-label census; adding an LF is adding a
+    * column.
+    */
+  private val q267 = Q("q267_weak_supervision",
+    (s, d) => {
+      val v1 = when(col("lang") === "en", 1L).otherwise(0L)
+      val v2 = when(col("n_chars") > 250L, 1L).otherwise(-1L)
+      val v3 = when(col("text").contains("data"), 1L).otherwise(-1L)
+      val v4 = when(
+        expr("try_cast(substr(source, 4) AS BIGINT)") % 2 === 0, 1L)
+        .otherwise(-1L)
+      Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), v1.as("v1"), v2.as("v2"), v3.as("v3"), v4.as("v4"))
+        .withColumn("vote_sum", col("v1") + col("v2") + col("v3") + col("v4"))
+        .withColumn("n_voting",
+          when(col("v1") =!= 0L, 1L).otherwise(0L) +
+            when(col("v2") =!= 0L, 1L).otherwise(0L) +
+            when(col("v3") =!= 0L, 1L).otherwise(0L) +
+            when(col("v4") =!= 0L, 1L).otherwise(0L))
+        .withColumn("label",
+          when(col("vote_sum") > 0L, lit("keep"))
+            .when(col("vote_sum") < 0L, lit("drop"))
+            .otherwise(lit("abstain")))
+        .withColumn("confidence",
+          when(col("n_voting") === 0L, lit(0.0d))
+            .otherwise(abs(col("vote_sum")).cast("double")
+              / col("n_voting").cast("double")))
+        .select("doc_id", "vote_sum", "n_voting", "label", "confidence")
+        .orderBy("doc_id")
+    },
+    Some("""WITH v AS (SELECT doc_id,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS v1,
+          CASE WHEN n_chars > 250 THEN 1 ELSE -1 END AS v2,
+          CASE WHEN contains(text, 'data') THEN 1 ELSE -1 END AS v3,
+          CASE WHEN TRY_CAST(substr(source, 4) AS BIGINT) % 2 = 0
+            THEN 1 ELSE -1 END AS v4
+        FROM documents),
+      t AS (SELECT doc_id,
+          CAST(v1 + v2 + v3 + v4 AS BIGINT) AS vote_sum,
+          CAST((CASE WHEN v1 <> 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN v2 <> 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN v3 <> 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN v4 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_voting
+        FROM v)
+      SELECT doc_id, vote_sum, n_voting,
+        CASE WHEN vote_sum > 0 THEN 'keep'
+             WHEN vote_sum < 0 THEN 'drop' ELSE 'abstain' END AS label,
+        CASE WHEN n_voting = 0 THEN 0.0::DOUBLE
+             ELSE CAST(abs(vote_sum) AS DOUBLE) / CAST(n_voting AS DOUBLE)
+        END AS confidence
+      FROM t ORDER BY doc_id"""))
+
   override val all: Seq[Q] = Seq(q177, q178, q179, q180, q181, q182, q183,
     q184, q185, q186, q188, q189, q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q204, q205, q206, q207, q225, q226,
-    q232, q252)
+    q232, q252, q267)
 }

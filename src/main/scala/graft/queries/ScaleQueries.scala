@@ -1038,9 +1038,140 @@ object ScaleQueries extends Registry {
         CAST((k * (k - 1)) // 2 AS BIGINT) AS n_pairs
       FROM g WHERE k >= 2 ORDER BY n_orders"""))
 
+  /** Order-independent table checksum (anti-entropy): XOR-fold of
+    * per-row md5-derived 32-bit halves — the commutative/associative
+    * content fingerprint replication systems compare instead of moving
+    * data (Cassandra repair, DynamoDB anti-entropy, cross-region copy
+    * verification). Three properties are computed IN the query and
+    * gated: the checksum itself, invariance under repartition(7) (any
+    * partitioning/order yields the same fold), and sensitivity to a
+    * single-row mutation (one price bumped → checksum must differ).
+    * The oracle recomputes all three from the same md5 arithmetic.
+    *
+    * Scale: one scan, one 2×32-bit accumulator per partition, one tiny
+    * final XOR — verifying a 100 TB copy costs a scan and ships 8
+    * bytes; the per-row hash string uses the engines' shared
+    * shortest-round-trip double rendering so heterogeneous engines
+    * agree on content.
+    */
+  private val q265 = Q("q265_table_checksum",
+    (s, d) => {
+      def rowHash(df: DataFrame): DataFrame = {
+        val h = md5(concat_ws("|", col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority")))
+        def half(off: Int): Column = {
+          def nibble(pos: Int): Column = {
+            val c = ascii(substring(h, pos, 1)).cast("long")
+            when(c >= 97, c - 87).otherwise(c - 48)
+          }
+          ((off + 1) to (off + 8))
+            .map(p => shiftleft(nibble(p), (8 - (p - off)) * 4)).reduce(_ + _)
+        }
+        df.select(half(0).as("h_lo"), half(8).as("h_hi"))
+      }
+      def ck(df: DataFrame): DataFrame =
+        rowHash(df).agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h_lo)").as("ck_lo"), expr("bit_xor(h_hi)").as("ck_hi"))
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      val mutated = base.withColumn("o_totalprice",
+        when(col("o_orderkey") === 7L, col("o_totalprice") + 0.01d)
+          .otherwise(col("o_totalprice")))
+      val Array(b) = ck(base).collect()
+      val Array(r) = ck(base.repartition(7)).collect()
+      val Array(m) = ck(mutated).collect()
+      s.createDataFrame(Seq((b.getLong(0), b.getLong(1), b.getLong(2),
+          r.getLong(1) == b.getLong(1) && r.getLong(2) == b.getLong(2),
+          m.getLong(1) != b.getLong(1) || m.getLong(2) != b.getLong(2))))
+        .toDF("n_rows", "ck_lo", "ck_hi", "stable_under_repartition",
+          "detects_mutation")
+    },
+    Some {
+      def duckNib(h: String, p: Int) =
+        s"(CASE WHEN ascii(substr($h, $p, 1)) >= 97 " +
+          s"THEN CAST(ascii(substr($h, $p, 1)) - 87 AS BIGINT) " +
+          s"ELSE CAST(ascii(substr($h, $p, 1)) - 48 AS BIGINT) END)"
+      def half(off: Int) = ((off + 1) to (off + 8))
+        .map(p => s"(${duckNib("h", p)} << ${(8 - (p - off)) * 4})")
+        .mkString(" + ")
+      val rowH = "md5(CAST(o_orderkey AS VARCHAR) || '|' || " +
+        "CAST(o_custkey AS VARCHAR) || '|' || CAST(o_totalprice AS VARCHAR)" +
+        " || '|' || o_orderpriority)"
+      val rowHMut = "md5(CAST(o_orderkey AS VARCHAR) || '|' || " +
+        "CAST(o_custkey AS VARCHAR) || '|' || CAST(CASE WHEN o_orderkey = 7 " +
+        "THEN o_totalprice + 0.01::DOUBLE ELSE o_totalprice END AS VARCHAR)" +
+        " || '|' || o_orderpriority)"
+      s"""WITH hb AS (SELECT ${half(0)} AS h_lo, ${half(8)} AS h_hi
+          FROM (SELECT $rowH AS h FROM orders)),
+        hm AS (SELECT ${half(0)} AS h_lo, ${half(8)} AS h_hi
+          FROM (SELECT $rowHMut AS h FROM orders)),
+        cb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+            bit_xor(h_lo) AS ck_lo, bit_xor(h_hi) AS ck_hi FROM hb),
+        cm AS (SELECT bit_xor(h_lo) AS ck_lo, bit_xor(h_hi) AS ck_hi FROM hm)
+      SELECT cb.n_rows, cb.ck_lo, cb.ck_hi,
+        TRUE AS stable_under_repartition,
+        (cm.ck_lo <> cb.ck_lo OR cm.ck_hi <> cb.ck_hi) AS detects_mutation
+      FROM cb, cm"""
+    })
+
+  /** Bitmap-index segment algebra: per event family, the distinct-user
+    * audience as a BITMAP (64 users per row-word, built by one
+    * `bit_or(1 << bit)` aggregate), then pairwise AND/OR word joins +
+    * `bit_count` give exact intersection/union cardinalities and
+    * Jaccard affinity between all family pairs — the audience-overlap
+    * engine behind segment targeting, computed without ever
+    * materializing a user set. The oracle computes the same numbers by
+    * plain DISTINCT-set algebra, so the bitmap path must agree with
+    * set semantics exactly.
+    *
+    * Scale: the bitmap rows are |universe|/64 words per segment (a
+    * 1e9-user universe is 16M words ≈ 125 MB per segment, mergeable,
+    * partitionable on word index); pair algebra touches words, never
+    * users — the exact-arithmetic sibling of q167's KMV estimates.
+    */
+  private val q266 = Q("q266_bitmap_segments",
+    (s, d) => {
+      val bm = Tables.fanOut(Tables.events(s, d))
+        .select(col("event_type"), expr("user_id div 64").as("word"),
+          pmod(col("user_id"), lit(64)).as("bit"))
+        .groupBy("event_type", "word")
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)))").as("bits"))
+      // |A∪B| = |A| + |B| − |A∩B|: the AND join may stay INNER on word
+      // (a word missing from either side contributes nothing to the
+      // intersection), while the per-segment popcounts supply the union
+      val pc = bm.groupBy("event_type")
+        .agg(sum(expr("bit_count(bits)")).cast("long").as("n_set"))
+      val a = bm.select(col("event_type").as("et_a"), col("word"), col("bits").as("ba"))
+      val b = bm.select(col("event_type").as("et_b"), col("word"), col("bits").as("bb"))
+      a.join(b, Seq("word")).filter(col("et_a") < col("et_b"))
+        .groupBy("et_a", "et_b")
+        .agg(sum(expr("bit_count(ba & bb)")).cast("long").as("n_and"))
+        .join(pc.select(col("event_type").as("et_a"), col("n_set").as("n_a")), "et_a")
+        .join(pc.select(col("event_type").as("et_b"), col("n_set").as("n_b")), "et_b")
+        .withColumn("n_or", col("n_a") + col("n_b") - col("n_and"))
+        .withColumn("jaccard",
+          col("n_and").cast("double") / col("n_or").cast("double"))
+        .select("et_a", "et_b", "n_and", "n_or", "jaccard")
+        .orderBy("et_a", "et_b")
+    },
+    Some("""WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+        n AS (SELECT event_type, COUNT(*) AS c FROM u GROUP BY 1),
+        i AS (SELECT a.event_type AS et_a, b.event_type AS et_b,
+            COUNT(*) AS n_and
+          FROM u a JOIN u b ON a.user_id = b.user_id
+            AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+      SELECT et_a, et_b, CAST(i.n_and AS BIGINT) AS n_and,
+        CAST(na.c + nb.c - i.n_and AS BIGINT) AS n_or,
+        CAST(i.n_and AS DOUBLE) / CAST(na.c + nb.c - i.n_and AS DOUBLE)
+          AS jaccard
+      FROM i JOIN n na ON i.et_a = na.event_type
+        JOIN n nb ON i.et_b = nb.event_type
+      ORDER BY et_a, et_b"""))
+
   override val all: Seq[Q] =
     Seq(q156, q157, q158, q159, q160, q161, q162, q216, q217, q219, q220,
-      q237, q245, q246, q247, q254, q255)
+      q237, q245, q246, q247, q254, q255, q265, q266)
 }
 
 /** Serializable Count-Min probe: holds the sketch BYTES (what the
