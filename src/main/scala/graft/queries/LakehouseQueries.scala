@@ -636,6 +636,40 @@ object LakehouseQueries extends Registry {
             "THEN o_totalprice + 1000.0 ELSE o_totalprice END")} AS revenue
       FROM orders GROUP BY 1 ORDER BY 1"""))
 
+  /** Hidden file-metadata columns (`_metadata.file_name` / `file_path` /
+    * `file_size` / `file_block_start`) — the provenance surface every
+    * bad-file investigation at 100 TB starts from: which physical file
+    * did this row come from, how big is it, which split? The gate groups
+    * by the exposed file name and asserts the physical-layout
+    * invariants the fixture guarantees (single file, positive size,
+    * block starts at zero) as COMPUTED booleans, with the row count
+    * hash-matching the plain scan — proving the metadata projection
+    * neither duplicates nor drops rows.
+    *
+    * Scale: _metadata is constant-folded per split at scan time — zero
+    * per-row cost, no extra I/O; it is the supported replacement for
+    * input_file_name() (which breaks under whole-stage codegen
+    * boundaries and returns '' on joins).
+    */
+  private val q268 = Q("q268_file_metadata",
+    (s, d) => {
+      s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("_metadata.file_name").as("file_name"),
+          col("_metadata.file_size").as("file_size"),
+          col("_metadata.file_block_start").as("block_start"))
+        .groupBy("file_name")
+        .agg(count(lit(1)).as("n_rows"),
+          (min(col("file_size")) > 0L).as("nonzero_size"),
+          (min(col("block_start")) === 0L).as("starts_at_zero"))
+        .orderBy("file_name")
+        // the hash gate pins the OUTPUT CARDINALITY too: a second
+        // physical file would emit a second row and fail the row match
+    },
+    Some("""SELECT 'documents.parquet' AS file_name,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        TRUE AS nonzero_size, TRUE AS starts_at_zero
+      FROM documents"""))
+
   override val all: Seq[Q] = Seq(q208, q209, q210, q211, q224, q238, q239,
-    q240, q244, q250, q257)
+    q240, q244, q250, q257, q268)
 }

@@ -634,6 +634,44 @@ object RelationalQueries extends Registry {
       FROM events, m2 WHERE value >= m2.thr
       GROUP BY event_type ORDER BY event_type"""))
 
+  /** MAP-type higher-order functions (`map_from_entries`,
+    * `transform_values`, `map_filter`, `map_keys`, `element_at`) — the
+    * map half of the HOF surface q144 covers for arrays: per user, the
+    * event-type histogram is materialized AS A MAP, doubled via
+    * `transform_values`, thresholded via `map_filter`, and read back by
+    * key. Maps have no deterministic cross-engine ordering, so every
+    * OUTPUT is scalarized (sizes, a keyed lookup, sorted-key join
+    * string) — the rule for map columns at any engine boundary.
+    *
+    * Scale: the map never leaves the row it was built in — zero extra
+    * shuffle over the (user, type) aggregate that feeds it; maps are a
+    * projection-layer tool, not a storage layout.
+    */
+  private val q269 = Q("q269_map_functions",
+    (s, d) => {
+      Tables.fanOut(Tables.events(s, d))
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("user_id")
+        .agg(map_from_entries(sort_array(
+          collect_list(struct(col("event_type"), col("cnt"))))).as("m"))
+        .select(col("user_id"),
+          size(col("m")).as("n_types"),
+          coalesce(element_at(col("m"), "click"), lit(0L)).as("n_clicks"),
+          array_join(sort_array(map_keys(
+            map_filter(transform_values(col("m"), (_, v) => v * 2),
+              (_, v2) => v2 >= 4L))), ",").as("frequent_types"))
+        .orderBy("user_id")
+    },
+    Some("""WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2)
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_types,
+        CAST(coalesce(SUM(CASE WHEN event_type = 'click' THEN cnt END), 0)
+          AS BIGINT) AS n_clicks,
+        coalesce(string_agg(CASE WHEN cnt * 2 >= 4 THEN event_type END, ','
+          ORDER BY event_type), '') AS frequent_types
+      FROM c GROUP BY user_id ORDER BY user_id"""))
+
   override val all: Seq[Q] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88,
-    q143, q145, q147, q262, q263, q264)
+    q143, q145, q147, q262, q263, q264, q269)
 }

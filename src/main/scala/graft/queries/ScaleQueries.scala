@@ -1169,9 +1169,62 @@ object ScaleQueries extends Registry {
         JOIN n nb ON i.et_b = nb.event_type
       ORDER BY et_a, et_b"""))
 
+  /** Built-in approximate aggregates under certificate
+    * (`percentile_approx` = GK-style quantile summary,
+    * `approx_count_distinct` = HyperLogLog++): the approximate VALUES
+    * never cross the gate — sketches don't owe cross-engine equality —
+    * but their published ERROR CONTRACTS do: the approx median's exact
+    * rank must sit within the accuracy window (±n/acc of n/2, counted
+    * against the data), and the HLL++ estimate within its rsd envelope
+    * of the exact distinct count. Exact counterparts ride along as
+    * hash-gated values. A certificate gate in the q161 CMS style, for
+    * the two approx aggregates the engine ships built in.
+    *
+    * Scale: these are the one-pass mergeable summaries that replace
+    * exact sort/distinct at 100 TB; the gate pins that the engine's
+    * implementations honor the bounds a capacity plan is built on.
+    */
+  private val q270 = Q("q270_approx_agg_bounds",
+    (s, d) => {
+      val e = Tables.fanOut(Tables.events(s, d))
+      val agg = e.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("exact_cd"),
+          approx_count_distinct(col("user_id"), 0.05).as("approx_cd"),
+          percentile_approx(col("value"), lit(0.5d), lit(1000)).as("approx_p50"),
+          element_at(graft.functions.ExactPercentile(col("value"), Seq(0.5)), 1)
+            .as("exact_p50"))
+      val rankOfApprox = e.join(agg.select(col("event_type").as("et2"),
+          col("approx_p50")), col("event_type") === col("et2"))
+        .groupBy("event_type")
+        .agg(sum(when(col("value") <= col("approx_p50"), 1L).otherwise(0L))
+          .as("rank_le"))
+      agg.join(rankOfApprox, "event_type")
+        .select(col("event_type"), col("n"), col("exact_cd"), col("exact_p50"),
+          // GK guarantee: rank error <= n / accuracy (+1 for the
+          // boundary element itself)
+          (abs(col("rank_le") - col("n") / 2)
+            <= col("n") / 1000 + 1).as("p50_rank_ok"),
+          // HLL++ rsd 0.05: allow 3 sigma + small-count slack
+          (abs(col("approx_cd") - col("exact_cd")).cast("double")
+            <= col("exact_cd").cast("double") * 0.15d + 10.0d).as("cd_ok"))
+        .orderBy("event_type")
+    },
+    Some("""WITH r AS (SELECT event_type, value,
+          row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events)
+      SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events e2
+          WHERE e2.event_type = r.event_type) AS exact_cd,
+        MAX(CASE WHEN rn = CAST(floor(0.5::DOUBLE * (n-1)) AS BIGINT)
+          THEN value END) AS exact_p50,
+        TRUE AS p50_rank_ok, TRUE AS cd_ok
+      FROM r GROUP BY event_type ORDER BY event_type"""))
+
   override val all: Seq[Q] =
     Seq(q156, q157, q158, q159, q160, q161, q162, q216, q217, q219, q220,
-      q237, q245, q246, q247, q254, q255, q265, q266)
+      q237, q245, q246, q247, q254, q255, q265, q266, q270)
 }
 
 /** Serializable Count-Min probe: holds the sketch BYTES (what the
