@@ -300,5 +300,103 @@ object GovernanceQueries extends Registry {
           / CAST(COUNT(*) AS DOUBLE) AS valid_rate
       FROM l GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
-  override val all: Seq[Q] = Seq(q212, q213, q214, q215, q233)
+  /** Column-level encryption round trip (`aes_encrypt`/`aes_decrypt`,
+    * ECB for the deterministic-token use case, GCM for storage): the
+    * governance contract is gated, not the ciphertext — (1) decrypt ∘
+    * encrypt is the identity on every row (both modes), (2)
+    * deterministic-mode ciphertexts are equal iff plaintexts are equal
+    * (the property that keeps encrypted JOIN keys joinable — counted
+    * via distinct-ciphertext == distinct-plaintext), and (3) GCM
+    * ciphertexts of identical plaintexts NEVER repeat (random IV — the
+    * property that makes GCM safe for storage and WRONG for join keys).
+    * The oracle states the same contracts as computed booleans over the
+    * plaintext side.
+    *
+    * Scale: AES rides whole-stage codegen per row, keys stay literals
+    * (production: per-column data keys under a KMS-wrapped master);
+    * encrypted columns join/group exactly like plaintext in ECB-token
+    * form at identical shuffle shape.
+    */
+  private val q273 = Q("q273_aes_column_crypto",
+    (s, d) => {
+      val key = "0123456789abcdef" // 16-byte demo key; prod: KMS-issued
+      val enc = Tables.fanOut(Tables.customer(s, d))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .withColumn("ct_det",
+          expr(s"aes_encrypt(c_name, '$key', 'ECB')"))
+        .withColumn("ct_gcm",
+          expr(s"aes_encrypt(c_name, '$key', 'GCM')"))
+        .withColumn("rt_det",
+          expr(s"CAST(aes_decrypt(ct_det, '$key', 'ECB') AS STRING)"))
+        .withColumn("rt_gcm",
+          expr(s"CAST(aes_decrypt(ct_gcm, '$key', 'GCM') AS STRING)"))
+      enc.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("rt_det") === col("c_name"), 1L).otherwise(0L))
+            .as("n_det_roundtrip"),
+          sum(when(col("rt_gcm") === col("c_name"), 1L).otherwise(0L))
+            .as("n_gcm_roundtrip"),
+          countDistinct(col("c_name")).as("n_distinct_plain"),
+          countDistinct(col("ct_det")).as("n_distinct_det_ct"),
+          countDistinct(col("ct_gcm")).as("n_distinct_gcm_ct"))
+        .select(col("c_mktsegment"), col("n"),
+          (col("n_det_roundtrip") === col("n")).as("det_roundtrip_ok"),
+          (col("n_gcm_roundtrip") === col("n")).as("gcm_roundtrip_ok"),
+          (col("n_distinct_det_ct") === col("n_distinct_plain"))
+            .as("det_join_key_safe"),
+          (col("n_distinct_gcm_ct") === col("n")).as("gcm_never_repeats"),
+          col("n_distinct_plain"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        TRUE AS det_roundtrip_ok, TRUE AS gcm_roundtrip_ok,
+        TRUE AS det_join_key_safe, TRUE AS gcm_never_repeats,
+        CAST(COUNT(DISTINCT c_name) AS BIGINT) AS n_distinct_plain
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** Structured log-line parsing (`regexp_extract_all` + split
+    * key=value pairs): each event is serialized to the semicolon
+    * key=value wire format every fluentd/syslog pipeline emits, then
+    * parsed BACK by a generic extractor (regex over the line, not
+    * positional knowledge), validated field-by-field. The round trip
+    * is exact: numeric fields re-parse with try_cast and must equal the
+    * originals (counted), unknown keys are counted as residue.
+    *
+    * Scale: pure scan-local regex work — the classic bronze-layer
+    * parse; the only shuffle is the final census.
+    */
+  private val q274 = Q("q274_kv_log_parse",
+    (s, d) => {
+      val line = concat(lit("ts="), col("ts_ms"), lit(";user="),
+        col("user_id"), lit(";type="), col("event_type"),
+        lit(";val="), col("value"), lit(";src=app7"))
+      val parsed = Tables.fanOut(Tables.events(s, d))
+        .select(col("event_id"), col("ts_ms"), col("user_id"),
+          col("event_type"), col("value"), line.as("line"))
+        .withColumn("kvs",
+          expr("regexp_extract_all(line, '([a-z]+)=([^;]*)', 0)"))
+        .withColumn("ts_p",
+          expr("try_cast(regexp_extract(line, 'ts=([^;]*)', 1) AS BIGINT)"))
+        .withColumn("user_p",
+          expr("try_cast(regexp_extract(line, 'user=([^;]*)', 1) AS BIGINT)"))
+        .withColumn("type_p", regexp_extract(col("line"), "type=([^;]*)", 1))
+        .withColumn("val_p",
+          expr("try_cast(regexp_extract(line, 'val=([^;]*)', 1) AS DOUBLE)"))
+      parsed.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(size(col("kvs")) === 5, 1L).otherwise(0L)).as("n_five_pairs"),
+          sum(when(col("ts_p") === col("ts_ms") && col("user_p") === col("user_id")
+            && col("type_p") === col("event_type"), 1L).otherwise(0L))
+            .as("n_exact_int_fields"),
+          sum(when(col("val_p") === col("value"), 1L).otherwise(0L))
+            .as("n_exact_double"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(COUNT(*) AS BIGINT) AS n_five_pairs,
+        CAST(COUNT(*) AS BIGINT) AS n_exact_int_fields,
+        CAST(COUNT(*) AS BIGINT) AS n_exact_double
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  override val all: Seq[Q] = Seq(q212, q213, q214, q215, q233, q273, q274)
 }

@@ -672,6 +672,96 @@ object RelationalQueries extends Registry {
           ORDER BY event_type), '') AS frequent_types
       FROM c GROUP BY user_id ORDER BY user_id"""))
 
+  /** `grouping_id()` / `grouping()` over ROLLUP — the disambiguation
+    * surface q60/q130's grouped sets need in practice: a rollup over
+    * (event_type, user-parity) where some data values could collide
+    * with the subtotal NULLs; `grouping()` tells a real NULL key from a
+    * rollup placeholder and `grouping_id()` labels each aggregation
+    * level, so downstream consumers can filter exactly the grand total
+    * or exactly the leaf rows without guessing from NULLs.
+    */
+  private val q271 = Q("q271_grouping_id",
+    (s, d) => {
+      Tables.fanOut(Tables.events(s, d))
+        .withColumn("parity",
+          when(pmod(col("user_id"), lit(2)) === 0, lit("even")).otherwise(lit("odd")))
+        .rollup("event_type", "parity")
+        .agg(count(lit(1)).as("n"),
+          grouping_id().as("gid"),
+          grouping(col("event_type")).as("g_et"),
+          grouping(col("parity")).as("g_par"))
+        .orderBy(col("gid"), col("event_type"), col("parity"))
+    },
+    Some("""SELECT event_type,
+        CASE WHEN GROUPING(parity) = 0 THEN parity END AS parity,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(GROUPING(event_type) * 2 + GROUPING(parity) AS BIGINT) AS gid,
+        CAST(GROUPING(event_type) AS TINYINT) AS g_et,
+        CAST(GROUPING(parity) AS TINYINT) AS g_par
+      FROM (SELECT event_type,
+          CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS parity
+        FROM events)
+      GROUP BY ROLLUP (event_type, parity)
+      ORDER BY gid, event_type, parity"""))
+
+  /** Time-series resample + forward fill: the daily close of each event
+    * family re-sampled onto a COMPLETE day spine (q145's sequence/
+    * explode device), gaps carried forward with
+    * `last_value(..., ignoreNulls = true)` — the standard
+    * as-of-resample every market/telemetry pipeline runs, and the
+    * window surface (IGNORE NULLS variants) the frame family hadn't
+    * gated. Day-one gaps before the first observation stay NULL and
+    * are counted, not invented.
+    *
+    * Scale: the spine is calendar-sized, the join is day-keyed, and
+    * the ffill window is one pass per family ordered by day — no
+    * self-join on time.
+    */
+  private val q272 = Q("q272_resample_ffill",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
+        .agg(max(struct(col("ts_ms"), col("event_id"), col("value"))).as("last"))
+        .select(col("event_type"), col("day"), col("last.value").as("close"))
+      val bounds = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      val spine = bounds
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+        .crossJoin(daily.select("event_type").distinct())
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      spine.join(daily, Seq("event_type", "day"), "left")
+        .withColumn("filled_close",
+          last(col("close"), ignoreNulls = true).over(w))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("close").isNull, 1L).otherwise(0L)).as("n_gaps"),
+          sum(when(col("filled_close").isNull, 1L).otherwise(0L)).as("n_leading_null"),
+          StableAgg.dsum(coalesce(col("filled_close"), lit(0.0d))).as("filled_sum"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH daily AS (
+        SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+          arg_max(value, printf('%013d|%012d', epoch_ms(ts), event_id)) AS close
+        FROM events GROUP BY 1, 2),
+      b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+      spine AS (SELECT et.event_type, s.day
+        FROM (SELECT DISTINCT event_type FROM daily) et,
+          (SELECT unnest(generate_series((SELECT d0 FROM b),
+            (SELECT d1 FROM b))) AS day) s),
+      j AS (SELECT sp.event_type, sp.day, daily.close,
+          last_value(daily.close IGNORE NULLS) OVER (
+            PARTITION BY sp.event_type ORDER BY sp.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_close
+        FROM spine sp LEFT JOIN daily
+          ON sp.event_type = daily.event_type AND sp.day = daily.day)
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        CAST(SUM(CASE WHEN close IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_gaps,
+        CAST(SUM(CASE WHEN filled_close IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_leading_null,
+        ${O.dsum("coalesce(filled_close, 0.0)")} AS filled_sum
+      FROM j GROUP BY event_type ORDER BY event_type"""))
+
   override val all: Seq[Q] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88,
-    q143, q145, q147, q262, q263, q264, q269)
+    q143, q145, q147, q262, q263, q264, q269, q271, q272)
 }

@@ -247,6 +247,7 @@ object PlanAudit {
     "q191_hard_negatives",      // 5-row anchor set broadcast vs corpus scan (q26 shape)
     "q241_knn_label_agreement", // anchor set broadcast vs corpus scan (q26 shape)
     "q258_ann_recall_eval",     // anchor set broadcast vs corpus scan (q26 truth side)
+    "q272_resample_ffill",      // calendar spine × 5-row family list (both KB-sized)
     "q198_freshness_weights",   // 1-row max-day scalar crossJoin
     "q199_zipf_head",           // 1-row token-total scalar crossJoin on 20 rows
     "q203_modularity",          // 1-row 2m edge-count scalar crossJoin
