@@ -1222,9 +1222,80 @@ object ScaleQueries extends Registry {
         TRUE AS p50_rank_ok, TRUE AS cd_ok
       FROM r GROUP BY event_type ORDER BY event_type"""))
 
+  private val q275Runs = new java.util.concurrent.atomic.AtomicInteger
+
+  /** `foreachBatch` exactly-once file sink via idempotent per-batch
+    * overwrite — the pattern for sinks with no transactional commit log
+    * (plain object stores, JDBC staging, search indexes): each
+    * micro-batch lands in its OWN directory keyed by batchId with
+    * `mode(overwrite)`, so a batch replayed after a crash rewrites the
+    * same directory instead of appending duplicates. The gate makes the
+    * replay REAL: every batch's write is executed TWICE (simulating the
+    * retry after a failure between sink write and checkpoint commit),
+    * the stream is additionally stopped mid-spool and resumed from its
+    * checkpoint with a fresh query, and the union of all batch
+    * directories must STILL hash-match the exact batch oracle — any
+    * append-leak double-counts and fails.
+    *
+    * Scale: this is the production recipe for the 90 % of sinks that
+    * are not a transactional table; state cost is one directory rename
+    * per batch, and the checkpoint's batchId is the idempotence key.
+    */
+  private val q275 = Q("q275_foreachbatch_exactly_once",
+    (s, d) => {
+      val runId = q275Runs.incrementAndGet()
+      val fix = StreamFixtures.timeQuarters(s, d)
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q275_${ProcessHandle.current().pid()}_$runId")
+      TempDirs.register(dir)
+      val spool = new java.io.File(dir, "spool")
+      val cp = new java.io.File(dir, "checkpoint").getPath
+      val out = new java.io.File(dir, "out")
+      def runHalf(): Unit = {
+        val src = s.readStream.schema(fix.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(spool.getPath)
+          .select("event_id", "event_type", "value")
+        val query = StreamGate.withStatePartitions(s) {
+          src.writeStream
+            .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+              val target = new java.io.File(out, s"batch_$batchId").getPath
+              // write TWICE: the second write is the simulated retry a
+              // real failure between write and commit produces — the
+              // overwrite makes it invisible
+              df.write.mode("overwrite").parquet(target)
+              df.write.mode("overwrite").parquet(target)
+            }
+            .option("checkpointLocation", cp)
+            .start()
+        }
+        try query.processAllAvailable() finally query.stop()
+      }
+      StreamFixtures.copyTo(fix.files.take(2), spool)
+      runHalf() // first run, stops mid-spool
+      StreamFixtures.copyTo(fix.files.drop(2), spool)
+      runHalf() // fresh query, same checkpoint: resume, no re-emission
+      val batchDirs = Option(out.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_"))
+      if (batchDirs.length < 4)
+        throw new IllegalStateException(
+          s"expected >=4 per-batch directories, got ${batchDirs.length}")
+      s.read.parquet(batchDirs.map(_.getPath).toIndexedSeq: _*)
+        .filter(col("event_type") =!= "zz_sentinel")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("event_id")).as("id_sum"),
+          StableAgg.dsum(col("value")).as("value_sum"))
+        .orderBy("event_type")
+    },
+    Some(s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(event_id) AS BIGINT) AS id_sum,
+        ${O.dsum("value")} AS value_sum
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   override val all: Seq[Q] =
     Seq(q156, q157, q158, q159, q160, q161, q162, q216, q217, q219, q220,
-      q237, q245, q246, q247, q254, q255, q265, q266, q270)
+      q237, q245, q246, q247, q254, q255, q265, q266, q270, q275)
 }
 
 /** Serializable Count-Min probe: holds the sketch BYTES (what the
