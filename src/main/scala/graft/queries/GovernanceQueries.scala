@@ -398,5 +398,50 @@ object GovernanceQueries extends Registry {
         CAST(COUNT(*) AS BIGINT) AS n_exact_double
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  override val all: Seq[Q] = Seq(q212, q213, q214, q215, q233, q273, q274)
+  /** Schema-drift census over semi-structured payloads
+    * (`json_object_keys` + explode): the ingest-monitoring view that
+    * catches a producer adding/removing fields BEFORE downstream
+    * parsers break — per field key: row coverage, first/last day seen.
+    * The payload is the props fixture evolved deterministically (a
+    * `beta` field on 30 % of rows, an `exp` field on the id-mod-7
+    * slice), so partial-coverage keys exist by construction and the
+    * census must report exactly their arithmetic.
+    *
+    * Scale: key extraction is scan-local; the census is |distinct
+    * keys| × days — monitoring cost is independent of row count after
+    * the first aggregate, which is why this runs on every ingest batch
+    * in production.
+    */
+  private val q277 = Q("q277_schema_drift_census",
+    (s, d) => {
+      val payload = concat(
+        regexp_replace(col("props"), "\\}$", ""),
+        when(pmod(col("event_id"), lit(10)) < 3, lit(",\"beta\":1"))
+          .otherwise(lit("")),
+        when(pmod(col("event_id"), lit(7)) === 0, lit(",\"exp\":\"x\""))
+          .otherwise(lit("")),
+        lit("}"))
+      Tables.fanOut(Tables.events(s, d))
+        .withColumn("payload", payload)
+        .select(expr("ts_ms div 86400000").as("day"),
+          explode(expr("json_object_keys(payload)")).as("field"))
+        .groupBy("field")
+        .agg(count(lit(1)).as("n_rows"),
+          min("day").as("first_day"), max("day").as("last_day"))
+        .orderBy("field")
+    },
+    Some("""WITH p AS (SELECT event_id, epoch_ms(ts) // 86400000 AS day,
+          regexp_replace(props, '\}$', '')
+            || (CASE WHEN event_id % 10 < 3 THEN ',"beta":1' ELSE '' END)
+            || (CASE WHEN event_id % 7 = 0 THEN ',"exp":"x"' ELSE '' END)
+            || '}' AS payload
+        FROM events),
+      k AS (SELECT day, unnest(json_keys(payload)) AS field FROM p)
+      SELECT field, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(MIN(day) AS BIGINT) AS first_day,
+        CAST(MAX(day) AS BIGINT) AS last_day
+      FROM k GROUP BY field ORDER BY field"""))
+
+  override val all: Seq[Q] = Seq(q212, q213, q214, q215, q233, q273, q274,
+    q277)
 }

@@ -454,5 +454,86 @@ object MicrostructureQueries extends Registry {
           THEN slope END) AS theil_sen_slope
       FROM r GROUP BY event_type ORDER BY event_type"""))
 
-  override val all: Seq[Q] = Seq(q227, q228, q229, q230, q231, q243, q251)
+  /** Deterministic bootstrap confidence interval for a daily-mean
+    * metric: B = 32 resamples drawn WITH REPLACEMENT by salted-digest
+    * indices (`hash32(md5('boot:'||key||b||j)) mod n` — the q43 device,
+    * so the "random" resampling is partition-stable, retry-stable and
+    * cross-engine exact), each resample's mean on the decimal route,
+    * and the CI read off the resample distribution by exact floor-index
+    * percentiles. Uncertainty quantification as a RELATIONAL query —
+    * no RNG state, no driver loop.
+    *
+    * Scale: resampling happens on the calendar-bounded daily table
+    * (n ≤ days), so the B× blowup is B·days rows per key — metrics
+    * uncertainty at 100 TB costs the same as at 100 MB once the daily
+    * aggregate exists.
+    */
+  private val q276 = Q("q276_bootstrap_ci",
+    (s, d) => {
+      import graft.operators.Dedup
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
+        .agg((StableAgg.dsum(col("value")) / count(lit(1))).as("v"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val idxd = daily
+        .withColumn("rn", row_number().over(w).cast("long") - 1L)
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy("event_type")))
+      val draws = idxd
+        .select(col("event_type"), col("rn").as("j"), col("n"))
+        .withColumn("b", explode(sequence(lit(0L), lit(31L))))
+        .withColumn("idx", pmod(Dedup.hexHash32(md5(concat(lit("boot:"),
+          col("event_type"), lit(":"), col("b"), lit(":"), col("j")))),
+          col("n")))
+      val stats = draws
+        .join(idxd.select(col("event_type"), col("rn").as("idx"), col("v")),
+          Seq("event_type", "idx"))
+        .groupBy("event_type", "b")
+        .agg((StableAgg.dsum(col("v"), 12) / count(lit(1))).as("boot_mean"))
+      stats.groupBy("event_type")
+        .agg(count(lit(1)).as("n_resamples"),
+          graft.functions.ExactPercentile(col("boot_mean"),
+            Seq(0.025, 0.5, 0.975)).as("p"))
+        .select(col("event_type"), col("n_resamples"),
+          element_at(col("p"), 1).as("ci_lo"),
+          element_at(col("p"), 2).as("boot_median"),
+          element_at(col("p"), 3).as("ci_hi"))
+        .orderBy("event_type")
+    },
+    Some {
+      val h = TrainingDataQueries.duckHash32(
+        "md5('boot:' || event_type || ':' || CAST(b AS VARCHAR) || ':' || CAST(j AS VARCHAR))")
+      s"""WITH daily AS (
+          SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+            ${O.dsum("value")} / COUNT(*) AS v
+          FROM events GROUP BY 1, 2),
+        idxd AS (SELECT event_type, v,
+            row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM daily),
+        draws AS (SELECT event_type, rn AS j, n, t.b,
+            ($h) % n AS idx
+          FROM idxd, range(0, 32) t(b)),
+        stats AS (SELECT d.event_type, d.b,
+            ${O.dsum("i.v", 12)} / COUNT(*) AS boot_mean
+          FROM draws d JOIN idxd i
+            ON d.event_type = i.event_type AND d.idx = i.rn
+          GROUP BY 1, 2),
+        r AS (SELECT event_type, boot_mean,
+            row_number() OVER (PARTITION BY event_type ORDER BY boot_mean) - 1
+              AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM stats)
+      SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_resamples,
+        MAX(CASE WHEN rn = CAST(floor(0.025::DOUBLE * (n-1)) AS BIGINT)
+          THEN boot_mean END) AS ci_lo,
+        MAX(CASE WHEN rn = CAST(floor(0.5::DOUBLE * (n-1)) AS BIGINT)
+          THEN boot_mean END) AS boot_median,
+        MAX(CASE WHEN rn = CAST(floor(0.975::DOUBLE * (n-1)) AS BIGINT)
+          THEN boot_mean END) AS ci_hi
+      FROM r GROUP BY event_type ORDER BY event_type"""
+    })
+
+  override val all: Seq[Q] = Seq(q227, q228, q229, q230, q231, q243, q251,
+    q276)
 }
