@@ -1657,8 +1657,117 @@ object CurationQueries extends Registry {
         END AS confidence
       FROM t ORDER BY doc_id"""))
 
+  /** Text canonicalization for dedup keys — the normalization pass that
+    * runs BEFORE any content hash (q20's md5, q21's shingles) so that
+    * trivially-variant copies collide: casefold, accent stripping
+    * (NFD-equivalent for the Latin-1 set via `translate` — codegen'd;
+    * a full-Unicode `Normalizer` expression is the upgrade path),
+    * punctuation removal, and whitespace collapse+trim. The fixture
+    * text is mutated deterministically (case flips, injected accents,
+    * doubled spaces, punctuation) so every rule is exercised, and docs
+    * must regroup with their unmutated twins: the gate counts the
+    * mutated corpus's canonical groups against the original text's
+    * distinct count.
+    *
+    * Scale: four codegen'd string functions, scan-local; the canonical
+    * key feeds the same hash-partition dedup as q20 with zero extra
+    * shuffle.
+    */
+  private val q278 = Q("q278_text_canonical_key",
+    (s, d) => {
+      // deterministic mutation: shout-case (mod 4 = 0), accent injection
+      // (mod 4 = 1), doubled spaces + punctuation (mod 4 = 2), raw
+      val mutated = when(pmod(col("doc_id"), lit(4)) === 0, upper(col("text")))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          translate(col("text"), "aeiou", "áéíóú"))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(regexp_replace(col("text"), " ", "  "), lit("!!")))
+        .otherwise(col("text"))
+      def canon(c: org.apache.spark.sql.Column) =
+        trim(regexp_replace(regexp_replace(
+          translate(lower(c), "áéíóú", "aeiou"),
+          "[!?.,;:]", ""), "\\s+", " "))
+      Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), col("text"), mutated.as("mut"))
+        .withColumn("ckey", canon(col("mut")))
+        .groupBy("ckey")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"),
+          sum(when(col("mut") =!= col("text"), 1L).otherwise(0L)).as("n_mutated"))
+        .orderBy("ckey")
+    },
+    Some("""WITH m AS (SELECT doc_id, text,
+          CASE WHEN doc_id % 4 = 0 THEN upper(text)
+               WHEN doc_id % 4 = 1
+                 THEN translate(text, 'aeiou', 'áéíóú')
+               WHEN doc_id % 4 = 2
+                 THEN regexp_replace(text, ' ', '  ', 'g') || '!!'
+               ELSE text END AS mut
+        FROM documents),
+      c AS (SELECT doc_id, text, mut,
+          trim(regexp_replace(regexp_replace(
+            translate(lower(mut), 'áéíóú', 'aeiou'),
+            '[!?.,;:]', '', 'g'), '\s+', ' ', 'g')) AS ckey
+        FROM m)
+      SELECT ckey, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        MIN(doc_id) AS keeper,
+        CAST(SUM(CASE WHEN mut <> text THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_mutated
+      FROM c GROUP BY ckey ORDER BY ckey"""))
+
+  /** Probability-calibration bins (the reliability diagram as a query):
+    * a scored classifier's predictions are bucketed by predicted
+    * probability decile and each bin compares mean predicted
+    * probability against the empirical positive rate — the
+    * miscalibration evidence that decides whether scores need
+    * temperature scaling before they gate data selection. Predictions
+    * and outcomes are salted-digest synthesized (outcome rate rises
+    * with predicted prob by construction, so bins are non-trivially
+    * populated and imperfectly calibrated); everything is exact count
+    * arithmetic plus one division per bin statistic.
+    *
+    * Scale: scan-local scoring, one 10-key aggregate — model-quality
+    * monitoring at corpus scale is one pass.
+    */
+  private val q279 = Q("q279_calibration_bins",
+    (s, d) => {
+      import graft.operators.Sampling
+      val p = Sampling.uniform(col("doc_id"), "calib_p")
+      val u = Sampling.uniform(col("doc_id"), "calib_y")
+      Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), p.as("p"), u.as("u"))
+        // outcome ~ Bernoulli(0.2 + 0.6·p): monotone in p, miscalibrated
+        .withColumn("y", when(col("u") < lit(0.2d) + lit(0.6d) * col("p"), 1L)
+          .otherwise(0L))
+        .withColumn("bin", least(floor(col("p") * 10).cast("long"), lit(9L)))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          sum(col("y")).as("n_pos"),
+          (graft.functions.StableAgg.dsum(col("p"), 12) / count(lit(1)))
+            .as("mean_pred"),
+          (sum(col("y")).cast("double") / count(lit(1)).cast("double"))
+            .as("empirical_rate"))
+        .withColumn("gap", col("mean_pred") - col("empirical_rate"))
+        .orderBy("bin")
+    },
+    Some {
+      val p = s"(${TrainingDataQueries.duckHash32("md5('calib_p:' || CAST(doc_id AS VARCHAR))")}) / 4294967296.0::DOUBLE"
+      val u = s"(${TrainingDataQueries.duckHash32("md5('calib_y:' || CAST(doc_id AS VARCHAR))")}) / 4294967296.0::DOUBLE"
+      s"""WITH s AS (SELECT doc_id, $p AS p, $u AS u FROM documents),
+        t AS (SELECT doc_id, p,
+            CASE WHEN u < 0.2::DOUBLE + 0.6::DOUBLE * p THEN 1 ELSE 0 END AS y,
+            least(CAST(floor(p * 10) AS BIGINT), 9) AS bin
+          FROM s)
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(y) AS BIGINT) AS n_pos,
+        ${graft.OracleSql.dsum("p", 12)} / COUNT(*) AS mean_pred,
+        CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS empirical_rate,
+        ${graft.OracleSql.dsum("p", 12)} / COUNT(*)
+          - CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS gap
+      FROM t GROUP BY bin ORDER BY bin"""
+    })
+
   override val all: Seq[Q] = Seq(q177, q178, q179, q180, q181, q182, q183,
     q184, q185, q186, q188, q189, q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q204, q205, q206, q207, q225, q226,
-    q232, q252, q267)
+    q232, q252, q267, q278, q279)
 }
