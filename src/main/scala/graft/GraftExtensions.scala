@@ -80,7 +80,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // range_binned(p, lo, hi, w)` — semantically p BETWEEN lo AND hi,
     // rewritten to the bin-bucketed equi-join by RangeJoinRewrite.
     ext.injectFunction((FunctionIdentifier("range_binned"),
-      info("range_binned", "range_binned(point, lo, hi, width): point BETWEEN lo AND hi, tagged for the bin-bucketed range-join rewrite"),
+      info("range_binned", "range_binned(point, lo, hi, width): point BETWEEN lo AND hi, tagged for the bin-bucketed range-join rewrite. width must be a positive numeric literal; an interval may span at most 2^20 bins (wider — e.g. a non-finite bound or a width far below the interval span — fails fast at execution rather than materializing a multi-million-element bin array per row; widen the width or pre-clamp the bounds)"),
       (exprs: Seq[Expression]) => {
         require(exprs.length == 4, "range_binned(point, lo, hi, width)")
         // Check foldability BEFORE eval(): a column reference as width

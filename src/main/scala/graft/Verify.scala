@@ -52,6 +52,15 @@ object Verify {
     case c => c.toString
   } + "\""
 
+  /** The oracle_sql.json text — the exact bytes `main` ships to the
+    * driver. Exposed so OracleLintSpec can feed the SAME serialization to
+    * the DESCRIBE-based dtype lint (tools/check_oracle.py --lint) inside
+    * `sbt test`, making an uncast integer aggregate a build failure.
+    */
+  def oracleSqlJson: String =
+    SparkEntry.oracleSql.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+
   /** Write `outDir/errors.json` from the error map (testable half of the
     * loud-failure contract). */
   def writeErrorsJson(outDir: String, errors: collection.Map[String, String]): Unit = {
@@ -70,9 +79,7 @@ object Verify {
     val selected = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val errors = run(spark, selected, sfDir, outDir)
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleSqlJson)
     writeErrorsJson(outDir, errors)
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: ${errors.keys.mkString(", ")}")

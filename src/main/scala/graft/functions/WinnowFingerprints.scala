@@ -38,8 +38,15 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     containsNull = false)
   override def nullable: Boolean = child.nullable
 
-  @transient private lazy val md5 =
-    java.security.MessageDigest.getInstance("MD5")
+  // MessageDigest is NOT thread-safe, and one expression instance can be
+  // evaluated concurrently (a cached plan shared across simultaneous jobs,
+  // or driver-side folding racing task eval) — a shared instance would
+  // silently interleave update/digest and corrupt hashes. ThreadLocal
+  // keeps the per-row cost at one map lookup while giving each evaluating
+  // thread its own digest.
+  @transient private lazy val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
 
   private def hash32(digest: Array[Byte]): Long =
     ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
@@ -51,6 +58,7 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     val m = nChars - (k - 1)
     if (m < w) return new GenericArrayData(Array.empty[Any])
     val hs = new Array[Long](m)
+    val md5 = md5Local.get()
     val bytes = text.getBytes
     if (bytes.length == nChars) {
       // pure ASCII: k-gram bytes are k consecutive bytes

@@ -61,7 +61,7 @@ final class LoopbackWsServer(
       handshake(in, out)
       var open = true
       while (open && running) {
-        readFrame(in) match {
+        readMessage(in) match {
           case None => open = false
           case Some((opcode, payload)) => opcode match {
             case 0x1 => // text: the subscribe payload
@@ -108,10 +108,43 @@ final class LoopbackWsServer(
     out.flush()
   }
 
-  /** One client frame: (opcode, unmasked payload); None on EOF. */
-  private def readFrame(in: InputStream): Option[(Int, Array[Byte])] = {
+  /** One complete client MESSAGE: (opcode, unmasked payload); None on
+    * EOF. Reassembles fragmented data messages (FIN=0 initial frame +
+    * 0x0 continuations) — the JDK WebSocket client may fragment a large
+    * `sendText`, and dropping continuations would silently truncate the
+    * recorded subscribe payload. Control frames (opcode ≥ 0x8) are never
+    * fragmented (RFC 6455 §5.4/§5.5) and per the RFC MAY be interleaved
+    * mid-fragmentation; this server has no scripted interleaving, so an
+    * interleaved control frame fails loudly rather than being reordered.
+    */
+  private def readMessage(in: InputStream): Option[(Int, Array[Byte])] = {
+    readFrame(in).flatMap { case (fin, opcode, payload) =>
+      if (fin) Some((opcode, payload))
+      else {
+        require(opcode < 0x8, s"fragmented control frame (opcode $opcode)")
+        val buf = new java.io.ByteArrayOutputStream()
+        buf.write(payload)
+        var done = false
+        while (!done) {
+          readFrame(in) match {
+            case None => return None
+            case Some((f, op, p)) =>
+              require(op == 0x0,
+                s"expected continuation mid-fragmentation, got opcode $op")
+              buf.write(p)
+              done = f
+          }
+        }
+        Some((opcode, buf.toByteArray))
+      }
+    }
+  }
+
+  /** One client frame: (fin, opcode, unmasked payload); None on EOF. */
+  private def readFrame(in: InputStream): Option[(Boolean, Int, Array[Byte])] = {
     val b0 = in.read()
     if (b0 < 0) return None
+    val fin = (b0 & 0x80) != 0
     val opcode = b0 & 0x0f
     val b1 = in.read()
     if (b1 < 0) return None
@@ -128,7 +161,7 @@ final class LoopbackWsServer(
       var i = 0
       while (i < payload.length) { payload(i) = (payload(i) ^ mask(i % 4)).toByte; i += 1 }
     }
-    Some((opcode, payload))
+    Some((fin, opcode, payload))
   }
 
   private def readN(in: InputStream, n: Int): Array[Byte] = {

@@ -115,7 +115,14 @@ def main(sf_dir: str, out_dir: str) -> int:
     print(f"== {n_ok} ok, {n_bad} fail")
     return 1 if n_bad else 0
 
+USAGE = ("usage: check_oracle.py <sfDir> <verifyOutDir> [onlyQ1,Q2,...]\n"
+         "       check_oracle.py --lint <sfDir> <oracle_sql.json>")
+
 if __name__ == "__main__":
+    if len(sys.argv) < 3:
+        print(USAGE, file=sys.stderr); sys.exit(2)
     if sys.argv[1] == "--lint":
+        if len(sys.argv) < 4:
+            print(USAGE, file=sys.stderr); sys.exit(2)
         sys.exit(lint(sys.argv[2], sys.argv[3]))
     sys.exit(main(sys.argv[1], sys.argv[2]))
