@@ -9,7 +9,8 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, BooleanType, ByteType,
-  DataType, DoubleType, FloatType, IntegerType, LongType, ShortType}
+  DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType,
+  ShortType}
 
 /** Opt-in range-join predicate for [[RangeJoinRewrite]]: semantically
   * `point >= lo AND point <= hi` (it evaluates and codegens as exactly
@@ -33,9 +34,30 @@ case class RangePredicate(point: Expression, lo: Expression, hi: Expression,
     * A val: interpreted eval runs per row and must not rebuild the tree
     * (case-class `copy` via withNewChildrenInternal makes a fresh
     * instance, so caching per instance is safe).
+    *
+    * Operands of differing types are WIDENED explicitly (the lossless
+    * common type, e.g. decimal(12,2) vs decimal(10,1) → decimal(13,2)):
+    * the marker expands during OPTIMIZATION, where the analyzer's type
+    * coercion no longer runs, and a raw `a >= b` over mismatched decimal
+    * scales is an unresolved expression that fails Spark's plan
+    * validation. Same-typed operands (the common case) expand with no
+    * cast at all.
     */
-  @transient lazy val expanded: Expression =
-    And(GreaterThanOrEqual(point, lo), LessThanOrEqual(point, hi))
+  @transient lazy val expanded: Expression = {
+    def widened(a: Expression, b: Expression): (Expression, Expression) =
+      if (a.resolved && b.resolved && a.dataType != b.dataType) {
+        org.apache.spark.sql.catalyst.analysis.TypeCoercion
+          .findWiderTypeForTwo(a.dataType, b.dataType) match {
+          case Some(t) =>
+            (if (a.dataType == t) a else Cast(a, t),
+             if (b.dataType == t) b else Cast(b, t))
+          case None => (a, b)
+        }
+      } else (a, b)
+    val (p1, l1) = widened(point, lo)
+    val (p2, h1) = widened(point, hi)
+    And(GreaterThanOrEqual(p1, l1), LessThanOrEqual(p2, h1))
+  }
 
   override def eval(input: InternalRow): Any = expanded.eval(input)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -124,10 +146,31 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       // distinct values into coarsened bins and breaking the documented
       // bin semantics. Floating operands keep the double path — IEEE
       // divide and floor are monotone, so a point's bin always lies
-      // inside its covering interval's bin range. Anything else
-      // (decimal, mixed integral/floating) cannot bin exactly here and
-      // falls back to the expanded BETWEEN below.
+      // inside its covering interval's bin range. Decimal operands
+      // (possibly mixed with small integrals — price columns in real
+      // market-data lakes are decimal) bin exactly in UNSCALED-LONG
+      // space: every operand is losslessly rescaled to the common
+      // (maximum) scale s, its unscaled long floor-divided by the
+      // width's unscaled form at the same scale — pure integer
+      // arithmetic, no double rounding anywhere. Anything else (mixed
+      // integral/floating, longs alongside decimals — a long's 19
+      // digits can overflow an 18-digit unscaled rescale) cannot bin
+      // exactly here and falls back to the expanded BETWEEN below.
       val opTypes = Seq(h.point.dataType, h.lo.dataType, h.hi.dataType)
+      // Max digits left of the decimal point, for the types the decimal
+      // path accepts. Long (19 digits) is deliberately absent: 19 + s
+      // always exceeds the 18-digit bound a lossless long-backed rescale
+      // requires.
+      val intDigits: PartialFunction[DataType, Int] = {
+        case d: DecimalType => d.precision - d.scale
+        case ByteType => 3
+        case ShortType => 5
+        case IntegerType => 10
+      }
+      def decScale(t: DataType): Int = t match {
+        case d: DecimalType => d.scale
+        case _ => 0
+      }
       val binOfExact: Option[Expression => Expression] =
         if (opTypes.forall(t => t == ByteType || t == ShortType ||
               t == IntegerType || t == LongType) &&
@@ -140,6 +183,34 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         } else if (opTypes.forall(t => t == DoubleType || t == FloatType)) {
           val w = Literal(h.width, DoubleType)
           Some(e => Cast(Floor(Divide(Cast(e, DoubleType), w)), LongType))
+        } else if (opTypes.exists(_.isInstanceOf[DecimalType]) &&
+            opTypes.forall(intDigits.isDefinedAt)) {
+          val s = opTypes.map(decScale).max
+          // The width reaches here as a Double; its SHORTEST-ROUND-TRIP
+          // decimal form (Double.toString) is the literal the author
+          // wrote (0.05 → "0.05"), so parsing that recovers the intended
+          // exact decimal width — the same convention Spark's own
+          // double→decimal cast uses (Decimal.set(Double)).
+          val wU = BigDecimal(java.lang.Double.toString(h.width)) *
+            BigDecimal(10).pow(s)
+          // Every operand must rescale to scale s within 18 digits total
+          // (the bound for a loss-free long-backed unscaled value), and
+          // the width must be a whole multiple of 10^-s — otherwise bins
+          // at decimal precision can't be exact and we fall back.
+          if (wU.isWhole && wU >= 1 && wU <= BigDecimal(Long.MaxValue) &&
+              opTypes.forall(t => intDigits(t) + s <=
+                org.apache.spark.sql.types.Decimal.MAX_LONG_DIGITS)) {
+            val wL = Literal(wU.toLongExact, LongType)
+            Some { e =>
+              // Lossless by construction (precision covers every value of
+              // the source type at scale s), so the cast can never
+              // overflow-null and the bin is exact integer arithmetic.
+              val prec = intDigits(e.dataType) + s
+              StaticInvoke(classOf[java.lang.Math], LongType, "floorDiv",
+                Seq(UnscaledValue(Cast(e, DecimalType(prec, s))), wL),
+                Seq(LongType, LongType), returnNullable = false)
+            }
+          } else None
         } else None
 
       (oriented, binOfExact) match {

@@ -670,6 +670,65 @@ object ScaleQueries extends Registry {
       FROM events e JOIN iv ON e.value >= iv.lo AND e.value <= iv.hi
       GROUP BY interval_id ORDER BY interval_id"""))
 
+  /** Decimal twin of q219 — the price-band range join as real market-data
+    * lakes store it: DECIMAL price points against DECIMAL band bounds.
+    * Stock Catalyst plans this as a nested loop; the engine's
+    * RangeJoinRewrite previously fell back to the expanded BETWEEN for
+    * decimal operands, and now bins them EXACTLY in unscaled-long space
+    * (every operand losslessly rescaled to the common scale, unscaled
+    * longs floor-divided by the width's unscaled form — pure integer
+    * arithmetic, no double rounding; `plans/RangeJoinRewrite.scala`).
+    * Both halves are asserted in-query: the optimized plan must carry
+    * the generated bin columns (proof the DECIMAL path fired, not the
+    * BETWEEN fallback) and the executed plan must be nested-loop-free.
+    * Bands overlap (span 3000, step 2000) so points match 1-2 bands —
+    * the multi-match semantics a disjoint banding would not exercise.
+    *
+    * Oracle parity: the double→decimal cast goes through VARCHAR on the
+    * DuckDB side (shortest-round-trip digits + one HALF_UP rounding —
+    * Spark's Decimal.set(Double) convention, see OracleSql.dsum); the
+    * decimal sum is exact in both engines and renders to double through
+    * the same exact-digit path.
+    *
+    * Scale: the rewrite turns O(|lineitem|·|bands|) pair work into a
+    * hash equi-join shuffled on ⌊price/2000⌋ — band rows replicate to
+    * ≤2 bins each, point rows to exactly one.
+    */
+  private val q280 = Q("q280_decimal_range_join",
+    (s, d) => {
+      import graft.operators.RangeJoin
+      val pts = Tables.lineitem(s, d).select(
+        col("l_extendedprice").cast("decimal(12,2)").as("price"))
+      val iv = s.range(0L, 60L).select(col("id").as("band_id"),
+        (col("id") * 2000).cast("decimal(10,2)").as("lo"),
+        ((col("id") * 2000).cast("decimal(10,2)") +
+          lit(BigDecimal("2999.99")).cast("decimal(6,2)")).as("hi"))
+      val joined = RangeJoin.binned(pts, col("price"), iv,
+        col("lo"), col("hi"), width = 2000.0)
+      val opt = joined.queryExecution.optimizedPlan.toString
+      if (!opt.contains("__graft_bin_l"))
+        throw new IllegalStateException(
+          s"decimal bin path did not fire — BETWEEN fallback plan:\n$opt")
+      val plan = joined.queryExecution.executedPlan.toString
+      if (plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"))
+        throw new IllegalStateException(
+          s"range-join rewrite did not fire — nested-loop plan:\n$plan")
+      joined.groupBy("band_id")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("price")).cast("double").as("sum_price"))
+        .orderBy("band_id")
+    },
+    Some("""WITH iv AS (SELECT r.i AS band_id,
+          (r.i * 2000)::DECIMAL(10,2) AS lo,
+          (r.i * 2000)::DECIMAL(10,2) + 2999.99 AS hi
+        FROM range(0, 60) r(i)),
+      pts AS (SELECT CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(12,2)) AS price
+        FROM lineitem)
+      SELECT band_id, CAST(COUNT(*) AS BIGINT) AS n_items,
+        CAST(CAST(SUM(price) AS VARCHAR) AS DOUBLE) AS sum_price
+      FROM pts JOIN iv ON price >= lo AND price <= hi
+      GROUP BY band_id ORDER BY band_id"""))
+
   /** AQE skew-join handling — the runtime half of the q49 salting story:
     * a 70%-hot join key makes one shuffle partition carry most of the
     * fact table, and AQE's OptimizeSkewedJoin must SPLIT that partition
@@ -1295,7 +1354,7 @@ object ScaleQueries extends Registry {
 
   override val all: Seq[Q] =
     Seq(q156, q157, q158, q159, q160, q161, q162, q216, q217, q219, q220,
-      q237, q245, q246, q247, q254, q255, q265, q266, q270, q275)
+      q237, q245, q246, q247, q254, q255, q265, q266, q270, q275, q280)
 }
 
 /** Serializable Count-Min probe: holds the sketch BYTES (what the

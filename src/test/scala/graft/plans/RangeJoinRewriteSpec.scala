@@ -172,6 +172,83 @@ class RangeJoinRewriteSpec extends SparkSpec {
       s"unexpected error: $ex")
   }
 
+  test("decimal operands bin exactly in unscaled-long space") {
+    // price-band shape: decimal(12,2) points against decimal(10,1)
+    // bounds, width 2.5 — common scale 2, width unscaled 250. Boundary-
+    // exact values (multiples of 2.5), negatives, and a null must all
+    // match the plain BETWEEN, and the plan must be the bin equi-join
+    // (pre-change, decimals fell back to BETWEEN → nested loop).
+    val pts = ((0 until 400).map(i => (i.toLong, BigDecimal(i) * 0.37 - 30))
+      :+ (9999L, null.asInstanceOf[BigDecimal]))
+      .toDF("pid", "v").select($"pid", $"v".cast("decimal(12,2)").as("v"))
+    val iv = Seq((1L, BigDecimal("-20.0"), BigDecimal("-5.0")),
+      (2L, BigDecimal("-5.0"), BigDecimal("5.0")),
+      (3L, BigDecimal("0.0"), BigDecimal("0.0")),
+      (4L, BigDecimal("7.5"), BigDecimal("30.0")),
+      (5L, BigDecimal("150.0"), BigDecimal("100.0"))) // inverted → empty
+      .toDF("iid", "lo", "hi")
+      .select($"iid", $"lo".cast("decimal(10,1)").as("lo"),
+        $"hi".cast("decimal(10,1)").as("hi"))
+    val plain = pts.join(iv, $"v" >= $"lo" && $"v" <= $"hi")
+    val binned = RangeJoin.binned(pts, $"v", iv, $"lo", $"hi", width = 2.5)
+    assert(canon(binned) == canon(plain))
+    assert(canon(binned).nonEmpty)
+    val opt = binned.queryExecution.optimizedPlan.toString
+    assert(opt.contains("__graft_bin_l") && opt.contains("__graft_bin_r"),
+      s"decimal operands did not take the bin path:\n$opt")
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"decimal range join kept nested loop:\n$plan")
+  }
+
+  test("mixed decimal/integer operands bin exactly (integral = scale 0)") {
+    val pts = (0 until 300).map(i => (i.toLong, i - 50)).toDF("pid", "v")
+      .select($"pid", $"v".cast("int").as("v"))
+    val iv = Seq((1L, BigDecimal("-10.5"), BigDecimal("20.5")),
+      (2L, BigDecimal("99.9"), BigDecimal("200.1")))
+      .toDF("iid", "lo", "hi")
+      .select($"iid", $"lo".cast("decimal(8,1)").as("lo"),
+        $"hi".cast("decimal(8,1)").as("hi"))
+    val plain = pts.join(iv, $"v" >= $"lo" && $"v" <= $"hi")
+    val binned = RangeJoin.binned(pts, $"v", iv, $"lo", $"hi", width = 7.5)
+    assert(canon(binned) == canon(plain))
+    assert(canon(binned).nonEmpty)
+    val opt = binned.queryExecution.optimizedPlan.toString
+    assert(opt.contains("__graft_bin_l"),
+      s"mixed decimal/int operands did not take the bin path:\n$opt")
+  }
+
+  test("decimals too wide for a lossless long rescale fall back to exact BETWEEN") {
+    // decimal(38,10): 28 integer digits + scale 10 ≫ 18 — unscaled longs
+    // can't hold a lossless rescale, so the rule must expand the marker
+    // (correct results, no silent truncation); same for a width that is
+    // not a whole multiple of 10^-scale
+    val pts = Seq((1L, BigDecimal("1.5")), (2L, BigDecimal("7.25")))
+      .toDF("pid", "v").select($"pid", $"v".cast("decimal(38,10)").as("v"))
+    val iv = Seq((1L, BigDecimal("1.0"), BigDecimal("8.0")))
+      .toDF("iid", "lo", "hi")
+      .select($"iid", $"lo".cast("decimal(38,10)").as("lo"),
+        $"hi".cast("decimal(38,10)").as("hi"))
+    val plain = pts.join(iv, $"v" >= $"lo" && $"v" <= $"hi")
+    val binned = RangeJoin.binned(pts, $"v", iv, $"lo", $"hi", width = 2.0)
+    assert(canon(binned) == canon(plain))
+    assert(canon(binned).nonEmpty)
+    val opt = binned.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("__graft_bin_l"), s"should not have binned:\n$opt")
+
+    val pts2 = Seq((1L, BigDecimal("1.50")), (2L, BigDecimal("7.25")))
+      .toDF("pid", "v").select($"pid", $"v".cast("decimal(6,2)").as("v"))
+    val iv2 = Seq((1L, BigDecimal("1.00"), BigDecimal("8.00")))
+      .toDF("iid", "lo", "hi")
+      .select($"iid", $"lo".cast("decimal(6,2)").as("lo"),
+        $"hi".cast("decimal(6,2)").as("hi"))
+    // width 0.005 < 10^-2: not representable at the common scale
+    val b2 = RangeJoin.binned(pts2, $"v", iv2, $"lo", $"hi", width = 0.005)
+    val p2 = pts2.join(iv2, $"v" >= $"lo" && $"v" <= $"hi")
+    assert(canon(b2) == canon(p2))
+    assert(!b2.queryExecution.optimizedPlan.toString.contains("__graft_bin_l"))
+  }
+
   test("width trades replication: interval rows explode to span/width bins") {
     // whitebox: the optimized plan of a binned join must contain the
     // generated bin columns (proof the rewrite, not some other path, ran)
