@@ -1,0 +1,240 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Whole-result / brute-force certificates for the round-10 operators —
+  * the properties the row-value oracles cannot state (independent
+  * recomputation in plain Scala, algebraic invariants, robustness).
+  */
+class Round10CertificatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  /** Exact decimal-route sum mirror: quantize like StableAgg (HALF_UP at
+    * `scale`), sum exactly, render to double. */
+  private def dsumMirror(xs: Seq[Double], scale: Int): Double =
+    xs.map(x => BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP))
+      .foldLeft(BigDecimal(0))(_ + _).toDouble
+
+  test("q280: binned decimal join equals the brute-force BETWEEN join per band") {
+    val got = q("q280_decimal_range_join")
+      .select("band_id", "n_items").as[(Long, Long)].collect().toMap
+    val prices = Tables.lineitem(spark, sf)
+      .select($"l_extendedprice".cast("decimal(12,2)").cast("string"))
+      .as[String].collect().map(BigDecimal(_))
+    val brute = (0L until 60L).map { b =>
+      val lo = BigDecimal(b * 2000)
+      val hi = lo + BigDecimal("2999.99")
+      b -> prices.count(p => p >= lo && p <= hi).toLong
+    }.filter(_._2 > 0).toMap
+    assert(got == brute, s"band counts diverge: got=$got brute=$brute")
+    assert(got.nonEmpty)
+    // overlapping bands: total matches must exceed distinct rows
+    assert(got.values.sum > prices.length.toLong)
+  }
+
+  test("q281: variance ratio matches an independent recompute; VR(1) would be 1") {
+    val got = q("q281_variance_ratio")
+      .select("event_type", "n_d1", "n_d5", "vr5")
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val series = Tables.events(spark, sf)
+      .select($"event_type", $"ts_ms", $"event_id", $"value")
+      .as[(String, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(t => (t._2, t._3)).map(_._4).toSeq).toMap
+    def varPop(xs: Seq[Double]): Double = {
+      val n = xs.size.toDouble
+      dsumMirror(xs.map(x => x * x), 10) / n -
+        (dsumMirror(xs, 6) / n) * (dsumMirror(xs, 6) / n)
+    }
+    got.foreach { case (et, n1, n5, vr) =>
+      val vs = series(et)
+      val d1 = vs.sliding(2).map(p => p(1) - p(0)).toSeq
+      val d5 = vs.iterator.zipWithIndex.drop(5).map { case (v, i) => v - vs(i - 5) }.toSeq
+      assert(d1.size == n1 && d5.size == n5, s"$et diff counts")
+      val expect = varPop(d5) / (5.0 * varPop(d1))
+      assert(math.abs(vr - expect) <= 1e-9 * math.max(1.0, math.abs(expect)),
+        s"$et vr=$vr expect=$expect")
+    }
+  }
+
+  test("q282: estimators are nonnegative/bounded and match a brute bar recompute") {
+    val got = q("q282_range_volatility")
+      .select("event_type", "n_bars", "parkinson", "garman_klass")
+      .as[(String, Long, Double, Double)].collect()
+    assert(got.nonEmpty)
+    val rows = Tables.events(spark, sf)
+      .select($"event_type", $"ts_ms", $"event_id", $"value")
+      .as[(String, Long, Long, Double)].collect()
+    val bars = rows.groupBy(r => (r._1, r._2 / 3600000L)).map { case (_, rs) =>
+      val ord = rs.sortBy(r => (r._2 % 3600000L) * 68719476736L + r._3)
+      val vs = rs.map(_._4)
+      (rs.head._1, ord.head._4, vs.max, vs.min, ord.last._4)
+    }.toSeq
+    got.foreach { case (et, nBars, park, gkp) =>
+      val mine = bars.filter(_._1 == et)
+      assert(mine.size.toLong == nBars, s"$et bar count")
+      assert(park >= 0.0, s"$et parkinson negative")
+      assert(gkp <= 0.5 * park + 1e-15, s"$et gk exceeds half parkinson bound")
+      val parks = mine.map { case (_, o, h, l, _) => ((h - l) / o) * ((h - l) / o) }
+      val expect = dsumMirror(parks, 12) / parks.size
+      assert(math.abs(park - expect) <= 1e-9 * math.max(1.0, expect), s"$et parkinson")
+    }
+  }
+
+  test("q283: ACF panel matches a brute recompute and is Cauchy-Schwarz-bounded") {
+    val got = q("q283_acf_panel")
+      .select("event_type", "n_diffs", "acf1", "acf2", "acf3")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(got.nonEmpty)
+    val series = Tables.events(spark, sf)
+      .select($"event_type", $"ts_ms", $"event_id", $"value")
+      .as[(String, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(t => (t._2, t._3)).map(_._4).toSeq).toMap
+    got.foreach { case (et, n, a1, a2, a3) =>
+      val d = series(et).sliding(2).map(p => p(1) - p(0)).toSeq
+      assert(d.size.toLong == n)
+      val denom = dsumMirror(d.map(x => x * x), 10)
+      def acf(l: Int): Double =
+        dsumMirror(d.drop(l).zip(d).map { case (x, y) => x * y }, 10) / denom
+      Seq(a1 -> acf(1), a2 -> acf(2), a3 -> acf(3)).foreach { case (gotV, expV) =>
+        assert(math.abs(gotV - expV) <= 1e-9, s"$et acf $gotV vs $expV")
+        assert(math.abs(gotV) <= 1.05, s"$et acf out of plausible range")
+      }
+    }
+  }
+
+  test("q284: pair supports are brute-verifiable and lift ordering holds") {
+    val got = q("q284_token_lift_pairs")
+      .select("rank", "tok_a", "tok_b", "support", "lift")
+      .as[(Int, String, String, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val docToks = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ", -1).toSet }
+    val n = docToks.length.toLong
+    val df = docToks.flatMap(_._2.iterator).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // lift descends with rank; supports and lift identity recompute
+    got.sliding(2).foreach {
+      case Array(x, y) => assert(x._5 >= y._5, "lift not descending")
+      case _ =>
+    }
+    got.foreach { case (_, a, b, support, lift) =>
+      val brute = docToks.count { case (_, ts) => ts(a) && ts(b) }.toLong
+      assert(brute == support, s"pair ($a,$b) support $support vs brute $brute")
+      val expect = (support * n).toDouble / (df(a) * df(b)).toDouble
+      assert(lift == expect, s"pair ($a,$b) lift identity")
+      assert(df(a) * 25 >= n && df(b) * 25 >= n, "support floor violated")
+    }
+  }
+
+  test("q285: transition rows sum to per-source totals and probabilities to 1") {
+    val got = q("q285_markov_transitions")
+      .select("from_type", "to_type", "n_trans", "p")
+      .as[(String, String, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val totalTrans = Tables.events(spark, sf)
+      .groupBy($"user_id").agg((count(lit(1)) - 1).as("m"))
+      .agg(sum($"m")).as[Long].head()
+    assert(got.map(_._3).sum == totalTrans, "transition mass lost")
+    got.groupBy(_._1).foreach { case (ft, rows) =>
+      val psum = rows.map(_._4).sum
+      assert(math.abs(psum - 1.0) <= 1e-9, s"$ft probabilities sum to $psum")
+      val tot = rows.map(_._3).sum
+      rows.foreach { case (_, _, c, p) =>
+        assert(p == c.toDouble / tot.toDouble, s"$ft p identity") }
+    }
+  }
+
+  test("q286: digit census is complete and chi2 terms are nonnegative") {
+    val got = q("q286_benford_census")
+      .select("digit", "n_obs", "expected_p", "chi2_term")
+      .as[(Int, Long, Double, Double)].collect()
+    assert(got.map(_._1).toSet == (1 to 9).toSet, "missing digits")
+    val nOrders = Tables.orders(spark, sf).count()
+    assert(got.map(_._2).sum == nOrders, "census row mass")
+    assert(math.abs(got.map(_._3).sum - 1.0) <= 1e-9, "expected masses sum to 1")
+    got.foreach { case (_, _, _, chi) => assert(chi >= 0.0) }
+  }
+
+  test("q287: FS scores equal the brute recompute and the threshold filter is exact") {
+    val cust = Tables.customer(spark, sf)
+      .select($"c_custkey", $"c_nationkey".cast("int"), $"c_acctbal")
+      .as[(Long, Int, Double)].collect()
+    val sup = Tables.supplier(spark, sf)
+      .select($"s_suppkey", $"s_nationkey".cast("int"), $"s_acctbal")
+      .as[(Long, Int, Double)].collect()
+    val brute = for {
+      (ck, cn, cb) <- cust; (sk, sn, sb) <- sup if cn == sn
+      score = (if (math.abs(cb - sb) < 500.0) 2.2 else -0.8) +
+        (if (ck % 10 == sk % 10) 1.6 else -0.5) +
+        (if (cb > 0.0 && sb > 0.0) 0.3 else -0.1)
+      if score >= 2.0
+    } yield (ck, sk, score)
+    val got = q("q287_linkage_fs_score")
+      .select("c_custkey", "s_suppkey", "fs_score")
+      .as[(Long, Long, Double)].collect()
+    assert(got.sortBy(t => (t._1, t._2)).toSeq == brute.sortBy(t => (t._1, t._2)).toSeq)
+    assert(got.nonEmpty)
+  }
+
+  test("q288: equi-depth buckets partition the table with counts within 1 and ordered bounds") {
+    val got = q("q288_equi_depth_bounds")
+      .select("bucket", "n_rows", "lo_price", "hi_price")
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == (1 to 32).toSeq)
+    assert(got.map(_._2).sum == Tables.lineitem(spark, sf).count())
+    assert(got.map(_._2).max - got.map(_._2).min <= 1, "ntile size guarantee")
+    got.foreach { case (_, _, lo, hi) => assert(lo <= hi) }
+    got.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._3, "bucket bounds overlap beyond ties")
+      case _ =>
+    }
+  }
+
+  test("q289: weighted median crosses half the total weight, brute-verified") {
+    val got = q("q289_weighted_median")
+      .select("l_returnflag", "w_median", "total_w")
+      .as[(String, Double, Double)].collect()
+    assert(got.nonEmpty)
+    val rows = Tables.lineitem(spark, sf)
+      .select($"l_returnflag", $"l_extendedprice", $"l_orderkey", $"l_linenumber", $"l_quantity")
+      .as[(String, Double, Long, Int, Double)].collect()
+    got.foreach { case (flag, med, totW) =>
+      val mine = rows.filter(_._1 == flag).sortBy(t => (t._2, t._3, t._4))
+      val qs = mine.map(_._5)
+      assert(math.abs(dsumMirror(qs, 6) - totW) <= 1e-9 * totW, s"$flag total weight")
+      // brute: exact BigDecimal cumsum, first price crossing half
+      var cum = BigDecimal(0)
+      val half = BigDecimal(totW) / 2
+      val crossed = mine.find { t =>
+        cum += BigDecimal(t._5).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        cum >= half
+      }
+      assert(crossed.exists(_._2 == med), s"$flag weighted median $med")
+    }
+  }
+
+  test("q290: Gini matches a brute rank-formula recompute and sits in [0, 1)") {
+    val got = q("q290_gini_concentration")
+      .select("o_orderpriority", "n_orders", "gini")
+      .as[(String, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val orders = Tables.orders(spark, sf)
+      .select($"o_orderpriority", $"o_totalprice", $"o_orderkey")
+      .as[(String, Double, Long)].collect()
+    got.foreach { case (pri, n, gini) =>
+      val xs = orders.filter(_._1 == pri).sortBy(t => (t._2, t._3)).map(_._2).toSeq
+      assert(xs.size.toLong == n)
+      val sx = dsumMirror(xs, 6)
+      val six = dsumMirror(xs.zipWithIndex.map { case (x, i) => (i + 1) * x }, 6)
+      val expect = (2.0 * six - (n + 1).toDouble * sx) / (n.toDouble * sx)
+      assert(math.abs(gini - expect) <= 1e-9, s"$pri gini $gini vs $expect")
+      assert(gini >= 0.0 && gini < 1.0, s"$pri gini out of range")
+    }
+  }
+}
