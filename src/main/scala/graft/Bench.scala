@@ -31,6 +31,34 @@ object Bench {
 
   def exitCode(r: Run): Int = if (r.failed.nonEmpty || r.flaky.nonEmpty) 1 else 0
 
+  private def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+  private def names(a: Array[String]): String =
+    a.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+  /** The full bench_out.json line (testable: VerifyBenchContractSpec pins
+    * the format). `queries` carries each query's MIN across the
+    * interleaved timed rounds; `spread` carries max/min across the same
+    * samples — the drift-legibility column from the r9 review: two
+    * same-evening HEAD runs differed 336 vs 405 s from uniform host
+    * drift, and without a per-query spread a wall-time delta can't be
+    * classified as regression vs noise from one artifact. spread ≈ 1 ⇒
+    * the min is a stable steady-state number; spread ≫ 1 ⇒ the query's
+    * samples straddled a host/JIT storm and its min is the honest floor
+    * (single-sample queries report 1.0 by construction).
+    */
+  def resultJson(run: Run, sfDir: String): String = {
+    val qs = run.results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val spread = run.results.map { case (k, _) =>
+      val times = run.sampleRounds.flatMap(_.get(k))
+      "\"" + k + "\":" + f3(if (times.isEmpty) 1.0 else times.max / times.min)
+    }.mkString("{", ",", "}")
+    val total = if (run.results.nonEmpty) run.results.map(_._2).sum else 0.0
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
+      s""""spread":$spread,"failed":${names(run.failed)},"n_failed":${run.failed.length},""" +
+      s""""flaky":${names(run.flaky)},"warmup_failed":${names(run.warmupOnly)},"sf":"$sfDir"}"""
+  }
+
   /** Testable core (VerifyBenchContractSpec): untimed warmup at `warmDir`,
     * then `nRounds` interleaved timed rounds at `sfDir`, min per query.
     * `sparse` queries skip the warmup and the middle timed round (their wall
@@ -143,7 +171,14 @@ object Bench {
       }
     })
 
+    // GRAFT_BENCH_ONLY: dev-only comma-list filter (scale-sanity runs
+    // over the top-N heaviest queries at the 10× fixture — see
+    // docs/SCALING.md). The driver never sets it, so the per-round bench
+    // always covers the full registry.
+    val only: Option[Set[String]] =
+      sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val sparseSampled = Set("q108_streaming_staleness", "q111_streaming_sessions",
       "q119_streaming_bars", "q120_streaming_dedup", "q121_streaming_metrics",
       "q122_streaming_zero_rates", "q123_streaming_msg_counts",
@@ -162,7 +197,6 @@ object Bench {
     val nRounds = 3
     val run = sample(spark, ordered, sfDir, warmDir, sparseSampled, nRounds)
 
-    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     run.results.foreach { case (name, sec) =>
       val times = run.sampleRounds.flatMap(_.get(name))
       System.err.println(s"[bench-q] $name ${f3(sec)} s (samples ${times.map(f3).mkString("/")})")
@@ -170,14 +204,9 @@ object Bench {
     run.failed.foreach(n => System.err.println(s"[bench-q] $n FAILED (no successful sample): ${run.timedFailed(n)}"))
     run.flaky.foreach(n => System.err.println(s"[bench-q] $n FLAKY (failed ≥1 timed round): ${run.timedFailed(n)}"))
     run.warmupOnly.foreach(n => System.err.println(s"[bench-q] $n warmup-only failure: ${run.warmupFailed(n)}"))
-    val qs = run.results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
-    def names(a: Array[String]) = a.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedJson = names(run.failed)
     val total = if (run.results.nonEmpty) run.results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
-      s""""failed":$failedJson,"n_failed":${run.failed.length},""" +
-      s""""flaky":${names(run.flaky)},"warmup_failed":${names(run.warmupOnly)},"sf":"$sfDir"}"""
+    val json = resultJson(run, sfDir)
 
     // Persist full artifacts next to the repo (the captured process tail
     // retains only ~2 KB, which truncates a 161-query map): bench_out.json

@@ -98,5 +98,26 @@ class VerifyBenchContractSpec extends SparkSpec {
     val clean = Bench.sample(spark, Seq("q_good" -> good), dir, dir, Set.empty, 2)
     assert(clean.failed.isEmpty && clean.flaky.isEmpty && clean.warmupOnly.isEmpty)
     assert(Bench.exitCode(clean) == 0)
+
+    // bench_out.json format: value is min-of-samples per query, and the
+    // `spread` object carries max/min for EVERY reported query — the
+    // drift-legibility column (BENCH_r10 contract). A flaky query's
+    // single sample yields spread exactly 1.0.
+    val json = Bench.resultJson(run, dir)
+    assert(json.startsWith("""{"metric":"total","value":"""), json)
+    assert(json.contains(""""spread":{"""), json)
+    for (n <- resultNames) {
+      assert(json.contains("\"" + n + "\":"), s"$n missing from json: $json")
+      val spreadObj = json.split("\"spread\":\\{", 2)(1).split("\\}", 2)(0)
+      assert(spreadObj.contains("\"" + n + "\":"), s"$n missing from spread: $json")
+    }
+    val spreadObj = json.split("\"spread\":\\{", 2)(1).split("\\}", 2)(0)
+    val flakySpread = spreadObj.split("\"q_flaky\":", 2)(1).takeWhile(c => c.isDigit || c == '.')
+    assert(flakySpread.toDouble == 1.0, s"single-sample spread must be 1.0: $json")
+    // every spread is >= 1 (max/min of positive samples)
+    val allSpreads = spreadObj.split(",").map(_.split(":")(1).toDouble)
+    assert(allSpreads.forall(_ >= 1.0), json)
+    assert(json.contains(""""failed":["q_broken"]"""), json)
+    assert(json.endsWith(s""""sf":"$dir"}"""), json)
   }
 }
