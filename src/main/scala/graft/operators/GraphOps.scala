@@ -39,11 +39,16 @@ object GraphOps {
     * preserves.
     */
   def pageRankFixed(edges: DataFrame, iters: Int): DataFrame = {
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nodes = edges.select(col("src").as("node"))
-      .unionByName(edges.select(col("dst").as("node")))
+    // Checkpoint the caller's edge construction ONCE before fanning out:
+    // `deg`, `nodes`, and the degree join each consume the edge relation,
+    // and without this the (often expensive — q116 builds it from a
+    // join + two distincts) construction re-executes for every consumer.
+    val e = edges.localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
       .distinct().localCheckpoint()
-    val withDeg = edges.join(deg, "src").localCheckpoint()
+    val withDeg = e.join(deg, "src").localCheckpoint()
     var rank = nodes.withColumn("rank", lit(Scale))
     for (_ <- 1 to iters) {
       val inflow = withDeg
