@@ -481,7 +481,16 @@ object PlanAudit {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get("plan-audit", "8")
     val sf = args.headOption.getOrElse(invariantSf)
+    // args(1): alternate output dir (default docs/ — the checked-in
+    // goldens); args(2): comma-list query filter. Both exist for the
+    // scale-sanity re-dump (docs/SCALING.md): re-derive the invariant
+    // rows for a query subset against the 10× fixture WITHOUT touching
+    // the goldens, then diff row-for-row to prove no plan flipped with
+    // data volume.
+    val outDir = args.lift(1).getOrElse("docs")
+    val only: Option[Set[String]] = args.lift(2).map(_.split(",").map(_.trim).toSet)
     val allNames = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val sb = new StringBuilder
     sb.append("# Physical plan audit\n\n")
     sb.append(s"Generated by `graft.tools.PlanAudit` against `$sf` " +
@@ -524,12 +533,12 @@ object PlanAudit {
         sb.append("\n```\n\n")
       }
     }
-    Files.createDirectories(Paths.get("docs"))
-    Files.writeString(Paths.get("docs/PLANS.md"), sb.toString)
-    Files.writeString(Paths.get("docs/plan_invariants.tsv"),
+    Files.createDirectories(Paths.get(outDir))
+    Files.writeString(Paths.get(s"$outDir/PLANS.md"), sb.toString)
+    Files.writeString(Paths.get(s"$outDir/plan_invariants.tsv"),
       (tsvHeader +: records.map(_.tsvLine)).mkString("", "\n", "\n"))
-    println(s"wrote docs/PLANS.md (${allNames.size} entries) and " +
-      s"docs/plan_invariants.tsv (${records.size} records)")
+    println(s"wrote $outDir/PLANS.md (${allNames.size} entries) and " +
+      s"$outDir/plan_invariants.tsv (${records.size} records)")
     spark.stop()
   }
 }
