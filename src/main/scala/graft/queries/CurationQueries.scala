@@ -1315,9 +1315,12 @@ object CurationQueries extends Registry {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       val dict = tagDict.toDF("term", "tag")
       val docs = Tables.documents(s, d)
-      val docRows: Seq[(Long, String)] = docs.select("doc_id", "text")
-        .orderBy("doc_id").collect().iterator
-        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      val docRows: Seq[(Long, String)] =
+        StreamFixtures.replayRows("q204", d) {
+          docs.select("doc_id", "text")
+            .orderBy("doc_id").collect().iterator
+            .map(r => (r.getLong(0), r.getString(1))).toSeq
+        }
       val mem = MemoryStream[(Long, String)]
       val src = mem.toDF().toDF("doc_id", "text")
       val hits = src

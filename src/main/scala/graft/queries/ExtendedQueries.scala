@@ -628,15 +628,18 @@ object ExtendedQueries extends Registry {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val arrived = Tables.events(s, d)
-        .select(col("user_id").cast("string").as("symbol"),
-          col("ts_ms"), col("event_id"))
-        .orderBy("ts_ms", "event_id")
-        .collect()
+      // shared replay fixture with the other staleness gate (same
+      // projection + arrival order): one collect per JVM serves both
       val rows: Seq[(String, String, Long, Long)] =
-        arrived.iterator.zipWithIndex.map { case (r, i) =>
-          (r.getString(0), "events", r.getLong(1), i.toLong)
-        }.toSeq
+        StreamFixtures.replayRows("staleness_sym", d) {
+          Tables.events(s, d)
+            .select(col("user_id").cast("string").as("symbol"),
+              col("ts_ms"), col("event_id"))
+            .orderBy("ts_ms", "event_id")
+            .collect().iterator.zipWithIndex.map { case (r, i) =>
+              (r.getString(0), "events", r.getLong(1), i.toLong)
+            }.toSeq
+        }
       val mem = MemoryStream[(String, String, Long, Long)]
       val events = mem.toDF()
         .toDF("symbol", "channel", "ts_exchange_ms", "ts_recv_mono_ns")
@@ -777,12 +780,14 @@ object ExtendedQueries extends Registry {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val arrived = Tables.events(s, d)
-        .select(col("user_id"), col("ts_ms"), col("value"))
-        .orderBy("ts_ms")
-        .collect()
-      val rows: Seq[(Long, Long, Double)] = arrived.iterator
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val rows: Seq[(Long, Long, Double)] =
+        StreamFixtures.replayRows("q111", d) {
+          Tables.events(s, d)
+            .select(col("user_id"), col("ts_ms"), col("value"))
+            .orderBy("ts_ms")
+            .collect().iterator
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        }
       val maxTs = if (rows.nonEmpty) rows.iterator.map(_._2).max else 0L
       val mem = MemoryStream[(Long, Long, Double)]
       val src = mem.toDF().toDF("user_id", "ts_ms", "value")
@@ -1008,22 +1013,26 @@ object ExtendedQueries extends Registry {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val tr = graft.operators.Normalizer
-        .normalize(NormalizerQueries.framedTrades(s, d), passthrough = Seq("src_id"))
-        .select(col("src_id"), col("symbol"), col("ts_exchange_ms"),
-          col("trade.price").as("price"), col("trade.size").as("sz"))
-        .filter(col("symbol") === "T-0" && col("src_id") % 4 === 0)
-        .orderBy("ts_exchange_ms", "src_id", "price", "sz")
-        .collect()
-      val rows = new scala.collection.mutable.ArrayBuffer[(String, Long, Double, Double, Long)](tr.length)
-      var lastTs = Long.MinValue
-      var seq = 0L
-      tr.foreach { r =>
-        val ts = r.getLong(2)
-        seq = if (ts == lastTs) seq + 1 else 0L
-        lastTs = ts
-        rows += ((r.getString(1), ts, r.getDouble(3), r.getDouble(4), seq))
-      }
+      val rows: IndexedSeq[(String, Long, Double, Double, Long)] =
+        StreamFixtures.replayRows("q119", d) {
+          val tr = graft.operators.Normalizer
+            .normalize(NormalizerQueries.framedTrades(s, d), passthrough = Seq("src_id"))
+            .select(col("src_id"), col("symbol"), col("ts_exchange_ms"),
+              col("trade.price").as("price"), col("trade.size").as("sz"))
+            .filter(col("symbol") === "T-0" && col("src_id") % 4 === 0)
+            .orderBy("ts_exchange_ms", "src_id", "price", "sz")
+            .collect()
+          val buf = new scala.collection.mutable.ArrayBuffer[(String, Long, Double, Double, Long)](tr.length)
+          var lastTs = Long.MinValue
+          var seq = 0L
+          tr.foreach { r =>
+            val ts = r.getLong(2)
+            seq = if (ts == lastTs) seq + 1 else 0L
+            lastTs = ts
+            buf += ((r.getString(1), ts, r.getDouble(3), r.getDouble(4), seq))
+          }
+          buf.toIndexedSeq
+        }
       val maxTs = if (rows.nonEmpty) rows.last._2 else 0L
       val mem = MemoryStream[(String, Long, Double, Double, Long)]
       val src = mem.toDF()
@@ -1081,12 +1090,14 @@ object ExtendedQueries extends Registry {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val arrived = Tables.events(s, d)
-        .select(col("event_id"), col("ts_ms"), col("props"))
-        .orderBy("ts_ms", "event_id")
-        .collect()
-      val rows: Seq[(Long, Long, String)] = arrived.iterator
-        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      val rows: Seq[(Long, Long, String)] =
+        StreamFixtures.replayRows("q120", d) {
+          Tables.events(s, d)
+            .select(col("event_id"), col("ts_ms"), col("props"))
+            .orderBy("ts_ms", "event_id")
+            .collect().iterator
+            .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+        }
       val mem = MemoryStream[(Long, Long, String)]
       val src = mem.toDF().toDF("event_id", "ts_ms", "props")
         .withColumn("ts_utc", timestamp_millis(col("ts_ms")))
@@ -1145,12 +1156,14 @@ object ExtendedQueries extends Registry {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val arrived = Tables.events(s, d)
-        .select(expr("ts_ms div 4000").as("tms"), col("value"), col("event_id"))
-        .orderBy("tms", "event_id")
-        .collect()
-      val rows: Seq[(Long, Double)] = arrived.iterator
-        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val rows: Seq[(Long, Double)] =
+        StreamFixtures.replayRows("q121", d) {
+          Tables.events(s, d)
+            .select(expr("ts_ms div 4000").as("tms"), col("value"), col("event_id"))
+            .orderBy("tms", "event_id")
+            .collect().iterator
+            .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        }
       val maxTs = if (rows.nonEmpty) rows.last._1 else 0L
       val mem = MemoryStream[(Long, Double)]
       val src = mem.toDF().toDF("tms", "value")
@@ -1213,11 +1226,13 @@ object ExtendedQueries extends Registry {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val arrived = Tables.events(s, d)
-        .select(expr("CAST(floor(value) AS BIGINT) div 20").as("lat"), col("event_id"))
-        .orderBy("event_id")
-        .collect()
-      val rows: Seq[Long] = arrived.iterator.map(_.getLong(0)).toSeq
+      val rows: Seq[Long] =
+        StreamFixtures.replayRows("q122", d) {
+          Tables.events(s, d)
+            .select(expr("CAST(floor(value) AS BIGINT) div 20").as("lat"), col("event_id"))
+            .orderBy("event_id")
+            .collect().iterator.map(_.getLong(0)).toSeq
+        }
       val mem = MemoryStream[Long]
       val src = mem.toDF().toDF("lat")
       val rates = graft.streaming.MetricsStream.zeroRates(src, "lat")
@@ -1255,11 +1270,13 @@ object ExtendedQueries extends Registry {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val arrived = Tables.events(s, d)
-        .select(col("user_id"), col("event_id"))
-        .orderBy("event_id")
-        .collect()
-      val rows: Seq[Long] = arrived.iterator.map(_.getLong(0)).toSeq
+      val rows: Seq[Long] =
+        StreamFixtures.replayRows("q123", d) {
+          Tables.events(s, d)
+            .select(col("user_id"), col("event_id"))
+            .orderBy("event_id")
+            .collect().iterator.map(_.getLong(0)).toSeq
+        }
       val mem = MemoryStream[Long]
       val src = mem.toDF().toDF("symbol")
       val counts = graft.streaming.MetricsStream.msgCounts(src)
@@ -1400,16 +1417,20 @@ object ExtendedQueries extends Registry {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val ev = Tables.events(s, d)
-        .select(col("event_id"), col("user_id"), col("ts_ms"))
-        .filter(col("user_id") < 50)
-        .orderBy("ts_ms", "event_id")
-        .collect()
-      def side(parity: Long): Seq[(Long, Long, Long)] = ev.iterator
-        .filter(_.getLong(0) % 2 == parity)
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-      val imps = side(0L)
-      val clks = side(1L)
+      // shared replay fixture across the stream-join family (inner /
+      // leftOuter / fullOuter): one collect per JVM serves all three
+      val (imps, clks) =
+        StreamFixtures.replayRows("join_sides", d) {
+          val ev = Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("ts_ms"))
+            .filter(col("user_id") < 50)
+            .orderBy("ts_ms", "event_id")
+            .collect()
+          def side(parity: Long): Seq[(Long, Long, Long)] = ev.iterator
+            .filter(_.getLong(0) % 2 == parity)
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+          (side(0L), side(1L))
+        }
       val memI = MemoryStream[(Long, Long, Long)]
       val memC = MemoryStream[(Long, Long, Long)]
       val iDf = memI.toDF().toDF("imp_id", "i_user", "i_ts")
@@ -1494,15 +1515,18 @@ object ExtendedQueries extends Registry {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val arrived = Tables.events(s, d)
-        .select(col("user_id").cast("string").as("symbol"),
-          col("ts_ms"), col("event_id"))
-        .orderBy("ts_ms", "event_id")
-        .collect()
+      // shared replay fixture with the other staleness gate (same
+      // projection + arrival order): one collect per JVM serves both
       val rows: Seq[(String, String, Long, Long)] =
-        arrived.iterator.zipWithIndex.map { case (r, i) =>
-          (r.getString(0), "events", r.getLong(1), i.toLong)
-        }.toSeq
+        StreamFixtures.replayRows("staleness_sym", d) {
+          Tables.events(s, d)
+            .select(col("user_id").cast("string").as("symbol"),
+              col("ts_ms"), col("event_id"))
+            .orderBy("ts_ms", "event_id")
+            .collect().iterator.zipWithIndex.map { case (r, i) =>
+              (r.getString(0), "events", r.getLong(1), i.toLong)
+            }.toSeq
+        }
       val mem = MemoryStream[(String, String, Long, Long)]
       val events = mem.toDF()
         .toDF("symbol", "channel", "ts_exchange_ms", "ts_recv_mono_ns")
@@ -1568,9 +1592,8 @@ object ExtendedQueries extends Registry {
         .filter(col("l_orderkey") < 1000)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
           "l_shipdate")
-      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      val dir = TempDirs.scratch(
         s"graft_q136_${ProcessHandle.current().pid()}_${q136Runs.incrementAndGet()}")
-      TempDirs.register(dir)
       val orcPath = new java.io.File(dir, "orc").getPath
       val csvPath = new java.io.File(dir, "csv").getPath
       base.write.mode("overwrite").orc(orcPath)
@@ -1625,17 +1648,21 @@ object ExtendedQueries extends Registry {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val ev = Tables.events(s, d)
-        .select(col("event_id"), col("user_id"), col("ts_ms"))
-        .filter(col("user_id") < 50)
-        .orderBy("ts_ms", "event_id")
-        .collect()
-      def side(parity: Long): Seq[(Long, Long, Long)] = ev.iterator
-        .filter(_.getLong(0) % 2 == parity)
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-      val imps = side(0L)
-      val clks = side(1L)
-      val maxTs = ev.iterator.map(_.getLong(2)).max
+      // shared replay fixture across the stream-join family (inner /
+      // leftOuter / fullOuter): one collect per JVM serves all three
+      val (imps, clks) =
+        StreamFixtures.replayRows("join_sides", d) {
+          val ev = Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("ts_ms"))
+            .filter(col("user_id") < 50)
+            .orderBy("ts_ms", "event_id")
+            .collect()
+          def side(parity: Long): Seq[(Long, Long, Long)] = ev.iterator
+            .filter(_.getLong(0) % 2 == parity)
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+          (side(0L), side(1L))
+        }
+      val maxTs = (imps.iterator ++ clks.iterator).map(_._3).max
       val horizonMs = 86400000L
       val memI = MemoryStream[(Long, Long, Long)]
       val memC = MemoryStream[(Long, Long, Long)]
@@ -1698,12 +1725,14 @@ object ExtendedQueries extends Registry {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val arrived = Tables.events(s, d)
-        .select(col("user_id"), col("ts_ms"), col("value"))
-        .orderBy("ts_ms", "user_id")
-        .collect()
-      val rows: Seq[(Long, Long, Double)] = arrived.iterator
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val rows: Seq[(Long, Long, Double)] =
+        StreamFixtures.replayRows("q138", d) {
+          Tables.events(s, d)
+            .select(col("user_id"), col("ts_ms"), col("value"))
+            .orderBy("ts_ms", "user_id")
+            .collect().iterator
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        }
       val maxTs = if (rows.nonEmpty) rows.map(_._2).max else 0L
       val mem = MemoryStream[(Long, Long, Double)]
       val src = mem.toDF().toDF("user_id", "ts_ms", "value")
@@ -1768,9 +1797,8 @@ object ExtendedQueries extends Registry {
   private val q139 = Q("q139_streaming_file_source",
     (s, d) => {
       val ev = Tables.events(s, d).select(col("user_id"), col("event_id"))
-      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      val dir = TempDirs.scratch(
         s"graft_q139_${ProcessHandle.current().pid()}_${q139Runs.incrementAndGet()}")
-      TempDirs.register(dir)
       val spool = new java.io.File(dir, "spool").getPath
       (0 until 4).foreach { i =>
         ev.filter(pmod(col("event_id"), lit(4)) === i)
@@ -1815,9 +1843,8 @@ object ExtendedQueries extends Registry {
         .filter(col("l_orderkey") < 1000)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
           "l_returnflag", "l_shipdate")
-      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      val dir = TempDirs.scratch(
         s"graft_q148_${ProcessHandle.current().pid()}_${q148Runs.incrementAndGet()}")
-      TempDirs.register(dir)
       val jsonPath = new java.io.File(dir, "jsonl").getPath
       base.write.mode("overwrite").json(jsonPath)
       val back = s.read.schema(base.schema).json(jsonPath)
@@ -1864,9 +1891,8 @@ object ExtendedQueries extends Registry {
     (s, d) => {
       val runId = q149Runs.incrementAndGet()
       val fix = StreamFixtures.mod4(s, d)
-      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      val dir = TempDirs.scratch(
         s"graft_q149_${ProcessHandle.current().pid()}_$runId")
-      TempDirs.register(dir)
       val spool = new java.io.File(dir, "spool")
       StreamFixtures.copyTo(fix.files, spool)
       val src = s.readStream
@@ -1917,9 +1943,8 @@ object ExtendedQueries extends Registry {
     (s, d) => {
       val runId = q152Runs.incrementAndGet()
       val fix = StreamFixtures.mod4(s, d)
-      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      val dir = TempDirs.scratch(
         s"graft_q152_${ProcessHandle.current().pid()}_$runId")
-      TempDirs.register(dir)
       val spool = new java.io.File(dir, "spool")
       val cp = new java.io.File(dir, "checkpoint").getPath
       def addFiles(ids: Range): Unit =
@@ -1974,13 +1999,15 @@ object ExtendedQueries extends Registry {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val arrived = Tables.events(s, d)
-        .select(col("event_type"), col("ts_ms"), col("value"), col("event_id"))
-        .orderBy("ts_ms", "event_id")
-        .collect()
-      val rows: Seq[(String, Long, Double, Long)] = arrived.iterator
-        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
-        .toSeq
+      val rows: Seq[(String, Long, Double, Long)] =
+        StreamFixtures.replayRows("q153", d) {
+          Tables.events(s, d)
+            .select(col("event_type"), col("ts_ms"), col("value"), col("event_id"))
+            .orderBy("ts_ms", "event_id")
+            .collect().iterator
+            .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+            .toSeq
+        }
       val maxTs = rows.map(_._2).max
       val cutoff = maxTs - 7200000L
       val (late, onTime) = rows.partition { case (_, ts, _, id) =>
@@ -2043,16 +2070,17 @@ object ExtendedQueries extends Registry {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       val runId = q154Runs.incrementAndGet()
-      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      val dir = TempDirs.scratch(
         s"graft_q154_${ProcessHandle.current().pid()}_$runId")
-      TempDirs.register(dir)
       val outRoot = new java.io.File(dir, "out").getPath
-      val arrived = Tables.events(s, d)
-        .select(col("event_id"), col("event_type"), col("value"))
-        .orderBy("event_id")
-        .collect()
-      val rows: Seq[(Long, String, Double)] = arrived.iterator
-        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      val rows: Seq[(Long, String, Double)] =
+        StreamFixtures.replayRows("q154", d) {
+          Tables.events(s, d)
+            .select(col("event_id"), col("event_type"), col("value"))
+            .orderBy("event_id")
+            .collect().iterator
+            .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+        }
       val mem = MemoryStream[(Long, String, Double)]
       val src = mem.toDF().toDF("event_id", "event_type", "value")
       // Batch 0's rows are materialized INSIDE the foreachBatch callback
@@ -2108,12 +2136,14 @@ object ExtendedQueries extends Registry {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val arrived = Tables.events(s, d)
-        .select(col("event_type"), col("ts_ms"), col("event_id"))
-        .orderBy("ts_ms", "event_id")
-        .collect()
-      val rows: Seq[(String, Long)] = arrived.iterator
-        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val rows: Seq[(String, Long)] =
+        StreamFixtures.replayRows("q155", d) {
+          Tables.events(s, d)
+            .select(col("event_type"), col("ts_ms"), col("event_id"))
+            .orderBy("ts_ms", "event_id")
+            .collect().iterator
+            .map(r => (r.getString(0), r.getLong(1))).toSeq
+        }
       val maxTs = rows.map(_._2).max
       val mem = MemoryStream[(String, Long)]
       val src = mem.toDF().toDF("event_type", "ts_ms")
@@ -2226,10 +2256,13 @@ object ExtendedQueries extends Registry {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val rows: Seq[(Long, Long)] = Tables.events(s, d)
-        .filter(col("user_id") < 40)
-        .select(col("user_id"), col("event_id")).orderBy("event_id")
-        .collect().iterator.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val rows: Seq[(Long, Long)] =
+        StreamFixtures.replayRows("q235", d) {
+          Tables.events(s, d)
+            .filter(col("user_id") < 40)
+            .select(col("user_id"), col("event_id")).orderBy("event_id")
+            .collect().iterator.map(r => (r.getLong(0), r.getLong(1))).toSeq
+        }
       val mem = MemoryStream[(Long, Long)]
       val counts = mem.toDF().toDF("user_id", "event_id")
         .groupBy("user_id")
@@ -2284,17 +2317,21 @@ object ExtendedQueries extends Registry {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val ev = Tables.events(s, d)
-        .select(col("event_id"), col("user_id"), col("ts_ms"))
-        .filter(col("user_id") < 50)
-        .orderBy("ts_ms", "event_id")
-        .collect()
-      def side(parity: Long): Seq[(Long, Long, Long)] = ev.iterator
-        .filter(_.getLong(0) % 2 == parity)
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-      val imps = side(0L)
-      val clks = side(1L)
-      val maxTs = ev.iterator.map(_.getLong(2)).max
+      // shared replay fixture across the stream-join family (inner /
+      // leftOuter / fullOuter): one collect per JVM serves all three
+      val (imps, clks) =
+        StreamFixtures.replayRows("join_sides", d) {
+          val ev = Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("ts_ms"))
+            .filter(col("user_id") < 50)
+            .orderBy("ts_ms", "event_id")
+            .collect()
+          def side(parity: Long): Seq[(Long, Long, Long)] = ev.iterator
+            .filter(_.getLong(0) % 2 == parity)
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+          (side(0L), side(1L))
+        }
+      val maxTs = (imps.iterator ++ clks.iterator).map(_._3).max
       val horizonMs = 86400000L
       val memI = MemoryStream[(Long, Long, Long)]
       val memC = MemoryStream[(Long, Long, Long)]
@@ -2361,11 +2398,14 @@ object ExtendedQueries extends Registry {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val rows: Seq[(Long, Long, Double)] = Tables.events(s, d)
-        .filter(col("user_id") < 40)
-        .select(col("user_id"), col("event_id"), col("value"))
-        .orderBy("event_id")
-        .collect().iterator.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val rows: Seq[(Long, Long, Double)] =
+        StreamFixtures.replayRows("q256", d) {
+          Tables.events(s, d)
+            .filter(col("user_id") < 40)
+            .select(col("user_id"), col("event_id"), col("value"))
+            .orderBy("event_id")
+            .collect().iterator.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        }
       val mem = MemoryStream[(Long, Long, Double)]
       val observed = mem.toDF().toDF("user_id", "event_id", "value")
         .observe("batch_qc",

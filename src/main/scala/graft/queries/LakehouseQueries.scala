@@ -80,10 +80,12 @@ object LakehouseQueries extends Registry {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       val rows: Seq[(Long, Long, String, Option[Double])] =
-        changeLog(s, d).filter(col("o_orderkey") % 4 === 0)
-          .orderBy("ver", "o_orderkey").collect().iterator
-          .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
-            if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+        StreamFixtures.replayRows("q208", d) {
+          changeLog(s, d).filter(col("o_orderkey") % 4 === 0)
+            .orderBy("ver", "o_orderkey").collect().iterator
+            .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+              if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+        }
       val mem = MemoryStream[(Long, Long, String, Option[Double])]
       val src = mem.toDF().toDF("o_orderkey", "ver", "op", "price")
       val latest = src.groupBy("o_orderkey")
@@ -264,9 +266,8 @@ object LakehouseQueries extends Registry {
   private val q224 = Q("q224_schema_evolution",
     (s, d) => {
       import java.io.File
-      val root = graft.streaming.TempDirs.register(new File(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_q224_${ProcessHandle.current().pid()}_${q224Runs.incrementAndGet()}"))
+      val root = graft.streaming.TempDirs.scratch(
+        s"graft_q224_${ProcessHandle.current().pid()}_${q224Runs.incrementAndGet()}")
       val o = Tables.orders(s, d)
       o.filter(col("o_orderkey") % 2 === 0)
         .select("o_orderkey", "o_totalprice")
@@ -444,9 +445,8 @@ object LakehouseQueries extends Registry {
   private val q244 = Q("q244_partition_evolution",
     (s, d) => {
       import java.io.File
-      val dir = graft.streaming.TempDirs.register(new File(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_q244_${ProcessHandle.current().pid()}_${q244Runs.incrementAndGet()}"))
+      val dir = graft.streaming.TempDirs.scratch(
+        s"graft_q244_${ProcessHandle.current().pid()}_${q244Runs.incrementAndGet()}")
       val base = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
       val v1 = base.filter(col("o_orderkey") % 2 === 0)
@@ -608,9 +608,8 @@ object LakehouseQueries extends Registry {
   private val q257 = Q("q257_dynamic_partition_overwrite",
     (s, d) => {
       import java.io.File
-      val dir = graft.streaming.TempDirs.register(new File(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_q257_${ProcessHandle.current().pid()}_${q257Runs.incrementAndGet()}"))
+      val dir = graft.streaming.TempDirs.scratch(
+        s"graft_q257_${ProcessHandle.current().pid()}_${q257Runs.incrementAndGet()}")
       val key = "spark.sql.sources.partitionOverwriteMode"
       val prev = s.conf.get(key)
       try {
