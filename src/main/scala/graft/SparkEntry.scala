@@ -17,7 +17,7 @@ object SparkEntry {
     Seq(CoreQueries, NormalizerQueries, TrainingDataQueries, PipelineQueries,
       AnalyticsQueries, RelationalQueries, ExtendedQueries, ScaleQueries,
       FrontierQueries, CurationQueries, LakehouseQueries, GovernanceQueries,
-      MicrostructureQueries, StatisticsQueries)
+      MicrostructureQueries, StatisticsQueries, EvaluationQueries)
 
   private lazy val qs: Seq[Q] = registries.flatMap(_.all)
 

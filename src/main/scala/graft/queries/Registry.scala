@@ -31,7 +31,9 @@ private[graft] object StreamGate {
     * state merge/commit — while cutting the fixed per-batch cost 16x vs
     * the session default (r08 A/B on the six heaviest gates: 8→2
     * partitions cut their wall 25%, while moving checkpoints to tmpfs
-    * moved nothing — the cost is store instance churn, not fsync).
+    * moved nothing AT 8 PARTITIONS — store instance churn dominated.
+    * With the clamp in place the I/O shows again: the r10 A/B measured
+    * a further −8% from the tmpfs scratch root, see TempDirs.scratch).
     * Production sizing is the opposite trade: state partitions scale
     * with executor count and amortize over seconds-long batches, which
     * is why this clamps only the gate's stream, not the session.

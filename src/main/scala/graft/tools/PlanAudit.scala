@@ -253,7 +253,8 @@ object PlanAudit {
     "q203_modularity",          // 1-row 2m edge-count scalar crossJoin
     "q214_dsir_importance",     // 1-row (nt, ns, V) corpus-stat scalar crossJoin
     "q226_distribution_drift",  // 1-row (n_old, n_new) totals scalar crossJoin
-    "q284_token_lift_pairs")    // 1-row n_docs scalar crossJoin (support floors + lift)
+    "q284_token_lift_pairs",    // 1-row n_docs scalar crossJoin (support floors + lift)
+    "q292_kaplan_meier")        // 1-row censoring-horizon scalar crossJoin
 
   // ---------------------------------------------------------------------
   // Curated scale narratives (kept from rounds 2-7; auto entries cover the

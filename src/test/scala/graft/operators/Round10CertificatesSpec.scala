@@ -219,6 +219,143 @@ class Round10CertificatesSpec extends SparkSpec {
     }
   }
 
+  test("q291: AUC equals the brute all-pairs estimator (ties = half credit)") {
+    val Array((nPos, nNeg, auc)) = q("q291_exact_auc")
+      .select("n_pos", "n_neg", "auc").as[(Long, Long, Double)].collect()
+    val scored = Tables.events(spark, sf)
+      .select($"value", ($"event_type" === "purchase").cast("int"))
+      .as[(Double, Int)].collect()
+    val pos = scored.filter(_._2 == 1).map(_._1)
+    val neg = scored.filter(_._2 == 0).map(_._1)
+    assert(pos.length.toLong == nPos && neg.length.toLong == nNeg)
+    // brute: Σ over all (p, n) pairs of [p > n] + 0.5·[p = n], exact in
+    // halves (count twice, divide once)
+    var twice = 0L
+    for (p <- pos; n <- neg)
+      twice += (if (p > n) 2L else if (p == n) 1L else 0L)
+    val brute = twice.toDouble / (2.0 * (nPos * nNeg).toDouble)
+    assert(auc == brute, s"auc $auc vs brute $brute")
+    assert(auc > 0.0 && auc < 1.0)
+  }
+
+  test("q292: risk table is brute-consistent and the folded KM curve is a valid survival fn") {
+    val got = q("q292_kaplan_meier")
+      .select("dur_h", "n_risk", "deaths", "censored_n", "hazard")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf).select($"user_id", $"ts_ms")
+      .as[(Long, Long)].collect()
+    val maxMs = ev.map(_._2).max
+    val subj = ev.groupBy(_._1).values.map { rs =>
+      val ms = rs.map(_._2)
+      ((ms.max - ms.min) / 3600000L, ms.max >= maxMs - 43200000L)
+    }.toSeq
+    got.foreach { case (t, nRisk, d, c, hz) =>
+      assert(nRisk == subj.count(_._1 >= t).toLong, s"n_risk at $t")
+      assert(d == subj.count(s => s._1 == t && !s._2).toLong, s"deaths at $t")
+      assert(c == subj.count(s => s._1 == t && s._2).toLong, s"censored at $t")
+      assert(hz == d.toDouble / nRisk.toDouble && d > 0)
+    }
+    // fold the product: S must decrease strictly at each death time, stay in (0, 1]
+    var s = 1.0
+    got.foreach { case (_, n, d, _, _) =>
+      val next = s * (1.0 - d.toDouble / n.toDouble)
+      assert(next < s && next >= 0.0)
+      s = next
+    }
+  }
+
+  test("q293: profile census equals a brute driver-side profile") {
+    val got = q("q293_profile_census")
+      .select("col_name", "nulls", "n_distinct", "min_s", "max_s")
+      .as[(String, Long, Long, String, String)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4, t._5)).toMap
+    val rows = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice",
+        $"o_orderpriority").collect()
+    def brute[T](i: Int)(implicit ord: Ordering[T]): (Long, Long, String, String) = {
+      val vs = rows.toSeq.filter(!_.isNullAt(i)).map(_.get(i).asInstanceOf[T])
+      (rows.count(_.isNullAt(i)).toLong, vs.distinct.length.toLong,
+        vs.min.toString, vs.max.toString)
+    }
+    assert(got("o_orderkey") == brute[Long](0))
+    assert(got("o_custkey") == brute[Long](1))
+    assert(got("o_orderstatus") == brute[String](2))
+    assert(got("o_totalprice") == brute[Double](3))
+    assert(got("o_orderpriority") == brute[String](4))
+  }
+
+  test("q294: compaction plan conserves files/bytes and matches the brute sorted fill") {
+    val got = q("q294_compaction_plan")
+      .select("bin_id", "n_files", "bin_bytes", "fill_pct")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    val files = Tables.orders(spark, sf)
+      .groupBy(date_trunc("month", $"o_orderdate").as("mon"),
+        $"o_orderpriority".as("pri"))
+      .agg((count(lit(1)) * 64L).as("bytes"))
+      .select($"mon".cast("string"), $"pri", $"bytes")
+      .as[(String, String, Long)].collect()
+    assert(got.map(_._2).sum == files.length.toLong, "file conservation")
+    assert(got.map(_._3).sum == files.map(_._3).sum, "byte conservation")
+    // brute sorted fill
+    val target = 131072L
+    var cum = 0L
+    val brute = files.sortBy(f => (-f._3, f._1, f._2)).map { f =>
+      val bin = cum / target; cum += f._3; bin
+    }
+    val bruteBins = brute.groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    got.foreach { case (bin, n, bytes, fill) =>
+      assert(bruteBins(bin) == n, s"bin $bin file count")
+      assert(fill == bytes.toDouble / target.toDouble * 100.0)
+    }
+  }
+
+  test("q295: out-of-fold means are exact and exclude exactly the row's fold") {
+    val got = q("q295_target_encoding")
+      .select("pri", "fold", "n_fold", "oof_mean")
+      .as[(String, Int, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val rows = Tables.orders(spark, sf)
+      .select($"o_orderpriority", ($"o_orderkey" % 5).cast("int"), $"o_totalprice")
+      .as[(String, Int, Double)].collect()
+    got.foreach { case (pri, fold, nFold, oof) =>
+      val inFold = rows.filter(r => r._1 == pri && r._2 == fold)
+      val outFold = rows.filter(r => r._1 == pri && r._2 != fold)
+      assert(inFold.length.toLong == nFold)
+      val sumOut = outFold.map(r => BigDecimal(r._3)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+      val expect = sumOut.toDouble / outFold.length.toDouble
+      assert(math.abs(oof - expect) <= 1e-9 * math.max(1.0, expect),
+        s"($pri, $fold) oof $oof vs $expect")
+    }
+  }
+
+  test("q296: MASE components recompute from brute daily counts") {
+    val got = q("q296_seasonal_mase")
+      .select("event_type", "n_scored", "seasonal_abs_err", "naive_abs_err", "mase")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val daily = Tables.events(spark, sf)
+      .select($"event_type", $"ts_ms").as[(String, Long)].collect()
+      .groupBy(t => (t._1, t._2 / 86400000L)).view.mapValues(_.length.toLong).toMap
+    got.foreach { case (et, n, sErr, nErr, mase) =>
+      val days = daily.keys.filter(_._1 == et).map(_._2).toSeq.sorted
+      val scored = days.filter(t =>
+        daily.contains((et, t - 7)) && daily.contains((et, t - 1)) &&
+          days.count(x => x < t) >= 7 && {
+            // mirror the gate's LAG semantics: lag over PRESENT days
+            val idx = days.indexOf(t)
+            idx >= 7 && days(idx - 7) == t - 7 && days(idx - 1) == t - 1
+          })
+      assert(scored.size.toLong == n, s"$et n_scored")
+      val se = scored.map(t => math.abs(daily((et, t)) - daily((et, t - 7)))).sum
+      val ne = scored.map(t => math.abs(daily((et, t)) - daily((et, t - 1)))).sum
+      assert(se == sErr && ne == nErr, s"$et error sums")
+      assert(mase == se.toDouble / ne.toDouble)
+    }
+  }
+
   test("q290: Gini matches a brute rank-formula recompute and sits in [0, 1)") {
     val got = q("q290_gini_concentration")
       .select("o_orderpriority", "n_orders", "gini")
