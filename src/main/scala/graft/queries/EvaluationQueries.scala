@@ -315,5 +315,100 @@ object EvaluationQueries extends Registry {
       FROM l WHERE season_day = day - 7 AND prev_day = day - 1
       GROUP BY event_type ORDER BY event_type"""))
 
-  override val all: Seq[Q] = Seq(q291, q292, q293, q294, q295, q296)
+  /** RAG-style fixed-stride chunking: every document split into
+    * overlapping token windows (size 32, stride 24 — 8-token overlap,
+    * the retrieval-context shape), emitted as a chunk TABLE with
+    * per-chunk token count and boundary tokens. Chunk count =
+    * floor((n−9)/24)+1 (≥1 even for short docs), so every token lands
+    * in ≥1 chunk and interior tokens in ≤2. Complements q:CDC chunking
+    * (content-defined boundaries, FrontierQueries) with the fixed-
+    * geometry splitter embedding pipelines actually use.
+    *
+    * Scale: pure scan-local Generate — tokenize once, explode
+    * `sequence(0, n_chunks−1)`, slice per index; no shuffle before the
+    * gate's orderBy. The chunk table is ~n/stride rows per doc, the
+    * planned fan-out of any chunk-embedding pass.
+    */
+  private val q297 = Q("q297_rag_chunking",
+    (s, d) => {
+      import graft.operators.TextAnalysis
+      val toks = TextAnalysis.tokens(col("text"))
+      val chunks = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("toks"))
+        .withColumn("n", size(col("toks")))
+        .withColumn("chunk_idx",
+          explode(sequence(lit(0), greatest(expr("(n - 9) div 24"), lit(0)))))
+        .withColumn("chunk", slice(col("toks"), col("chunk_idx") * 24 + 1, lit(32)))
+      chunks.select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+          size(col("chunk")).cast("long").as("n_tokens"),
+          element_at(col("chunk"), 1).as("first_tok"),
+          element_at(col("chunk"), -1).as("last_tok"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      c AS (SELECT doc_id, len(toks) AS n,
+          GREATEST((len(toks) - 9) // 24, 0) + 1 AS n_chunks, toks FROM t),
+      ch AS (SELECT doc_id, i - 1 AS chunk_idx,
+          toks[(i-1)*24 + 1 : LEAST((i-1)*24 + 32, n)] AS chunk
+        FROM c, UNNEST(range(1, n_chunks + 1)) AS u(i))
+      SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+        CAST(len(chunk) AS BIGINT) AS n_tokens,
+        chunk[1] AS first_tok, chunk[-1] AS last_tok
+      FROM ch ORDER BY doc_id, chunk_idx"""))
+
+  /** Exact n-gram decontamination census (the GPT-3-style eval-leak
+    * screen, exact complement to q62's bloom pass): the held-out split
+    * (doc_id % 10 = 0) contributes its DISTINCT 8-gram set; every
+    * training doc reports how many of its 8-gram occurrences appear in
+    * that set. Output = contaminated docs only (sparse by
+    * construction), with total grams, contaminated occurrences, and
+    * the fraction as one division.
+    *
+    * Scale: both sides tokenize once and shuffle on the gram key
+    * (semi-join); the held-out side is distinct-reduced BEFORE the
+    * join, so its shuffle is |unique grams|. At 100 TB the held-out
+    * gram set is a broadcast (eval corpora are tiny) and the train
+    * side never re-shuffles — the exact-match fallback after the bloom
+    * prefilter has screened candidates.
+    */
+  private val q298 = Q("q298_ngram_decontam",
+    (s, d) => {
+      import graft.operators.TextAnalysis
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        // guard: Spark's sequence(1, n-7) DESCENDS when n < 8 — short
+        // docs must contribute zero grams, not reversed junk
+        .select(col("doc_id"), explode(
+          transform(
+            when(size(col("toks")) >= 8, sequence(lit(1), size(col("toks")) - 7))
+              .otherwise(array().cast("array<int>")),
+            i => array_join(slice(col("toks"), i, lit(8)), " "))).as("gram"))
+      val holdout = grams.filter(col("doc_id") % 10 === 0)
+        .select("gram").distinct()
+      val train = grams.filter(col("doc_id") % 10 =!= 0)
+      val perDoc = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val contam = train.join(holdout, "gram")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_contam"))
+      perDoc.join(contam, "doc_id")
+        .select(col("doc_id"), col("n_grams"), col("n_contam"),
+          (col("n_contam").cast("double") / col("n_grams").cast("double"))
+            .as("contam_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      g AS (SELECT doc_id, array_to_string(toks[i.i : i.i + 7], ' ') AS gram
+        FROM (SELECT doc_id, toks, len(toks) AS n FROM t) s,
+        UNNEST(range(1, GREATEST(n - 7, 0) + 1)) AS i(i)),
+      hold AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+      train AS (SELECT doc_id, gram FROM g WHERE doc_id % 10 <> 0),
+      pd AS (SELECT doc_id, COUNT(*) AS n_grams FROM train GROUP BY doc_id),
+      ct AS (SELECT doc_id, COUNT(*) AS n_contam FROM train
+        WHERE gram IN (SELECT gram FROM hold) GROUP BY doc_id)
+      SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        CAST(n_contam AS BIGINT) AS n_contam,
+        CAST(n_contam AS DOUBLE) / CAST(n_grams AS DOUBLE) AS contam_frac
+      FROM pd JOIN ct USING (doc_id) ORDER BY doc_id"""))
+
+  override val all: Seq[Q] =
+    Seq(q291, q292, q293, q294, q295, q296, q297, q298)
 }

@@ -356,6 +356,55 @@ class Round10CertificatesSpec extends SparkSpec {
     }
   }
 
+  test("q297: chunk table equals brute chunking and covers every token") {
+    val got = q("q297_rag_chunking")
+      .select("doc_id", "chunk_idx", "n_tokens", "first_tok", "last_tok")
+      .as[(Long, Int, Long, String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    assert(docs.nonEmpty && got.nonEmpty)
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val nChunks = math.max((toks.length - 9) / 24, 0) + 1
+      val brute = (0 until nChunks).map { i =>
+        val c = toks.slice(i * 24, math.min(i * 24 + 32, toks.length))
+        (id, i, c.length.toLong, c.head, c.last)
+      }
+      assert(got(id).toSeq == brute, s"doc $id chunks")
+      // coverage: every token index falls inside >=1 chunk
+      val covered = (0 until nChunks).flatMap(i =>
+        i * 24 until math.min(i * 24 + 32, toks.length)).toSet
+      assert(covered == toks.indices.toSet, s"doc $id coverage")
+    }
+  }
+
+  test("q298: contamination census equals the brute 8-gram overlap") {
+    val got = q("q298_ngram_decontam")
+      .select("doc_id", "n_grams", "n_contam", "contam_frac")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def grams(t: String): Seq[String] = {
+      val toks = t.split(" ", -1)
+      if (toks.length < 8) Seq.empty
+      else (0 to toks.length - 8).map(i => toks.slice(i, i + 8).mkString(" "))
+    }
+    val holdSet = docs.filter(_._1 % 10 == 0).flatMap(d => grams(d._2)).toSet
+    val brute = docs.filter(_._1 % 10 != 0).flatMap { case (id, t) =>
+      val gs = grams(t)
+      val c = gs.count(holdSet.contains)
+      if (c > 0 && gs.nonEmpty)
+        Some(id -> (gs.size.toLong, c.toLong, c.toDouble / gs.size.toDouble))
+      else None
+    }.toMap
+    assert(got == brute, s"got=$got brute=$brute")
+    // no holdout doc ever appears; fractions in (0, 1]
+    assert(got.keys.forall(_ % 10 != 0))
+    assert(got.values.forall(v => v._3 > 0.0 && v._3 <= 1.0))
+  }
+
   test("q290: Gini matches a brute rank-formula recompute and sits in [0, 1)") {
     val got = q("q290_gini_concentration")
       .select("o_orderpriority", "n_orders", "gini")
