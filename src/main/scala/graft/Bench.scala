@@ -213,8 +213,13 @@ object Bench {
     // is the complete result line; bench_stages.json attributes every
     // (query, round) to its stage-level profile so a wall-time delta can
     // be classified as plan change vs host noise in one read.
+    // A GRAFT_BENCH_ONLY-filtered run writes *_partial artifacts instead:
+    // a subset total is shape-identical to a full-run line, and clobbering
+    // the checked-in full-registry artifact would read as a huge
+    // regression/improvement to any later comparison.
+    val suffix = if (only.isDefined) "_partial" else ""
     try {
-      java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"bench_out$suffix.json"), json + "\n")
       val stages = ordered.map { case (name, _) =>
         val rounds = (0 until nRounds).flatMap { r =>
           run.sampleRounds(r).get(name).map { wall =>
@@ -225,7 +230,7 @@ object Bench {
         }.mkString("[", ",", "]")
         s""""$name":$rounds"""
       }.mkString("{", ",", "}")
-      java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_stages.json"), stages + "\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"bench_stages$suffix.json"), stages + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
     }

@@ -376,13 +376,11 @@ object EvaluationQueries extends Registry {
       import graft.operators.TextAnalysis
       val grams = Tables.documents(s, d)
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-        // guard: Spark's sequence(1, n-7) DESCENDS when n < 8 — short
-        // docs must contribute zero grams, not reversed junk
-        .select(col("doc_id"), explode(
-          transform(
-            when(size(col("toks")) >= 8, sequence(lit(1), size(col("toks")) - 7))
-              .otherwise(array().cast("array<int>")),
-            i => array_join(slice(col("toks"), i, lit(8)), " "))).as("gram"))
+        // shingles() already guards the short-doc descending-sequence
+        // trap and is the same space-joined n-gram shape the dedup
+        // family shuffles on
+        .select(col("doc_id"),
+          explode(TextAnalysis.shingles(col("toks"), 8)).as("gram"))
       val holdout = grams.filter(col("doc_id") % 10 === 0)
         .select("gram").distinct()
       val train = grams.filter(col("doc_id") % 10 =!= 0)

@@ -24,6 +24,41 @@ import graft.operators.GraphOps
   */
 object ExtendedQueries extends Registry {
 
+  /** Shared replay fixture for the two staleness gates (q108 fMGWS,
+    * q133 transformWithState): identical projection + arrival order, so
+    * ONE collect per JVM serves both. The builder lives here — behind
+    * the shared cache key — so the definitions cannot silently diverge
+    * while still hitting the same memo entry.
+    */
+  private def stalenessSymRows(s: SparkSession, d: String): Seq[(String, String, Long, Long)] =
+    StreamFixtures.replayRows("staleness_sym", d) {
+      Tables.events(s, d)
+        .select(col("user_id").cast("string").as("symbol"),
+          col("ts_ms"), col("event_id"))
+        .orderBy("ts_ms", "event_id")
+        .collect().iterator.zipWithIndex.map { case (r, i) =>
+          (r.getString(0), "events", r.getLong(1), i.toLong)
+        }.toSeq
+    }
+
+  /** Shared replay fixture for the stream-join family (q131 inner,
+    * q137 leftOuter, q236 fullOuter): impressions = even event_ids,
+    * clicks = odd, both in arrival order. Single owner for the same
+    * reason as [[stalenessSymRows]].
+    */
+  private def joinSideRows(s: SparkSession, d: String): (Seq[(Long, Long, Long)], Seq[(Long, Long, Long)]) =
+    StreamFixtures.replayRows("join_sides", d) {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts_ms"))
+        .filter(col("user_id") < 50)
+        .orderBy("ts_ms", "event_id")
+        .collect()
+      def side(parity: Long): Seq[(Long, Long, Long)] = ev.iterator
+        .filter(_.getLong(0) % 2 == parity)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      (side(0L), side(1L))
+    }
+
   /** Per-group top-k: the canonical "top 3 customers by balance per market
     * segment". rank-function filter compiles to a WindowGroupLimit physical
     * node (Spark 3.5+): each map task keeps only k rows per group BEFORE the
@@ -628,18 +663,7 @@ object ExtendedQueries extends Registry {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      // shared replay fixture with the other staleness gate (same
-      // projection + arrival order): one collect per JVM serves both
-      val rows: Seq[(String, String, Long, Long)] =
-        StreamFixtures.replayRows("staleness_sym", d) {
-          Tables.events(s, d)
-            .select(col("user_id").cast("string").as("symbol"),
-              col("ts_ms"), col("event_id"))
-            .orderBy("ts_ms", "event_id")
-            .collect().iterator.zipWithIndex.map { case (r, i) =>
-              (r.getString(0), "events", r.getLong(1), i.toLong)
-            }.toSeq
-        }
+      val rows: Seq[(String, String, Long, Long)] = stalenessSymRows(s, d)
       val mem = MemoryStream[(String, String, Long, Long)]
       val events = mem.toDF()
         .toDF("symbol", "channel", "ts_exchange_ms", "ts_recv_mono_ns")
@@ -1417,20 +1441,7 @@ object ExtendedQueries extends Registry {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      // shared replay fixture across the stream-join family (inner /
-      // leftOuter / fullOuter): one collect per JVM serves all three
-      val (imps, clks) =
-        StreamFixtures.replayRows("join_sides", d) {
-          val ev = Tables.events(s, d)
-            .select(col("event_id"), col("user_id"), col("ts_ms"))
-            .filter(col("user_id") < 50)
-            .orderBy("ts_ms", "event_id")
-            .collect()
-          def side(parity: Long): Seq[(Long, Long, Long)] = ev.iterator
-            .filter(_.getLong(0) % 2 == parity)
-            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-          (side(0L), side(1L))
-        }
+      val (imps, clks) = joinSideRows(s, d)
       val memI = MemoryStream[(Long, Long, Long)]
       val memC = MemoryStream[(Long, Long, Long)]
       val iDf = memI.toDF().toDF("imp_id", "i_user", "i_ts")
@@ -1515,18 +1526,7 @@ object ExtendedQueries extends Registry {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      // shared replay fixture with the other staleness gate (same
-      // projection + arrival order): one collect per JVM serves both
-      val rows: Seq[(String, String, Long, Long)] =
-        StreamFixtures.replayRows("staleness_sym", d) {
-          Tables.events(s, d)
-            .select(col("user_id").cast("string").as("symbol"),
-              col("ts_ms"), col("event_id"))
-            .orderBy("ts_ms", "event_id")
-            .collect().iterator.zipWithIndex.map { case (r, i) =>
-              (r.getString(0), "events", r.getLong(1), i.toLong)
-            }.toSeq
-        }
+      val rows: Seq[(String, String, Long, Long)] = stalenessSymRows(s, d)
       val mem = MemoryStream[(String, String, Long, Long)]
       val events = mem.toDF()
         .toDF("symbol", "channel", "ts_exchange_ms", "ts_recv_mono_ns")
@@ -1648,20 +1648,7 @@ object ExtendedQueries extends Registry {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      // shared replay fixture across the stream-join family (inner /
-      // leftOuter / fullOuter): one collect per JVM serves all three
-      val (imps, clks) =
-        StreamFixtures.replayRows("join_sides", d) {
-          val ev = Tables.events(s, d)
-            .select(col("event_id"), col("user_id"), col("ts_ms"))
-            .filter(col("user_id") < 50)
-            .orderBy("ts_ms", "event_id")
-            .collect()
-          def side(parity: Long): Seq[(Long, Long, Long)] = ev.iterator
-            .filter(_.getLong(0) % 2 == parity)
-            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-          (side(0L), side(1L))
-        }
+      val (imps, clks) = joinSideRows(s, d)
       val maxTs = (imps.iterator ++ clks.iterator).map(_._3).max
       val horizonMs = 86400000L
       val memI = MemoryStream[(Long, Long, Long)]
@@ -2317,20 +2304,7 @@ object ExtendedQueries extends Registry {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      // shared replay fixture across the stream-join family (inner /
-      // leftOuter / fullOuter): one collect per JVM serves all three
-      val (imps, clks) =
-        StreamFixtures.replayRows("join_sides", d) {
-          val ev = Tables.events(s, d)
-            .select(col("event_id"), col("user_id"), col("ts_ms"))
-            .filter(col("user_id") < 50)
-            .orderBy("ts_ms", "event_id")
-            .collect()
-          def side(parity: Long): Seq[(Long, Long, Long)] = ev.iterator
-            .filter(_.getLong(0) % 2 == parity)
-            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-          (side(0L), side(1L))
-        }
+      val (imps, clks) = joinSideRows(s, d)
       val maxTs = (imps.iterator ++ clks.iterator).map(_._3).max
       val horizonMs = 86400000L
       val memI = MemoryStream[(Long, Long, Long)]

@@ -39,7 +39,11 @@ object TempDirs {
     */
   lazy val scratchBase: File =
     sys.env.get("GRAFT_SCRATCH").map(new File(_))
-      .orElse(Option(new File("/dev/shm")).filter(f => f.isDirectory && f.canWrite))
+      // /dev/shm only when it has real headroom: containers default it
+      // to 64 MB, and scratch accumulates per-run dirs until JVM exit —
+      // a tiny RAM disk would turn a passing suite into mid-run ENOSPC.
+      .orElse(Option(new File("/dev/shm")).filter(f =>
+        f.isDirectory && f.canWrite && f.getUsableSpace >= 8L * 1024 * 1024 * 1024))
       .getOrElse(new File(System.getProperty("java.io.tmpdir")))
 
   /** A registered scratch dir under [[scratchBase]]. */
