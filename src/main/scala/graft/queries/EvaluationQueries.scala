@@ -407,6 +407,159 @@ object EvaluationQueries extends Registry {
         CAST(n_contam AS DOUBLE) / CAST(n_grams AS DOUBLE) AS contam_frac
       FROM pd JOIN ct USING (doc_id) ORDER BY doc_id"""))
 
+  /** Shared retrieval scaffolding for q299/q300: every (query anchor ×
+    * corpus) candidate with BOTH metric ranks — cosine (descending) and
+    * squared L2 (ascending) — each tie-broken by id. One broadcast
+    * cross of the 5-anchor set against a single corpus scan (the q26
+    * shape), ONE qid exchange feeding both rank windows. Folds ascend
+    * the vector left-to-right with a 0.0 init on both engines (the
+    * q144/q26 ordered-reduce device), so ranks are engine-exact.
+    */
+  private def rankedCandidates(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val e = Tables.fanOut(Tables.embeddings(s, d))
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"),
+      col("label").as("c_label"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("q_label"))
+    def fold(c: org.apache.spark.sql.Column) =
+      aggregate(c, lit(0.0d), (a, x) => a + x)
+    def asD(c: org.apache.spark.sql.Column) = c.cast("double")
+    val dotQC = fold(zip_with(col("qvec"), col("vec"), (x, y) => asD(x) * asD(y)))
+    val dotQQ = fold(zip_with(col("qvec"), col("qvec"), (x, y) => asD(x) * asD(y)))
+    val dotCC = fold(zip_with(col("vec"), col("vec"), (x, y) => asD(x) * asD(y)))
+    val l2sq = fold(zip_with(col("qvec"), col("vec"),
+      (x, y) => (asD(x) - asD(y)) * (asD(x) - asD(y))))
+    val wCos = Window.partitionBy("qid").orderBy(desc("cos_sim"), asc("id"))
+    val wL2 = Window.partitionBy("qid").orderBy(asc("l2_sq"), asc("id"))
+    corpus.crossJoin(broadcast(queries))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("cos_sim", dotQC / (sqrt(dotQQ) * sqrt(dotCC)))
+      .withColumn("l2_sq", l2sq)
+      .withColumn("rank_cos", row_number().over(wCos).cast("int"))
+      .withColumn("rank_l2", row_number().over(wL2).cast("int"))
+  }
+
+  /** Shared DuckDB mirror of [[rankedCandidates]]. */
+  private val duckRanked =
+    """q AS (SELECT vec_id AS qid, embedding AS qvec, label AS q_label
+        FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id AS id, embedding AS vec, label AS c_label FROM embeddings),
+      m AS (SELECT qid, q_label, id, c_label,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, len(qvec)+1),
+              i -> CAST(qvec[i] AS DOUBLE) * CAST(vec[i] AS DOUBLE))), (a, v) -> a + v)
+          / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(range(1, len(qvec)+1),
+                i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE))), (a, v) -> a + v))
+            * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(range(1, len(vec)+1),
+                i -> CAST(vec[i] AS DOUBLE) * CAST(vec[i] AS DOUBLE))), (a, v) -> a + v))) AS cos_sim,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, len(qvec)+1),
+              i -> (CAST(qvec[i] AS DOUBLE) - CAST(vec[i] AS DOUBLE))
+                 * (CAST(qvec[i] AS DOUBLE) - CAST(vec[i] AS DOUBLE)))), (a, v) -> a + v) AS l2_sq
+        FROM q CROSS JOIN c WHERE id <> qid),
+      rk AS (SELECT *,
+          CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, id) AS INTEGER) AS rank_cos,
+          CAST(row_number() OVER (PARTITION BY qid ORDER BY l2_sq, id) AS INTEGER) AS rank_l2
+        FROM m)"""
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) of the two
+    * metric rankings: rrf = 1/(60+rank_cos) + 1/(60+rank_l2) — the
+    * standard hybrid-retrieval combiner (lexical+vector in production;
+    * two vector metrics here, which genuinely disagree on this corpus).
+    * Each term is one exact double division and the sum is a single
+    * two-operand add — engine-exact without any decimal machinery.
+    * Top-10 fused per anchor, tie-broken by id.
+    *
+    * Scale: piggybacks the q26 candidate shape; fusing k lists at
+    * 100 TB fuses their top-k TABLES (KB each), never re-scores the
+    * corpus.
+    */
+  private val q299 = Q("q299_rrf_fusion",
+    (s, d) => {
+      val fused = rankedCandidates(s, d)
+        .withColumn("rrf_score",
+          lit(1.0d) / (lit(60.0d) + col("rank_cos").cast("double"))
+            + lit(1.0d) / (lit(60.0d) + col("rank_l2").cast("double")))
+      val w = Window.partitionBy("qid").orderBy(desc("rrf_score"), asc("id"))
+      fused.withColumn("fused_rank", row_number().over(w).cast("int"))
+        .filter(col("fused_rank") <= 10)
+        .select("qid", "fused_rank", "id", "rank_cos", "rank_l2", "rrf_score")
+        .orderBy("qid", "fused_rank")
+    },
+    Some(s"""WITH $duckRanked,
+      f AS (SELECT qid, id, rank_cos, rank_l2,
+          1.0::DOUBLE / (60.0::DOUBLE + CAST(rank_cos AS DOUBLE))
+            + 1.0::DOUBLE / (60.0::DOUBLE + CAST(rank_l2 AS DOUBLE)) AS rrf_score
+        FROM rk),
+      o AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+          ORDER BY rrf_score DESC, id) AS INTEGER) AS fused_rank FROM f)
+      SELECT qid, fused_rank, id, rank_cos, rank_l2, rrf_score
+      FROM o WHERE fused_rank <= 10 ORDER BY qid, fused_rank"""))
+
+  /** nDCG@10 of the cosine ranking against label relevance (rel = 1 iff
+    * the neighbor carries the anchor's label): DCG folds rel·w over
+    * ranks 1..10 IN RANK ORDER with a 0.0 init; the discounts 1/log2(i+1)
+    * and their left-fold cumulative sums are COMPILE-TIME literals
+    * (identical digits on both engines — no runtime log anywhere, the
+    * engine's libm-free stance), so IDCG = cumw[n_rel] exactly. The
+    * retrieval-quality gate that closes the loop opened by q258 (recall)
+    * and q291 (AUC).
+    *
+    * Scale: the ranking is the q26 candidate table; the fold is over 10
+    * rows per anchor.
+    */
+  private val q300 = Q("q300_ndcg_at_10",
+    (s, d) => {
+      val W = array(Seq(1.0, 0.6309297535714575, 0.5, 0.43067655807339306,
+        0.38685280723454163, 0.3562071871080222, 0.3333333333333333,
+        0.31546487678572877, 0.3010299956639812, 0.2890648263178879)
+        .map(lit): _*)
+      val CUMW = array(Seq(1.0, 1.6309297535714575, 2.1309297535714578,
+        2.5616063116448506, 2.9484591188793923, 3.3046663059874146,
+        3.637999639320748, 3.953464516106477, 4.254494511770458,
+        4.543559338088346).map(lit): _*)
+      val top = rankedCandidates(s, d)
+        .filter(col("rank_cos") <= 10)
+        .withColumn("rel", (col("c_label") === col("q_label")).cast("int"))
+        .withColumn("term", col("rel").cast("double") * element_at(W, col("rank_cos")))
+      top.groupBy("qid")
+        .agg(sum(col("rel")).as("n_rel"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("rank_cos").as("r"),
+              col("term").as("t")))), x => x.getField("t")),
+            lit(0.0d), (a, x) => a + x).as("dcg"))
+        .withColumn("idcg",
+          when(col("n_rel") > 0, element_at(CUMW, col("n_rel").cast("int")))
+            .otherwise(lit(0.0d)))
+        .withColumn("ndcg",
+          when(col("n_rel") > 0, col("dcg") / col("idcg")).otherwise(lit(0.0d)))
+        .select("qid", "n_rel", "dcg", "idcg", "ndcg")
+        .orderBy("qid")
+    },
+    Some(s"""WITH $duckRanked,
+      -- literals via VARCHAR casts: DuckDB's numeric-literal path goes
+      -- through DECIMAL and double-rounds 17-digit mantissas (the
+      -- OracleSql.dsum rationale applied to constants)
+      w AS (SELECT [CAST('1.0' AS DOUBLE), CAST('0.6309297535714575' AS DOUBLE), CAST('0.5' AS DOUBLE), CAST('0.43067655807339306' AS DOUBLE), CAST('0.38685280723454163' AS DOUBLE), CAST('0.3562071871080222' AS DOUBLE), CAST('0.3333333333333333' AS DOUBLE), CAST('0.31546487678572877' AS DOUBLE), CAST('0.3010299956639812' AS DOUBLE), CAST('0.2890648263178879' AS DOUBLE)] AS ws,
+        [CAST('1.0' AS DOUBLE), CAST('1.6309297535714575' AS DOUBLE), CAST('2.1309297535714578' AS DOUBLE), CAST('2.5616063116448506' AS DOUBLE), CAST('2.9484591188793923' AS DOUBLE), CAST('3.3046663059874146' AS DOUBLE), CAST('3.637999639320748' AS DOUBLE), CAST('3.953464516106477' AS DOUBLE), CAST('4.254494511770458' AS DOUBLE), CAST('4.543559338088346' AS DOUBLE)] AS cumws),
+      top AS (SELECT qid,
+          CASE WHEN c_label = q_label THEN 1 ELSE 0 END AS rel, rank_cos
+        FROM rk WHERE rank_cos <= 10),
+      agg AS (SELECT qid, SUM(rel) AS n_rel,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(CAST(rel AS DOUBLE) * (SELECT ws FROM w)[rank_cos]
+              ORDER BY rank_cos)), (a, v) -> a + v) AS dcg
+        FROM top GROUP BY qid)
+      SELECT qid, CAST(n_rel AS BIGINT) AS n_rel, dcg,
+        CASE WHEN n_rel > 0 THEN (SELECT cumws FROM w)[CAST(n_rel AS INTEGER)]
+          ELSE 0.0::DOUBLE END AS idcg,
+        CASE WHEN n_rel > 0 THEN dcg / (SELECT cumws FROM w)[CAST(n_rel AS INTEGER)]
+          ELSE 0.0::DOUBLE END AS ndcg
+      FROM agg ORDER BY qid"""))
+
   override val all: Seq[Q] =
-    Seq(q291, q292, q293, q294, q295, q296, q297, q298)
+    Seq(q291, q292, q293, q294, q295, q296, q297, q298, q299, q300)
 }

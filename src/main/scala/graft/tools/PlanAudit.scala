@@ -254,7 +254,9 @@ object PlanAudit {
     "q214_dsir_importance",     // 1-row (nt, ns, V) corpus-stat scalar crossJoin
     "q226_distribution_drift",  // 1-row (n_old, n_new) totals scalar crossJoin
     "q284_token_lift_pairs",    // 1-row n_docs scalar crossJoin (support floors + lift)
-    "q292_kaplan_meier")        // 1-row censoring-horizon scalar crossJoin
+    "q292_kaplan_meier",        // 1-row censoring-horizon scalar crossJoin
+    "q299_rrf_fusion",          // 5-anchor set broadcast vs corpus scan (q26 shape)
+    "q300_ndcg_at_10")          // 5-anchor set broadcast vs corpus scan (q26 shape)
 
   // ---------------------------------------------------------------------
   // Curated scale narratives (kept from rounds 2-7; auto entries cover the

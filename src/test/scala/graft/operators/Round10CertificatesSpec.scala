@@ -405,6 +405,64 @@ class Round10CertificatesSpec extends SparkSpec {
     assert(got.values.forall(v => v._3 > 0.0 && v._3 <= 1.0))
   }
 
+  test("q299/q300: retrieval fusion and nDCG equal the brute recompute") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding", $"label")
+      .as[(Long, Seq[Float], String)].collect()
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.foldLeft(0.0)(_ + _)
+    def cos(a: Seq[Float], b: Seq[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    def l2sq(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) =>
+        (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble)
+      }.foldLeft(0.0)(_ + _)
+    val anchors = vecs.filter(_._1 < 5)
+    // brute both rankings per anchor
+    val ranked = anchors.map { case (qid, qv, qLabel) =>
+      val cand = vecs.filter(_._1 != qid)
+      val rc = cand.sortBy(c => (-cos(qv, c._2), c._1)).map(_._1)
+        .zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+      val rl = cand.sortBy(c => (l2sq(qv, c._2), c._1)).map(_._1)
+        .zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+      (qid, qLabel, cand, rc, rl)
+    }
+    // q299: RRF top-10 equality
+    val gotFused = q("q299_rrf_fusion")
+      .select("qid", "fused_rank", "id", "rrf_score")
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    ranked.foreach { case (qid, _, cand, rc, rl) =>
+      val brute = cand.map { c =>
+        val score = 1.0 / (60.0 + rc(c._1)) + 1.0 / (60.0 + rl(c._1))
+        (c._1, score)
+      }.sortBy(t => (-t._2, t._1)).take(10).zipWithIndex
+        .map { case ((id, sc), i) => (qid, i + 1, id, sc) }
+      assert(gotFused(qid).toSeq == brute.toSeq, s"q299 anchor $qid")
+    }
+    // q300: nDCG@10 equality + bounds
+    val ws = Seq(1.0, 0.6309297535714575, 0.5, 0.43067655807339306,
+      0.38685280723454163, 0.3562071871080222, 0.3333333333333333,
+      0.31546487678572877, 0.3010299956639812, 0.2890648263178879)
+    val gotN = q("q300_ndcg_at_10")
+      .select("qid", "n_rel", "dcg", "idcg", "ndcg")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    ranked.foreach { case (qid, qLabel, cand, rc, _) =>
+      val byId = cand.map(c => c._1 -> c._3).toMap
+      val top = rc.toSeq.filter(_._2 <= 10).sortBy(_._2)
+      val rels = top.map { case (id, _) => if (byId(id) == qLabel) 1 else 0 }
+      val dcg = rels.zip(ws).map { case (r, w) => r.toDouble * w }.foldLeft(0.0)(_ + _)
+      val nRel = rels.sum
+      val idcg = ws.take(nRel).foldLeft(0.0)(_ + _)
+      val (_, gN, gD, gI, gNd) = gotN(qid)
+      assert(gN == nRel.toLong && gD == dcg, s"q300 anchor $qid dcg")
+      assert(if (nRel > 0) gI == idcg && gNd == dcg / idcg
+             else gI == 0.0 && gNd == 0.0, s"q300 anchor $qid idcg/ndcg")
+      assert(gNd >= 0.0 && gNd <= 1.0 + 1e-15)
+    }
+  }
+
   test("q290: Gini matches a brute rank-formula recompute and sits in [0, 1)") {
     val got = q("q290_gini_concentration")
       .select("o_orderpriority", "n_orders", "gini")
