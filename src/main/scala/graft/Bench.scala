@@ -46,16 +46,30 @@ object Bench {
     * samples straddled a host/JIT storm and its min is the honest floor
     * (single-sample queries report 1.0 by construction).
     */
-  def resultJson(run: Run, sfDir: String): String = {
+  def resultJson(run: Run, sfDir: String,
+      stageWall: Map[String, Double] = Map.empty): String = {
     val qs = run.results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    // stage_wall: per-query stage-attributed wall of the SAME round that
+    // produced the reported min. This folds the drift adjudication into
+    // the primary artifact (VERDICT r10 ask #6): wall ≫ stage_wall with
+    // spread ≈ 1 reads as host/harness drift hitting every sample; wall ≈
+    // stage_wall reads as real plan cost — previously a reader needed
+    // bench_stages.json + NOTES side by side to classify a delta.
+    val sw = run.results.map { case (k, _) =>
+      "\"" + k + "\":" + f3(stageWall.getOrElse(k, 0.0))
+    }.mkString("{", ",", "}")
     val spread = run.results.map { case (k, _) =>
       val times = run.sampleRounds.flatMap(_.get(k))
-      "\"" + k + "\":" + f3(if (times.isEmpty) 1.0 else times.max / times.min)
+      // Guard the ratio: a zero/NaN sample would render as Infinity/NaN,
+      // which is not valid JSON and would break every downstream consumer.
+      val ratio = if (times.isEmpty || times.min <= 0) 1.0 else times.max / times.min
+      "\"" + k + "\":" + f3(if (ratio.isNaN || ratio.isInfinite) 1.0 else ratio)
     }.mkString("{", ",", "}")
     val total = if (run.results.nonEmpty) run.results.map(_._2).sum else 0.0
     s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
-      s""""spread":$spread,"failed":${names(run.failed)},"n_failed":${run.failed.length},""" +
+      s""""spread":$spread,"stage_wall":$sw,""" +
+      s""""failed":${names(run.failed)},"n_failed":${run.failed.length},""" +
       s""""flaky":${names(run.flaky)},"warmup_failed":${names(run.warmupOnly)},"sf":"$sfDir"}"""
   }
 
@@ -206,7 +220,13 @@ object Bench {
     run.warmupOnly.foreach(n => System.err.println(s"[bench-q] $n warmup-only failure: ${run.warmupFailed(n)}"))
     val failedJson = names(run.failed)
     val total = if (run.results.nonEmpty) run.results.map(_._2).sum else 0.0
-    val json = resultJson(run, sfDir)
+    // Per-query stage_wall of the round that produced the reported min —
+    // paired so "wall ≫ stage_wall" is readable from bench_out.json alone.
+    val stageWallAtMin: Map[String, Double] = run.results.map { case (name, best) =>
+      val r = (0 until nRounds).find(i => run.sampleRounds(i).get(name).contains(best)).getOrElse(0)
+      name -> prof.getOrDefault(s"$name@r$r", new Array[Double](5))(0)
+    }.toMap
+    val json = resultJson(run, sfDir, stageWallAtMin)
 
     // Persist full artifacts next to the repo (the captured process tail
     // retains only ~2 KB, which truncates a 161-query map): bench_out.json

@@ -669,6 +669,137 @@ object LakehouseQueries extends Registry {
         TRUE AS nonzero_size, TRUE AS starts_at_zero
       FROM documents"""))
 
+  /** Per-(JVM, sfDir) memo of the q301/q302 bucketed fact tables.
+    *
+    * The bucketed WRITE is the once-per-dataset cost a production table
+    * layout pays at ingest; every subsequent join/lookup amortizes it.
+    * Memoizing per JVM mirrors that shape (the bench samples the query
+    * several times — re-paying the write per sample would measure ingest,
+    * not the join), while the physical dirs are registered for exit-time
+    * deletion and the catalog entries die with the in-memory catalog.
+    * Build under a plain lock (NOT computeIfAbsent — holding a CHM bin
+    * lock across Spark write jobs is the ADVICE-r10 replayRows bug class;
+    * here a dedicated object lock contends only among q301/q302 callers).
+    */
+  private val factTableMemo = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def bucketedFactTables(s: SparkSession, d: String): (String, String) = {
+    val hit = factTableMemo.get(d)
+    if (hit != null) return hit
+    factTableMemo.synchronized {
+      val again = factTableMemo.get(d)
+      if (again != null) return again
+      val n = s"${ProcessHandle.current().pid()}_${java.lang.Integer.toHexString(d.hashCode)}"
+      val lt = s"graft_q301_lineitem_$n"
+      val ot = s"graft_q301_orders_$n"
+      // repartition on the bucket key first: one task per bucket ⇒ one
+      // file per bucket, which also lets Spark trust the per-bucket sortBy
+      // order (multi-file buckets forfeit the sorted-scan property).
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_extendedprice", "l_discount", "l_quantity")
+        .repartition(8, col("l_orderkey"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+      Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(8, col("o_orderkey"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+      val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir"))
+      val whDir = new java.io.File(if (wh.getScheme == null) wh.toString else wh.getPath)
+      graft.streaming.TempDirs.register(new java.io.File(whDir, lt)): Unit
+      graft.streaming.TempDirs.register(new java.io.File(whDir, ot)): Unit
+      val pair = (lt, ot)
+      factTableMemo.put(d, pair): Unit
+      pair
+    }
+  }
+
+  /** Bucketed FACT-FACT join with a live zero-exchange plan (VERDICT r10
+    * ask #3). q209 proves the technique fact×dim but hands back a
+    * collected tiny result, so its invariant row pins the handoff plan,
+    * not the join; here the returned DataFrame IS the bucket-aligned
+    * lineitem⋈orders plan, so `docs/plan_invariants.tsv` carries an
+    * exchanges=0 row for a fact-fact join and `PlanInvariantsSpec` fails
+    * any regression that re-introduces a shuffle. Broadcast is disabled
+    * while the plan is forced (executedPlan memoizes on the returned DF,
+    * so Verify/Bench execute exactly the audited plan), and the in-query
+    * assert throws on any Exchange — a planned shuffle fails the gate as
+    * loudly as a wrong answer.
+    *
+    * Scale: repeated fact-fact joins on a stable key (orders⋈lineitem,
+    * events⋈sessions) are THE shuffle bill at 100 TB; bucketing both
+    * facts on the join key turns every such join into a zero-exchange
+    * per-bucket merge, and the follow-on groupBy on the same key reuses
+    * the bucket partitioning — this plan has no Exchange anywhere.
+    */
+  private val q301 = Q("q301_bucketed_fact_join",
+    (s, d) => {
+      val (lt, ot) = bucketedFactTables(s, d)
+      val key = "spark.sql.autoBroadcastJoinThreshold"
+      val prev = s.conf.get(key)
+      try {
+        s.conf.set(key, "-1") // the co-located SMJ must be what's planned
+        val out = s.table(lt)
+          .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderstatus"))
+          .agg(
+            graft.functions.StableAgg.dsum(
+              col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+            count(lit(1)).as("n_items"))
+        // Force the physical plan INSIDE the conf window: QueryExecution
+        // memoizes executedPlan, so later actions run this exact plan.
+        val plan = out.queryExecution.executedPlan.toString
+        if (plan.contains("Exchange"))
+          throw new IllegalStateException(
+            s"bucketed fact-fact join planned a shuffle:\n$plan")
+        out
+      } finally s.conf.set(key, prev)
+    },
+    Some(s"""SELECT o_orderkey, o_orderstatus,
+        ${graft.OracleSql.dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+        CAST(COUNT(*) AS BIGINT) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderkey, o_orderstatus"""))
+
+  /** Bucket pruning: an equality predicate on the bucket key reads ONLY
+    * the matching bucket's files (`SelectedBucketsCount: 1 out of 8`,
+    * asserted in-query) — the storage-layout point lookup. The key set is
+    * derived from the data (every 500th distinct orderkey) so the gate is
+    * scale-portable; the oracle is the plain filter, because bucket
+    * pruning is pure I/O elimination and may never change results.
+    *
+    * Scale: at 100 TB a bucketed key lookup touches 1/N of the files with
+    * no index structure at all — the cheap half of the q210 zone-map
+    * story, and the read-side payoff of the q301 layout.
+    */
+  private val q302 = Q("q302_bucket_pruning",
+    (s, d) => {
+      val (lt, _) = bucketedFactTables(s, d)
+      // deterministic probe keys from the data itself: min key and the
+      // 1000th distinct key (order statistics, not fixture-magic ids)
+      val keys = Tables.lineitem(s, d).select(col("l_orderkey"))
+        .distinct().orderBy("l_orderkey").limit(1001)
+        .agg(min("l_orderkey").as("k1"), max("l_orderkey").as("k2"))
+        .collect()(0)
+      val (k1, k2) = (keys.getLong(0), keys.getLong(1))
+      val probe = s.table(lt).filter(col("l_orderkey") === k1 || col("l_orderkey") === k2)
+      val plan = probe.queryExecution.executedPlan.toString
+      // 2 keys hit ≤2 of 8 buckets; an unpruned scan prints "8 out of 8".
+      val sel = "SelectedBucketsCount: (\\d+) out of 8".r.findFirstMatchIn(plan)
+      if (!sel.exists(_.group(1).toInt <= 2))
+        throw new IllegalStateException(s"bucket pruning did not fire:\n$plan")
+      probe.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          graft.functions.StableAgg.dsum(col("l_quantity")).as("sum_qty"))
+    },
+    Some(s"""WITH ks AS (
+        SELECT min(k) AS k1, max(k) AS k2 FROM (
+          SELECT DISTINCT l_orderkey AS k FROM lineitem ORDER BY k LIMIT 1001))
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+        ${graft.OracleSql.dsum("l_quantity")} AS sum_qty
+      FROM lineitem, ks WHERE l_orderkey = k1 OR l_orderkey = k2
+      GROUP BY l_orderkey"""))
+
   override val all: Seq[Q] = Seq(q208, q209, q210, q211, q224, q238, q239,
-    q240, q244, q250, q257, q268)
+    q240, q244, q250, q257, q268, q301, q302)
 }

@@ -103,8 +103,20 @@ private[queries] object StreamFixtures {
     * projection (~100k tuples / a few MB at sf0.1), and entries live
     * for the JVM — bounded by |gates|, not |runs|.
     */
-  def replayRows[T <: AnyRef](key: String, d: String)(build: => T): T =
-    rowCache.computeIfAbsent(s"$key|$d", _ => build).asInstanceOf[T]
+  def replayRows[T <: AnyRef](key: String, d: String)(build: => T): T = {
+    // Build OUTSIDE any CHM lock: computeIfAbsent would hold the hash-bin
+    // lock across the whole Spark collect+sort job, serializing unrelated
+    // builders that collide on a bin under parallel suites, and a builder
+    // that itself called replayRows would hit CHM's recursive-update
+    // restriction. get-then-putIfAbsent races at worst duplicate a cheap
+    // driver-side collect; the first writer wins and everyone returns it.
+    val k = s"$key|$d"
+    val hit = rowCache.get(k)
+    if (hit != null) return hit.asInstanceOf[T]
+    val built = build
+    val prev = rowCache.putIfAbsent(k, built)
+    (if (prev != null) prev else built).asInstanceOf[T]
+  }
 
   def copyTo(files: Seq[File], spool: File): Unit = {
     spool.mkdirs(): Unit

@@ -37,17 +37,38 @@ object TempDirs {
     * recover from these checkpoints because recovery happens within
     * the same host/process lifetime.
     */
+  private val GiB = 1024L * 1024 * 1024
+
+  private def shmWithHeadroom(floor: Long): Option[File] =
+    Option(new File("/dev/shm")).filter(f =>
+      f.isDirectory && f.canWrite && f.getUsableSpace >= floor)
+
   lazy val scratchBase: File =
     sys.env.get("GRAFT_SCRATCH").map(new File(_))
       // /dev/shm only when it has real headroom: containers default it
       // to 64 MB, and scratch accumulates per-run dirs until JVM exit —
       // a tiny RAM disk would turn a passing suite into mid-run ENOSPC.
-      .orElse(Option(new File("/dev/shm")).filter(f =>
-        f.isDirectory && f.canWrite && f.getUsableSpace >= 8L * 1024 * 1024 * 1024))
+      .orElse(shmWithHeadroom(8L * GiB))
       .getOrElse(new File(System.getProperty("java.io.tmpdir")))
 
-  /** A registered scratch dir under [[scratchBase]]. */
-  def scratch(name: String): File = register(new File(scratchBase, name))
+  /** A registered scratch dir under [[scratchBase]]. Headroom is
+    * re-checked per allocation, not just at the `scratchBase` lazy-val
+    * init: scratch dirs (event-table spools, checkpoints, per-run
+    * fixture dirs) accumulate until JVM exit, so a RAM-backed base that
+    * passed the one-time 8 GiB check can still run dry mid-bench. When
+    * a shm-backed base drops under a 2 GiB floor, NEW dirs fall back to
+    * java.io.tmpdir (existing dirs stay where they are — paths already
+    * handed out must stay valid). An explicit GRAFT_SCRATCH override is
+    * honored unconditionally: the operator chose the volume.
+    */
+  def scratch(name: String): File = {
+    val base =
+      if (sys.env.contains("GRAFT_SCRATCH")) scratchBase
+      else if (scratchBase.getPath == "/dev/shm" && scratchBase.getUsableSpace < 2L * GiB)
+        new File(System.getProperty("java.io.tmpdir"))
+      else scratchBase
+    register(new File(base, name))
+  }
 
   private def deleteTree(f: File): Unit = {
     if (f.isDirectory) {

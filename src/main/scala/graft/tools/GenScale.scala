@@ -93,8 +93,11 @@ object GenScale {
         concat_ws(" ", concat(slice(col("__w"), col("__r") + 1,
             greatest(size(col("__w")) - col("__r"), lit(0))),
           slice(col("__w"), lit(1), col("__r"))))))
+      // n_chars recomputed from the rotated text (identity for strictly
+      // single-space-delimited docs; exact for any input) so length-based
+      // queries see consistent metadata in the scaled fixture (ADVICE r10).
       .select(shift("doc_id", DOC), col("text"), col("lang"), col("source"),
-        col("n_chars"))
+        length(col("text")).cast("long").as("n_chars"))
     write(rotated, "documents")
 
     // element rotation: same multiset of coordinates, different direction

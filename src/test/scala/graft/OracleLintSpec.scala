@@ -40,21 +40,25 @@ class OracleLintSpec extends AnyFunSuite {
 
     val tmp = Files.createTempDirectory("oracle_lint")
     val jsonPath = tmp.resolve("oracle_sql.json")
-    Files.writeString(jsonPath, Verify.oracleSqlJson)
+    // try/finally so a red lint run doesn't leak the temp dir (ADVICE r10).
+    try {
+      Files.writeString(jsonPath, Verify.oracleSqlJson)
 
-    import scala.sys.process._
-    val out = new StringBuilder
-    val rc = Process(Seq("python3", "tools/check_oracle.py", "--lint",
-      sfDir, jsonPath.toString))
-      .!(ProcessLogger(l => out.append(l).append('\n'),
-                       l => out.append(l).append('\n')))
-    assert(rc == 0, s"oracle dtype lint failed (rc=$rc):\n${out.toString}")
-    // The lint's summary line carries the oracle count — assert it saw the
-    // whole registry, so a silently-empty JSON can't fake a green lint.
-    val n = SparkEntry.oracleSql.size
-    assert(out.toString.contains(s"$n oracles"),
-      s"lint did not cover the full registry ($n oracles expected):\n${out.toString}")
-    Files.deleteIfExists(jsonPath)
-    Files.deleteIfExists(tmp)
+      import scala.sys.process._
+      val out = new StringBuilder
+      val rc = Process(Seq("python3", "tools/check_oracle.py", "--lint",
+        sfDir, jsonPath.toString))
+        .!(ProcessLogger(l => out.append(l).append('\n'),
+                         l => out.append(l).append('\n')))
+      assert(rc == 0, s"oracle dtype lint failed (rc=$rc):\n${out.toString}")
+      // The lint's summary line carries the oracle count — assert it saw the
+      // whole registry, so a silently-empty JSON can't fake a green lint.
+      val n = SparkEntry.oracleSql.size
+      assert(out.toString.contains(s"$n oracles"),
+        s"lint did not cover the full registry ($n oracles expected):\n${out.toString}")
+    } finally {
+      Files.deleteIfExists(jsonPath): Unit
+      Files.deleteIfExists(tmp): Unit
+    }
   }
 }

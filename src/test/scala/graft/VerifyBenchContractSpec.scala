@@ -103,13 +103,20 @@ class VerifyBenchContractSpec extends SparkSpec {
     // `spread` object carries max/min for EVERY reported query — the
     // drift-legibility column (BENCH_r10 contract). A flaky query's
     // single sample yields spread exactly 1.0.
-    val json = Bench.resultJson(run, dir)
+    val json = Bench.resultJson(run, dir, Map("q_good" -> 0.123))
     assert(json.startsWith("""{"metric":"total","value":"""), json)
     assert(json.contains(""""spread":{"""), json)
+    // stage_wall: drift-adjudication column (VERDICT r10 ask #6) — every
+    // reported query appears; provided values round-trip, absent → 0.000.
+    assert(json.contains(""""stage_wall":{"""), json)
+    val stageObj = json.split("\"stage_wall\":\\{", 2)(1).split("\\}", 2)(0)
+    assert(stageObj.contains("\"q_good\":0.123"), json)
+    assert(stageObj.contains("\"q_flaky\":0.000"), json)
     for (n <- resultNames) {
       assert(json.contains("\"" + n + "\":"), s"$n missing from json: $json")
       val spreadObj = json.split("\"spread\":\\{", 2)(1).split("\\}", 2)(0)
       assert(spreadObj.contains("\"" + n + "\":"), s"$n missing from spread: $json")
+      assert(stageObj.contains("\"" + n + "\":"), s"$n missing from stage_wall: $json")
     }
     val spreadObj = json.split("\"spread\":\\{", 2)(1).split("\\}", 2)(0)
     val flakySpread = spreadObj.split("\"q_flaky\":", 2)(1).takeWhile(c => c.isDigit || c == '.')
