@@ -782,15 +782,23 @@ object LakehouseQueries extends Registry {
         .agg(min("l_orderkey").as("k1"), max("l_orderkey").as("k2"))
         .collect()(0)
       val (k1, k2) = (keys.getLong(0), keys.getLong(1))
-      val probe = s.table(lt).filter(col("l_orderkey") === k1 || col("l_orderkey") === k2)
-      val plan = probe.queryExecution.executedPlan.toString
+      // isin (an IN-list), not an OR chain: bucket pruning recognizes
+      // EqualTo/In/InSet on the bucket column, but not a disjunction. The
+      // assert runs on the FULL plan (filter + groupBy on the bucket key):
+      // a bare filter gets its bucketed scan auto-disabled by
+      // DisableUnnecessaryBucketedScan ("Bucketed: false") and never
+      // prunes — the downstream aggregate is what makes the bucket
+      // partitioning useful enough to keep.
+      val out = s.table(lt).filter(col("l_orderkey").isin(k1, k2))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          graft.functions.StableAgg.dsum(col("l_quantity")).as("sum_qty"))
+      val plan = out.queryExecution.executedPlan.toString
       // 2 keys hit ≤2 of 8 buckets; an unpruned scan prints "8 out of 8".
       val sel = "SelectedBucketsCount: (\\d+) out of 8".r.findFirstMatchIn(plan)
       if (!sel.exists(_.group(1).toInt <= 2))
         throw new IllegalStateException(s"bucket pruning did not fire:\n$plan")
-      probe.groupBy(col("l_orderkey"))
-        .agg(count(lit(1)).as("n_items"),
-          graft.functions.StableAgg.dsum(col("l_quantity")).as("sum_qty"))
+      out
     },
     Some(s"""WITH ks AS (
         SELECT min(k) AS k1, max(k) AS k2 FROM (
