@@ -1327,7 +1327,8 @@ object CurationQueries extends Registry {
         .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
         .join(broadcast(dict), "term")
       val sinkName = s"q204_tag_${q204Runs.incrementAndGet()}"
-      val query = StreamGate.withStatePartitions(s, noDataBatches = false) {
+      val query = StreamGate.withStatePartitions(s, noDataBatches = false,
+          keepCodegen = true) { // real per-row tag compute: interpreted eval costs more than the recompiles
         hits.writeStream.format("memory").queryName(sinkName)
           .outputMode("append").start()
       }

@@ -1196,16 +1196,24 @@ object ExtendedQueries extends Registry {
       val report = graft.streaming.MetricsStream
         .latencyPercentiles(src, "value", col("event_time"))
       val sinkName = s"q121_metrics_${q121Runs.incrementAndGet()}"
-      val query = StreamGate.withStatePartitions(s) {
+      // Two-sentinel protocol, no-data batches OFF (the q153/q155 r11
+      // device): sentinel 1 rides the second data chunk (it only has to
+      // advance the watermark once that batch commits); sentinel 2 then
+      // runs with wm = maxTs+10 s and flushes every real sliding window
+      // (all end ≤ maxTs+5 s). Sentinel windows stay unemitted/filtered
+      // by the ≥20-sample gate exactly as before. 6 micro-batches → 3.
+      val query = StreamGate.withStatePartitions(s, noDataBatches = false) {
         report.writeStream.format("memory").queryName(sinkName)
           .outputMode("append").start()
       }
       try {
-        rows.grouped(math.max(1, (rows.size + 1) / 2)).foreach { chunk =>
-          mem.addData(chunk: _*)
-          query.processAllAvailable()
-        }
-        mem.addData((maxTs + 10000L, 0.0))
+        val half = math.max(1, (rows.size + 1) / 2)
+        val (c1, c2) = rows.splitAt(half)
+        mem.addData(c1: _*)
+        query.processAllAvailable()
+        mem.addData(c2 :+ ((maxTs + 10000L, 0.0)): _*)
+        query.processAllAvailable()
+        mem.addData((maxTs + 20000L, 0.0))
         query.processAllAvailable()
       } finally query.stop()
       s.table(sinkName)
@@ -2009,17 +2017,28 @@ object ExtendedQueries extends Registry {
         .agg(count(lit(1)).as("cnt"),
           StableAgg.dsum(col("value")).as("total_value"))
       val sinkName = s"q153_ld_${q153Runs.incrementAndGet()}"
-      val query = StreamGate.withStatePartitions(s) {
+      // No-data batches OFF with a sentinel-FIRST protocol (r11). The
+      // engine's two watermark uses lag differently without no-data
+      // batches (measured): EVICTION in batch N sees stats through N−1,
+      // but the late-INPUT FILTER in batch N sees stats through N−2 —
+      // the extra hop the interleaved no-data batch used to absorb. So
+      // the watermark-push sentinel gets its OWN batch BEFORE the late
+      // chunk: b0 on-time → b1 sentinel (stats pipeline) → b2 late rows
+      // (filter wm = b0 stats = maxTs ⇒ all dropped) + sentinel 2; b2's
+      // eviction wm = b1 stats = maxTs+2h flushes every real window.
+      // 5 micro-batches → 3 with identical final tables.
+      val query = StreamGate.withStatePartitions(s, noDataBatches = false) {
         agg.writeStream.format("memory").queryName(sinkName)
           .outputMode("append").start()
       }
       try {
         mem.addData(onTime.map(r => (r._1, r._2, r._3)): _*)
-        query.processAllAvailable() // watermark advances to maxTs
-        mem.addData(late.map(r => (r._1, r._2, r._3)): _*)
-        query.processAllAvailable() // every late row must be dropped
+        query.processAllAvailable()
         mem.addData(("zz_sentinel", maxTs + 7200000L, 0.0d))
-        query.processAllAvailable() // close the final real window
+        query.processAllAvailable()
+        mem.addData(late.map(r => (r._1, r._2, r._3))
+          :+ (("zz_sentinel", maxTs + 14400000L, 0.0d)): _*)
+        query.processAllAvailable() // late dropped; eviction flushes all real windows
       } finally query.stop()
       s.table(sinkName)
         .filter(col("event_type") =!= "zz_sentinel")
@@ -2132,7 +2151,11 @@ object ExtendedQueries extends Registry {
             .map(r => (r.getString(0), r.getLong(1))).toSeq
         }
       val maxTs = rows.map(_._2).max
-      val mem = MemoryStream[(String, Long)]
+      // 8 input partitions: a single-partition MemoryStream evaluates the
+      // whole 50k-row batch on ONE task; the gate's aggregates are
+      // partition-order-invariant, so splitting the replay block across
+      // tasks is pure parallelism (r11 A/B: data batches ~1.1 s → ~0.4 s).
+      val mem = MemoryStream[(String, Long)](numPartitions = 8)
       val src = mem.toDF().toDF("event_type", "ts_ms")
         .withColumn("event_time", timestamp_millis(col("ts_ms")))
         .withWatermark("event_time", "0 seconds")
@@ -2143,18 +2166,27 @@ object ExtendedQueries extends Registry {
         .groupBy(window(col("window"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n_quarters"), sum(col("q_cnt")).as("n_events"))
       val sinkName = s"q155_ca_${q155Runs.incrementAndGet()}"
-      val query = StreamGate.withStatePartitions(s) {
+      // Two-sentinel protocol, no-data batches OFF (r11, the q153 device):
+      // the first sentinel rides the SECOND data chunk's batch (it only
+      // has to advance the watermark past both tiers' final windows once
+      // that batch commits), and a second sentinel batch then runs with
+      // wm = maxTs+2h, flushing quarter→hourly→sink in one pass. The
+      // cross-batch state-merge the gate exists to prove is untouched —
+      // the two data chunks still arrive in separate batches. 6
+      // micro-batches → 3.
+      val query = StreamGate.withStatePartitions(s, noDataBatches = false) {
         hourly.writeStream.format("memory").queryName(sinkName)
           .outputMode("append").start()
       }
       try {
-        rows.grouped(math.max(1, (rows.size + 1) / 2)).foreach { chunk =>
-          mem.addData(chunk: _*)
-          query.processAllAvailable()
-        }
-        // push the watermark past BOTH tiers' final windows
-        mem.addData(("zz_sentinel", maxTs + 7200000L))
+        val half = math.max(1, (rows.size + 1) / 2)
+        val (c1, c2) = rows.splitAt(half)
+        mem.addData(c1: _*)
         query.processAllAvailable()
+        mem.addData(c2 :+ (("zz_sentinel", maxTs + 7200000L)): _*)
+        query.processAllAvailable()
+        mem.addData(("zz_sentinel", maxTs + 14400000L))
+        query.processAllAvailable() // emit everything closed by wm=maxTs+2h
       } finally query.stop()
       s.table(sinkName)
         .filter(col("event_type") =!= "zz_sentinel")

@@ -54,19 +54,42 @@ private[graft] object StreamGate {
     *   a batch after the sentinel file, and the restart gates should
     *   exercise the engine's stock trigger behavior.
     */
+  /** @param keepCodegen opt a gate OUT of the whole-stage-codegen clamp:
+    *   gates whose per-batch work is real per-row compute (q204's tagging
+    *   expressions, q220's binned range join) lose more to interpreted
+    *   eval than they save in per-batch recompiles — measured +0.6 s /
+    *   +0.3 s respectively in the r11 A/B, the only two regressions.
+    */
   def withStatePartitions[A](s: SparkSession, n: Int = 2,
-      noDataBatches: Boolean = true)(body: => A): A = {
+      noDataBatches: Boolean = true, keepCodegen: Boolean = false)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val cgKey = "spark.sql.codegen.wholeStage"
     // GRAFT_STATE_PARTITIONS: dev A/B knob for the clamp (the gates are
     // partition-invariant by design, so this can only shift cost, never
     // results — restart gates bake the count into their checkpoint, which
     // stays consistent because the env var is fixed for a process).
     val eff = sys.env.get("GRAFT_STATE_PARTITIONS").map(_.toInt).getOrElse(n)
+    // Whole-stage codegen OFF for the gate streams (r11 A/B, StreamProf):
+    // a watermarked incremental plan folds the CURRENT WATERMARK VALUE
+    // into the generated source as a literal, so every micro-batch's
+    // source text is new and janino recompiles the whole pipeline per
+    // batch — 0.2-0.8 s of driver time per batch against fixture batches
+    // whose interpreted eval costs ~10 ms (q155 steady state 5.4 → 3.8 s,
+    // q153 3.2 → 2.4 s; factoryMode=NO_CODEGEN was NET WORSE, so only
+    // whole-stage fusion is disabled — per-expression codegen remains).
+    // Production sizing is the opposite trade (billion-row batches
+    // amortize one compile in ms), which is why this clamps only the
+    // gate's cloned session, never the batch session.
+    // GRAFT_STREAM_CODEGEN=true restores stock behavior for A/Bs.
+    val cg = sys.env.get("GRAFT_STREAM_CODEGEN")
+      .getOrElse(if (keepCodegen) "true" else "false")
     val prev = s.conf.get(key)
     val prevNd = s.conf.get(ndKey)
+    val prevCg = s.conf.get(cgKey)
     s.conf.set(key, eff.toString)
     s.conf.set(ndKey, noDataBatches.toString)
+    s.conf.set(cgKey, cg)
     try {
       val r = body
       r match {
@@ -78,6 +101,7 @@ private[graft] object StreamGate {
     } finally {
       s.conf.set(key, prev)
       s.conf.set(ndKey, prevNd)
+      s.conf.set(cgKey, prevCg)
     }
   }
 

@@ -662,7 +662,8 @@ object ScaleQueries extends Registry {
         col("lo"), col("hi"), width = 5.0)
         .select("interval_id", "event_id", "value")
       val sinkName = s"q220_rj_${q220Runs.incrementAndGet()}"
-      val query = StreamGate.withStatePartitions(s, noDataBatches = false) {
+      val query = StreamGate.withStatePartitions(s, noDataBatches = false,
+          keepCodegen = true) { // binned-join expansion is real per-row compute: keep it fused
         joined.writeStream.format("memory").queryName(sinkName)
           .outputMode("append").start()
       }
