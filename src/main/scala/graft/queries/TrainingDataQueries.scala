@@ -1736,11 +1736,22 @@ object TrainingDataQueries extends Registry {
     (s, d) => {
       val tau = 0.6
       // leave string space immediately: one xxhash64 per distinct shingle
+      // localCheckpoint: the shingle→hash→sort relation feeds THREE
+      // consumers (tf via the explode, the prefix table, and both sides
+      // of the verify join) with different downstream partitionings, so
+      // without it the tokenizer+xxhash64+sort pipeline re-executes per
+      // consumer — the r10 postmortem attributed q135's residual sample
+      // variance (spread 2.2, gc_ms up to 5.5 s) to exactly this
+      // repeated array churn. Materializing |docs| sorted long[] once
+      // (MBs at sf0.1; at 100 TB this is the standard cache/checkpoint
+      // of a reused candidate relation) cuts the work 3× and the
+      // allocation pressure with it (the q116 edge-relation device).
       val t = Tables.fanOut(Tables.documents(s, d))
         .select(col("doc_id"),
           array_sort(array_distinct(transform(
             array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)),
             tk => xxhash64(tk)))).as("hs"))
+        .localCheckpoint()
       val ex = t.select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("tok"))
       val tf = ex.groupBy("tok").agg(count(lit(1)).as("freq"))
       val w = Window.partitionBy("doc_id").orderBy(col("freq").asc, col("tok").asc)
