@@ -1381,9 +1381,81 @@ object ScaleQueries extends Registry {
         ${O.dsum("value")} AS value_sum
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Salted window with boundary repair — the documented mitigation for
+    * per-key WINDOW skew (q8's shape), now gated. AQE's skew split only
+    * helps JOINS; a lag()-window partitioned by a hot entity (the r11
+    * skew fixture's bot user: 30 % of all events on one user_id) sorts
+    * that entity's whole series in ONE task. This query computes q8's
+    * exact per-user gap statistics with the series SPLIT across 8
+    * deterministic time chunks: lag() runs within (user, chunk) — 8-way
+    * parallel for the hot user — and the chunk-boundary gaps are
+    * repaired from a tiny per-(user, chunk) edge table (first/last
+    * (ts, event_id) structs; |users|×8 rows) whose own window is over
+    * chunk INDEXES, not rows. Union of in-chunk and boundary gaps is
+    * exactly the full-series gap multiset, and the gap statistics are
+    * order-free aggregates, so the output is bit-identical to q8's —
+    * which is precisely what the shared oracle asserts.
+    *
+    * Scale: the hot entity's O(n log n) single-task sort becomes 8
+    * parallel sorts plus a |users×chunks|-row repair join; chunk count
+    * is a knob (set it ~ executor cores / hot-key mass). This is the
+    * q49-salting idea applied to sequences, where the salt must respect
+    * ORDER — time-range chunks do, random salts would not.
+    */
+  private val q303 = Q("q303_salted_window_stats",
+    (s, d) => {
+      val ev = Tables.events(s, d).select("user_id", "ts_ms", "event_id")
+      // deterministic global time chunks (the two scalars are a KB-scale
+      // collect, same class as the ANN quantizer literals)
+      val Array(r0) = ev.agg(min("ts_ms"), max("ts_ms")).collect()
+      val (lo, hi) = (r0.getLong(0), r0.getLong(1))
+      val width = math.max(1L, (hi - lo) / 8 + 1)
+      val chunked = ev.withColumn("chunk", ((col("ts_ms") - lo) / width).cast("long"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "chunk").orderBy("ts_ms", "event_id")
+      val inChunk = chunked
+        .withColumn("gap_ms", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
+        .filter(col("gap_ms").isNotNull)
+        .select("user_id", "gap_ms")
+      // edge table: first/last event per (user, chunk); boundary gap =
+      // this chunk's first ts − the user's PREVIOUS populated chunk's
+      // last ts (lag over chunk index skips empty chunks by construction)
+      val edges = chunked.groupBy("user_id", "chunk")
+        .agg(min(struct(col("ts_ms"), col("event_id"))).as("first"),
+          max(struct(col("ts_ms"), col("event_id"))).as("last"))
+      val we = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("chunk")
+      val boundary = edges
+        .withColumn("prev_last_ts", lag(col("last.ts_ms"), 1).over(we))
+        .filter(col("prev_last_ts").isNotNull)
+        .select(col("user_id"), (col("first.ts_ms") - col("prev_last_ts")).as("gap_ms"))
+      inChunk.union(boundary)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("stale_count"),
+          StableAgg.lavg(col("gap_ms")).as("stale_mean_ms"),
+          StableAgg.lstdSamp(col("gap_ms")).as("stale_std_ms"),
+          min("gap_ms").as("stale_min_ms"),
+          max("gap_ms").as("stale_max_ms"))
+        .orderBy("user_id")
+    },
+    // q8's oracle verbatim: the salted plan must reproduce the plain
+    // full-series window bit-for-bit
+    Some(s"""WITH g AS (
+        SELECT user_id,
+          epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+            (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap_ms
+        FROM events)
+      SELECT user_id, COUNT(*) AS stale_count,
+        ${O.lavg("gap_ms")} AS stale_mean_ms,
+        ${O.lstdSamp("gap_ms")} AS stale_std_ms,
+        MIN(gap_ms) AS stale_min_ms, MAX(gap_ms) AS stale_max_ms
+      FROM g WHERE gap_ms IS NOT NULL
+      GROUP BY user_id ORDER BY user_id"""))
+
   override val all: Seq[Q] =
     Seq(q156, q157, q158, q159, q160, q161, q162, q216, q217, q219, q220,
-      q237, q245, q246, q247, q254, q255, q265, q266, q270, q275, q280)
+      q237, q245, q246, q247, q254, q255, q265, q266, q270, q275, q280,
+      q303)
 }
 
 /** Serializable Count-Min probe: holds the sketch BYTES (what the
