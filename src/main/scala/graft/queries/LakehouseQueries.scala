@@ -736,9 +736,17 @@ object LakehouseQueries extends Registry {
     (s, d) => {
       val (lt, ot) = bucketedFactTables(s, d)
       val key = "spark.sql.autoBroadcastJoinThreshold"
+      // With ONE file per bucket (the repartition-before-write above) and
+      // sortBy on the bucket key, the scan can also report its ORDER —
+      // the merge join then needs no Sort at all. Spark gates this behind
+      // the legacy flag (multi-file buckets would need a merge read), so
+      // it's set only while this plan is forced.
+      val ordKey = "spark.sql.legacy.bucketedTableScan.outputOrdering"
       val prev = s.conf.get(key)
+      val prevOrd = s.conf.get(ordKey, "false")
       try {
         s.conf.set(key, "-1") // the co-located SMJ must be what's planned
+        s.conf.set(ordKey, "true")
         val out = s.table(lt)
           .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_orderkey"), col("o_orderstatus"))
@@ -752,8 +760,14 @@ object LakehouseQueries extends Registry {
         if (plan.contains("Exchange"))
           throw new IllegalStateException(
             s"bucketed fact-fact join planned a shuffle:\n$plan")
+        if ("\\bSort\\b".r.findFirstIn(plan).isDefined)
+          throw new IllegalStateException(
+            s"bucketed sorted scan still planned a Sort:\n$plan")
         out
-      } finally s.conf.set(key, prev)
+      } finally {
+        s.conf.set(key, prev)
+        s.conf.set(ordKey, prevOrd)
+      }
     },
     Some(s"""SELECT o_orderkey, o_orderstatus,
         ${graft.OracleSql.dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
