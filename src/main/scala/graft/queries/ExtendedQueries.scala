@@ -1540,25 +1540,21 @@ object ExtendedQueries extends Registry {
         .toDF("symbol", "channel", "ts_exchange_ms", "ts_recv_mono_ns")
       val gaps = graft.streaming.StalenessStream.gapsTws(events)
       val sinkName = s"q133_tws_${q133Runs.incrementAndGet()}"
-      val providerKey = "spark.sql.streaming.stateStore.providerClass"
-      val prevProvider = s.conf.getOption(providerKey)
-      s.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
-        val query = StreamGate.withStatePartitions(s, noDataBatches = false) {
-          gaps.writeStream.format("memory").queryName(sinkName)
-            .outputMode("append").start()
-        }
-        try {
-          rows.grouped(math.max(1, (rows.size + 1) / 2)).foreach { chunk =>
-            mem.addData(chunk: _*)
-            query.processAllAvailable()
-          }
-        } finally query.stop()
-      } finally prevProvider match {
-        case Some(p) => s.conf.set(providerKey, p)
-        case None    => s.conf.unset(providerKey)
+      // RocksDB provider rides StreamGate's extraConfs — the one sanctioned
+      // conf window in the queries package; the stream's cloned session
+      // captures it at .start().
+      val query = StreamGate.withStatePartitions(s, noDataBatches = false,
+        extraConfs = Seq("spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
+        gaps.writeStream.format("memory").queryName(sinkName)
+          .outputMode("append").start()
       }
+      try {
+        rows.grouped(math.max(1, (rows.size + 1) / 2)).foreach { chunk =>
+          mem.addData(chunk: _*)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
       s.table(sinkName)
         .groupBy(col("symbol").cast("bigint").as("user_id"))
         .agg(count(lit(1)).as("stale_count"),
@@ -1735,29 +1731,23 @@ object ExtendedQueries extends Registry {
         .withWatermark("event_time", "0 seconds")
       val sess = graft.streaming.SessionsTws.sessions(src)
       val sinkName = s"q138_tws_${q138Runs.incrementAndGet()}"
-      val providerKey = "spark.sql.streaming.stateStore.providerClass"
-      val prevProvider = s.conf.getOption(providerKey)
-      s.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
-        val query = StreamGate.withStatePartitions(s, noDataBatches = false) {
-          sess.toDF().writeStream.format("memory").queryName(sinkName)
-            .outputMode("append").start()
-        }
-        try {
-          rows.grouped(math.max(1, (rows.size + 1) / 2)).foreach { chunk =>
-            mem.addData(chunk: _*)
-            query.processAllAvailable()
-          }
-          (1 to 2).foreach { k =>
-            mem.addData((-1L, maxTs + 1800000L + k * 3600000L, 0.0))
-            query.processAllAvailable()
-          }
-        } finally query.stop()
-      } finally prevProvider match {
-        case Some(p) => s.conf.set(providerKey, p)
-        case None    => s.conf.unset(providerKey)
+      // RocksDB provider via StreamGate's extraConfs (see q133).
+      val query = StreamGate.withStatePartitions(s, noDataBatches = false,
+        extraConfs = Seq("spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
+        sess.toDF().writeStream.format("memory").queryName(sinkName)
+          .outputMode("append").start()
       }
+      try {
+        rows.grouped(math.max(1, (rows.size + 1) / 2)).foreach { chunk =>
+          mem.addData(chunk: _*)
+          query.processAllAvailable()
+        }
+        (1 to 2).foreach { k =>
+          mem.addData((-1L, maxTs + 1800000L + k * 3600000L, 0.0))
+          query.processAllAvailable()
+        }
+      } finally query.stop()
       s.table(sinkName)
         .filter(col("user_id") >= 0)
         .select(col("user_id"), col("session_start_ms"), col("session_end_ms"),
@@ -2039,6 +2029,27 @@ object ExtendedQueries extends Registry {
         mem.addData(late.map(r => (r._1, r._2, r._3))
           :+ (("zz_sentinel", maxTs + 14400000L, 0.0d)): _*)
         query.processAllAvailable() // late dropped; eviction flushes all real windows
+        // Pin WHERE the drop happens (ADVICE r11): the sentinel-first
+        // protocol advances the watermark before the late chunk arrives,
+        // so sink absence alone can no longer distinguish the engine's
+        // late-INPUT filter from trivially losing rows below an already-
+        // advanced watermark. The state operator's own drop counter must
+        // account for exactly the engineered late set. The counter ticks
+        // POST-shuffle, after partial aggregation merged the batch's rows
+        // per group (verified: 1995 late rows → 1634 dropped = exactly the
+        // late set's distinct (1h-window, event_type) groups), so the
+        // expected count is the group count, not the row count — and a
+        // regression in the N−2 filter lag changes it before it can touch
+        // the hash.
+        val lateGroups = late.iterator
+          .map { case (t, ts, _, _) => (ts / 3600000L, t) }.toSet.size.toLong
+        val dropped = query.recentProgress.iterator
+          .flatMap(_.stateOperators.iterator)
+          .map(_.numRowsDroppedByWatermark).sum
+        if (dropped != lateGroups)
+          throw new IllegalStateException(
+            s"late-input filter dropped $dropped groups; engineered late set = " +
+              s"${late.size} rows in $lateGroups groups")
       } finally query.stop()
       s.table(sinkName)
         .filter(col("event_type") =!= "zz_sentinel")

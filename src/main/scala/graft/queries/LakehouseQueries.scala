@@ -149,26 +149,28 @@ object LakehouseQueries extends Registry {
       Tables.customer(s, d).select("c_custkey", "c_mktsegment")
         .write.mode("overwrite").format("parquet")
         .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(ct)
-      val key = "spark.sql.autoBroadcastJoinThreshold"
-      val prev = s.conf.get(key)
       try {
-        s.conf.set(key, "-1") // force the co-located path to be what's planned
-        val joined = s.table(ot)
-          .join(s.table(ct), col("o_custkey") === col("c_custkey"))
-        val plan = joined.queryExecution.executedPlan.toString
-        if (plan.contains("Exchange"))
-          throw new IllegalStateException(
-            s"bucketed co-located join planned a shuffle:\n$plan")
-        val out = joined.groupBy("c_mktsegment")
-          .agg(sum(col("o_totalprice").cast("decimal(38,6)"))
-              .cast("double").as("revenue"),
-            count(lit(1)).as("n_orders"))
-          .orderBy("c_mktsegment")
-          .collect().toIndexedSeq
-          .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+        // broadcast off on a session CLONE (ConfScope): the co-located
+        // path must be what's planned, and the collect below executes it
+        // under the clone's confs — no shared-session window to leak.
+        val out = ConfScope.withConfs(s,
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1") { c =>
+          val joined = c.table(ot)
+            .join(c.table(ct), col("o_custkey") === col("c_custkey"))
+          val plan = joined.queryExecution.executedPlan.toString
+          if (plan.contains("Exchange"))
+            throw new IllegalStateException(
+              s"bucketed co-located join planned a shuffle:\n$plan")
+          joined.groupBy("c_mktsegment")
+            .agg(sum(col("o_totalprice").cast("decimal(38,6)"))
+                .cast("double").as("revenue"),
+              count(lit(1)).as("n_orders"))
+            .orderBy("c_mktsegment")
+            .collect().toIndexedSeq
+            .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+        }
         s.createDataFrame(out).toDF("c_mktsegment", "revenue", "n_orders")
       } finally {
-        s.conf.set(key, prev)
         s.sql(s"DROP TABLE IF EXISTS $ot")
         s.sql(s"DROP TABLE IF EXISTS $ct")
       }
@@ -610,11 +612,12 @@ object LakehouseQueries extends Registry {
       import java.io.File
       val dir = graft.streaming.TempDirs.scratch(
         s"graft_q257_${ProcessHandle.current().pid()}_${q257Runs.incrementAndGet()}")
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val prev = s.conf.get(key)
-      try {
-        s.conf.set(key, "dynamic")
-        val base = Tables.orders(s, d)
+      // dynamic overwrite mode on a session CLONE (ConfScope): the two
+      // writes execute under the clone, so the mode can never leak to an
+      // unrelated query planned concurrently on the shared session.
+      ConfScope.withConfs(s,
+        "spark.sql.sources.partitionOverwriteMode" -> "dynamic") { c =>
+        val base = Tables.orders(c, d)
           .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
         base.write.mode("overwrite").partitionBy("o_orderpriority")
           .parquet(dir.getPath)
@@ -622,12 +625,12 @@ object LakehouseQueries extends Registry {
           .withColumn("o_totalprice", col("o_totalprice") + 1000.0d)
           .write.mode("overwrite").partitionBy("o_orderpriority")
           .parquet(dir.getPath)
-        s.read.parquet(dir.getPath)
-          .groupBy("o_orderpriority")
-          .agg(count(lit(1)).as("n_orders"),
-            graft.functions.StableAgg.dsum(col("o_totalprice")).as("revenue"))
-          .orderBy("o_orderpriority")
-      } finally s.conf.set(key, prev)
+      }
+      s.read.parquet(dir.getPath)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          graft.functions.StableAgg.dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("o_orderpriority")
     },
     Some(s"""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
         ${graft.OracleSql.dsum(
@@ -682,14 +685,24 @@ object LakehouseQueries extends Registry {
     * here a dedicated object lock contends only among q301/q302 callers).
     */
   private val factTableMemo = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private val factTableBuilds = new java.util.concurrent.atomic.AtomicInteger
 
   private def bucketedFactTables(s: SparkSession, d: String): (String, String) = {
+    // Memo hits are revalidated against the catalog (ADVICE r11): the
+    // JVM-wide memo outlives the in-memory catalog of a recreated session,
+    // and a stale hit would hand back table names `s.table` can't resolve.
+    def valid(p: (String, String)): Boolean =
+      s.catalog.tableExists(p._1) && s.catalog.tableExists(p._2)
     val hit = factTableMemo.get(d)
-    if (hit != null) return hit
+    if (hit != null && valid(hit)) return hit
     factTableMemo.synchronized {
       val again = factTableMemo.get(d)
-      if (again != null) return again
-      val n = s"${ProcessHandle.current().pid()}_${java.lang.Integer.toHexString(d.hashCode)}"
+      if (again != null && valid(again)) return again
+      // pid + monotone counter, NOT d.hashCode (ADVICE r11): two dirs
+      // colliding on hashCode would share table names, and the second
+      // overwrite-build would silently replace the first dir's data while
+      // its memo entry kept pointing at the same tables.
+      val n = s"${ProcessHandle.current().pid()}_${factTableBuilds.incrementAndGet()}"
       val lt = s"graft_q301_lineitem_$n"
       val ot = s"graft_q301_orders_$n"
       // repartition on the bucket key first: one task per bucket ⇒ one
@@ -720,11 +733,20 @@ object LakehouseQueries extends Registry {
     * not the join; here the returned DataFrame IS the bucket-aligned
     * lineitem⋈orders plan, so `docs/plan_invariants.tsv` carries an
     * exchanges=0 row for a fact-fact join and `PlanInvariantsSpec` fails
-    * any regression that re-introduces a shuffle. Broadcast is disabled
-    * while the plan is forced (executedPlan memoizes on the returned DF,
-    * so Verify/Bench execute exactly the audited plan), and the in-query
-    * assert throws on any Exchange — a planned shuffle fails the gate as
-    * loudly as a wrong answer.
+    * any regression that re-introduces a shuffle. The in-query assert
+    * throws on any Exchange — a planned shuffle fails the gate as loudly
+    * as a wrong answer.
+    *
+    * The audited plan is ALSO the executed plan (ADVICE r11, high): the
+    * forcing confs live permanently on a session CLONE (ConfScope), and
+    * the returned DataFrame carries that clone as its own session — so
+    * when Bench's noop write or Verify's parquet dump builds a fresh
+    * QueryExecution from the logical plan (DataFrameWriter always does),
+    * the re-plan runs under the same confs and reproduces exactly the
+    * asserted zero-Exchange/zero-Sort shape. Under the old set/restore
+    * window the writer re-planned AFTER the finally restored the confs
+    * and benched a broadcast join while attributing the number to the
+    * merge join; plan_invariants.tsv pins the shape externally.
     *
     * Scale: repeated fact-fact joins on a stable key (orders⋈lineitem,
     * events⋈sessions) are THE shuffle bill at 100 TB; bucketing both
@@ -735,27 +757,21 @@ object LakehouseQueries extends Registry {
   private val q301 = Q("q301_bucketed_fact_join",
     (s, d) => {
       val (lt, ot) = bucketedFactTables(s, d)
-      val key = "spark.sql.autoBroadcastJoinThreshold"
       // With ONE file per bucket (the repartition-before-write above) and
       // sortBy on the bucket key, the scan can also report its ORDER —
       // the merge join then needs no Sort at all. Spark gates this behind
-      // the legacy flag (multi-file buckets would need a merge read), so
-      // it's set only while this plan is forced.
-      val ordKey = "spark.sql.legacy.bucketedTableScan.outputOrdering"
-      val prev = s.conf.get(key)
-      val prevOrd = s.conf.get(ordKey, "false")
-      try {
-        s.conf.set(key, "-1") // the co-located SMJ must be what's planned
-        s.conf.set(ordKey, "true")
-        val out = s.table(lt)
-          .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+      // the legacy flag (multi-file buckets would need a merge read); it
+      // lives on the clone for the query's whole lifetime.
+      ConfScope.withConfs(s,
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1", // SMJ must be what's planned
+        "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true") { c =>
+        val out = c.table(lt)
+          .join(c.table(ot), col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_orderkey"), col("o_orderstatus"))
           .agg(
             graft.functions.StableAgg.dsum(
               col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
             count(lit(1)).as("n_items"))
-        // Force the physical plan INSIDE the conf window: QueryExecution
-        // memoizes executedPlan, so later actions run this exact plan.
         val plan = out.queryExecution.executedPlan.toString
         if (plan.contains("Exchange"))
           throw new IllegalStateException(
@@ -764,9 +780,6 @@ object LakehouseQueries extends Registry {
           throw new IllegalStateException(
             s"bucketed sorted scan still planned a Sort:\n$plan")
         out
-      } finally {
-        s.conf.set(key, prev)
-        s.conf.set(ordKey, prevOrd)
       }
     },
     Some(s"""SELECT o_orderkey, o_orderstatus,
@@ -786,16 +799,33 @@ object LakehouseQueries extends Registry {
     * no index structure at all — the cheap half of the q210 zone-map
     * story, and the read-side payoff of the q301 layout.
     */
+  /** Per-(JVM, sfDir) memo of q302's probe keys (ADVICE r11): the
+    * distinct+sort+limit scan is key DERIVATION, not the pruned lookup the
+    * bench number claims to measure — without the memo every warmup/timed
+    * round re-paid a full lineitem scan inside the timed body. The
+    * derivation is deterministic and idempotent per dir, so a lost
+    * putIfAbsent race only duplicates work once (no lock held across the
+    * Spark job — the r10 replayRows lesson).
+    */
+  private val probeKeyMemo = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  private def q302ProbeKeys(s: SparkSession, d: String): (Long, Long) = {
+    val hit = probeKeyMemo.get(d)
+    if (hit != null) return hit
+    // deterministic probe keys from the data itself: min key and the
+    // 1000th distinct key (order statistics, not fixture-magic ids)
+    val keys = Tables.lineitem(s, d).select(col("l_orderkey"))
+      .distinct().orderBy("l_orderkey").limit(1001)
+      .agg(min("l_orderkey").as("k1"), max("l_orderkey").as("k2"))
+      .collect()(0)
+    probeKeyMemo.putIfAbsent(d, (keys.getLong(0), keys.getLong(1))): Unit
+    probeKeyMemo.get(d)
+  }
+
   private val q302 = Q("q302_bucket_pruning",
     (s, d) => {
       val (lt, _) = bucketedFactTables(s, d)
-      // deterministic probe keys from the data itself: min key and the
-      // 1000th distinct key (order statistics, not fixture-magic ids)
-      val keys = Tables.lineitem(s, d).select(col("l_orderkey"))
-        .distinct().orderBy("l_orderkey").limit(1001)
-        .agg(min("l_orderkey").as("k1"), max("l_orderkey").as("k2"))
-        .collect()(0)
-      val (k1, k2) = (keys.getLong(0), keys.getLong(1))
+      val (k1, k2) = q302ProbeKeys(s, d)
       // isin (an IN-list), not an OR chain: bucket pruning recognizes
       // EqualTo/In/InSet on the bucket column, but not a disjunction. The
       // assert runs on the FULL plan (filter + groupBy on the bucket key):
@@ -812,6 +842,11 @@ object LakehouseQueries extends Registry {
       val sel = "SelectedBucketsCount: (\\d+) out of 8".r.findFirstMatchIn(plan)
       if (!sel.exists(_.group(1).toInt <= 2))
         throw new IllegalStateException(s"bucket pruning did not fire:\n$plan")
+      // The assert covers the executed plan too: a DataFrameWriter re-plan
+      // of this DataFrame is deterministic (no conf window is involved —
+      // pruning derives from the literal IN-list and the catalog's bucket
+      // spec), so it reproduces the audited pruned scan; the invariant row
+      // in plan_invariants.tsv pins the shape externally.
       out
     },
     Some(s"""WITH ks AS (

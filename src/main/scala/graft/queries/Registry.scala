@@ -60,8 +60,17 @@ private[graft] object StreamGate {
     *   eval than they save in per-batch recompiles — measured +0.6 s /
     *   +0.3 s respectively in the r11 A/B, the only two regressions.
     */
+  /** @param extraConfs additional confs the stream must start under (e.g.
+    *   the RocksDB state-store provider class). Folded into the same
+    *   set/restore window as the partition clamp so gate bodies never
+    *   touch session confs themselves — this helper is the ONE sanctioned
+    *   conf-mutation site in the queries package (ConfHygieneSpec), and
+    *   its restore-after-start is safe by the session-clone argument
+    *   above.
+    */
   def withStatePartitions[A](s: SparkSession, n: Int = 2,
-      noDataBatches: Boolean = true, keepCodegen: Boolean = false)(body: => A): A = {
+      noDataBatches: Boolean = true, keepCodegen: Boolean = false,
+      extraConfs: Seq[(String, String)] = Nil)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val cgKey = "spark.sql.codegen.wholeStage"
@@ -87,9 +96,11 @@ private[graft] object StreamGate {
     val prev = s.conf.get(key)
     val prevNd = s.conf.get(ndKey)
     val prevCg = s.conf.get(cgKey)
+    val prevExtra = extraConfs.map { case (k, _) => k -> s.conf.getOption(k) }
     s.conf.set(key, eff.toString)
     s.conf.set(ndKey, noDataBatches.toString)
     s.conf.set(cgKey, cg)
+    extraConfs.foreach { case (k, v) => s.conf.set(k, v) }
     try {
       val r = body
       r match {
@@ -102,6 +113,10 @@ private[graft] object StreamGate {
       s.conf.set(key, prev)
       s.conf.set(ndKey, prevNd)
       s.conf.set(cgKey, prevCg)
+      prevExtra.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
     }
   }
 
@@ -127,4 +142,33 @@ private[graft] object StreamGate {
       try { val r = body; (r, capturedQueries.toList) }
       finally { capturing = false; capturedQueries.clear() }
     }
+}
+
+/** Conf-scoped batch queries run against a session CLONE, never a
+  * set/restore window on the shared session (ADVICE r11 high + VERDICT r11
+  * watch item 1). Two failure modes of the window pattern this retires:
+  *
+  *  - a lazy DataFrame returned from inside the window is re-planned by
+  *    `DataFrameWriter` AFTER the `finally` restored the confs, so the
+  *    executed plan silently loses the forced shape (q301's zero-exchange
+  *    merge join would have benched as a broadcast join);
+  *  - a parallel runner planning an unrelated query inside the window
+  *    inherits the forced confs.
+  *
+  * The clone shares the SparkContext and external catalog (bucketed
+  * scratch tables stay visible), copies the parent's session state at
+  * clone time (confs, temp views, registered functions), and is dropped
+  * with the returned DataFrame — whose own `sparkSession` IS the clone, so
+  * even a later re-plan of that DataFrame sees the query's confs.
+  * ConfHygieneSpec pins the invariant that registry query bodies contain
+  * no direct `conf.set` — this helper and StreamGate are the only
+  * sanctioned mutation sites.
+  */
+private[graft] object ConfScope {
+  def withConfs[A](s: SparkSession, confs: (String, String)*)(
+      body: SparkSession => A): A = {
+    val c = org.apache.spark.sql.graftbridge.SessionBridge.cloneSession(s)
+    confs.foreach { case (k, v) => c.conf.set(k, v) }
+    body(c)
+  }
 }

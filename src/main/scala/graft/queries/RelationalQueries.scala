@@ -595,11 +595,12 @@ object RelationalQueries extends Registry {
     (s, d) => {
       val view = s"q264_events_${ProcessHandle.current().pid()}_${q264Runs.incrementAndGet()}"
       Tables.fanOut(Tables.events(s, d)).createOrReplaceTempView(view)
-      val key = "spark.sql.scripting.enabled"
-      val prev = s.conf.get(key)
+      // scripting enabled on a session CLONE (ConfScope; the clone copies
+      // the parent's temp views, so `view` resolves); localCheckpoint
+      // materializes the result eagerly inside the scope.
       try {
-        s.conf.set(key, "true")
-        s.sql(
+        ConfScope.withConfs(s, "spark.sql.scripting.enabled" -> "true") { c =>
+        c.sql(
           s"""BEGIN
                DECLARE i INT DEFAULT 0;
                DECLARE thr DOUBLE DEFAULT 0.0;
@@ -617,10 +618,8 @@ object RelationalQueries extends Registry {
                FROM $view WHERE value >= thr
                GROUP BY event_type ORDER BY event_type;
              END""").localCheckpoint(true)
-      } finally {
-        s.conf.set(key, prev)
-        s.catalog.dropTempView(view)
-      }
+        }
+      } finally s.catalog.dropTempView(view)
     },
     Some(s"""WITH m0 AS (SELECT ${O.dsum("value")} / CAST(COUNT(*) AS DOUBLE)
           AS thr FROM events),

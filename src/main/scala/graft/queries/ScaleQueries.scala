@@ -499,16 +499,16 @@ object ScaleQueries extends Registry {
     */
   private val q216 = Q("q216_runtime_bloom_join",
     (s, d) => {
-      val tuned = Seq(
+      // tuned confs on a session CLONE (ConfScope): the assert and the
+      // collect both run under the clone, and nothing touches the shared
+      // session's confs.
+      val out = ConfScope.withConfs(s,
         "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-      val prev = tuned.map { case (k, _) => k -> s.conf.get(k) }
-      try {
-        tuned.foreach { case (k, v) => s.conf.set(k, v) }
-        val li = Tables.lineitem(s, d)
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") { c =>
+        val li = Tables.lineitem(c, d)
           .select("l_orderkey", "l_returnflag", "l_extendedprice")
-        val urgent = Tables.orders(s, d)
+        val urgent = Tables.orders(c, d)
           .filter(col("o_orderpriority") === "1-URGENT")
           .select("o_orderkey")
         val joined = li.join(urgent, col("l_orderkey") === col("o_orderkey"))
@@ -516,14 +516,14 @@ object ScaleQueries extends Registry {
         if (!opt.contains("might_contain"))
           throw new IllegalStateException(
             s"runtime bloom filter was not injected:\n$opt")
-        val out = joined.groupBy("l_returnflag")
+        joined.groupBy("l_returnflag")
           .agg(StableAgg.dsum(col("l_extendedprice")).as("revenue"),
             count(lit(1)).as("n_items"))
           .orderBy("l_returnflag")
           .collect().toIndexedSeq
           .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
-        s.createDataFrame(out).toDF("l_returnflag", "revenue", "n_items")
-      } finally prev.foreach { case (k, v) => s.conf.set(k, v) }
+      }
+      s.createDataFrame(out).toDF("l_returnflag", "revenue", "n_items")
     },
     Some(s"""SELECT l_returnflag, ${O.dsum("l_extendedprice")} AS revenue,
         COUNT(*) AS n_items
@@ -775,26 +775,25 @@ object ScaleQueries extends Registry {
     */
   private val q237 = Q("q237_aqe_skew_join",
     (s, d) => {
-      val tuned = Seq(
+      // tuned AQE thresholds on a session CLONE (ConfScope) — collect and
+      // plan assert both execute under the clone's confs.
+      val out = ConfScope.withConfs(s,
         "spark.sql.autoBroadcastJoinThreshold" -> "-1",
         "spark.sql.adaptive.skewJoin.enabled" -> "true",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
-        "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
-      val prev = tuned.map { case (k, _) => k -> s.conf.getOption(k) }
-      try {
-        tuned.foreach { case (k, v) => s.conf.set(k, v) }
+        "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true") { c =>
         // fanOut matters beyond parallelism here: AQE splits a skewed
         // reduce partition at MAP-OUTPUT granularity, so a single-mapper
         // scan (one small parquet file) leaves nothing to split and the
         // rule silently never fires — exactly the single-file trap a
         // 100 TB table never has
-        val fact = Tables.fanOut(Tables.lineitem(s, d)).select(
+        val fact = Tables.fanOut(Tables.lineitem(c, d)).select(
           when(col("l_orderkey") % 10 < 7, 0L)
             .otherwise(col("l_orderkey") % 97).as("k"),
           col("l_extendedprice"), col("l_quantity"))
-        val dim = s.range(0L, 97L)
+        val dim = c.range(0L, 97L)
           .select(col("id").as("k"), (col("id") % 7).as("grp"))
         val agg = fact.join(dim, "k")
           .groupBy("grp")
@@ -802,17 +801,15 @@ object ScaleQueries extends Registry {
             count(lit(1)).as("n_items"),
             StableAgg.dsum(col("l_quantity")).as("qty"))
           .orderBy("grp")
-        val out = agg.collect().toIndexedSeq
+        val rows = agg.collect().toIndexedSeq
           .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
         val plan = agg.queryExecution.executedPlan.toString
         if (!plan.contains("skew=true"))
           throw new IllegalStateException(
             s"AQE did not split the skewed join partition:\n$plan")
-        s.createDataFrame(out).toDF("grp", "revenue", "n_items", "qty")
-      } finally prev.foreach {
-        case (k, Some(v)) => s.conf.set(k, v)
-        case (k, None)    => s.conf.unset(k)
+        rows
       }
+      s.createDataFrame(out).toDF("grp", "revenue", "n_items", "qty")
     },
     Some(s"""SELECT CAST(k % 7 AS BIGINT) AS grp,
         ${O.dsum("l_extendedprice")} AS revenue,
@@ -989,45 +986,45 @@ object ScaleQueries extends Registry {
     (s, d) => {
       import org.apache.spark.sql.catalyst.plans.logical.Join
       val pfx = s"q247_${ProcessHandle.current().pid()}_${q247Runs.incrementAndGet()}"
-      val tuned = Seq(
-        "spark.sql.cbo.enabled" -> "true",
-        "spark.sql.cbo.joinReorder.enabled" -> "true")
-      val prev = tuned.map { case (k, _) => k -> s.conf.get(k) }
       try {
-        tuned.foreach { case (k, v) => s.conf.set(k, v) }
-        // deterministic fact subset keeps the per-run catalog write cheap
-        Tables.lineitem(s, d).filter(col("l_orderkey") % 4 === 0)
-          .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
-          .write.mode("overwrite").saveAsTable(s"${pfx}_li")
-        Tables.part(s, d).select("p_partkey", "p_size")
-          .write.mode("overwrite").saveAsTable(s"${pfx}_part")
-        Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
-          .write.mode("overwrite").saveAsTable(s"${pfx}_supp")
-        Seq("li", "part", "supp").foreach { t =>
-          s.sql(s"ANALYZE TABLE ${pfx}_$t COMPUTE STATISTICS FOR ALL COLUMNS")
+        // CBO on a session CLONE (ConfScope): stats-driven planning, the
+        // assert, and the collect all run under the clone's confs.
+        val out = ConfScope.withConfs(s,
+          "spark.sql.cbo.enabled" -> "true",
+          "spark.sql.cbo.joinReorder.enabled" -> "true") { c =>
+          // deterministic fact subset keeps the per-run catalog write cheap
+          Tables.lineitem(c, d).filter(col("l_orderkey") % 4 === 0)
+            .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
+            .write.mode("overwrite").saveAsTable(s"${pfx}_li")
+          Tables.part(c, d).select("p_partkey", "p_size")
+            .write.mode("overwrite").saveAsTable(s"${pfx}_part")
+          Tables.supplier(c, d).select("s_suppkey", "s_nationkey")
+            .write.mode("overwrite").saveAsTable(s"${pfx}_supp")
+          Seq("li", "part", "supp").foreach { t =>
+            c.sql(s"ANALYZE TABLE ${pfx}_$t COMPUTE STATISTICS FOR ALL COLUMNS")
+          }
+          val agg = c.table(s"${pfx}_li")
+            .join(c.table(s"${pfx}_supp"), col("l_suppkey") === col("s_suppkey"))
+            .join(c.table(s"${pfx}_part").filter(col("p_size") < 3),
+              col("l_partkey") === col("p_partkey"))
+            .groupBy("s_nationkey")
+            .agg(count(lit(1)).as("n_items"),
+              StableAgg.dsum(col("l_extendedprice")).as("revenue"))
+            .orderBy("s_nationkey")
+          val joins = agg.queryExecution.optimizedPlan.collect { case j: Join => j }
+          val innermost = joins.lastOption.getOrElse(
+            throw new IllegalStateException("no Join in the optimized plan"))
+          val names = innermost.output.map(_.name).toSet
+          if (!names.contains("p_partkey") || names.contains("s_suppkey"))
+            throw new IllegalStateException(
+              "CBO did not reorder the selective part join innermost: " +
+                s"innermost join output = $names\n" +
+                agg.queryExecution.optimizedPlan.toString)
+          agg.collect().toIndexedSeq
+            .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
         }
-        val agg = s.table(s"${pfx}_li")
-          .join(s.table(s"${pfx}_supp"), col("l_suppkey") === col("s_suppkey"))
-          .join(s.table(s"${pfx}_part").filter(col("p_size") < 3),
-            col("l_partkey") === col("p_partkey"))
-          .groupBy("s_nationkey")
-          .agg(count(lit(1)).as("n_items"),
-            StableAgg.dsum(col("l_extendedprice")).as("revenue"))
-          .orderBy("s_nationkey")
-        val joins = agg.queryExecution.optimizedPlan.collect { case j: Join => j }
-        val innermost = joins.lastOption.getOrElse(
-          throw new IllegalStateException("no Join in the optimized plan"))
-        val names = innermost.output.map(_.name).toSet
-        if (!names.contains("p_partkey") || names.contains("s_suppkey"))
-          throw new IllegalStateException(
-            "CBO did not reorder the selective part join innermost: " +
-              s"innermost join output = $names\n" +
-              agg.queryExecution.optimizedPlan.toString)
-        val out = agg.collect().toIndexedSeq
-          .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
         s.createDataFrame(out).toDF("s_nationkey", "n_items", "revenue")
       } finally {
-        prev.foreach { case (k, v) => s.conf.set(k, v) }
         Seq("li", "part", "supp").foreach(t =>
           s.sql(s"DROP TABLE IF EXISTS ${pfx}_$t"))
       }
@@ -1054,30 +1051,26 @@ object ScaleQueries extends Registry {
     */
   private val q254 = Q("q254_aqe_coalesce",
     (s, d) => {
-      val tuned = Seq(
+      // coalesce tuning on a session CLONE (ConfScope).
+      val out = ConfScope.withConfs(s,
         "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "64",
         "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8MB")
-      val prev = tuned.map { case (k, _) => k -> s.conf.getOption(k) }
-      try {
-        tuned.foreach { case (k, v) => s.conf.set(k, v) }
-        val agg = Tables.fanOut(Tables.orders(s, d))
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8MB") { c =>
+        val agg = Tables.fanOut(Tables.orders(c, d))
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n_orders"),
             StableAgg.dsum(col("o_totalprice")).as("revenue"))
           .orderBy("o_orderpriority")
-        val out = agg.collect().toIndexedSeq
+        val rows = agg.collect().toIndexedSeq
           .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
         val plan = agg.queryExecution.executedPlan.toString
         if (!plan.contains("AQEShuffleRead") || !plan.contains("coalesced"))
           throw new IllegalStateException(
             s"AQE did not coalesce the small shuffle read:\n$plan")
-        s.createDataFrame(out).toDF("o_orderpriority", "n_orders", "revenue")
-      } finally prev.foreach {
-        case (k, Some(v)) => s.conf.set(k, v)
-        case (k, None)    => s.conf.unset(k)
+        rows
       }
+      s.createDataFrame(out).toDF("o_orderpriority", "n_orders", "revenue")
     },
     Some(s"""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
         ${O.dsum("o_totalprice")} AS revenue
@@ -1098,11 +1091,11 @@ object ScaleQueries extends Registry {
     */
   private val q255 = Q("q255_reuse_exchange",
     (s, d) => {
-      val tuned = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1")
-      val prev = tuned.map { case (k, _) => k -> s.conf.get(k) }
-      try {
-        tuned.foreach { case (k, v) => s.conf.set(k, v) }
-        val byCust = Tables.fanOut(Tables.orders(s, d))
+      // broadcast off on a session CLONE (ConfScope) so both sides plan
+      // the identical shuffle exchange that reuse deduplicates.
+      val out = ConfScope.withConfs(s,
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") { c =>
+        val byCust = Tables.fanOut(Tables.orders(c, d))
           .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
         val pairs = byCust.select(col("o_custkey").as("c1"), col("n_orders"))
           .join(byCust.select(col("o_custkey").as("c2"),
@@ -1111,14 +1104,15 @@ object ScaleQueries extends Registry {
         val agg = pairs.groupBy("n_orders")
           .agg(count(lit(1)).as("n_pairs"))
           .orderBy("n_orders")
-        val out = agg.collect().toIndexedSeq
+        val rows = agg.collect().toIndexedSeq
           .map(r => (r.getLong(0), r.getLong(1)))
         val plan = agg.queryExecution.executedPlan.toString
         if (!plan.contains("ReusedExchange"))
           throw new IllegalStateException(
             s"self-join did not reuse the aggregate's exchange:\n$plan")
-        s.createDataFrame(out).toDF("n_orders", "n_pairs")
-      } finally prev.foreach { case (k, v) => s.conf.set(k, v) }
+        rows
+      }
+      s.createDataFrame(out).toDF("n_orders", "n_pairs")
     },
     Some("""WITH c AS (SELECT o_custkey, COUNT(*) AS n_orders
           FROM orders GROUP BY 1),

@@ -67,7 +67,12 @@ object GenScale {
     // (the q237 lesson, fixture edition). A 100 TB table is always many
     // files; 16 per table models that at fixture scale.
     def write(df: DataFrame, t: String, key: Option[String] = None): Unit = {
-      val parts = key.map(k => df.repartition(16, col(k))).getOrElse(df.coalesce(1))
+      // Keyless tables write at their natural partitioning (ADVICE r11):
+      // defaulting to coalesce(1) is exactly the single-file/single-mapper
+      // shape the comment above warns about — fine for today's tiny
+      // dimension tables, but a silent trap for any future fact-table
+      // call that omits the key.
+      val parts = key.map(k => df.repartition(16, col(k))).getOrElse(df)
       parts.write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
       System.err.println(s"[genscale] wrote $t")
     }

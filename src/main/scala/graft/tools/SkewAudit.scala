@@ -59,6 +59,18 @@ object SkewAudit {
     // that mapper count at fixture scale.
     spark.conf.set("spark.sql.files.maxPartitionBytes", "2MB")
 
+    // Task-level straggler evidence (VERDICT r11 ask #2): wall time alone
+    // cannot distinguish "8 parallel chunk sorts" from "one hot-partition
+    // sort that happens to overlap other work" — the straggler signature
+    // is MAX task duration vs the task population. One listener per run,
+    // reset per timed pass.
+    val taskMs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskInfo != null && t.taskInfo.successful)
+          taskMs.add(t.taskInfo.duration): Unit
+    })
+
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       // Execute the DataFrame's OWN QueryExecution (a .write would build a
@@ -73,12 +85,23 @@ object SkewAudit {
         (wall, finalPlan(df.queryExecution.executedPlan).toString)
       }
       runOnce()
+      taskMs.clear()
       val (wall, rendered) = runOnce()
+      // let the async listener bus drain the timed pass's task-end events
+      // (tasks are complete when runJob returns; events lag by ms)
+      Thread.sleep(1000)
+      val tasks = {
+        import scala.jdk.CollectionConverters._
+        taskMs.iterator().asScala.toArray.sorted
+      }
+      val maxTask = if (tasks.nonEmpty) tasks.last / 1e3 else 0.0
+      val p50Task = if (tasks.nonEmpty) tasks(tasks.length / 2) / 1e3 else 0.0
       val skewJoins = "skew=true".r.findAllIn(rendered).length
       val skewReads = "AQEShuffleRead".r.findAllIn(rendered).length
       val coalesced = "coalesced".r.findAllIn(rendered).length
       println(f"[skew-audit] $name wall=$wall%.2fs skewJoinNodes=$skewJoins " +
-        f"aqeShuffleReads=$skewReads coalescedReads=$coalesced")
+        f"aqeShuffleReads=$skewReads coalescedReads=$coalesced " +
+        f"nTasks=${tasks.length} maxTaskSec=$maxTask%.2f p50TaskSec=$p50Task%.3f")
       if (sys.env.contains("GRAFT_SKEW_PLAN"))
         println(s"[skew-audit-plan] $name\n$rendered")
     }

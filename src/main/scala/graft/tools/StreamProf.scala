@@ -79,6 +79,11 @@ object StreamProf {
     // stream thread and never inherit the bench's job group, so this is
     // the only view of where micro-batch TASK time goes.
     val stageAgg = new java.util.concurrent.atomic.AtomicLongArray(4) // wallMs, runMs, cpuMs, nStages
+    // Per-task durations for the skewed-replay evidence (VERDICT r11 ask
+    // #6): a hot key concentrating in one state-store partition shows as
+    // ONE long task per micro-batch against a flat task population —
+    // max/p50 task duration is the straggler signature wall can't show.
+    val taskMs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
@@ -87,6 +92,9 @@ object StreamProf {
         stageAgg.addAndGet(2, si.taskMetrics.executorCpuTime / 1000000): Unit
         stageAgg.addAndGet(3, 1): Unit
       }
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskInfo != null && t.taskInfo.successful)
+          taskMs.add(t.taskInfo.duration): Unit
     })
 
     names.foreach { name =>
@@ -94,14 +102,23 @@ object StreamProf {
       // two passes: pass 0 pays JIT/codegen; pass 1 is the steady state
       (0 to 1).foreach { pass =>
         progs.synchronized(progs.clear())
+        taskMs.clear()
         val sa0 = (0 to 3).map(stageAgg.get)
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500) // let the async listener bus drain task-end events
         val sa = (0 to 3).map(i => stageAgg.get(i) - sa0(i))
         val snap = progs.synchronized(progs.toList)
+        val tasks = {
+          import scala.jdk.CollectionConverters._
+          taskMs.iterator().asScala.toArray.sorted
+        }
+        val maxT = if (tasks.nonEmpty) tasks.last else 0L
+        val p50T = if (tasks.nonEmpty) tasks(tasks.length / 2) else 0L
         println(f"== $name pass=$pass wall=$wall%.2fs batches=${snap.size} " +
-          f"stages=${sa(3)} stageWallMs=${sa(0)} taskRunMs=${sa(1)} taskCpuMs=${sa(2)}")
+          f"stages=${sa(3)} stageWallMs=${sa(0)} taskRunMs=${sa(1)} taskCpuMs=${sa(2)} " +
+          f"nTasks=${tasks.length} maxTaskMs=$maxT p50TaskMs=$p50T")
         val keys = Seq("triggerExecution", "queryPlanning", "getBatch",
           "latestOffset", "addBatch", "walCommit", "commitOffsets")
         snap.sortBy(p => (p.query, p.batchId)).foreach { p =>

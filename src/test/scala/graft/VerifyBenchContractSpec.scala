@@ -127,4 +127,39 @@ class VerifyBenchContractSpec extends SparkSpec {
     assert(json.contains(""""failed":["q_broken"]"""), json)
     assert(json.endsWith(s""""sf":"$dir"}"""), json)
   }
+
+  test("Bench memoBuild queries get one extra untimed priming pass at the timed dir") {
+    // Two distinct dirs so the per-dir memo shape is observable: the
+    // sf0.001 warmup primes only warmDir's memo, so without the extra
+    // pass the first TIMED sample at sfDir pays the one-time build
+    // (VERDICT r11 ask #4: q301's spread read 3.0 from exactly this).
+    val warmDir = "/root/testdata/sf0.001"
+    val sfDir = "/root/testdata/sf0.01"
+    val callsAtSfDir = new AtomicInteger(0)
+    val memoized: Bench.QueryFn = (s, d) => {
+      if (d == sfDir) callsAtSfDir.incrementAndGet(): Unit
+      good(s, d)
+    }
+    val run = Bench.sample(spark, Seq("q_memo" -> memoized),
+      sfDir = sfDir, warmDir = warmDir, sparse = Set.empty, nRounds = 2,
+      memoBuild = Set("q_memo"))
+    // priming pass + 2 timed rounds at sfDir; only the rounds are timed.
+    assert(callsAtSfDir.get() == 3)
+    assert(run.sampleRounds.map(_.size).sum == 2)
+    assert(run.results.map(_._1) == Seq("q_memo") && Bench.exitCode(run) == 0)
+
+    // A priming-pass failure is classified warmup-only (reported, rc 0
+    // untouched by it) — the timed samples behind the total stay real.
+    val failOnce = new AtomicInteger(0)
+    val buildFails: Bench.QueryFn = (s, d) => {
+      if (d == sfDir && failOnce.incrementAndGet() == 1)
+        throw new RuntimeException("memo build failed")
+      good(s, d)
+    }
+    val run2 = Bench.sample(spark, Seq("q_memo2" -> buildFails),
+      sfDir = sfDir, warmDir = warmDir, sparse = Set.empty, nRounds = 2,
+      memoBuild = Set("q_memo2"))
+    assert(run2.warmupOnly.sameElements(Array("q_memo2")))
+    assert(run2.results.map(_._1) == Seq("q_memo2") && Bench.exitCode(run2) == 0)
+  }
 }
