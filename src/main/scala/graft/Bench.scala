@@ -31,6 +31,14 @@ object Bench {
 
   def exitCode(r: Run): Int = if (r.failed.nonEmpty || r.flaky.nonEmpty) 1 else 0
 
+  /** The (query, round) tag of the currently-running bench sample — the
+    * attribution fallback for jobs whose group was replaced by another
+    * thread (streaming micro-batches run on the stream-execution thread
+    * under the stream's runId group). Sound because `sample` runs queries
+    * strictly sequentially.
+    */
+  private val currentTag = new java.util.concurrent.atomic.AtomicReference[String](null)
+
   private def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
   private def names(a: Array[String]): String =
     a.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -93,6 +101,7 @@ object Bench {
     def runOnce(name: String, fn: QueryFn, dir: String, tag: String,
         failSink: java.util.concurrent.ConcurrentHashMap[String, String]): Option[Double] = {
       spark.sparkContext.setJobGroup(tag, name, interruptOnCancel = false)
+      currentTag.set(tag)
       val t0 = System.nanoTime()
       // noop sink forces full materialization of every output column
       // (a bare .count() would let Catalyst prune the computed columns
@@ -105,7 +114,10 @@ object Bench {
         failSink.put(name, Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
         None
       }
-      finally spark.sparkContext.clearJobGroup()
+      finally {
+        spark.sparkContext.clearJobGroup()
+        currentTag.set(null)
+      }
     }
 
     // Untimed warmup at the smallest SF only: compiles each query's
@@ -171,12 +183,23 @@ object Bench {
     // ships a stage-level profile (bench_stages.json) that separates plan
     // cost (stage-sum ≈ wall) from driver/planning overhead or host
     // CPU-steal (stage-sum ≪ wall) without a rerun.
+    //
+    // Streaming gates need the fallback below: micro-batch jobs run on the
+    // stream-execution thread, which REPLACES the job group with the
+    // stream's own runId group, so without it every stateful gate's real
+    // task time vanished from stage_wall (q111 read 0.49 s against a 3.2 s
+    // wall whose steady state is ~2.1 s of genuine stage time — the r11
+    // "wall ≫ stage_wall" streaming signature was an attribution artifact,
+    // confirmed by StreamProf's all-stage accounting). Bench runs queries
+    // strictly sequentially, so a stage whose job group is not a bench tag
+    // belongs to whichever query is running when its job starts.
     val stageGroup = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     // group -> [stageWallSec, runMs, cpuMs, gcMs, nStages]
     val prof = new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
-        val g = Option(j.properties).map(_.getProperty("spark.jobGroup.id")).orNull
+        val g0 = Option(j.properties).map(_.getProperty("spark.jobGroup.id")).orNull
+        val g = if (g0 != null && g0.contains("@")) g0 else currentTag.get()
         if (g != null) j.stageIds.foreach(sid => stageGroup.put(sid, g))
       }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
@@ -219,7 +242,7 @@ object Bench {
       "q153_streaming_late_drop", "q154_foreach_batch_sink",
       "q155_streaming_chained_aggs", "q159_stateful_restart",
       "q204_streaming_tagging", "q208_streaming_upsert",
-      "q220_streaming_range_join")
+      "q220_streaming_range_join", "q304_streaming_salted_staleness")
 
     val warmDir = {
       val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")

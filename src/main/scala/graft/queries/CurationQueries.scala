@@ -559,11 +559,11 @@ object CurationQueries extends Registry {
     * salted-digest draw — the q43 discipline). The quadratic exact-pair
     * audits (q188, q194) run on this population; production samples the
     * same way. */
-  private def sampledDocs(s: SparkSession, d: String, salt: String): DataFrame =
+  private[queries] def sampledDocs(s: SparkSession, d: String, salt: String): DataFrame =
     Tables.fanOut(Tables.documents(s, d))
       .filter(graft.operators.Sampling.uniform(col("doc_id"), salt) < 0.5d)
 
-  private def shingleSets(docs: DataFrame): DataFrame =
+  private[queries] def shingleSets(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), array_distinct(
         TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -573,7 +573,7 @@ object CurationQueries extends Registry {
     * so the grouped co-occurrence count IS the intersection size — no
     * array-carrying join. Shared by q188 (Jaccard truth) and q194
     * (containment). */
-  private def pairOverlap(sh: DataFrame): DataFrame = {
+  private[queries] def pairOverlap(sh: DataFrame): DataFrame = {
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
     ex.select(col("doc_id").as("ida"), col("g"))
       .join(ex.select(col("doc_id").as("idb"), col("g")), "g")

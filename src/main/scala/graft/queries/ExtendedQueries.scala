@@ -30,7 +30,7 @@ object ExtendedQueries extends Registry {
     * the shared cache key — so the definitions cannot silently diverge
     * while still hitting the same memo entry.
     */
-  private def stalenessSymRows(s: SparkSession, d: String): Seq[(String, String, Long, Long)] =
+  private[queries] def stalenessSymRows(s: SparkSession, d: String): Seq[(String, String, Long, Long)] =
     StreamFixtures.replayRows("staleness_sym", d) {
       Tables.events(s, d)
         .select(col("user_id").cast("string").as("symbol"),

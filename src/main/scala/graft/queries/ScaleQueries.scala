@@ -1446,10 +1446,140 @@ object ScaleQueries extends Registry {
       FROM g WHERE gap_ms IS NOT NULL
       GROUP BY user_id ORDER BY user_id"""))
 
+  private val q304Runs = new java.util.concurrent.atomic.AtomicLong()
+
+  /** q303's window-skew mitigation DEPLOYED on the streaming path — the
+    * gated answer to the measured streaming hot-key straggler
+    * (docs/SCALING.md "Skew on the STREAMING path": one bot entity = 30 %
+    * of events hashes to ONE state-store partition, max/p50 task 4.2×).
+    * Per-entity sequential state (gaps, sessions) cannot be salted with a
+    * random key, and flatMapGroupsWithState hands the hot entity's whole
+    * batch slice to one task by construction. This gate restructures the
+    * pipeline instead: foreachBatch computes each micro-batch's gaps with
+    * q303's time-chunked window (lag within (user, chunk), 8-way parallel
+    * for the hot user, in-batch boundary repair over chunk indexes), and
+    * the only keyed state is ONE row per user — the last (ts) seen — kept
+    * in a batchId-versioned parquet table: batch b reads state b−1,
+    * repairs the cross-batch boundary gaps with a |users|-row join, and
+    * overwrites gaps/batch=b and state/batch=b idempotently (q154's
+    * replay-safe discipline; a retried batch re-reads the same b−1 state
+    * and rewrites the same outputs). The union of in-chunk, in-batch
+    * boundary, and cross-batch boundary gaps is exactly the full-series
+    * gap multiset, so the final aggregation must match q8's oracle
+    * bit-for-bit — the same proof obligation as q303, now across
+    * micro-batch boundaries.
+    *
+    * Scale: per batch the hot entity costs 8 parallel chunk sorts instead
+    * of one straggler task, and the stateful footprint drops from "every
+    * event through one partition's state store" to a |users|-row join —
+    * the shape that holds when the bot is 30 % of a 100 TB stream.
+    */
+  private val q304 = Q("q304_streaming_salted_staleness",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rows: Seq[(String, String, Long, Long)] =
+        ExtendedQueries.stalenessSymRows(s, d)
+      val runId = q304Runs.incrementAndGet()
+      val dir = TempDirs.scratch(
+        s"graft_q304_${ProcessHandle.current().pid()}_$runId")
+      val gapsRoot = new java.io.File(dir, "gaps").getPath
+      val stateRoot = new java.io.File(dir, "state").getPath
+      // 8 input partitions: the replay block parallelizes like q155's.
+      val mem = MemoryStream[(String, String, Long, Long)](numPartitions = 8)
+      val src = mem.toDF().toDF("symbol", "channel", "ts_exchange_ms", "arr")
+      val query = StreamGate.withStatePartitions(s, noDataBatches = false) {
+        src.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            val ss = batch.sparkSession
+            val b = batch.select(col("symbol"),
+              col("ts_exchange_ms").as("ts_ms"), col("arr"))
+            // KB-scale scalar collect (the q303 class): the batch's time
+            // range, for deterministic chunking
+            val r0 = b.agg(min("ts_ms"), max("ts_ms")).collect()(0)
+            val prev =
+              if (id == 0)
+                ss.createDataFrame(ss.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  org.apache.spark.sql.types.StructType(Seq(
+                    org.apache.spark.sql.types.StructField("symbol",
+                      org.apache.spark.sql.types.StringType),
+                    org.apache.spark.sql.types.StructField("s_last_ts",
+                      org.apache.spark.sql.types.LongType))))
+              else ss.read.parquet(s"$stateRoot/batch=${id - 1}")
+            if (r0.isNullAt(0)) {
+              // empty batch: carry state forward so batch ids stay dense
+              prev.write.mode("overwrite").parquet(s"$stateRoot/batch=$id")
+            } else {
+              val (lo, hi) = (r0.getLong(0), r0.getLong(1))
+              val width = math.max(1L, (hi - lo) / 8 + 1)
+              val chunked = b.withColumn("chunk",
+                ((col("ts_ms") - lo) / width).cast("long"))
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy("symbol", "chunk").orderBy("ts_ms", "arr")
+              val inChunk = chunked
+                .withColumn("gap_ms", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
+                .filter(col("gap_ms").isNotNull)
+                .select("symbol", "gap_ms")
+              val edges = chunked.groupBy("symbol", "chunk")
+                .agg(min(col("ts_ms")).as("first_ts"), max(col("ts_ms")).as("last_ts"))
+              val we = org.apache.spark.sql.expressions.Window
+                .partitionBy("symbol").orderBy("chunk")
+              val inBatchBoundary = edges
+                .withColumn("prev_last_ts", lag(col("last_ts"), 1).over(we))
+                .filter(col("prev_last_ts").isNotNull)
+                .select(col("symbol"), (col("first_ts") - col("prev_last_ts")).as("gap_ms"))
+              // |users|-row state join: the replay feeds global ts order,
+              // so every b−1 ts ≤ every b ts per user — the cross-batch
+              // gap is (batch first − state last)
+              val perUser = chunked.groupBy("symbol")
+                .agg(min(col("ts_ms")).as("first_ts"), max(col("ts_ms")).as("last_ts"))
+              val crossBoundary = perUser.join(prev, "symbol")
+                .select(col("symbol"), (col("first_ts") - col("s_last_ts")).as("gap_ms"))
+              inChunk.union(inBatchBoundary).union(crossBoundary)
+                .write.mode("overwrite").parquet(s"$gapsRoot/batch=$id")
+              // next state: users seen this batch update, absentees carry
+              prev.join(perUser, Seq("symbol"), "full_outer")
+                .select(col("symbol"),
+                  coalesce(col("last_ts"), col("s_last_ts")).as("s_last_ts"))
+                .write.mode("overwrite").parquet(s"$stateRoot/batch=$id")
+            }
+          }
+          .outputMode("append").start()
+      }
+      try {
+        rows.grouped(math.max(1, (rows.size + 1) / 2)).foreach { chunk =>
+          mem.addData(chunk: _*)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      s.read.parquet(gapsRoot)
+        .groupBy(col("symbol").cast("bigint").as("user_id"))
+        .agg(count(lit(1)).as("stale_count"),
+          StableAgg.lavg(col("gap_ms")).as("stale_mean_ms"),
+          StableAgg.lstdSamp(col("gap_ms")).as("stale_std_ms"),
+          min("gap_ms").as("stale_min_ms"),
+          max("gap_ms").as("stale_max_ms"))
+        .orderBy("user_id")
+    },
+    // q8's oracle verbatim (q108/q303's): the streaming chunked+repaired
+    // pipeline must reproduce the plain full-series window bit-for-bit
+    Some(s"""WITH g AS (
+        SELECT user_id,
+          epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+            (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap_ms
+        FROM events)
+      SELECT user_id, COUNT(*) AS stale_count,
+        ${O.lavg("gap_ms")} AS stale_mean_ms,
+        ${O.lstdSamp("gap_ms")} AS stale_std_ms,
+        MIN(gap_ms) AS stale_min_ms, MAX(gap_ms) AS stale_max_ms
+      FROM g WHERE gap_ms IS NOT NULL
+      GROUP BY user_id ORDER BY user_id"""))
+
   override val all: Seq[Q] =
     Seq(q156, q157, q158, q159, q160, q161, q162, q216, q217, q219, q220,
       q237, q245, q246, q247, q254, q255, q265, q266, q270, q275, q280,
-      q303)
+      q303, q304)
 }
 
 /** Serializable Count-Min probe: holds the sketch BYTES (what the

@@ -41,7 +41,8 @@ object PlanAudit {
     "q154_foreach_batch_sink", "q155_streaming_chained_aggs",
     "q159_stateful_restart", "q204_streaming_tagging",
     "q208_streaming_upsert", "q220_streaming_range_join",
-    "q235_streaming_update_mode", "q236_streaming_full_outer")
+    "q235_streaming_update_mode", "q236_streaming_full_outer",
+    "q304_streaming_salted_staleness")
 
   /** Batch registry queries in name order — the plan-audited surface. */
   def batchQueryNames: Seq[String] =

@@ -44,7 +44,10 @@ object StreamProf {
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
         import scala.jdk.CollectionConverters._
         progs.synchronized {
-          progs += Prog(e.progress.name, e.progress.batchId, e.progress.numInputRows,
+          // name is null for queries started without .queryName (q159's
+          // file-source restart legs) — the sort below needs a non-null key
+          progs += Prog(Option(e.progress.name).getOrElse(e.progress.id.toString),
+            e.progress.batchId, e.progress.numInputRows,
             e.progress.durationMs.asScala.map { case (k, v) => k -> v.longValue() }.toMap): Unit
         }
       }

@@ -76,9 +76,14 @@ class PlanInvariantsSpec extends SparkSpec {
     // is the IncrementalExecution's, never the "batch" placeholder), and
     // the stateless gates are exactly the documented stateless set
     // stateless appenders: stream-static joins (ANN probe, range join),
-    // the per-row tagger, and the foreachBatch overwrite sink
+    // the per-row tagger, and the two foreachBatch sinks — q304 is
+    // stateless IN THE ENGINE by design: its per-user state lives in the
+    // batchId-versioned parquet table its foreachBatch maintains, which
+    // is the point of the gate (hot-key state off the store's hash
+    // partitioning)
     val stateless = Set("q127_streaming_ann", "q220_streaming_range_join",
-      "q154_foreach_batch_sink", "q204_streaming_tagging")
+      "q154_foreach_batch_sink", "q204_streaming_tagging",
+      "q304_streaming_salted_staleness")
     currentStream.values.foreach { r =>
       assert(r.mode != "batch", s"${r.name}: no executed micro-batch plan captured")
       if (stateless(r.name))
