@@ -254,7 +254,8 @@ object Bench {
     // timed round after the untimed warmup answers it at a third the cost.
     // The driver never sets it, so per-round bench numbers stay min-of-3.
     val nRounds = sys.env.get("GRAFT_BENCH_ROUNDS").map(_.toInt).getOrElse(3)
-    val memoBuild = Set("q301_bucketed_fact_join", "q302_bucket_pruning")
+    val memoBuild = Set("q301_bucketed_fact_join", "q302_bucket_pruning",
+      "q307_bloom_file_skip")
     val run = sample(spark, ordered, sfDir, warmDir, sparseSampled, nRounds, memoBuild)
 
     run.results.foreach { case (name, sec) =>

@@ -2673,10 +2673,72 @@ object ExtendedQueries extends Registry {
         CAST(SUM(err) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_bias
       FROM j GROUP BY event_type ORDER BY event_type"""))
 
+  /** First/last-touch conversion attribution — the q92 funnel's companion
+    * analytics shape: for every user whose journey reaches a conversion
+    * (first `purchase`), credit the FIRST touchpoint of the journey and
+    * the LAST touchpoint before the conversion, and report credits per
+    * touchpoint type. Event order rides a zero-padded (ts_ms, event_id)
+    * string key (the >63-bit composite-ordering device from the
+    * determinism rules — 13+10 digits outgrows a packed BIGINT), so
+    * "first purchase" and "latest touch before it" are plain MIN /
+    * min_by / max_by aggregates with identical lexicographic semantics
+    * in both engines; ties are impossible (event_id is unique). Users
+    * who convert on their very first event have an empty journey and
+    * earn no credit.
+    *
+    * Scale: NO window — a windowed row_number would sort every user's
+    * whole history (twice, since the conversion subquery can't share the
+    * window), while the min_by formulation is three partial/final
+    * aggregates that all combine map-side, plus one join against the
+    * |converting users| table (AQE broadcasts it when small). The final
+    * credit census is |event types|. No self-join, no per-user collect,
+    * no sort anywhere.
+    */
+  private val q309 = Q("q309_touch_attribution",
+    (s, d) => {
+      val key = concat(lpad(col("ts_ms").cast("string"), 13, "0"),
+        lpad(col("event_id").cast("string"), 10, "0"))
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), key.as("k"))
+      val conv = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("k").as("conv_k"))
+      val journey = e.join(conv, "user_id").filter(col("k") < col("conv_k"))
+      val touches = journey.groupBy("user_id")
+        .agg(expr("min_by(event_type, k)").as("ft"),
+          expr("max_by(event_type, k)").as("lt"))
+      // one explode + one aggregate for both censuses — a first/last
+      // census pair via separate groupBys would duplicate the whole
+      // upstream (scan, conv join, touch aggregate) under each branch
+      touches
+        .select(explode(array(
+          struct(col("ft").as("event_type"), lit(1L).as("is_first")),
+          struct(col("lt").as("event_type"), lit(0L).as("is_first"))))
+          .as("t"))
+        .groupBy(col("t.event_type").as("event_type"))
+        .agg(sum(col("t.is_first")).as("n_first_touch"),
+          sum(lit(1L) - col("t.is_first")).as("n_last_touch"))
+        .orderBy("event_type")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type,
+          lpad(CAST(epoch_ms(ts) AS VARCHAR), 13, '0')
+            || lpad(CAST(event_id AS VARCHAR), 10, '0') AS k
+        FROM events),
+      c AS (SELECT user_id, MIN(k) AS conv_k FROM e
+        WHERE event_type = 'purchase' GROUP BY 1),
+      j AS (SELECT e.user_id, e.event_type, e.k FROM e
+        JOIN c ON e.user_id = c.user_id AND e.k < c.conv_k),
+      t AS (SELECT user_id, arg_min(event_type, k) AS ft,
+          arg_max(event_type, k) AS lt FROM j GROUP BY 1),
+      t2 AS (SELECT ft AS event_type, 1 AS is_first FROM t
+        UNION ALL SELECT lt AS event_type, 0 AS is_first FROM t)
+      SELECT event_type, CAST(SUM(is_first) AS BIGINT) AS n_first_touch,
+        CAST(SUM(1 - is_first) AS BIGINT) AS n_last_touch
+      FROM t2 GROUP BY event_type ORDER BY event_type"""))
+
   override val all: Seq[Q] =
     Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
       q101, q102, q103, q104, q105, q106, q108, q109, q110, q111, q113, q116,
       q117, q118, q119, q120, q121, q122, q123, q128, q129, q130, q131, q132,
       q133, q136, q137, q138, q139, q144, q148, q149, q152, q153, q154, q155,
-      q235, q236, q253, q256, q259, q260, q261)
+      q235, q236, q253, q256, q259, q260, q261, q309)
 }

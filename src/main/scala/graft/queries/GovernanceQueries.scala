@@ -442,6 +442,101 @@ object GovernanceQueries extends Registry {
         CAST(MAX(day) AS BIGINT) AS last_day
       FROM k GROUP BY field ORDER BY field"""))
 
+  /** Right-to-be-forgotten cascade audit (the GDPR/CCPA erasure job a
+    * governed corpus runs): a deletion-request list (here a deterministic
+    * ~5 % hash draw of user ids, standing in for the external DSR table)
+    * is cascaded through `events` as LEFT SEMI (the rows to erase) and
+    * LEFT ANTI (the surviving table) joins against the SAME list, and the
+    * audit emits the per-event-type before/erased/after ledger plus the
+    * distinct users actually erased — the artifact a compliance review
+    * asks for. GovernanceCertificatesSpec carries the two whole-result
+    * obligations the ledger can't state row-wise: the semi/anti split
+    * partitions the table exactly, and the survivor set contains ZERO
+    * rows of any requested user.
+    *
+    * Scale: the deletion list is always tiny vs the corpus (thousands of
+    * requests vs 100 TB), so both cascade joins broadcast the list and
+    * the corpus never shuffles; the erasure rewrite itself is the q239
+    * deletion-vector / q205 compaction path — this query is the AUDIT
+    * that decides and certifies it.
+    */
+  private val q306 = Q("q306_erasure_cascade",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      // the "deletion request" list: distinct users in the ~5 % hash draw.
+      // localCheckpoint materializes it once — in production this IS a
+      // separate tiny table (the DSR queue), and without it both cascade
+      // joins would re-derive it with two more full corpus scans.
+      val del = ev.select(col("user_id"))
+        .filter(Dedup.hexHash32(md5(concat(lit("erase:"),
+          col("user_id").cast("string")))) % 20 === 0)
+        .distinct()
+        .localCheckpoint()
+      val erased = ev.join(del, Seq("user_id"), "left_semi")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_erased"),
+          countDistinct(col("user_id")).as("n_users_erased"))
+      val retained = ev.join(del, Seq("user_id"), "left_anti")
+        .groupBy("event_type").agg(count(lit(1)).as("n_after"))
+      erased.join(retained, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          (coalesce(col("n_erased"), lit(0L)) +
+            coalesce(col("n_after"), lit(0L))).as("n_before"),
+          coalesce(col("n_erased"), lit(0L)).as("n_erased"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          coalesce(col("n_users_erased"), lit(0L)).as("n_users_erased"))
+        .orderBy("event_type")
+    },
+    Some {
+      val h = "md5('erase:' || user_id)"
+      s"""WITH del AS (SELECT DISTINCT user_id FROM events
+          WHERE (${TrainingDataQueries.duckHash32(h)}) % 20 = 0)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_before,
+          CAST(SUM(CASE WHEN d.user_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_erased,
+          CAST(SUM(CASE WHEN d.user_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_after,
+          CAST(COUNT(DISTINCT CASE WHEN d.user_id IS NOT NULL
+            THEN e.user_id END) AS BIGINT) AS n_users_erased
+        FROM events e LEFT JOIN del d ON e.user_id = d.user_id
+        GROUP BY event_type ORDER BY event_type"""
+    })
+
+  /** l-diversity audit (Machanavajjhala et al. 2007) — the companion gate
+    * to q213's k-anonymity over the SAME quasi-identifier groups
+    * (event_type, UTC day, value decile-bucket): a group of k
+    * indistinguishable rows still leaks its sensitive attribute if all k
+    * share one value, so releasability additionally requires ≥ l DISTINCT
+    * sensitive values (here user_id, l = 3) per QI group. Output = the
+    * full QI census with both group size and sensitive diversity, and the
+    * combined release decision — exactly the table a privacy review signs.
+    *
+    * Scale: one aggregate on the QI key with a distinct-count on the
+    * sensitive attribute — Spark plans COUNT(DISTINCT) as the two-phase
+    * expand/partial-merge aggregate, so the corpus shuffles once on the
+    * QI key; |groups| ≪ |rows| output. At 100 TB the exact distinct can
+    * swap for the q156 HLL sketch with the same query shape.
+    */
+  private val q308 = Q("q308_l_diversity",
+    (s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+          date_format(col("ts_utc"), "yyyy-MM-dd").as("day"),
+          floor(col("value") / 10.0d).cast("long").as("value_bucket"),
+          col("user_id"))
+        .groupBy("event_type", "day", "value_bucket")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("l_distinct"))
+        .withColumn("diverse", col("n") >= 5L && col("l_distinct") >= 3L)
+        .orderBy("event_type", "day", "value_bucket")
+    },
+    Some("""SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        CAST(floor(value / 10.0::DOUBLE) AS BIGINT) AS value_bucket,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS l_distinct,
+        (COUNT(*) >= 5 AND COUNT(DISTINCT user_id) >= 3) AS diverse
+      FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
   override val all: Seq[Q] = Seq(q212, q213, q214, q215, q233, q273, q274,
-    q277)
+    q277, q306, q308)
 }

@@ -857,6 +857,224 @@ object LakehouseQueries extends Registry {
       FROM lineitem, ks WHERE l_orderkey = k1 OR l_orderkey = k2
       GROUP BY l_orderkey"""))
 
+  /** Clustering-depth census (the Snowflake/Databricks re-cluster trigger
+    * metric): given a layout key (order date), how many files' [min,max]
+    * zones OVERLAP each file's lower bound? Perfectly clustered data has
+    * depth ≈ 1 (each probe point falls in one file's zone); scattered data
+    * has depth ≈ |files| (every zone spans the whole domain, so q210-style
+    * min/max skipping prunes nothing). Both layouts are simulated
+    * deterministically over `orders` — range assignment via ntile (the
+    * writer's range-partitioner, q63/q250's job) vs a hash scatter — and
+    * the census reports n_files / avg / max depth per layout, the exact
+    * numbers a table-maintenance service compares against its re-cluster
+    * threshold. LakehouseCertificatesSpec pins the discrimination property
+    * (clustered depth ≪ scattered depth).
+    *
+    * Scale: depth computes from PER-FILE min/max zones — one row per file
+    * (the manifest/footer stats a real table already has), so the metric
+    * is metadata-only at any corpus size: the self-join is |files|²
+    * bounded by overlap, never |rows|, and the verdict drives whether the
+    * expensive rewrite (q250's space-filling-curve sort) runs at all. The
+    * global ntile here only SIMULATES the writer's range partitioning on
+    * the fixture; a real writer assigns files at write time.
+    */
+  private val q305 = Q("q305_clustering_depth",
+    (s, d) => {
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1992-01-01").cast("date")).as("kday"))
+      val clustered = base.select(lit("clustered").as("layout"),
+        ntile(16).over(Window.orderBy("kday", "o_orderkey"))
+          .cast("long").as("file_id"), col("kday"))
+      val scattered = base.select(lit("scattered").as("layout"),
+        (graft.operators.Dedup.hexHash32(md5(concat(lit("cd:"),
+          col("o_orderkey").cast("string")))) % 16).as("file_id"),
+        col("kday"))
+      // zones = the manifest: 32 rows of per-file min/max. localCheckpoint
+      // cuts the self-join's duplicate recompute of the whole zone build
+      // (two more orders scans + window) — the real system reads these
+      // rows from file footers, so materializing them once IS the shape.
+      val zones = clustered.union(scattered)
+        .groupBy("layout", "file_id")
+        .agg(min("kday").as("mn"), max("kday").as("mx"))
+        .localCheckpoint()
+      val z1 = zones.select(col("layout"), col("file_id"), col("mn"))
+      val z2 = zones.select(col("layout").as("layout2"),
+        col("mn").as("mn2"), col("mx").as("mx2"))
+      val depth = z1.join(z2, col("layout") === col("layout2") &&
+          col("mn2") <= col("mn") && col("mn") <= col("mx2"))
+        .groupBy("layout", "file_id").agg(count(lit(1)).as("depth"))
+      depth.groupBy("layout")
+        .agg(count(lit(1)).as("n_files"),
+          graft.functions.StableAgg.lavg(col("depth")).as("avg_depth"),
+          max("depth").as("max_depth"))
+        .orderBy("layout")
+    },
+    Some {
+      val h = "md5('cd:' || o_orderkey)"
+      s"""WITH base AS (SELECT o_orderkey,
+          date_diff('day', DATE '1992-01-01', o_orderdate) AS kday
+        FROM orders),
+      a AS (
+        SELECT 'clustered' AS layout,
+          CAST(ntile(16) OVER (ORDER BY kday, o_orderkey) AS BIGINT)
+            AS file_id, kday
+        FROM base
+        UNION ALL
+        SELECT 'scattered' AS layout,
+          (${TrainingDataQueries.duckHash32(h)}) % 16 AS file_id, kday
+        FROM base),
+      z AS (SELECT layout, file_id, MIN(kday) AS mn, MAX(kday) AS mx
+        FROM a GROUP BY 1, 2),
+      dep AS (SELECT z1.layout, z1.file_id, COUNT(*) AS depth
+        FROM z z1 JOIN z z2 ON z1.layout = z2.layout
+          AND z2.mn <= z1.mn AND z1.mn <= z2.mx
+        GROUP BY 1, 2)
+      SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+        ${graft.OracleSql.lavg("depth")} AS avg_depth,
+        CAST(MAX(depth) AS BIGINT) AS max_depth
+      FROM dep GROUP BY layout ORDER BY layout"""
+    })
+
+  /** Per-(JVM, sfDir) memo of the q307 per-file Bloom index: 16 parquet
+    * files hash-scattered on user_id (so the lookup key event_id has NO
+    * layout correlation — the case zone maps and bucket pruning both
+    * fail), one Bloom bitmask per file built BY THE ENGINE (bit positions
+    * from the library's hexHash32∘md5 chain, OR-folded per 64-bit word
+    * with bit_or), plus the 3 deterministic probe keys and their true
+    * home files. The write + index build is the once-per-dataset ingest
+    * cost (Bench's memoBuild pass, q301's discipline); file count and
+    * index bytes are manifest-scale (KB per file), never data-scale.
+    */
+  private case class BloomIndex(files: Seq[String], nWords: Int,
+      blooms: Map[String, Array[Long]], probes: Seq[Long],
+      trueFiles: Set[String])
+  private val bloomMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, BloomIndex)]()
+  private val bloomBuilds = new java.util.concurrent.atomic.AtomicInteger
+
+  /** First-8-hex-chars md5 hash as a Long — the JVM mirror of
+    * `Dedup.hexHash32(md5(x))`, for probing the engine-built Bloom words
+    * on the driver (big-endian first 4 digest bytes = the nibble sum the
+    * Catalyst expression computes; equality is asserted per probe in
+    * LakehouseCertificatesSpec).
+    */
+  private[queries] def jvmHash32(x: String): Long = {
+    val dg = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((dg(0) & 0xffL) << 24) | ((dg(1) & 0xffL) << 16) |
+      ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)
+  }
+
+  private def bloomIndex(s: SparkSession, d: String): BloomIndex = {
+    def valid(p: (String, BloomIndex)): Boolean = new java.io.File(p._1).isDirectory
+    val hit = bloomMemo.get(d)
+    if (hit != null && valid(hit)) return hit._2
+    bloomMemo.synchronized {
+      val again = bloomMemo.get(d)
+      if (again != null && valid(again)) return again._2
+      val dir = graft.streaming.TempDirs.scratch(
+        s"graft_q307_${ProcessHandle.current().pid()}_${bloomBuilds.incrementAndGet()}")
+      val path = dir.getPath
+      Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
+        .repartition(16, col("user_id"))
+        .write.mode("overwrite").parquet(path)
+      val back = s.read.parquet(path)
+      val nRows = back.count()
+      // ~16 bits/key at 3 hashes over the whole dataset (keys split across
+      // 16 files, so per-file occupancy stays ≲ 1/16 of m): fpp ≈ 0.5 %
+      val nWords = math.max(256L, nRows / 64L + 1L).toInt
+      val m = nWords * 64L
+      def bitCol(j: Int) =
+        graft.operators.Dedup.hexHash32(md5(concat(lit(s"bf$j:"),
+          col("event_id").cast("string")))) % m
+      val wordRows = back
+        .select(input_file_name().as("f"),
+          explode(array(bitCol(0), bitCol(1), bitCol(2))).as("bit"))
+        .select(col("f"), expr("bit div 64").as("w"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))").as("mask"))
+        .groupBy("f", "w").agg(expr("bit_or(mask)").as("bits"))
+        .collect()
+      val blooms = wordRows.groupBy(_.getString(0)).map { case (f, rows) =>
+        val arr = new Array[Long](nWords)
+        rows.foreach(r => arr(r.getLong(1).toInt) = r.getLong(2))
+        f -> arr
+      }
+      val probes = back.select("event_id")
+        .filter(graft.operators.Dedup.hexHash32(md5(concat(lit("bfp:"),
+          col("event_id").cast("string")))) % 97 === 0)
+        .orderBy("event_id").limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      val trueFiles = back.filter(col("event_id").isin(probes: _*))
+        .select(input_file_name()).distinct()
+        .collect().map(_.getString(0)).toSet
+      val idx = BloomIndex(back.inputFiles.toSeq.sorted, nWords, blooms,
+        probes, trueFiles)
+      bloomMemo.put(d, (path, idx)): Unit
+      idx
+    }
+  }
+
+  /** File-level Bloom-index point lookup — the secondary-index skipping
+    * layer for keys the physical layout does NOT organize: the fixture
+    * files are hash-scattered on user_id, so a point lookup on event_id
+    * gets nothing from zone maps (q210: every file's [min,max] spans the
+    * domain) or bucket pruning (q302: wrong key) — but each file's Bloom
+    * bitmask answers "definitely absent" in KB of metadata, and the scan
+    * list shrinks from 16 files to the probes' ≈3 homes plus rare false
+    * positives. The in-query asserts pin both Bloom obligations: NO false
+    * negative (every probe's true file survives — a miss would silently
+    * drop rows and fail the hash too) and real pruning (survivors <
+    * total). The returned rows are layout-independent, so the oracle is a
+    * plain IN lookup.
+    *
+    * Scale: this is parquet's own footer Bloom machinery re-expressed as
+    * an explicit index table — built once at ingest by the engine itself
+    * (bit positions via the hexHash32∘md5 chain, one bit_or aggregate;
+    * index size is per-FILE metadata, KB each), probed on the driver at
+    * manifest scale (|files| × |probes| bit tests, no data touched), and
+    * only surviving files are handed to the scan. At 100 TB the index
+    * rides the manifest the same way zone maps do; the probe loop never
+    * scales with rows.
+    */
+  private val q307 = Q("q307_bloom_file_skip",
+    (s, d) => {
+      val idx = bloomIndex(s, d)
+      val m = idx.nWords * 64L
+      val surviving = idx.files.filter { f =>
+        val bm = idx.blooms.getOrElse(f, new Array[Long](idx.nWords))
+        idx.probes.exists { id =>
+          (0 to 2).forall { j =>
+            val bit = jvmHash32(s"bf$j:$id") % m
+            (bm((bit / 64L).toInt) & (1L << (bit % 64L).toInt)) != 0L
+          }
+        }
+      }
+      if (!idx.trueFiles.subsetOf(surviving.toSet))
+        throw new IllegalStateException("Bloom false negative: " +
+          s"${idx.trueFiles -- surviving.toSet} pruned but hold probe rows")
+      if (idx.probes.nonEmpty && surviving.size >= idx.files.size)
+        throw new IllegalStateException(
+          s"Bloom index pruned nothing (${surviving.size}/${idx.files.size})")
+      val scan =
+        if (surviving.isEmpty)
+          s.read.schema("event_id BIGINT, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE").parquet()
+        else s.read.parquet(surviving: _*)
+      scan.filter(col("event_id").isin(idx.probes: _*))
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    },
+    Some {
+      val h = "md5('bfp:' || event_id)"
+      s"""WITH probes AS (SELECT event_id FROM events
+          WHERE (${TrainingDataQueries.duckHash32(h)}) % 97 = 0
+          ORDER BY event_id LIMIT 3)
+        SELECT e.event_id, e.user_id, e.event_type, e.value
+        FROM events e JOIN probes p ON e.event_id = p.event_id
+        ORDER BY e.event_id"""
+    })
+
   override val all: Seq[Q] = Seq(q208, q209, q210, q211, q224, q238, q239,
-    q240, q244, q250, q257, q268, q301, q302)
+    q240, q244, q250, q257, q268, q301, q302, q305, q307)
 }

@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Certificates for the round-12 queries (sf0.001): whole-result
+  * properties and independent recomputes the row-value oracles cannot
+  * state (the oracle hash proves WHAT came out; these prove it means what
+  * the query claims).
+  */
+class Round12CertificatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  /** Hand-rolled mirror of the library hash chain hexHash32∘md5. */
+  private def md5Hash32(x: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(8), 16)
+  }
+
+  test("q305: the depth metric discriminates — range layout beats hash scatter") {
+    val rows = run("q305_clustering_depth")
+      .as[(String, Long, Double, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("clustered", "scattered"))
+    val Array(cl, sc) = rows
+    assert(cl._2 == 16 && sc._2 == 16, "both layouts must census 16 files")
+    // every probe point is inside its own file's zone → depth ≥ 1; a
+    // 16-file layout bounds depth at 16
+    Seq(cl, sc).foreach { r =>
+      assert(r._3 >= 1.0 && r._4 <= 16, s"depth out of range: $r")
+    }
+    // the metric's reason to exist: range-clustering must read sharply
+    // shallower than the hash scatter on the same data
+    assert(cl._3 < sc._3 && cl._4 <= sc._4,
+      s"clustering depth failed to discriminate: clustered=$cl scattered=$sc")
+  }
+
+  test("q306: the semi/anti cascade partitions events exactly and leaves no requested user behind") {
+    val audit = run("q306_erasure_cascade")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val ev = Tables.events(spark, sf)
+    assert(audit.map(_._2).sum == ev.count(), "ledger must cover every row")
+    audit.foreach { r =>
+      assert(r._2 == r._3 + r._4, s"before != erased + after for $r")
+    }
+    // independent recompute of the request list via the hand-rolled hash
+    val requested = ev.select($"user_id").distinct().as[Long].collect()
+      .filter(u => md5Hash32(s"erase:$u") % 20 == 0).toSet
+    assert(requested.nonEmpty, "fixture draw must request at least one user")
+    // the surviving (anti-joined) table must contain ZERO requested rows
+    val survivors = ev.filter(!$"user_id".isin(requested.toSeq: _*))
+    assert(survivors.count() == audit.map(_._4).sum,
+      "anti-join survivor count disagrees with the ledger")
+    val erasedRows = ev.filter($"user_id".isin(requested.toSeq: _*)).count()
+    assert(erasedRows == audit.map(_._3).sum,
+      "semi-join erased count disagrees with the ledger")
+  }
+
+  test("q307: JVM probe hash equals the engine's hexHash32(md5(...)) bit for bit") {
+    // the driver-side Bloom probe must compute EXACTLY the bit positions
+    // the engine-built index used, or pruning silently breaks at a hash
+    // mismatch rather than a Bloom false positive
+    val samples = (0 until 50).map(i => s"bf${i % 3}:${i * 7919}")
+    val engine = samples.toDF("x")
+      .select($"x", Dedup.hexHash32(md5($"x")).as("h"))
+      .as[(String, Long)].collect().toMap
+    samples.foreach { x =>
+      assert(engine(x) == md5Hash32(x), s"hash mismatch for $x")
+    }
+  }
+
+  test("q307: lookup equals the plain full-scan filter (pruning is invisible in values)") {
+    val viaIndex = run("q307_bloom_file_skip")
+      .as[(Long, Long, String, Double)].collect().toSeq
+    // independent probe derivation + plain scan, no Bloom anywhere
+    val ev = Tables.events(spark, sf)
+    val probes = ev.select($"event_id").as[Long].collect()
+      .filter(id => md5Hash32(s"bfp:$id") % 97 == 0).sorted.take(3)
+    val plain = ev.filter($"event_id".isin(probes: _*))
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .orderBy("event_id")
+      .as[(Long, Long, String, Double)].collect().toSeq
+    assert(viaIndex == plain, "Bloom-pruned lookup diverged from full scan")
+    assert(viaIndex.nonEmpty, "fixture must yield at least one probe row")
+  }
+
+  test("q308: diversity census agrees with q213's QI groups and bounds l by n") {
+    val ldiv = run("q308_l_diversity")
+      .as[(String, String, Long, Long, Long, Boolean)].collect()
+    val kanon = run("q213_k_anonymity")
+      .as[(String, String, Long, Long, Boolean)].collect()
+      .map(r => ((r._1, r._2, r._3), r._4)).toMap
+    assert(ldiv.length == kanon.size, "QI group sets must coincide")
+    ldiv.foreach { case (et, day, vb, n, l, diverse) =>
+      assert(kanon((et, day, vb)) == n, s"group size disagrees for ($et,$day,$vb)")
+      assert(l >= 1 && l <= n, s"l out of [1, n] for ($et,$day,$vb)")
+      assert(diverse == (n >= 5 && l >= 3), "release decision formula drifted")
+    }
+  }
+
+  test("q309: credits balance — one first and one last touch per converting user with a journey") {
+    val credits = run("q309_touch_attribution")
+      .as[(String, Long, Long)].collect()
+    assert(!credits.exists(_._1 == "purchase"),
+      "a conversion event can never be its own pre-conversion touchpoint")
+    // independent recompute of the crediting population
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"event_type", $"ts_ms", $"event_id")
+      .as[(Long, String, Long, Long)].collect()
+      .groupBy(_._1)
+    val expected = ev.valuesIterator.map { rows =>
+      val ordered = rows.sortBy(r => (r._3, r._4)).map(_._2)
+      val conv = ordered.indexOf("purchase")
+      if (conv > 0) Some((ordered.head, ordered(conv - 1))) else None
+    }.flatten.toSeq
+    assert(credits.map(_._2).sum == expected.size, "first-touch total drifted")
+    assert(credits.map(_._3).sum == expected.size, "last-touch total drifted")
+    val firstByType = expected.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val lastByType = expected.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    credits.foreach { case (et, nf, nl) =>
+      assert(firstByType.getOrElse(et, 0L) == nf, s"first-touch drifted for $et")
+      assert(lastByType.getOrElse(et, 0L) == nl, s"last-touch drifted for $et")
+    }
+  }
+}
