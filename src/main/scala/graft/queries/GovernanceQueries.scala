@@ -463,15 +463,20 @@ object GovernanceQueries extends Registry {
   private val q306 = Q("q306_erasure_cascade",
     (s, d) => {
       val ev = Tables.events(s, d)
-      // the "deletion request" list: distinct users in the ~5 % hash draw.
-      // localCheckpoint materializes it once — in production this IS a
-      // separate tiny table (the DSR queue), and without it both cascade
-      // joins would re-derive it with two more full corpus scans.
-      val del = ev.select(col("user_id"))
+      // The "deletion request" list: distinct users in the ~5 % hash draw,
+      // materialized to a LITERAL local relation (KB-scale — the q302
+      // probe-key collect class). In production this IS an external tiny
+      // table (the DSR queue); deriving it as a live filter lineage also
+      // measurably backfires: InferFiltersFromConstraints copies the
+      // md5-chain predicate through the semi-join onto the CORPUS scan
+      // (8 md5 calls per corpus row, single-task on the fixture's one
+      // file — profiled at ~1.5 s/branch), where a literal relation has
+      // no lineage to infer from and the corpus side stays a plain scan.
+      val requested = ev.select(col("user_id")).distinct()
         .filter(Dedup.hexHash32(md5(concat(lit("erase:"),
           col("user_id").cast("string")))) % 20 === 0)
-        .distinct()
-        .localCheckpoint()
+        .collect().map(_.getLong(0)).toIndexedSeq
+      val del = s.createDataFrame(requested.map(Tuple1(_))).toDF("user_id")
       val erased = ev.join(del, Seq("user_id"), "left_semi")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_erased"),

@@ -1037,6 +1037,14 @@ object LakehouseQueries extends Registry {
     * rides the manifest the same way zone maps do; the probe loop never
     * scales with rows.
     */
+  /** Dev accessor for tools/IndexAudit's pruned-vs-full A/B: the memoized
+    * scratch file list and probe keys behind q307 (read-only view).
+    */
+  private[graft] def bloomIndexView(s: SparkSession, d: String): (Seq[String], Seq[Long]) = {
+    val idx = bloomIndex(s, d)
+    (idx.files, idx.probes)
+  }
+
   private val q307 = Q("q307_bloom_file_skip",
     (s, d) => {
       val idx = bloomIndex(s, d)

@@ -1,0 +1,78 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+
+/** Dev A/B of the q307 per-file Bloom index (NOT part of the engine):
+  * time the SAME point lookup (a) through the index — prune the file
+  * list on the driver, scan only survivors — and (b) as a full scan of
+  * all 16 scratch files with the identical `event_id IN (...)` filter.
+  * Both paths read the same hash-scattered dataset, so the difference is
+  * purely the files skipped; the row results are identical (q307's
+  * certificate). Reports wall (min of `rounds` after one warmup), files
+  * scanned, and rows returned per path.
+  *
+  * {{{ sbt "runMain graft.tools.IndexAudit target/sf1 3" }}}
+  */
+object IndexAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("target/sf1")
+    val rounds = args.lift(1).map(_.toInt).getOrElse(3)
+    val spark = GraftSession.get("graft-index-audit",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+
+    // builds (or reuses) the memoized scratch copy + index + probes;
+    // the build is the ingest cost, paid before either timed path
+    val (files, probes) = graft.queries.LakehouseQueries.bloomIndexView(spark, dir)
+
+    // at fixture scale both paths fit one task wave and wall is
+    // scheduler-bound, so ALSO account the scan work the cluster would
+    // bill at real file sizes: input bytes + tasks launched per run
+    val bytes = new java.util.concurrent.atomic.AtomicLong()
+    val tasks = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          bytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead): Unit
+          tasks.incrementAndGet(): Unit
+        }
+      })
+
+    def time(body: => Long): (Double, Long, Long, Long) = {
+      var rowsOut = body // warmup (codegen/JIT)
+      var best = Double.MaxValue
+      var b0 = 0L; var t0n = 0L
+      (1 to rounds).foreach { _ =>
+        Thread.sleep(300) // drain the async listener bus between rounds
+        b0 = bytes.get(); t0n = tasks.get()
+        val t0 = System.nanoTime()
+        rowsOut = body
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      Thread.sleep(300)
+      (best, rowsOut, bytes.get() - b0, tasks.get() - t0n)
+    }
+
+    val pruned = time {
+      graft.SparkEntry.queries("q307_bloom_file_skip")(spark, dir).count()
+    }
+    val full = time {
+      spark.read.parquet(files: _*)
+        .filter(col("event_id").isin(probes: _*))
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id").count()
+    }
+    // the pruned path's file count: re-derive from the query's own scan
+    val prunedFiles =
+      graft.SparkEntry.queries("q307_bloom_file_skip")(spark, dir)
+        .inputFiles.length
+    println(f"[index-audit] dir=$dir probes=${probes.size} " +
+      f"pruned: ${pruned._1}%.3f s, $prunedFiles/${files.size} files, " +
+      f"${pruned._3 / 1048576.0}%.1f MiB in, ${pruned._4} tasks " +
+      f"(${pruned._2} rows) | full: ${full._1}%.3f s, ${files.size} files, " +
+      f"${full._3 / 1048576.0}%.1f MiB in, ${full._4} tasks (${full._2} rows)")
+    spark.stop()
+  }
+}
