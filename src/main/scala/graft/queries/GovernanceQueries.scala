@@ -507,6 +507,90 @@ object GovernanceQueries extends Registry {
         GROUP BY event_type ORDER BY event_type"""
     })
 
+  /** Declarative data-contract audit (the Great-Expectations-style release
+    * gate a governed table runs on every ingest): six contract clauses over
+    * `orders` (+ the lineitem→orders referential clause) evaluate in ONE
+    * conditional-aggregation pass plus ONE anti-join — key uniqueness,
+    * non-null positive amounts, date-domain bounds, status/priority value
+    * domains, and FK coverage — emitting the per-clause
+    * (checked, violations, pass) ledger a contract report renders. The
+    * clause set is data-independent, so the output cardinality is fixed
+    * and the hash gate pins every count.
+    *
+    * Scale: clauses c1-c5 share one scan of orders (COUNT/COUNT DISTINCT/
+    * conditional sums all partial-aggregate map-side; the distinct rides
+    * the q308 expand route); the referential clause is a lineitem⋈orders
+    * LEFT ANTI on the join key — the standard distributed RI audit, one
+    * shuffle on orderkey (bucketable at 100 TB: q301's layout makes it
+    * exchange-free). No clause collects anything row-scaled.
+    */
+  private val q310 = Q("q310_data_contract",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val oneRow = o.agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        sum(when(col("o_totalprice").isNull ||
+          col("o_totalprice") <= 0.0d, 1L).otherwise(0L)).as("v_price"),
+        sum(when(col("o_orderdate") < lit("1992-01-01").cast("timestamp") ||
+          col("o_orderdate") >= lit("1999-01-01").cast("timestamp"), 1L)
+          .otherwise(0L)).as("v_date"),
+        sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L)
+          .otherwise(0L)).as("v_status"),
+        sum(when(!col("o_orderpriority").rlike("^[1-5]-"), 1L)
+          .otherwise(0L)).as("v_prio"))
+      val ri = Tables.lineitem(s, d).select(col("l_orderkey"))
+        .join(o.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("v_fk"))
+      val liN = Tables.lineitem(s, d).agg(count(lit(1)).as("n_li"))
+      oneRow.crossJoin(ri).crossJoin(liN) // 1-row × 1-row × 1-row
+        .select(explode(array(
+          struct(lit("c1_orderkey_unique").as("clause"),
+            col("n").as("checked"), (col("n") - col("n_keys")).as("violations")),
+          struct(lit("c2_totalprice_positive").as("clause"),
+            col("n").as("checked"), col("v_price").as("violations")),
+          struct(lit("c3_orderdate_domain").as("clause"),
+            col("n").as("checked"), col("v_date").as("violations")),
+          struct(lit("c4_status_domain").as("clause"),
+            col("n").as("checked"), col("v_status").as("violations")),
+          struct(lit("c5_priority_format").as("clause"),
+            col("n").as("checked"), col("v_prio").as("violations")),
+          struct(lit("c6_lineitem_fk").as("clause"),
+            col("n_li").as("checked"), col("v_fk").as("violations"))))
+          .as("c"))
+        .select(col("c.clause").as("clause"), col("c.checked").as("checked"),
+          col("c.violations").as("violations"),
+          (col("c.violations") === 0L).as("pass"))
+        .orderBy("clause")
+    },
+    Some("""WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+          CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0.0
+            THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+          CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+            OR o_orderdate >= TIMESTAMP '1999-01-01'
+            THEN 1 ELSE 0 END) AS BIGINT) AS v_date,
+          CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+            THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+          CAST(SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+            THEN 1 ELSE 0 END) AS BIGINT) AS v_prio
+        FROM orders),
+      r AS (SELECT CAST(COUNT(*) AS BIGINT) AS v_fk FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+          WHERE o.o_orderkey = l.l_orderkey)),
+      li AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_li FROM lineitem),
+      c AS (
+        SELECT 'c1_orderkey_unique' AS clause, n AS checked,
+          n - n_keys AS violations FROM a
+        UNION ALL SELECT 'c2_totalprice_positive', n, v_price FROM a
+        UNION ALL SELECT 'c3_orderdate_domain', n, v_date FROM a
+        UNION ALL SELECT 'c4_status_domain', n, v_status FROM a
+        UNION ALL SELECT 'c5_priority_format', n, v_prio FROM a
+        UNION ALL SELECT 'c6_lineitem_fk', li.n_li, r.v_fk FROM li, r)
+      SELECT clause, checked, violations, violations = 0 AS pass
+      FROM c ORDER BY clause"""))
+
   /** l-diversity audit (Machanavajjhala et al. 2007) — the companion gate
     * to q213's k-anonymity over the SAME quasi-identifier groups
     * (event_type, UTC day, value decile-bucket): a group of k
@@ -543,5 +627,5 @@ object GovernanceQueries extends Registry {
       FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
 
   override val all: Seq[Q] = Seq(q212, q213, q214, q215, q233, q273, q274,
-    q277, q306, q308)
+    q277, q306, q308, q310)
 }

@@ -261,7 +261,8 @@ object PlanAudit {
     "q284_token_lift_pairs",    // 1-row n_docs scalar crossJoin (support floors + lift)
     "q292_kaplan_meier",        // 1-row censoring-horizon scalar crossJoin
     "q299_rrf_fusion",          // 5-anchor set broadcast vs corpus scan (q26 shape)
-    "q300_ndcg_at_10")          // 5-anchor set broadcast vs corpus scan (q26 shape)
+    "q300_ndcg_at_10",          // 5-anchor set broadcast vs corpus scan (q26 shape)
+    "q310_data_contract")       // 1-row × 1-row × 1-row clause-scalar crossJoins
 
   // ---------------------------------------------------------------------
   // Curated scale narratives (kept from rounds 2-7; auto entries cover the

@@ -101,6 +101,51 @@ class Round12CertificatesSpec extends SparkSpec {
     }
   }
 
+  test("q310: every clause's ledger matches a brute recompute and pass tracks violations") {
+    val ledger = run("q310_data_contract")
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(ledger.size == 6, "the contract has exactly six clauses")
+    val o = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice", "o_orderdate", "o_orderstatus",
+        "o_orderpriority").collect()
+    val li = Tables.lineitem(spark, sf).select("l_orderkey")
+      .as[Long].collect()
+    val nO = o.length.toLong
+    // o_orderdate is timestamp_ntz → LocalDateTime in collected rows
+    val lo = java.time.LocalDateTime.parse("1992-01-01T00:00:00")
+    val hi = java.time.LocalDateTime.parse("1999-01-01T00:00:00")
+    val expect = Map(
+      "c1_orderkey_unique" ->
+        (nO - o.map(_.getLong(0)).distinct.length),
+      "c2_totalprice_positive" ->
+        o.count(r => r.isNullAt(1) || r.getDouble(1) <= 0.0).toLong,
+      "c3_orderdate_domain" ->
+        o.count { r =>
+          val t = r.getAs[java.time.LocalDateTime](2)
+          t.isBefore(lo) || !t.isBefore(hi)
+        }.toLong,
+      "c4_status_domain" ->
+        o.count(r => !Set("F", "O", "P")(r.getString(3))).toLong,
+      "c5_priority_format" ->
+        o.count(r => !r.getString(4).matches("^[1-5]-.*")).toLong,
+      "c6_lineitem_fk" -> {
+        val keys = o.map(_.getLong(0)).toSet
+        li.count(k => !keys(k)).toLong
+      })
+    expect.foreach { case (clause, v) =>
+      val (checked, violations, pass) = ledger(clause)
+      assert(checked == (if (clause == "c6_lineitem_fk") li.length.toLong else nO),
+        s"$clause checked-count drifted")
+      assert(violations == v, s"$clause violations drifted: got $violations want $v")
+      assert(pass == (violations == 0L), s"$clause pass flag drifted")
+    }
+    // the gate must stay LIVE: the fixture genuinely violates the
+    // freshness-domain clause, so a bug that zeroes every counter can't
+    // hide behind an all-pass report
+    assert(expect("c3_orderdate_domain") > 0, "fixture lost its c3 violations")
+  }
+
   test("q309: credits balance — one first and one last touch per converting user with a journey") {
     val credits = run("q309_touch_attribution")
       .as[(String, Long, Long)].collect()
