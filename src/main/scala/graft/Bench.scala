@@ -242,7 +242,8 @@ object Bench {
       "q153_streaming_late_drop", "q154_foreach_batch_sink",
       "q155_streaming_chained_aggs", "q159_stateful_restart",
       "q204_streaming_tagging", "q208_streaming_upsert",
-      "q220_streaming_range_join", "q304_streaming_salted_staleness")
+      "q220_streaming_range_join", "q304_streaming_salted_staleness",
+      "q311_streaming_erasure")
 
     val warmDir = {
       val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")

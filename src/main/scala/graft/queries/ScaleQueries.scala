@@ -1576,10 +1576,113 @@ object ScaleQueries extends Registry {
       FROM g WHERE gap_ms IS NOT NULL
       GROUP BY user_id ORDER BY user_id"""))
 
+  private val q311Runs = new java.util.concurrent.atomic.AtomicLong()
+
+  /** q306's right-to-be-forgotten cascade DEPLOYED on the streaming path:
+    * per-user event counters accumulate across micro-batches in a
+    * batchId-versioned parquet state table (q304's replay-safe device —
+    * batch b reads state b−1, writes state b idempotently), and from the
+    * batch where the deletion-request list is live (id ≥ 1) every commit
+    * BOTH purges the requested users' accumulated state retroactively
+    * (LEFT ANTI against the KB-scale request list) and drops their
+    * incoming rows — so the final state is independent of where the
+    * chunk boundaries fell, and must hash-match the plain batch oracle
+    * "all events of non-requested users". This is the streaming shape a
+    * GDPR pipeline actually runs: erasure requests arrive MID-stream and
+    * must erase history, not just future rows.
+    *
+    * Engine-stateless by design (the PlanInvariantsSpec stateless set):
+    * the keyed state lives in the versioned table where the anti-join
+    * can reach ALL of it — the store's per-key state would need a full
+    * key scan per request batch. The request list stays a literal local
+    * relation for q306's reason (no filter lineage for
+    * InferFiltersFromConstraints to copy onto the stream side).
+    */
+  private val q311 = Q("q311_streaming_erasure",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rows: Seq[(Long, String)] = StreamFixtures.replayRows("q311", d) {
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
+          .orderBy("ts_ms", "event_id")
+          .collect().iterator.map(r => (r.getLong(0), r.getString(1))).toSeq
+      }
+      // the deletion-request list: q306's hash draw, collected once per
+      // (JVM, sfDir) — KB-scale, the external-DSR-table stand-in
+      val requested: Seq[Long] = StreamFixtures.replayRows("q311del", d) {
+        Tables.events(s, d).select(col("user_id")).distinct()
+          .filter(graft.operators.Dedup.hexHash32(md5(concat(lit("erase:"),
+            col("user_id").cast("string")))) % 20 === 0)
+          .collect().map(_.getLong(0)).toIndexedSeq
+      }
+      val runId = q311Runs.incrementAndGet()
+      val dir = TempDirs.scratch(
+        s"graft_q311_${ProcessHandle.current().pid()}_$runId")
+      val stateRoot = new java.io.File(dir, "state").getPath
+      val mem = MemoryStream[(Long, String)]
+      val src = mem.toDF().toDF("user_id", "event_type")
+      val query = StreamGate.withStatePartitions(s, noDataBatches = false) {
+        src.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            val ss = batch.sparkSession
+            val del = ss.createDataFrame(requested.map(Tuple1(_)))
+              .toDF("user_id")
+            val prev =
+              if (id == 0)
+                ss.createDataFrame(
+                  ss.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  org.apache.spark.sql.types.StructType(Seq(
+                    org.apache.spark.sql.types.StructField("user_id",
+                      org.apache.spark.sql.types.LongType),
+                    org.apache.spark.sql.types.StructField("event_type",
+                      org.apache.spark.sql.types.StringType),
+                    org.apache.spark.sql.types.StructField("n",
+                      org.apache.spark.sql.types.LongType))))
+              else ss.read.parquet(s"$stateRoot/batch=${id - 1}")
+            val cur = batch.groupBy("user_id", "event_type")
+              .agg(count(lit(1)).as("n"))
+            val merged = prev.unionByName(cur)
+              .groupBy("user_id", "event_type").agg(sum("n").as("n"))
+            // request list live from batch 1: retroactive purge + drop
+            val kept =
+              if (id >= 1) merged.join(del, Seq("user_id"), "left_anti")
+              else merged
+            kept.write.mode("overwrite").parquet(s"$stateRoot/batch=$id")
+          }
+          .outputMode("append").start()
+      }
+      try {
+        rows.grouped(math.max(1, (rows.size + 2) / 3)).foreach { chunk =>
+          mem.addData(chunk: _*)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      val last = new java.io.File(stateRoot).listFiles()
+        .map(_.getName).filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toLong).max
+      s.read.parquet(s"$stateRoot/batch=$last")
+        .groupBy("event_type")
+        .agg(sum("n").as("n_after"),
+          countDistinct(col("user_id")).as("n_users_after"))
+        .orderBy("event_type")
+    },
+    Some {
+      val h = "md5('erase:' || user_id)"
+      s"""WITH del AS (SELECT DISTINCT user_id FROM events
+          WHERE (${graft.queries.TrainingDataQueries.duckHash32(h)}) % 20 = 0)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_after,
+          CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_after
+        FROM events e
+        WHERE NOT EXISTS (SELECT 1 FROM del WHERE del.user_id = e.user_id)
+        GROUP BY event_type ORDER BY event_type"""
+    })
+
   override val all: Seq[Q] =
     Seq(q156, q157, q158, q159, q160, q161, q162, q216, q217, q219, q220,
       q237, q245, q246, q247, q254, q255, q265, q266, q270, q275, q280,
-      q303, q304)
+      q303, q304, q311)
 }
 
 /** Serializable Count-Min probe: holds the sketch BYTES (what the

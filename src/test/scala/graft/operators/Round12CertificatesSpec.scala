@@ -146,6 +146,28 @@ class Round12CertificatesSpec extends SparkSpec {
     assert(expect("c3_orderdate_domain") > 0, "fixture lost its c3 violations")
   }
 
+  test("q311: the streaming erasure's survivor ledger equals q306's batch cascade") {
+    // cross-query consistency: the mid-stream retroactive purge must land
+    // on exactly the state the batch semi/anti cascade computes in one shot
+    val streaming = run("q311_streaming_erasure")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    val batch = run("q306_erasure_cascade")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap // n_after
+    assert(streaming.keySet == batch.keySet, "event-type sets diverged")
+    streaming.foreach { case (et, n) =>
+      assert(batch(et) == n, s"survivor count diverged for $et")
+    }
+    // and no requested user survived the purge
+    val requested = Tables.events(spark, sf).select($"user_id").distinct()
+      .as[Long].collect().filter(u => md5Hash32(s"erase:$u") % 20 == 0).toSet
+    val survivors = streaming.values.sum
+    val expectTotal = Tables.events(spark, sf)
+      .filter(!$"user_id".isin(requested.toSeq: _*)).count()
+    assert(survivors == expectTotal, "streaming state retained purged rows")
+  }
+
   test("q309: credits balance — one first and one last touch per converting user with a journey") {
     val credits = run("q309_touch_attribution")
       .as[(String, Long, Long)].collect()
