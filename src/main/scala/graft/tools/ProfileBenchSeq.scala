@@ -41,9 +41,13 @@ object ProfileBenchSeq {
       }
     })
     val names = if (args.nonEmpty) args.toSeq else Seq("q16_normalize_books5", "q17_normalize_trades")
+    // GRAFT_PROF_WARM / GRAFT_PROF_SF: dev overrides so the same harness
+    // drives the sf1/sf10 scale-sanity passes (docs/SCALING.md)
+    val warmDir = sys.env.getOrElse("GRAFT_PROF_WARM", "/root/testdata/sf0.001")
+    val sfDir = sys.env.getOrElse("GRAFT_PROF_SF", "/root/testdata/sf0.1")
     names.foreach { name =>
-      val (w, f1, f2) = runSeq(spark, name, "/root/testdata/sf0.001", "/root/testdata/sf0.1")
-      println(f"[seq] $name%-24s warm0.001=$w%.2f first0.1=$f1%.2f second0.1=$f2%.2f")
+      val (w, f1, f2) = runSeq(spark, name, warmDir, sfDir)
+      println(f"[seq] $name%-24s warm=$w%.2f first=$f1%.2f second=$f2%.2f ($sfDir)")
     }
     spark.stop()
   }
