@@ -31,13 +31,21 @@ object Bench {
 
   def exitCode(r: Run): Int = if (r.failed.nonEmpty || r.flaky.nonEmpty) 1 else 0
 
-  /** The (query, round) tag of the currently-running bench sample — the
+  /** Time-indexed (query, round) tags of the bench samples — the
     * attribution fallback for jobs whose group was replaced by another
     * thread (streaming micro-batches run on the stream-execution thread
-    * under the stream's runId group). Sound because `sample` runs queries
-    * strictly sequentially.
+    * under the stream's runId group). Keyed by wall-clock START of each
+    * sample and resolved against `SparkListenerJobStart.time` (stamped
+    * synchronously at job SUBMISSION on the driver), not against a
+    * mutable "current" tag read at listener-processing time: the listener
+    * bus is async, so a late-delivered JobStart from query N would read
+    * query N+1's tag and re-create exactly the misattribution this
+    * fallback exists to fix. Sound because `sample` runs queries strictly
+    * sequentially, so floorEntry(jobSubmitTime) is the sample that
+    * submitted the job; entries ending a sample map to null.
     */
-  private val currentTag = new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val tagWindows =
+    new java.util.concurrent.ConcurrentSkipListMap[Long, String]()
 
   private def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
   private def names(a: Array[String]): String =
@@ -101,7 +109,7 @@ object Bench {
     def runOnce(name: String, fn: QueryFn, dir: String, tag: String,
         failSink: java.util.concurrent.ConcurrentHashMap[String, String]): Option[Double] = {
       spark.sparkContext.setJobGroup(tag, name, interruptOnCancel = false)
-      currentTag.set(tag)
+      tagWindows.put(System.currentTimeMillis(), tag): Unit
       val t0 = System.nanoTime()
       // noop sink forces full materialization of every output column
       // (a bare .count() would let Catalyst prune the computed columns
@@ -116,7 +124,8 @@ object Bench {
       }
       finally {
         spark.sparkContext.clearJobGroup()
-        currentTag.set(null)
+        // "" = no sample running (CSLM forbids null values)
+        tagWindows.put(System.currentTimeMillis(), ""): Unit
       }
     }
 
@@ -199,7 +208,14 @@ object Bench {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         val g0 = Option(j.properties).map(_.getProperty("spark.jobGroup.id")).orNull
-        val g = if (g0 != null && g0.contains("@")) g0 else currentTag.get()
+        val g =
+          if (g0 != null && g0.contains("@")) g0
+          else {
+            // j.time is stamped at submission, so the floor window is the
+            // sample that submitted this job even if the bus delivers late
+            val e = tagWindows.floorEntry(j.time)
+            if (e == null || e.getValue.isEmpty) null else e.getValue
+          }
         if (g != null) j.stageIds.foreach(sid => stageGroup.put(sid, g))
       }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
@@ -254,7 +270,13 @@ object Bench {
     // the question there is asymptotic SHAPE, not steady-state min — one
     // timed round after the untimed warmup answers it at a third the cost.
     // The driver never sets it, so per-round bench numbers stay min-of-3.
-    val nRounds = sys.env.get("GRAFT_BENCH_ROUNDS").map(_.toInt).getOrElse(3)
+    val nRounds = sys.env.get("GRAFT_BENCH_ROUNDS").map { v =>
+      val n = v.toInt
+      // a zero/negative round count would emit an empty run with total
+      // 0.0 and exit 0 — silently clobbering the checked-in artifact
+      require(n >= 1, s"GRAFT_BENCH_ROUNDS must be >= 1, got $v")
+      n
+    }.getOrElse(3)
     val memoBuild = Set("q301_bucketed_fact_join", "q302_bucket_pruning",
       "q307_bloom_file_skip")
     val run = sample(spark, ordered, sfDir, warmDir, sparseSampled, nRounds, memoBuild)

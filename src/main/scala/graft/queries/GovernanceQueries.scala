@@ -16,6 +16,36 @@ import graft.operators.{Dedup, TextAnalysis}
   * trend fitting via exact decimal moments (the q82 device extended to
   * regression).
   */
+/** SINGLE OWNER of the erasure-request draw shared by q306 (batch cascade)
+  * and q311 (streaming cascade) on both engine sides: the ~5 % salted hash
+  * draw of user ids standing in for the external deletion-request (DSR)
+  * table. An edit here moves the whole erasure family together — the two
+  * Spark queries AND their DuckDB oracles — so the draw can never
+  * desynchronize between the batch and streaming twins.
+  */
+private[queries] object ErasureFixture {
+  import graft.operators.Dedup
+
+  /** The request list, collected to a KB-scale driver value (the q302
+    * probe-key collect class). Both consumers turn it into a LITERAL
+    * local relation — deriving it as live filter lineage lets
+    * InferFiltersFromConstraints copy the md5-chain predicate onto the
+    * corpus scan (8 md5 calls per corpus row; profiled 3× slowdown).
+    */
+  def requestedUsers(s: SparkSession, d: String): IndexedSeq[Long] =
+    Tables.events(s, d).select(col("user_id")).distinct()
+      .filter(Dedup.hexHash32(md5(concat(lit("erase:"),
+        col("user_id").cast("string")))) % 20 === 0)
+      .collect().map(_.getLong(0)).toIndexedSeq
+
+  /** DuckDB mirror of [[requestedUsers]] as a CTE body. */
+  val oracleDelCte: String = {
+    val h = "md5('erase:' || user_id)"
+    s"""SELECT DISTINCT user_id FROM events
+          WHERE (${TrainingDataQueries.duckHash32(h)}) % 20 = 0"""
+  }
+}
+
 object GovernanceQueries extends Registry {
 
   private val JlDims = 16
@@ -463,19 +493,10 @@ object GovernanceQueries extends Registry {
   private val q306 = Q("q306_erasure_cascade",
     (s, d) => {
       val ev = Tables.events(s, d)
-      // The "deletion request" list: distinct users in the ~5 % hash draw,
-      // materialized to a LITERAL local relation (KB-scale — the q302
-      // probe-key collect class). In production this IS an external tiny
-      // table (the DSR queue); deriving it as a live filter lineage also
-      // measurably backfires: InferFiltersFromConstraints copies the
-      // md5-chain predicate through the semi-join onto the CORPUS scan
-      // (8 md5 calls per corpus row, single-task on the fixture's one
-      // file — profiled at ~1.5 s/branch), where a literal relation has
-      // no lineage to infer from and the corpus side stays a plain scan.
-      val requested = ev.select(col("user_id")).distinct()
-        .filter(Dedup.hexHash32(md5(concat(lit("erase:"),
-          col("user_id").cast("string")))) % 20 === 0)
-        .collect().map(_.getLong(0)).toIndexedSeq
+      // the "deletion request" list as a LITERAL local relation — see
+      // ErasureFixture for the draw AND the reason it must be literal
+      // (the InferFiltersFromConstraints corpus-scan trap)
+      val requested = ErasureFixture.requestedUsers(s, d)
       val del = s.createDataFrame(requested.map(Tuple1(_))).toDF("user_id")
       val erased = ev.join(del, Seq("user_id"), "left_semi")
         .groupBy("event_type")
@@ -493,9 +514,7 @@ object GovernanceQueries extends Registry {
         .orderBy("event_type")
     },
     Some {
-      val h = "md5('erase:' || user_id)"
-      s"""WITH del AS (SELECT DISTINCT user_id FROM events
-          WHERE (${TrainingDataQueries.duckHash32(h)}) % 20 = 0)
+      s"""WITH del AS (${ErasureFixture.oracleDelCte})
         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_before,
           CAST(SUM(CASE WHEN d.user_id IS NOT NULL THEN 1 ELSE 0 END)
             AS BIGINT) AS n_erased,

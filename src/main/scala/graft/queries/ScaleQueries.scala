@@ -1609,13 +1609,11 @@ object ScaleQueries extends Registry {
           .orderBy("ts_ms", "event_id")
           .collect().iterator.map(r => (r.getLong(0), r.getString(1))).toSeq
       }
-      // the deletion-request list: q306's hash draw, collected once per
-      // (JVM, sfDir) — KB-scale, the external-DSR-table stand-in
+      // the deletion-request list: ErasureFixture's draw (the SINGLE
+      // owner q306 shares), collected once per (JVM, sfDir) — KB-scale,
+      // the external-DSR-table stand-in
       val requested: Seq[Long] = StreamFixtures.replayRows("q311del", d) {
-        Tables.events(s, d).select(col("user_id")).distinct()
-          .filter(graft.operators.Dedup.hexHash32(md5(concat(lit("erase:"),
-            col("user_id").cast("string")))) % 20 === 0)
-          .collect().map(_.getLong(0)).toIndexedSeq
+        ErasureFixture.requestedUsers(s, d)
       }
       val runId = q311Runs.incrementAndGet()
       val dir = TempDirs.scratch(
@@ -1669,9 +1667,7 @@ object ScaleQueries extends Registry {
         .orderBy("event_type")
     },
     Some {
-      val h = "md5('erase:' || user_id)"
-      s"""WITH del AS (SELECT DISTINCT user_id FROM events
-          WHERE (${graft.queries.TrainingDataQueries.duckHash32(h)}) % 20 = 0)
+      s"""WITH del AS (${ErasureFixture.oracleDelCte})
         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_after,
           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_after
         FROM events e

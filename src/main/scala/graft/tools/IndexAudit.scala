@@ -42,17 +42,19 @@ object IndexAudit {
 
     def time(body: => Long): (Double, Long, Long, Long) = {
       var rowsOut = body // warmup (codegen/JIT)
-      var best = Double.MaxValue
-      var b0 = 0L; var t0n = 0L
+      // report the (wall, bytes, tasks) of the SAME round — the min-wall
+      // one — rather than pairing min wall with the last round's I/O
+      var best = (Double.MaxValue, 0L, 0L)
       (1 to rounds).foreach { _ =>
         Thread.sleep(300) // drain the async listener bus between rounds
-        b0 = bytes.get(); t0n = tasks.get()
+        val b0 = bytes.get(); val t0n = tasks.get()
         val t0 = System.nanoTime()
         rowsOut = body
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300)
+        if (wall < best._1) best = (wall, bytes.get() - b0, tasks.get() - t0n)
       }
-      Thread.sleep(300)
-      (best, rowsOut, bytes.get() - b0, tasks.get() - t0n)
+      (best._1, rowsOut, best._2, best._3)
     }
 
     val pruned = time {

@@ -85,6 +85,10 @@ object SkewAudit {
         (wall, finalPlan(df.queryExecution.executedPlan).toString)
       }
       runOnce()
+      // drain the warmup's async task-end events BEFORE clearing, or the
+      // slowest (JIT-cold) warmup tasks land after the clear and pollute
+      // the timed pass's straggler stats
+      Thread.sleep(1000)
       taskMs.clear()
       val (wall, rendered) = runOnce()
       // let the async listener bus drain the timed pass's task-end events

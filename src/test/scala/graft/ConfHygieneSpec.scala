@@ -47,9 +47,12 @@ class ConfHygieneSpec extends AnyFunSuite {
       new java.io.File(queriesDir, "Registry.scala").toPath)
     val sSets = (0 until lines.size()).count(i =>
       lines.get(i).contains("s.conf.set(") || lines.get(i).contains("s.conf.unset("))
-    // withStatePartitions: 4 sets + 1 extraConfs set + restore block
-    // (3 sets + 1 set/1 unset in the prevExtra fold) = 10
-    assert(sSets <= 10,
-      s"unexpected new shared-session conf mutations in Registry.scala ($sSets sites)")
+    // withStatePartitions: 3 sets + 1 extraConfs set + restore block
+    // (3 sets + 1 set/1 unset in the prevExtra fold) = 9 — pinned EXACTLY:
+    // a <= bound with slack would let one rogue s.conf.set ship unnoticed
+    assert(sSets == 9,
+      s"shared-session conf-mutation count in Registry.scala drifted ($sSets " +
+        "sites, expected 9) — if withStatePartitions changed intentionally, " +
+        "update this count; anything else is a hygiene violation")
   }
 }
