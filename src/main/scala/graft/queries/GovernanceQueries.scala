@@ -645,6 +645,78 @@ object GovernanceQueries extends Registry {
         (COUNT(*) >= 5 AND COUNT(DISTINCT user_id) >= 3) AS diverse
       FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
 
+  /** k-anonymity ENFORCEMENT (the remediation step after q213's audit):
+    * fine QI groups (event_type, UTC day, value decile-bucket) with
+    * n ≥ k release as-is; failing groups GENERALIZE one rung up the
+    * value hierarchy (decile → ventile-of-20 bucket, the standard
+    * generalization-lattice move) and release if the coarsened group —
+    * which pools ONLY failing fine groups, so released fine rows are
+    * never re-keyed — reaches k; whatever still misses k is SUPPRESSED.
+    * Output = the per-(event_type, day) disposition ledger (rows
+    * released fine / released generalized / suppressed), i.e. the
+    * utility-loss accounting a privacy office signs alongside q213's
+    * audit. Every row lands in exactly one disposition, so the oracle
+    * hash also pins conservation (certificate re-asserts it).
+    *
+    * Scale: two keyed aggregates (fine census, then a re-aggregate of
+    * only the failing groups at the coarse key) plus per-group
+    * arithmetic — |groups| ≪ |rows| after the first aggregate, so the
+    * lattice walk costs metadata, not data; the same shape iterates up
+    * taller hierarchies (day → week → month) without touching the
+    * corpus again.
+    */
+  private val q312 = Q("q312_k_anon_generalize",
+    (s, d) => {
+      val k = 5L
+      val fine = Tables.events(s, d)
+        .select(col("event_type"),
+          date_format(col("ts_utc"), "yyyy-MM-dd").as("day"),
+          floor(col("value") / 10.0d).cast("long").as("b10"))
+        .groupBy("event_type", "day", "b10")
+        .agg(count(lit(1)).as("n"))
+      val released = fine.filter(col("n") >= k)
+      val failing = fine.filter(col("n") < k)
+      val coarse = failing
+        .withColumn("b20", floor(col("b10").cast("double") / 2.0d).cast("long"))
+        .groupBy("event_type", "day", "b20")
+        .agg(sum("n").as("cn"))
+      val fineLedger = released
+        .groupBy("event_type", "day")
+        .agg(sum("n").as("n_fine"))
+      val coarseLedger = coarse
+        .groupBy("event_type", "day")
+        .agg(sum(when(col("cn") >= k, col("cn")).otherwise(0L)).as("n_gen"),
+          sum(when(col("cn") < k, col("cn")).otherwise(0L)).as("n_supp"))
+      fineLedger.join(coarseLedger, Seq("event_type", "day"), "full_outer")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n_fine"), lit(0L)).as("n_released_fine"),
+          coalesce(col("n_gen"), lit(0L)).as("n_released_generalized"),
+          coalesce(col("n_supp"), lit(0L)).as("n_suppressed"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH fine AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+          CAST(floor(value / 10.0::DOUBLE) AS BIGINT) AS b10,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2, 3),
+      coarse AS (SELECT event_type, day,
+          CAST(floor(CAST(b10 AS DOUBLE) / 2.0::DOUBLE) AS BIGINT) AS b20,
+          CAST(SUM(n) AS BIGINT) AS cn
+        FROM fine WHERE n < 5 GROUP BY 1, 2, 3),
+      fl AS (SELECT event_type, day, CAST(SUM(n) AS BIGINT) AS n_fine
+        FROM fine WHERE n >= 5 GROUP BY 1, 2),
+      cl AS (SELECT event_type, day,
+          CAST(SUM(CASE WHEN cn >= 5 THEN cn ELSE 0 END) AS BIGINT) AS n_gen,
+          CAST(SUM(CASE WHEN cn < 5 THEN cn ELSE 0 END) AS BIGINT) AS n_supp
+        FROM coarse GROUP BY 1, 2)
+      SELECT COALESCE(fl.event_type, cl.event_type) AS event_type,
+        COALESCE(fl.day, cl.day) AS day,
+        COALESCE(fl.n_fine, 0) AS n_released_fine,
+        COALESCE(cl.n_gen, 0) AS n_released_generalized,
+        COALESCE(cl.n_supp, 0) AS n_suppressed
+      FROM fl FULL OUTER JOIN cl
+        ON fl.event_type = cl.event_type AND fl.day = cl.day
+      ORDER BY event_type, day"""))
+
   override val all: Seq[Q] = Seq(q212, q213, q214, q215, q233, q273, q274,
-    q277, q306, q308, q310)
+    q277, q306, q308, q310, q312)
 }

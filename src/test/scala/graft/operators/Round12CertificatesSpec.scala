@@ -146,6 +146,42 @@ class Round12CertificatesSpec extends SparkSpec {
     assert(expect("c3_orderdate_domain") > 0, "fixture lost its c3 violations")
   }
 
+  test("q312: dispositions conserve rows and agree with a brute lattice walk") {
+    val ledger = run("q312_k_anon_generalize")
+      .as[(String, String, Long, Long, Long)].collect()
+    val ev = Tables.events(spark, sf)
+      .select($"event_type",
+        date_format($"ts_utc", "yyyy-MM-dd").as("day"),
+        floor($"value" / 10.0d).cast("long").as("b10"))
+      .as[(String, String, Long)].collect()
+    // conservation: every event lands in exactly one disposition
+    assert(ledger.map(r => r._3 + r._4 + r._5).sum == ev.length.toLong,
+      "disposition ledger lost or duplicated rows")
+    // brute recompute of the generalize-then-suppress walk
+    val fine = ev.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = scala.collection.mutable.Map
+      .empty[(String, String), (Long, Long, Long)].withDefaultValue((0L, 0L, 0L))
+    val failing = fine.filter(_._2 < 5)
+    fine.filter(_._2 >= 5).foreach { case ((et, day, _), n) =>
+      val (f, g, s0) = expect((et, day)); expect((et, day)) = (f + n, g, s0)
+    }
+    failing.groupBy { case ((et, day, b10), _) =>
+      (et, day, math.floor(b10.toDouble / 2.0).toLong)
+    }.foreach { case ((et, day, _), members) =>
+      val cn = members.values.sum
+      val (f, g, s0) = expect((et, day))
+      expect((et, day)) =
+        if (cn >= 5) (f, g + cn, s0) else (f, g, s0 + cn)
+    }
+    ledger.foreach { case (et, day, f, g, s0) =>
+      assert(expect((et, day)) == ((f, g, s0)),
+        s"disposition drifted for ($et,$day)")
+    }
+    // the lattice must be LIVE on the fixture: all three dispositions occur
+    assert(ledger.map(_._3).sum > 0 && ledger.map(_._4).sum > 0 &&
+      ledger.map(_._5).sum > 0, "fixture no longer exercises all dispositions")
+  }
+
   test("q311: the streaming erasure's survivor ledger equals q306's batch cascade") {
     // cross-query consistency: the mid-stream retroactive purge must land
     // on exactly the state the batch semi/anti cascade computes in one shot
