@@ -939,18 +939,33 @@ object LakehouseQueries extends Registry {
   /** Per-(JVM, sfDir) memo of the q307 per-file Bloom index: 16 parquet
     * files hash-scattered on user_id (so the lookup key event_id has NO
     * layout correlation — the case zone maps and bucket pruning both
-    * fail), one Bloom bitmask per file built BY THE ENGINE (bit positions
+    * fail), one Bloom filter per file built BY THE ENGINE (bit positions
     * from the library's hexHash32∘md5 chain, OR-folded per 64-bit word
-    * with bit_or), plus the 3 deterministic probe keys and their true
-    * home files. The write + index build is the once-per-dataset ingest
-    * cost (Bench's memoBuild pass, q301's discipline); file count and
-    * index bytes are manifest-scale (KB per file), never data-scale.
+    * with bit_or) and persisted as a MANIFEST TABLE of two scratch
+    * parquet relations:
+    *
+    *  - `meta(f, nwords)` — one row per data file, each file's filter
+    *    sized from THAT file's own row count (~16 bits/key at 3 hashes ⇒
+    *    fpp ≈ (1−e^(−3/16))³ ≈ 0.5 % per file, with no global coupling:
+    *    adding files never resizes existing filters);
+    *  - `words(f, w, bits)` — only the OCCUPIED 64-bit words.
+    *
+    * The driver value holds paths + the 3 deterministic probe keys and
+    * their true home files; the dense bit arrays never leave the
+    * executors (the r12 shape held an O(corpus rows/64) Array[Long] per
+    * file in a driver map). The write + index build is the
+    * once-per-dataset ingest cost (Bench's memoBuild pass, q301's
+    * discipline); probing is a broadcast join against the manifest.
     */
-  private case class BloomIndex(files: Seq[String], nWords: Int,
-      blooms: Map[String, Array[Long]], probes: Seq[Long],
+  private case class BloomIndex(dataPath: String, metaPath: String,
+      wordsPath: String, files: Seq[String], probes: Seq[Long],
       trueFiles: Set[String])
   private val bloomMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, BloomIndex)]()
+    new java.util.concurrent.ConcurrentHashMap[String, BloomIndex]()
+  // per-dir build locks: concurrent builds for DIFFERENT sfDirs proceed
+  // in parallel (a global lock serialized them through one monitor)
+  private val bloomLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private val bloomBuilds = new java.util.concurrent.atomic.AtomicInteger
 
   /** First-8-hex-chars md5 hash as a Long — the JVM mirror of
@@ -967,39 +982,56 @@ object LakehouseQueries extends Registry {
   }
 
   private def bloomIndex(s: SparkSession, d: String): BloomIndex = {
-    def valid(p: (String, BloomIndex)): Boolean = new java.io.File(p._1).isDirectory
+    // content check, not a bare isDirectory: a partially-deleted scratch
+    // tree would otherwise be reused as a stale index — _SUCCESS is the
+    // committer's atomic completion marker for each of the three writes
+    def valid(i: BloomIndex): Boolean =
+      Seq(i.dataPath, i.metaPath, i.wordsPath)
+        .forall(p => new java.io.File(p, "_SUCCESS").isFile)
     val hit = bloomMemo.get(d)
-    if (hit != null && valid(hit)) return hit._2
-    bloomMemo.synchronized {
+    if (hit != null && valid(hit)) return hit
+    val lock = bloomLocks.computeIfAbsent(d, _ => new Object)
+    lock.synchronized {
       val again = bloomMemo.get(d)
-      if (again != null && valid(again)) return again._2
+      if (again != null && valid(again)) return again
       val dir = graft.streaming.TempDirs.scratch(
         s"graft_q307_${ProcessHandle.current().pid()}_${bloomBuilds.incrementAndGet()}")
-      val path = dir.getPath
+      val dataPath = new java.io.File(dir, "data").getPath
+      val metaPath = new java.io.File(dir, "meta").getPath
+      val wordsPath = new java.io.File(dir, "words").getPath
       Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
         .repartition(16, col("user_id"))
-        .write.mode("overwrite").parquet(path)
-      val back = s.read.parquet(path)
-      val nRows = back.count()
-      // ~16 bits/key at 3 hashes over the whole dataset (keys split across
-      // 16 files, so per-file occupancy stays ≲ 1/16 of m): fpp ≈ 0.5 %
-      val nWords = math.max(256L, nRows / 64L + 1L).toInt
-      val m = nWords * 64L
+        .write.mode("overwrite").parquet(dataPath)
+      val back = s.read.parquet(dataPath)
+      // per-file sizing: m_f = 24 bits × that file's rows (floor 1024
+      // bits so a near-empty file still has a well-formed filter) — fpp ≈
+      // (1−e^(−3/24))³ ≈ 0.16 % per file without any global-row-count
+      // coupling: adding files never resizes existing filters
+      back.groupBy(input_file_name().as("f"))
+        .agg(count(lit(1)).as("rows"))
+        .select(col("f"),
+          greatest(lit(16L), expr("(rows * 24 + 63) div 64")).as("nwords"))
+        .write.mode("overwrite").parquet(metaPath)
+      val meta = s.read.parquet(metaPath)
       def bitCol(j: Int) =
         graft.operators.Dedup.hexHash32(md5(concat(lit(s"bf$j:"),
-          col("event_id").cast("string")))) % m
-      val wordRows = back
-        .select(input_file_name().as("f"),
+          col("event_id").cast("string")))) % (col("nwords") * lit(64L))
+      // sparse word build: one broadcast of the |files|-row meta onto the
+      // scan, explode to 3 bit positions, one bit_or aggregate — the
+      // manifest is written straight back to parquet, nothing collects
+      back.select(input_file_name().as("f"), col("event_id"))
+        .join(broadcast(meta), "f")
+        .select(col("f"),
           explode(array(bitCol(0), bitCol(1), bitCol(2))).as("bit"))
         .select(col("f"), expr("bit div 64").as("w"),
           expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))").as("mask"))
         .groupBy("f", "w").agg(expr("bit_or(mask)").as("bits"))
-        .collect()
-      val blooms = wordRows.groupBy(_.getString(0)).map { case (f, rows) =>
-        val arr = new Array[Long](nWords)
-        rows.foreach(r => arr(r.getLong(1).toInt) = r.getLong(2))
-        f -> arr
-      }
+        // w-sorted within each manifest file so the probe's pushed
+        // `w IN (...)` predicate prunes at parquet row-group min/max —
+        // a point lookup reads O(|probes|·k) row groups, never the
+        // whole words relation
+        .sortWithinPartitions("w")
+        .write.mode("overwrite").parquet(wordsPath)
       val probes = back.select("event_id")
         .filter(graft.operators.Dedup.hexHash32(md5(concat(lit("bfp:"),
           col("event_id").cast("string")))) % 97 === 0)
@@ -1008,9 +1040,9 @@ object LakehouseQueries extends Registry {
       val trueFiles = back.filter(col("event_id").isin(probes: _*))
         .select(input_file_name()).distinct()
         .collect().map(_.getString(0)).toSet
-      val idx = BloomIndex(back.inputFiles.toSeq.sorted, nWords, blooms,
-        probes, trueFiles)
-      bloomMemo.put(d, (path, idx)): Unit
+      val idx = BloomIndex(dataPath, metaPath, wordsPath,
+        back.inputFiles.toSeq.sorted, probes, trueFiles)
+      bloomMemo.put(d, idx): Unit
       idx
     }
   }
@@ -1031,11 +1063,16 @@ object LakehouseQueries extends Registry {
     * Scale: this is parquet's own footer Bloom machinery re-expressed as
     * an explicit index table — built once at ingest by the engine itself
     * (bit positions via the hexHash32∘md5 chain, one bit_or aggregate;
-    * index size is per-FILE metadata, KB each), probed on the driver at
-    * manifest scale (|files| × |probes| bit tests, no data touched), and
-    * only surviving files are handed to the scan. At 100 TB the index
-    * rides the manifest the same way zone maps do; the probe loop never
-    * scales with rows.
+    * each file's filter sized from its OWN row count at ~2 bytes/row and
+    * stored sparsely as occupied words in a manifest parquet relation).
+    * Probing broadcast-joins a |files|×|probes|×3-row candidate bit table
+    * (driver-computed via jvmHash32, certificate-asserted equal to the
+    * engine chain) against the words manifest, so the only driver
+    * transfers are the |files|-row meta collect and the surviving file
+    * names — never a dense bit array. At 100 TB the index rides the
+    * manifest the same way zone maps do: the words relation is ~rows/4
+    * entries but lives and is scanned distributed, and per-file sizing
+    * means ingesting new files never rebuilds or resizes old filters.
     */
   /** Dev accessor for tools/IndexAudit's pruned-vs-full A/B: the memoized
     * scratch file list and probe keys behind q307 (read-only view).
@@ -1048,16 +1085,38 @@ object LakehouseQueries extends Registry {
   private val q307 = Q("q307_bloom_file_skip",
     (s, d) => {
       val idx = bloomIndex(s, d)
-      val m = idx.nWords * 64L
-      val surviving = idx.files.filter { f =>
-        val bm = idx.blooms.getOrElse(f, new Array[Long](idx.nWords))
-        idx.probes.exists { id =>
-          (0 to 2).forall { j =>
-            val bit = jvmHash32(s"bf$j:$id") % m
-            (bm((bit / 64L).toInt) & (1L << (bit % 64L).toInt)) != 0L
-          }
-        }
+      import s.implicits._
+      // manifest-scale meta collect: one (f, nwords) row per data FILE
+      val meta = s.read.parquet(idx.metaPath)
+        .select("f", "nwords").as[(String, Long)].collect()
+      // candidate bit table: |files| × |probes| × 3 rows, bit positions
+      // from the SAME hash chain the build used (cert-pinned jvmHash32),
+      // each reduced mod that file's own m_f
+      val cand = for {
+        (f, nw) <- meta.toSeq
+        id <- idx.probes
+        j <- 0 to 2
+      } yield {
+        val bit = jvmHash32(s"bf$j:$id") % (nw * 64L)
+        (f, id, bit / 64L, 1L << (bit % 64L).toInt)
       }
+      // probe via the manifest join: the `w IN (...)` predicate pushes to
+      // the parquet scan (row-group min/max over the w-sorted manifest,
+      // so a lookup reads O(|probes|·k) row groups, never the whole words
+      // relation), then the candidate table broadcasts onto the survivors
+      // (an inner hash join — a missing word means the bit is 0). A probe
+      // survives a file iff ALL 3 of its candidate bits are set; the
+      // driver receives only surviving file names.
+      val surviving: Seq[String] =
+        if (cand.isEmpty) Seq.empty
+        else s.read.parquet(idx.wordsPath)
+          .filter(col("w").isin(cand.map(_._3).distinct: _*))
+          .join(broadcast(cand.toDF("f", "id", "w", "mask")), Seq("f", "w"))
+          .filter((col("bits").bitwiseAND(col("mask"))) =!= 0L)
+          .groupBy("f", "id").agg(count(lit(1)).as("nhit"))
+          .filter(col("nhit") === 3)
+          .select("f").distinct()
+          .as[String].collect().toSeq.sorted
       if (!idx.trueFiles.subsetOf(surviving.toSet))
         throw new IllegalStateException("Bloom false negative: " +
           s"${idx.trueFiles -- surviving.toSet} pruned but hold probe rows")
