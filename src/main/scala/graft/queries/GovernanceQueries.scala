@@ -31,12 +31,27 @@ private[queries] object ErasureFixture {
     * local relation — deriving it as live filter lineage lets
     * InferFiltersFromConstraints copy the md5-chain predicate onto the
     * corpus scan (8 md5 calls per corpus row; profiled 3× slowdown).
+    *
+    * Memoized per (JVM, sfDir) — the same device as
+    * StreamFixtures.replayRows, and for the same reason: the draw is a
+    * deterministic fixture of the dataset, so q306's three bench rounds
+    * and every certificate call share ONE distinct+collect instead of
+    * each paying fixture construction that its streaming twin q311 (which
+    * already memoized through replayRows) never paid. Build outside any
+    * lock; a putIfAbsent race at worst duplicates one cheap collect.
     */
-  def requestedUsers(s: SparkSession, d: String): IndexedSeq[Long] =
-    Tables.events(s, d).select(col("user_id")).distinct()
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, IndexedSeq[Long]]()
+  def requestedUsers(s: SparkSession, d: String): IndexedSeq[Long] = {
+    val hit = memo.get(d)
+    if (hit != null) return hit
+    val built = Tables.events(s, d).select(col("user_id")).distinct()
       .filter(Dedup.hexHash32(md5(concat(lit("erase:"),
         col("user_id").cast("string")))) % 20 === 0)
       .collect().map(_.getLong(0)).toIndexedSeq
+    val prev = memo.putIfAbsent(d, built)
+    if (prev != null) prev else built
+  }
 
   /** DuckDB mirror of [[requestedUsers]] as a CTE body. */
   val oracleDelCte: String = {

@@ -228,4 +228,33 @@ class Round12CertificatesSpec extends SparkSpec {
       assert(lastByType.getOrElse(et, 0L) == nl, s"last-touch drifted for $et")
     }
   }
+
+  test("q309: the composite key's lpad widths hold — no silent truncation headroom breach") {
+    // q309's event order rides lpad(ts_ms, 13) || lpad(event_id, 10);
+    // BOTH Spark and DuckDB lpad silently TRUNCATE longer inputs, so a
+    // fixture carrying event_id ≥ 10^10 (or ts_ms ≥ 10^13, year ~2286)
+    // would degrade the ordering semantics IDENTICALLY in both engines —
+    // invisible to the oracle hash. Pin the width assumption loudly here
+    // instead (ADVICE r12): the day a fixture outgrows it, this fails
+    // and the pad must widen in query + oracle together.
+    // all fixture SFs the driver exercises (correctness sf0.01, bench sf0.1)
+    val dirs = Seq("sf0.001", "sf0.01", "sf0.1")
+      .map(n => s"/root/testdata/$n")
+      .filter(p => new java.io.File(p, "events.parquet").exists())
+    assert(dirs.nonEmpty)
+    dirs.foreach { d =>
+      val bounds = Tables.events(spark, d)
+        .agg(max($"event_id").as("max_id"), max($"ts_ms").as("max_ts"),
+          min($"event_id").as("min_id"), min($"ts_ms").as("min_ts"))
+        .as[(Long, Long, Long, Long)].head()
+      assert(bounds._1 < 10000000000L,
+        s"$d: event_id ${bounds._1} needs > 10 digits: widen q309's lpad in query AND oracle")
+      assert(bounds._2 < 10000000000000L,
+        s"$d: ts_ms ${bounds._2} needs > 13 digits: widen q309's lpad in query AND oracle")
+      // lpad with '0' also mis-sorts negatives ('-' sorts below digits
+      // but not by magnitude): pin non-negativity too
+      assert(bounds._3 >= 0L && bounds._4 >= 0L,
+        s"$d: negative key values break zero-padded lexicographic ordering")
+    }
+  }
 }
