@@ -88,6 +88,49 @@ object Dedup {
       .distinct()
   }
 
+  /** [[lshCandidatePairs]] with FAMILY-SIZE CAPPING at ingest — the
+    * standard 100 TB dedup guard: an LSH bucket of f members generates
+    * C(f,2) pairs, so one boilerplate family (a license header, a
+    * template page) of f = 10^6 docs costs 5·10^11 comparisons in ANY
+    * engine. Before pair generation, each bucket (band_idx, band_hash)
+    * keeps only its `k` best members by (`qualityCol` DESC, doc_id ASC)
+    * — the q41 keep-best rule, so the retained representatives are
+    * exactly the docs the downstream resolution would keep anyway — and
+    * every bucket's pair work is bounded by C(k,2): total candidate
+    * pairs ≤ (k−1)/2 · |band rows| = O(k·n), linear in the corpus at
+    * fixed k instead of quadratic in the hottest family.
+    *
+    * Scale shape: one shuffle on the bucket key for the window rank
+    * (each family sorts f·log f — the cap's point: f·log f ≪ f², and a
+    * rank-k cutoff never materializes the family in memory beyond the
+    * sort spill machinery), then the standard bucket self-join over rows
+    * whose per-bucket cardinality is ≤ k. `sigs` must carry `doc_id`,
+    * `qualityCol`, and band0..band(numBands−1).
+    */
+  def cappedLshCandidatePairs(sigs: DataFrame, numBands: Int, k: Int,
+      qualityCol: String = "quality_score"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bandStructs = array((0 until numBands).map(b =>
+      struct(lit(b).as("band_idx"), col(s"band$b").as("band_hash"))): _*)
+    val exploded = sigs
+      .select(col("doc_id"), col(qualityCol), explode(bandStructs).as("b"))
+      .select(col("doc_id"), col(qualityCol), col("b.band_idx"), col("b.band_hash"))
+    val capped = exploded
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("band_idx"), col("band_hash"))
+          .orderBy(col(qualityCol).desc, col("doc_id"))))
+      .filter(col("rn") <= k)
+      .select("doc_id", "band_idx", "band_hash")
+    val a = capped.as("a")
+    val b = capped.as("b")
+    a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
+      .distinct()
+  }
+
   /** Incremental LSH screening — the ingestion-time shape of near-dup
     * dedup (the MinHash sibling of the exact-hash anti-join in q58): band
     * an INCOMING batch's signatures and probe them against an existing

@@ -27,11 +27,26 @@ object PairCensus {
     dirs.foreach { d =>
       val docs = graft.Tables.fanOut(graft.Tables.documents(spark, d)).count()
       val lsh = TrainingDataQueries.lshPairsFrame(spark, d).count()
-      val (_, cand) = TrainingDataQueries.q135Candidates(spark, d)
-      val candN = cand.count()
-      val truth = CurationQueries.pairOverlap(
-        CurationQueries.shingleSets(CurationQueries.sampledDocs(spark, d, "eval"))).count()
-      println(s"[census] dir=$d docs=$docs lshPairs=$lsh q135cand=$candN evalTruthCand=$truth")
+      // capped pair populations (q313's guard): at the gate's fixture cap
+      // and at a production-ish cap — the O(k·n) bound made countable
+      val capGate = TrainingDataQueries
+        .cappedLshPairsFrame(spark, d, TrainingDataQueries.CapK).count()
+      val cap8 = TrainingDataQueries.cappedLshPairsFrame(spark, d, 8).count()
+      // GRAFT_CENSUS_LSH_ONLY=1 skips the two multi-billion-row counts
+      // (q135 candidates, eval truth pairs) when only the LSH/cap
+      // populations are needed — at sf10 each costs ~10 min of count.
+      val (candN, truth) =
+        if (sys.env.contains("GRAFT_CENSUS_LSH_ONLY")) (-1L, -1L)
+        else {
+          val (_, cand) = TrainingDataQueries.q135Candidates(spark, d)
+          val t = CurationQueries.pairOverlap(
+            CurationQueries.shingleSets(
+              CurationQueries.sampledDocs(spark, d, "eval"))).count()
+          (cand.count(), t)
+        }
+      println(s"[census] dir=$d docs=$docs lshPairs=$lsh " +
+        s"cappedK${TrainingDataQueries.CapK}=$capGate cappedK8=$cap8 " +
+        s"q135cand=$candN evalTruthCand=$truth")
     }
     spark.stop()
   }

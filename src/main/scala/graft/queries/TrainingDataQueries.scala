@@ -768,6 +768,98 @@ object TrainingDataQueries extends Registry {
       SELECT cluster_id, doc_id AS keep_id, n_docs, quality_score AS best_quality
       FROM r WHERE rn = 1 ORDER BY cluster_id"""))
 
+  /** LSH family-size cap for [[q313]]. 2 is a FIXTURE-SCALE choice, not
+    * a production recommendation: the sf0.01 corpus's largest band
+    * bucket holds 3 docs (64 buckets of 2, 5 of 3), so any k ≥ 3 would
+    * make the cap vacuous and the oracle gate would never observe the
+    * rank filter. At k = 2 the gate exercises keep-best on the 5
+    * 3-buckets while the 2-buckets pass through untouched. Production
+    * corpora run the same operator with k in the tens-to-hundreds
+    * (boilerplate families are 10^4-10^6 docs); the bound is C(k,2) per
+    * bucket at ANY k.
+    */
+  private[queries] val CapK = 2
+
+  /** Cluster-size capping AT INGEST — the guard that keeps LSH dedup
+    * linear at 100 TB (reference scope: the dedup family of
+    * `src/pipeline.py`; the cap itself is the standard large-corpus
+    * extension — cf. q41's resolution rule). An LSH bucket of f members
+    * generates C(f,2) candidate pairs, and real corpora HAVE such
+    * families (boilerplate, license headers, template pages) — sf10's
+    * third-decade runs measured exactly this quadratic tail (LSH pairs
+    * 286 k → 30.9 M at 10×; docs/SCALING.md). The cap keeps each bucket's
+    * best `CapK` members by (quality DESC, doc_id ASC) — the q41
+    * keep-best rule, so survivors are the docs resolution keeps anyway —
+    * BEFORE pair generation, bounding pair work at C(k,2) per bucket and
+    * O(k·n) overall. Output: per-doc capped candidate degree (doc_id,
+    * n_partners), the adjacency census downstream clustering consumes.
+    *
+    * Scale: one bucket-key shuffle for the window rank (f·log f per
+    * family instead of the join's f²), then the standard bucket
+    * self-join over ≤ k rows per bucket. The certificate spec pins
+    * capped ⊆ uncapped, the per-bucket C(k,2) bound, and the keep-best
+    * property; the sf10 A/B row lives in docs/SCALING.md.
+    */
+  /** Capped LSH candidate pairs at family cap `k` — q313's pair driver,
+    * shared with PairCensus so the scale table counts exactly the pair
+    * population the gate processes.
+    */
+  private[queries] def cappedLshPairsFrame(s: org.apache.spark.sql.SparkSession,
+      d: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(s, d))
+    val quality = docs.select(col("doc_id") +:
+      TextAnalysis.qualityColumns(col("text"), TextAnalysis.tokens(col("text"))): _*)
+      .select(col("doc_id"), col("quality_score"))
+    val sigs = minhashSigFrame(s, d)
+      .select(col("doc_id") +: Dedup.minhashColsFromArray(col("mhs"), NumHashes): _*)
+      .select(col("doc_id") +: Dedup.bandCols(NumHashes, RowsPerBand): _*)
+      .join(quality, "doc_id")
+    Dedup.cappedLshCandidatePairs(sigs, NumBands, k)
+  }
+
+  private val q313 = Q("q313_lsh_family_cap",
+    (s, d) => {
+      // one explode, one aggregate: a union of two projections would
+      // execute the pair join twice (the branches differ, so no reuse)
+      cappedLshPairsFrame(s, d, CapK)
+        .select(explode(array(col("doc_id_a"), col("doc_id_b"))).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_partners"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $duckToks AS w FROM documents),
+      s AS (SELECT doc_id, ${duckShingles("w")} AS sh FROM t),
+      mh AS (SELECT doc_id,
+        ${(0 until NumHashes).map(i => s"${duckMh(i)} AS mh$i").mkString(", ")}
+        FROM s WHERE len(sh) > 0),
+      sig AS (SELECT doc_id,
+        ${(0 until NumBands).map(b =>
+          s"md5(mh${b * RowsPerBand} || '|' || mh${b * RowsPerBand + 1}) AS band$b")
+          .mkString(", ")}
+        FROM mh),
+      bands AS (${(0 until NumBands).map(b =>
+          s"SELECT doc_id, $b AS band_idx, band$b AS band_hash FROM sig")
+          .mkString("\n        UNION ALL ")}),
+      q AS (SELECT doc_id,
+        least(CAST(len(w) AS DOUBLE) / 100.0::DOUBLE, 1.0::DOUBLE) * 0.5::DOUBLE
+          + (CASE WHEN CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) >= 3.0::DOUBLE
+                   AND CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) <= 10.0::DOUBLE
+              THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) * 0.2::DOUBLE
+          + least((CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is','to','in','that'))) AS DOUBLE)
+              / len(w)) * 3.0::DOUBLE, 1.0::DOUBLE) * 0.3::DOUBLE AS quality_score
+        FROM (SELECT doc_id, text, $duckToks AS w FROM documents)),
+      ranked AS (SELECT b.doc_id, b.band_idx, b.band_hash,
+          row_number() OVER (PARTITION BY b.band_idx, b.band_hash
+            ORDER BY q.quality_score DESC, b.doc_id) AS rn
+        FROM bands b JOIN q ON q.doc_id = b.doc_id),
+      cap AS (SELECT doc_id, band_idx, band_hash FROM ranked WHERE rn <= $CapK),
+      pairs AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+        FROM cap a JOIN cap b ON a.band_idx = b.band_idx
+          AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+      ends AS (SELECT doc_id_a AS doc_id FROM pairs
+        UNION ALL SELECT doc_id_b FROM pairs)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_partners
+      FROM ends GROUP BY doc_id ORDER BY doc_id"""))
+
   /** TF-IDF top terms per document. Scale shape: one explode feeds two
     * partial-aggregated shuffles (tf by (doc,term), df by term — both
     * map-side combined), the tf⋈df join shares the term shuffle key, the
@@ -2443,5 +2535,5 @@ object TrainingDataQueries extends Registry {
     q28, q29, q30, q31, q32, q33, q34, q38, q41, q42, q43, q44, q45, q47, q107, q112, q114, q115,
     q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q79, q124, q125, q126,
     q127, q134, q135, q140, q141, q142, q146, q150, q151, q163, q164, q218,
-    q241, q248, q249, q258)
+    q241, q248, q249, q258, q313)
 }
