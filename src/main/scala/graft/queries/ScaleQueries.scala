@@ -1615,6 +1615,14 @@ object ScaleQueries extends Registry {
       val requested: Seq[Long] = StreamFixtures.replayRows("q311del", d) {
         ErasureFixture.requestedUsers(s, d)
       }
+      // The retroactive purge activates from batch id ≥ 1 (the request
+      // list goes live MID-stream by design), so the semantics need ≥ 2
+      // micro-batches: a ≤1-row fixture would replay as a single batch 0,
+      // never purge, and surface as an oracle hash mismatch instead of a
+      // precondition — and an empty fixture would throw on the max() over
+      // zero batch dirs. Fail loudly at the invariant instead.
+      require(rows.size > 1,
+        s"q311 needs >1 replay rows for a mid-stream erasure (got ${rows.size})")
       val runId = q311Runs.incrementAndGet()
       val dir = TempDirs.scratch(
         s"graft_q311_${ProcessHandle.current().pid()}_$runId")
@@ -1675,10 +1683,160 @@ object ScaleQueries extends Registry {
         GROUP BY event_type ORDER BY event_type"""
     })
 
+  private val q314Runs = new java.util.concurrent.atomic.AtomicLong()
+  private val DeltaBuckets = 8
+
+  /** q311's erasure cascade with DELTA state maintenance — the answer to
+    * its one scale caveat: q311 rewrites the ENTIRE state table every
+    * micro-batch (per-batch cost grows with |accumulated state| even for
+    * a one-row batch). Here state is RANGE-BUCKETED on user_id into
+    * [[DeltaBuckets]] independently versioned partitions
+    * (state/b=j/v=batchId), and a batch rewrites ONLY the buckets it
+    * touches — plus, exactly once when the deletion-request list goes
+    * live (batch 1), the requested users' home buckets (the retroactive
+    * purge; an untouched bucket can never hold a requested user after
+    * that, so later batches stay delta). Reads are replay-safe the q304
+    * way: batch b merges each touched bucket's latest version < b and
+    * overwrites v=b idempotently; the final state is the per-bucket
+    * latest-version union, so chunk boundaries and replay cannot change
+    * it — it must hash-match the same plain batch oracle as q311.
+    *
+    * The replay arrives in user-range chunks (the multi-tenant shape
+    * where delta state wins: a batch carries a key subset, and the
+    * pipeline is commutative counters so arrival order is free); the
+    * in-query assert pins the delta property itself — total bucket
+    * writes strictly under nBatches × nBuckets, i.e. the full-rewrite
+    * cost q311 pays by construction. At 100 TB the bucket count scales
+    * with |users| and per-batch write cost is O(touched buckets), not
+    * O(|state|); the purge stays a one-time KB-scale anti-join per
+    * bucket.
+    */
+  private val q314 = Q("q314_streaming_erasure_delta",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rows: Seq[(Long, String)] = StreamFixtures.replayRows("q311", d) {
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
+          .orderBy("ts_ms", "event_id")
+          .collect().iterator.map(r => (r.getLong(0), r.getString(1))).toSeq
+      }
+      val requested: Seq[Long] = StreamFixtures.replayRows("q311del", d) {
+        ErasureFixture.requestedUsers(s, d)
+      }
+      require(rows.size > 1,
+        s"q314 needs >1 replay rows for a mid-stream erasure (got ${rows.size})")
+      val maxUser = rows.iterator.map(_._1).max
+      val bucketW = maxUser / DeltaBuckets + 1
+      val chunkW = maxUser / 3 + 1
+      val chunks = rows.groupBy(_._1 / chunkW).toSeq.sortBy(_._1)
+      // the purge activates at batch 1, so the user span must yield >1
+      // chunk — fail at the precondition, not as an oracle mismatch
+      require(chunks.size > 1,
+        s"q314 needs >1 user-range chunks (got ${chunks.size})")
+      val runId = q314Runs.incrementAndGet()
+      val dir = TempDirs.scratch(
+        s"graft_q314_${ProcessHandle.current().pid()}_$runId")
+      val stateRoot = new java.io.File(dir, "state")
+      val writes = new java.util.concurrent.atomic.AtomicLong()
+      var nBatches = 0L
+      val mem = MemoryStream[(Long, String)]
+      val src = mem.toDF().toDF("user_id", "event_type")
+      val query = StreamGate.withStatePartitions(s, noDataBatches = false) {
+        src.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            val ss = batch.sparkSession
+            val del = ss.createDataFrame(requested.map(Tuple1(_)))
+              .toDF("user_id")
+            // request list live from batch 1: drop incoming requested rows
+            val live =
+              if (id >= 1) batch.join(del, Seq("user_id"), "left_anti")
+              else batch
+            val cur = live.groupBy("user_id", "event_type")
+              .agg(count(lit(1)).as("n"))
+              .withColumn("bkt", expr(s"user_id div $bucketW"))
+              .persist()
+            try {
+              val touchedNow = cur.select("bkt").distinct()
+                .collect().map(_.getLong(0)).toSet
+              // one-time retroactive purge: rewrite every requested
+              // user's home bucket when the list goes live
+              val purgeBkts =
+                if (id == 1L) requested.map(_ / bucketW).toSet
+                else Set.empty[Long]
+              (touchedNow ++ purgeBkts).toSeq.sorted.foreach { j =>
+                val bdir = new java.io.File(stateRoot, s"b=$j")
+                val prevVs = Option(bdir.listFiles()).getOrElse(Array.empty)
+                  .map(_.getName).filter(_.startsWith("v="))
+                  .map(_.stripPrefix("v=").toLong).filter(_ < id)
+                val prev =
+                  if (prevVs.isEmpty)
+                    ss.createDataFrame(
+                      ss.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                      org.apache.spark.sql.types.StructType(Seq(
+                        org.apache.spark.sql.types.StructField("user_id",
+                          org.apache.spark.sql.types.LongType),
+                        org.apache.spark.sql.types.StructField("event_type",
+                          org.apache.spark.sql.types.StringType),
+                        org.apache.spark.sql.types.StructField("n",
+                          org.apache.spark.sql.types.LongType))))
+                  else ss.read.parquet(s"$stateRoot/b=$j/v=${prevVs.max}")
+                val merged = prev
+                  .unionByName(cur.filter(col("bkt") === j).drop("bkt"))
+                  .groupBy("user_id", "event_type").agg(sum("n").as("n"))
+                val kept =
+                  if (id >= 1) merged.join(del, Seq("user_id"), "left_anti")
+                  else merged
+                kept.write.mode("overwrite").parquet(s"$stateRoot/b=$j/v=$id")
+                writes.incrementAndGet(): Unit
+              }
+            } finally { cur.unpersist(): Unit }
+          }
+          .outputMode("append").start()
+      }
+      try {
+        // user-range chunks: the key-subset arrival shape delta state is
+        // for (counters commute, so the oracle is order-independent)
+        chunks.foreach { case (_, chunk) =>
+          mem.addData(chunk: _*)
+          query.processAllAvailable()
+          nBatches += 1
+        }
+      } finally query.stop()
+      // the delta property q314 exists for: strictly fewer bucket writes
+      // than the full-rewrite cost (q311 pays nBatches full-table writes
+      // = nBatches × nBuckets bucket-equivalents by construction)
+      if (writes.get() >= nBatches * DeltaBuckets)
+        throw new IllegalStateException(
+          s"delta state degenerated to full rewrites: ${writes.get()} bucket " +
+            s"writes over $nBatches batches × $DeltaBuckets buckets")
+      val latest = Option(stateRoot.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("b=")).flatMap { bdir =>
+          val vs = bdir.listFiles().map(_.getName)
+            .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+          if (vs.isEmpty) None
+          else Some(s"${bdir.getPath}/v=${vs.max}")
+        }
+      s.read.parquet(latest.toIndexedSeq: _*)
+        .groupBy("event_type")
+        .agg(sum("n").as("n_after"),
+          countDistinct(col("user_id")).as("n_users_after"))
+        .orderBy("event_type")
+    },
+    Some {
+      s"""WITH del AS (${ErasureFixture.oracleDelCte})
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_after,
+          CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_after
+        FROM events e
+        WHERE NOT EXISTS (SELECT 1 FROM del WHERE del.user_id = e.user_id)
+        GROUP BY event_type ORDER BY event_type"""
+    })
+
   override val all: Seq[Q] =
     Seq(q156, q157, q158, q159, q160, q161, q162, q216, q217, q219, q220,
       q237, q245, q246, q247, q254, q255, q265, q266, q270, q275, q280,
-      q303, q304, q311)
+      q303, q304, q311, q314)
 }
 
 /** Serializable Count-Min probe: holds the sketch BYTES (what the

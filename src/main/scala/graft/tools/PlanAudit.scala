@@ -42,7 +42,8 @@ object PlanAudit {
     "q159_stateful_restart", "q204_streaming_tagging",
     "q208_streaming_upsert", "q220_streaming_range_join",
     "q235_streaming_update_mode", "q236_streaming_full_outer",
-    "q304_streaming_salted_staleness", "q311_streaming_erasure")
+    "q304_streaming_salted_staleness", "q311_streaming_erasure",
+    "q314_streaming_erasure_delta")
 
   /** Batch registry queries in name order — the plan-audited surface. */
   def batchQueryNames: Seq[String] =

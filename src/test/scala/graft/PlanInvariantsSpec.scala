@@ -85,9 +85,12 @@ class PlanInvariantsSpec extends SparkSpec {
     // parquet table its foreachBatch maintains, where the erasure
     // anti-join can purge ALL accumulated state per request batch —
     // store-keyed state would need a full key scan for the same purge
+    // q314 is q311's delta twin: same versioned-table device, state
+    // range-bucketed so a batch rewrites only touched buckets
     val stateless = Set("q127_streaming_ann", "q220_streaming_range_join",
       "q154_foreach_batch_sink", "q204_streaming_tagging",
-      "q304_streaming_salted_staleness", "q311_streaming_erasure")
+      "q304_streaming_salted_staleness", "q311_streaming_erasure",
+      "q314_streaming_erasure_delta")
     currentStream.values.foreach { r =>
       assert(r.mode != "batch", s"${r.name}: no executed micro-batch plan captured")
       if (stateless(r.name))
