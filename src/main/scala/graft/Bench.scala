@@ -19,6 +19,20 @@ object Bench {
     *  - `warmupOnly`: failed only the untimed sf0.001 warmup pass — reported
     *    but does not fail the run (every timed number behind the totals is
     *    real).
+    *
+    * Contamination accounting (round-13: the r12 artifact recorded q41 at
+    * 5.7× its real wall because all three samples straddled a host storm —
+    * 170/312 queries had spread >1.5 in one run):
+    *  - `resampled`: queries whose initial samples spread wider than the
+    *    bound and earned extra timed samples;
+    *  - `contaminated`: queries STILL wider than the bound after the extra
+    *    samples — their min is the honest floor of every sample taken, but
+    *    the artifact flags that no storm-free steady state was observed;
+    *  - `spreadWindow`: the reported `spread` is max/min over each query's
+    *    FASTEST `spreadWindow` samples, so a cured query's storm samples
+    *    stop polluting the stability column while its min (all samples)
+    *    is unchanged. Non-resampled queries have ≤ `spreadWindow` samples,
+    *    so their spread semantics are exactly the pre-r13 max/min.
     */
   final case class Run(
       sampleRounds: IndexedSeq[Map[String, Double]],
@@ -27,7 +41,10 @@ object Bench {
       flaky: Array[String],
       warmupOnly: Array[String],
       timedFailed: Map[String, String],
-      warmupFailed: Map[String, String])
+      warmupFailed: Map[String, String],
+      resampled: Array[String] = Array.empty,
+      contaminated: Array[String] = Array.empty,
+      spreadWindow: Int = Int.MaxValue)
 
   def exitCode(r: Run): Int = if (r.failed.nonEmpty || r.flaky.nonEmpty) 1 else 0
 
@@ -47,20 +64,50 @@ object Bench {
   private val tagWindows =
     new java.util.concurrent.ConcurrentSkipListMap[Long, String]()
 
+  /** Strictly-increasing window keys: System.currentTimeMillis() has ms
+    * granularity, so a sample's end-marker put and the next sample's start
+    * put can land in the same millisecond — the start would overwrite the
+    * end marker and a job whose submit time equals that key could resolve
+    * to the wrong sample. max(now, last+1) keeps every window a
+    * well-formed half-open interval at a ≤1 ms skew per collision.
+    */
+  private val lastTagKey = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def tagPut(tag: String): Unit = {
+    val k = lastTagKey.updateAndGet(prev =>
+      math.max(System.currentTimeMillis(), prev + 1))
+    tagWindows.put(k, tag): Unit
+  }
+
   private def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** max/min over the FASTEST `window` samples (all of them when the query
+    * has ≤ `window`). Guarded: a zero/NaN sample would render as
+    * Infinity/NaN, which is not valid JSON and would break every
+    * downstream consumer — report 1.0 (single-sample semantics) instead.
+    */
+  private[graft] def windowSpread(times: Seq[Double], window: Int): Double = {
+    if (times.size < 2) return 1.0
+    val w = times.sorted.take(math.min(times.size, math.max(2, window)))
+    val ratio = if (w.head <= 0) 1.0 else w.last / w.head
+    if (ratio.isNaN || ratio.isInfinite) 1.0 else ratio
+  }
   private def names(a: Array[String]): String =
     a.map("\"" + _ + "\"").mkString("[", ",", "]")
 
   /** The full bench_out.json line (testable: VerifyBenchContractSpec pins
-    * the format). `queries` carries each query's MIN across the
-    * interleaved timed rounds; `spread` carries max/min across the same
-    * samples — the drift-legibility column from the r9 review: two
-    * same-evening HEAD runs differed 336 vs 405 s from uniform host
-    * drift, and without a per-query spread a wall-time delta can't be
-    * classified as regression vs noise from one artifact. spread ≈ 1 ⇒
-    * the min is a stable steady-state number; spread ≫ 1 ⇒ the query's
-    * samples straddled a host/JIT storm and its min is the honest floor
-    * (single-sample queries report 1.0 by construction).
+    * the format). `queries` carries each query's MIN across ALL timed
+    * samples (including contamination-handling extras); `spread` carries
+    * max/min across the query's fastest `spreadWindow` samples — the
+    * drift-legibility column from the r9 review: two same-evening HEAD
+    * runs differed 336 vs 405 s from uniform host drift, and without a
+    * per-query spread a wall-time delta can't be classified as regression
+    * vs noise from one artifact. spread ≈ 1 ⇒ the min is a stable
+    * steady-state number; spread ≫ 1 ⇒ the query is in `contaminated`:
+    * even its extra samples straddled a host/JIT storm and its min is the
+    * honest floor (single-sample queries report 1.0 by construction).
+    * `resampled`/`contaminated` make the r12 failure mode legible: a
+    * nonzero n_contaminated says the artifact's totals include storm
+    * floors, not engine regressions.
     */
   def resultJson(run: Run, sfDir: String,
       stageWall: Map[String, Double] = Map.empty): String = {
@@ -76,15 +123,13 @@ object Bench {
       "\"" + k + "\":" + f3(stageWall.getOrElse(k, 0.0))
     }.mkString("{", ",", "}")
     val spread = run.results.map { case (k, _) =>
-      val times = run.sampleRounds.flatMap(_.get(k))
-      // Guard the ratio: a zero/NaN sample would render as Infinity/NaN,
-      // which is not valid JSON and would break every downstream consumer.
-      val ratio = if (times.isEmpty || times.min <= 0) 1.0 else times.max / times.min
-      "\"" + k + "\":" + f3(if (ratio.isNaN || ratio.isInfinite) 1.0 else ratio)
+      "\"" + k + "\":" + f3(windowSpread(run.sampleRounds.flatMap(_.get(k)), run.spreadWindow))
     }.mkString("{", ",", "}")
     val total = if (run.results.nonEmpty) run.results.map(_._2).sum else 0.0
     s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
       s""""spread":$spread,"stage_wall":$sw,""" +
+      s""""resampled":${names(run.resampled)},"n_resampled":${run.resampled.length},""" +
+      s""""contaminated":${names(run.contaminated)},"n_contaminated":${run.contaminated.length},""" +
       s""""failed":${names(run.failed)},"n_failed":${run.failed.length},""" +
       s""""flaky":${names(run.flaky)},"warmup_failed":${names(run.warmupOnly)},"sf":"$sfDir"}"""
   }
@@ -101,15 +146,22 @@ object Bench {
     *   (VERDICT r11 ask #4: q301's spread read 3.0 purely from the
     *   memo-priming sample).
     */
+  /** @param spreadBound per-query spread above which the initial samples
+    *   are treated as storm-contaminated and the query is re-sampled
+    *   (round-13 contamination handling); `maxExtraRounds` bounds the
+    *   extra interleaved rounds so a genuinely bimodal query terminates
+    *   as `contaminated` instead of looping.
+    */
   def sample(spark: SparkSession, ordered: Seq[(String, QueryFn)], sfDir: String,
       warmDir: String, sparse: Set[String], nRounds: Int,
-      memoBuild: Set[String] = Set.empty): Run = {
+      memoBuild: Set[String] = Set.empty, spreadBound: Double = 1.5,
+      maxExtraRounds: Int = 2): Run = {
     val timedFailed = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val warmupFailed = new java.util.concurrent.ConcurrentHashMap[String, String]()
     def runOnce(name: String, fn: QueryFn, dir: String, tag: String,
         failSink: java.util.concurrent.ConcurrentHashMap[String, String]): Option[Double] = {
       spark.sparkContext.setJobGroup(tag, name, interruptOnCancel = false)
-      tagWindows.put(System.currentTimeMillis(), tag): Unit
+      tagPut(tag)
       val t0 = System.nanoTime()
       // noop sink forces full materialization of every output column
       // (a bare .count() would let Catalyst prune the computed columns
@@ -125,7 +177,7 @@ object Bench {
       finally {
         spark.sparkContext.clearJobGroup()
         // "" = no sample running (CSLM forbids null values)
-        tagWindows.put(System.currentTimeMillis(), ""): Unit
+        tagPut("")
       }
     }
 
@@ -158,12 +210,44 @@ object Bench {
     // dominated by fixed per-micro-batch state-store latency, not by any
     // plan under perf scrutiny — a third sample buys no signal and costs
     // ~25 s, while a single round-0 sample reports JIT-cold numbers.
-    val sampleRounds = (0 until nRounds).map { r =>
+    val baseRounds = (0 until nRounds).map { r =>
       ordered.flatMap { case (name, fn) =>
         if (r == 1 && sparse(name)) None
         else runOnce(name, fn, sfDir, s"$name@r$r", timedFailed).map(name -> _)
       }.toMap
     }
+
+    // Contamination handling (round 13): a host storm that straddles ALL
+    // of a query's initial samples inflates its reported min 2-6× (the r12
+    // artifact's q41 read 16.1 s against a 3.4 s steady state). A query
+    // whose samples spread wider than `spreadBound` gets up to
+    // `maxExtraRounds` extra interleaved samples — time-separated from the
+    // storm window — until the fastest-`nRounds` window tightens under the
+    // bound. min stays min over ALL samples (extras can only improve it);
+    // queries still wide after the budget are reported `contaminated`.
+    var rounds: IndexedSeq[Map[String, Double]] = baseRounds
+    def spreadOf(name: String): Double =
+      windowSpread(rounds.flatMap(_.get(name)), nRounds)
+    var suspects: Set[String] = ordered.collect {
+      case (name, _) if spreadOf(name) > spreadBound => name
+    }.toSet
+    val everResampled = scala.collection.mutable.TreeSet.empty[String]
+    var extra = 0
+    while (suspects.nonEmpty && extra < maxExtraRounds) {
+      val r = nRounds + extra
+      val m = ordered.flatMap { case (name, fn) =>
+        if (!suspects(name)) None
+        else {
+          everResampled += name
+          runOnce(name, fn, sfDir, s"$name@r$r", timedFailed).map(name -> _)
+        }
+      }.toMap
+      rounds = rounds :+ m
+      suspects = suspects.filter(n => spreadOf(n) > spreadBound)
+      extra += 1
+    }
+
+    val sampleRounds = rounds
     val results = ordered.flatMap { case (name, _) =>
       val times = sampleRounds.flatMap(_.get(name))
       if (times.isEmpty) None else Some(name -> times.min)
@@ -179,7 +263,10 @@ object Bench {
       warmupOnly = warmupFailed.keySet().toArray(Array.empty[String]).sorted
         .filterNot(timedFailed.containsKey(_)),
       timedFailed = timedFailed.asScala.toMap,
-      warmupFailed = warmupFailed.asScala.toMap)
+      warmupFailed = warmupFailed.asScala.toMap,
+      resampled = everResampled.toArray,
+      contaminated = everResampled.filter(n => spreadOf(n) > spreadBound).toArray,
+      spreadWindow = nRounds)
   }
 
   def main(args: Array[String]): Unit = {
@@ -259,7 +346,7 @@ object Bench {
       "q155_streaming_chained_aggs", "q159_stateful_restart",
       "q204_streaming_tagging", "q208_streaming_upsert",
       "q220_streaming_range_join", "q304_streaming_salted_staleness",
-      "q311_streaming_erasure")
+      "q311_streaming_erasure", "q314_streaming_erasure_delta")
 
     val warmDir = {
       val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
@@ -288,12 +375,18 @@ object Bench {
     run.failed.foreach(n => System.err.println(s"[bench-q] $n FAILED (no successful sample): ${run.timedFailed(n)}"))
     run.flaky.foreach(n => System.err.println(s"[bench-q] $n FLAKY (failed ≥1 timed round): ${run.timedFailed(n)}"))
     run.warmupOnly.foreach(n => System.err.println(s"[bench-q] $n warmup-only failure: ${run.warmupFailed(n)}"))
+    if (run.resampled.nonEmpty)
+      System.err.println(s"[bench] resampled (initial spread > 1.5): ${run.resampled.mkString(", ")}")
+    if (run.contaminated.nonEmpty)
+      System.err.println(s"[bench] contaminated (still > 1.5 after extras): ${run.contaminated.mkString(", ")}")
     val failedJson = names(run.failed)
     val total = if (run.results.nonEmpty) run.results.map(_._2).sum else 0.0
     // Per-query stage_wall of the round that produced the reported min —
     // paired so "wall ≫ stage_wall" is readable from bench_out.json alone.
     val stageWallAtMin: Map[String, Double] = run.results.map { case (name, best) =>
-      val r = (0 until nRounds).find(i => run.sampleRounds(i).get(name).contains(best)).getOrElse(0)
+      // indices cover contamination-handling extra rounds past nRounds
+      val r = run.sampleRounds.indices
+        .find(i => run.sampleRounds(i).get(name).contains(best)).getOrElse(0)
       name -> prof.getOrDefault(s"$name@r$r", new Array[Double](5))(0)
     }.toMap
     val json = resultJson(run, sfDir, stageWallAtMin)
@@ -311,7 +404,7 @@ object Bench {
     try {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(s"bench_out$suffix.json"), json + "\n")
       val stages = ordered.map { case (name, _) =>
-        val rounds = (0 until nRounds).flatMap { r =>
+        val rounds = run.sampleRounds.indices.flatMap { r =>
           run.sampleRounds(r).get(name).map { wall =>
             val a = prof.getOrDefault(s"$name@r$r", new Array[Double](5))
             s"""{"wall":${f3(wall)},"stage_wall":${f3(a(0))},""" +

@@ -78,10 +78,13 @@ class VerifyBenchContractSpec extends SparkSpec {
       good(s, d)
     }
 
+    // spreadBound = MaxValue here: contamination handling has its own
+    // deterministic test below; tiny-DF noop saves can jitter >1.5×.
     val run = Bench.sample(spark,
       Seq("q_broken" -> alwaysBroken, "q_flaky" -> flaky, "q_good" -> good,
         "q_warm" -> warmupOnly),
-      sfDir = dir, warmDir = dir, sparse = Set.empty, nRounds = 2)
+      sfDir = dir, warmDir = dir, sparse = Set.empty, nRounds = 2,
+      spreadBound = Double.MaxValue)
 
     assert(run.failed.sameElements(Array("q_broken")))
     assert(run.flaky.sameElements(Array("q_flaky")))
@@ -95,7 +98,8 @@ class VerifyBenchContractSpec extends SparkSpec {
     assert(Bench.exitCode(run) == 1)
 
     // A fully-green registry exits 0 with empty failure buckets.
-    val clean = Bench.sample(spark, Seq("q_good" -> good), dir, dir, Set.empty, 2)
+    val clean = Bench.sample(spark, Seq("q_good" -> good), dir, dir, Set.empty, 2,
+      spreadBound = Double.MaxValue)
     assert(clean.failed.isEmpty && clean.flaky.isEmpty && clean.warmupOnly.isEmpty)
     assert(Bench.exitCode(clean) == 0)
 
@@ -125,7 +129,63 @@ class VerifyBenchContractSpec extends SparkSpec {
     val allSpreads = spreadObj.split(",").map(_.split(":")(1).toDouble)
     assert(allSpreads.forall(_ >= 1.0), json)
     assert(json.contains(""""failed":["q_broken"]"""), json)
+    // contamination columns are ALWAYS present (empty here: nothing
+    // tripped the — disabled — bound), so a consumer can key on them
+    assert(json.contains(""""resampled":[],"n_resampled":0"""), json)
+    assert(json.contains(""""contaminated":[],"n_contaminated":0"""), json)
     assert(json.endsWith(s""""sf":"$dir"}"""), json)
+  }
+
+  test("Bench resamples storm-straddled queries and flags unresolved ones contaminated") {
+    val dir = "/root/testdata/sf0.001"
+    // q_storm reproduces the r12 q41 failure mode: a host storm inflates
+    // the FIRST timed sample (call 1 = warmup, call 2 = round 0), while
+    // later samples see the steady state — so one extra sample must cure
+    // it and the reported fastest-window spread must fall back ≤ bound.
+    val stormCalls = new AtomicInteger(0)
+    val storm: Bench.QueryFn = (s, d) => {
+      Thread.sleep(if (stormCalls.incrementAndGet() == 2) 2400 else 400)
+      good(s, d)
+    }
+    // q_bimodal has NO steady state: fast once (round 0), slow on every
+    // later sample — the extra-round budget exhausts and it must be
+    // reported contaminated, with the honest min kept from the fast sample.
+    val biCalls = new AtomicInteger(0)
+    val bimodal: Bench.QueryFn = (s, d) => {
+      Thread.sleep(if (biCalls.incrementAndGet() >= 3) 2400 else 400)
+      good(s, d)
+    }
+    val run = Bench.sample(spark,
+      Seq("q_bimodal" -> bimodal, "q_storm" -> storm),
+      sfDir = dir, warmDir = dir, sparse = Set.empty, nRounds = 2,
+      spreadBound = 1.5, maxExtraRounds = 2)
+
+    assert(run.resampled.sameElements(Array("q_bimodal", "q_storm")),
+      run.resampled.mkString(","))
+    assert(run.contaminated.sameElements(Array("q_bimodal")),
+      run.contaminated.mkString(","))
+    // extra rounds were appended past the base nRounds, and the cured
+    // query stopped being resampled once its window tightened
+    assert(run.sampleRounds.size == 4, run.sampleRounds.toString)
+    assert(run.sampleRounds(2).contains("q_storm") &&
+      !run.sampleRounds(3).contains("q_storm"))
+    // min is over ALL samples: the storm sample never becomes the floor
+    val stormMin = run.results.toMap.apply("q_storm")
+    assert(stormMin < 1.5, s"storm sample leaked into the min: $stormMin")
+    assert(run.results.toMap.apply("q_bimodal") < 1.5)
+
+    val json = Bench.resultJson(run, dir)
+    assert(json.contains(""""resampled":["q_bimodal","q_storm"],"n_resampled":2"""), json)
+    assert(json.contains(""""contaminated":["q_bimodal"],"n_contaminated":1"""), json)
+    def spreadOf(q: String): Double = {
+      val spreadObj = json.split("\"spread\":\\{", 2)(1).split("\\}", 2)(0)
+      spreadObj.split("\"" + q + "\":", 2)(1)
+        .takeWhile(c => c.isDigit || c == '.').toDouble
+    }
+    // cured: the fastest-nRounds window excludes the storm sample
+    assert(spreadOf("q_storm") <= 1.5, json)
+    // unresolved: even the window straddles the two modes
+    assert(spreadOf("q_bimodal") > 1.5, json)
   }
 
   test("Bench memoBuild queries get one extra untimed priming pass at the timed dir") {
@@ -140,9 +200,11 @@ class VerifyBenchContractSpec extends SparkSpec {
       if (d == sfDir) callsAtSfDir.incrementAndGet(): Unit
       good(s, d)
     }
+    // spreadBound = MaxValue: this test counts CALLS, so a jitter-triggered
+    // contamination resample would break the arithmetic it pins
     val run = Bench.sample(spark, Seq("q_memo" -> memoized),
       sfDir = sfDir, warmDir = warmDir, sparse = Set.empty, nRounds = 2,
-      memoBuild = Set("q_memo"))
+      memoBuild = Set("q_memo"), spreadBound = Double.MaxValue)
     // priming pass + 2 timed rounds at sfDir; only the rounds are timed.
     assert(callsAtSfDir.get() == 3)
     assert(run.sampleRounds.map(_.size).sum == 2)
@@ -158,7 +220,7 @@ class VerifyBenchContractSpec extends SparkSpec {
     }
     val run2 = Bench.sample(spark, Seq("q_memo2" -> buildFails),
       sfDir = sfDir, warmDir = warmDir, sparse = Set.empty, nRounds = 2,
-      memoBuild = Set("q_memo2"))
+      memoBuild = Set("q_memo2"), spreadBound = Double.MaxValue)
     assert(run2.warmupOnly.sameElements(Array("q_memo2")))
     assert(run2.results.map(_._1) == Seq("q_memo2") && Bench.exitCode(run2) == 0)
   }
