@@ -945,8 +945,8 @@ object LakehouseQueries extends Registry {
     * parquet relations:
     *
     *  - `meta(f, nwords)` — one row per data file, each file's filter
-    *    sized from THAT file's own row count (~16 bits/key at 3 hashes ⇒
-    *    fpp ≈ (1−e^(−3/16))³ ≈ 0.5 % per file, with no global coupling:
+    *    sized from THAT file's own row count (24 bits/key at 3 hashes ⇒
+    *    fpp ≈ (1−e^(−3/24))³ ≈ 0.16 % per file, with no global coupling:
     *    adding files never resizes existing filters);
     *  - `words(f, w, bits)` — only the OCCUPIED 64-bit words.
     *
@@ -1063,8 +1063,9 @@ object LakehouseQueries extends Registry {
     * Scale: this is parquet's own footer Bloom machinery re-expressed as
     * an explicit index table — built once at ingest by the engine itself
     * (bit positions via the hexHash32∘md5 chain, one bit_or aggregate;
-    * each file's filter sized from its OWN row count at ~2 bytes/row and
-    * stored sparsely as occupied words in a manifest parquet relation).
+    * each file's filter sized from its OWN row count at 24 bits = 3
+    * bytes/row and stored sparsely as occupied words in a manifest
+    * parquet relation).
     * Probing broadcast-joins a |files|×|probes|×3-row candidate bit table
     * (driver-computed via jvmHash32, certificate-asserted equal to the
     * engine chain) against the words manifest, so the only driver

@@ -1612,9 +1612,9 @@ object ScaleQueries extends Registry {
       // the deletion-request list: ErasureFixture's draw (the SINGLE
       // owner q306 shares), collected once per (JVM, sfDir) — KB-scale,
       // the external-DSR-table stand-in
-      val requested: Seq[Long] = StreamFixtures.replayRows("q311del", d) {
-        ErasureFixture.requestedUsers(s, d)
-      }
+      // memoized inside ErasureFixture (per JVM, sfDir) — a second
+      // replayRows layer here would be a cache that could desynchronize
+      val requested: Seq[Long] = ErasureFixture.requestedUsers(s, d)
       // The retroactive purge activates from batch id ≥ 1 (the request
       // list goes live MID-stream by design), so the semantics need ≥ 2
       // micro-batches: a ≤1-row fixture would replay as a single batch 0,
@@ -1722,9 +1722,9 @@ object ScaleQueries extends Registry {
           .orderBy("ts_ms", "event_id")
           .collect().iterator.map(r => (r.getLong(0), r.getString(1))).toSeq
       }
-      val requested: Seq[Long] = StreamFixtures.replayRows("q311del", d) {
-        ErasureFixture.requestedUsers(s, d)
-      }
+      // memoized inside ErasureFixture (per JVM, sfDir) — a second
+      // replayRows layer here would be a cache that could desynchronize
+      val requested: Seq[Long] = ErasureFixture.requestedUsers(s, d)
       require(rows.size > 1,
         s"q314 needs >1 replay rows for a mid-stream erasure (got ${rows.size})")
       val maxUser = rows.iterator.map(_._1).max

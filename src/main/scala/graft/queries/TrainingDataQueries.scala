@@ -41,6 +41,20 @@ object TrainingDataQueries extends Registry {
   private[queries] def duckHash32(h: String): String =
     (1 to 8).map(p => s"(${duckNib(h, p)} << ${(8 - p) * 4})").mkString(" + ")
 
+  /** DuckDB mirror of `TextAnalysis.qualityColumns`'s quality_score over
+    * a tokenized column `w` and the raw `text` — the SINGLE owner of the
+    * scoring formula on the oracle side (q41, q43-family, q48, q313 all
+    * splice it); an edit here moves every oracle with the Spark side
+    * together instead of hunting four inline copies.
+    */
+  private[queries] val duckQuality: String =
+    """least(CAST(len(w) AS DOUBLE) / 100.0::DOUBLE, 1.0::DOUBLE) * 0.5::DOUBLE
+          + (CASE WHEN CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) >= 3.0::DOUBLE
+                   AND CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) <= 10.0::DOUBLE
+              THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) * 0.2::DOUBLE
+          + least((CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is','to','in','that'))) AS DOUBLE)
+              / len(w)) * 3.0::DOUBLE, 1.0::DOUBLE) * 0.3::DOUBLE"""
+
   /** Shared CTE chain ending in the LSH candidate `pairs` table
     * (doc_id_a < doc_id_b), mirroring minhashSigFrame + Dedup banding
     * exactly; callers prepend `WITH [RECURSIVE]` (q38, q170).
@@ -751,12 +765,7 @@ object TrainingDataQueries extends Registry {
         SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.dst),
       cc AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id),
       q AS (SELECT doc_id,
-        least(CAST(len(w) AS DOUBLE) / 100.0::DOUBLE, 1.0::DOUBLE) * 0.5::DOUBLE
-          + (CASE WHEN CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) >= 3.0::DOUBLE
-                   AND CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) <= 10.0::DOUBLE
-              THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) * 0.2::DOUBLE
-          + least((CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is','to','in','that'))) AS DOUBLE)
-              / len(w)) * 3.0::DOUBLE, 1.0::DOUBLE) * 0.3::DOUBLE AS quality_score
+        ${duckQuality} AS quality_score
         FROM (SELECT doc_id, text, $duckToks AS w FROM documents)),
       wc AS (SELECT q.doc_id, coalesce(cc.cluster_id, q.doc_id) AS cluster_id,
                quality_score
@@ -840,12 +849,7 @@ object TrainingDataQueries extends Registry {
           s"SELECT doc_id, $b AS band_idx, band$b AS band_hash FROM sig")
           .mkString("\n        UNION ALL ")}),
       q AS (SELECT doc_id,
-        least(CAST(len(w) AS DOUBLE) / 100.0::DOUBLE, 1.0::DOUBLE) * 0.5::DOUBLE
-          + (CASE WHEN CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) >= 3.0::DOUBLE
-                   AND CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) <= 10.0::DOUBLE
-              THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) * 0.2::DOUBLE
-          + least((CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is','to','in','that'))) AS DOUBLE)
-              / len(w)) * 3.0::DOUBLE, 1.0::DOUBLE) * 0.3::DOUBLE AS quality_score
+        ${duckQuality} AS quality_score
         FROM (SELECT doc_id, text, $duckToks AS w FROM documents)),
       ranked AS (SELECT b.doc_id, b.band_idx, b.band_hash,
           row_number() OVER (PARTITION BY b.band_idx, b.band_hash
@@ -1182,12 +1186,7 @@ object TrainingDataQueries extends Registry {
       val davg12 = graft.OracleSql.davg("quality_score", 12)
       s"""WITH t AS (SELECT source, text, $duckToks AS w FROM documents),
         q AS (SELECT source, CAST(len(w) AS BIGINT) AS n_toks,
-          least(CAST(len(w) AS DOUBLE) / 100.0::DOUBLE, 1.0::DOUBLE) * 0.5::DOUBLE
-            + (CASE WHEN CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) >= 3.0::DOUBLE
-                     AND CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) <= 10.0::DOUBLE
-                THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) * 0.2::DOUBLE
-            + least((CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is','to','in','that'))) AS DOUBLE)
-                / len(w)) * 3.0::DOUBLE, 1.0::DOUBLE) * 0.3::DOUBLE AS quality_score
+          ${duckQuality} AS quality_score
           FROM t)
         SELECT source, COUNT(*) AS n_docs,
           CAST(SUM(n_toks) AS BIGINT) AS total_toks,
@@ -1308,12 +1307,7 @@ object TrainingDataQueries extends Registry {
     },
     Some(s"""WITH t AS (SELECT doc_id, lang, text, $duckToks AS w FROM documents),
       q AS (SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_toks,
-        least(CAST(len(w) AS DOUBLE) / 100.0::DOUBLE, 1.0::DOUBLE) * 0.5::DOUBLE
-          + (CASE WHEN CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) >= 3.0::DOUBLE
-                   AND CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) <= 10.0::DOUBLE
-              THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) * 0.2::DOUBLE
-          + least((CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is','to','in','that'))) AS DOUBLE)
-              / len(w)) * 3.0::DOUBLE, 1.0::DOUBLE) * 0.3::DOUBLE AS quality_score
+        ${duckQuality} AS quality_score
         FROM t),
       c AS (SELECT doc_id, lang, n_toks, quality_score,
           CAST(SUM(n_toks) OVER (PARTITION BY lang
