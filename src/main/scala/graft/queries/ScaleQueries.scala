@@ -1691,7 +1691,7 @@ object ScaleQueries extends Registry {
     * micro-batch (per-batch cost grows with |accumulated state| even for
     * a one-row batch). Here state is RANGE-BUCKETED on user_id into
     * [[DeltaBuckets]] independently versioned partitions
-    * (state/b=j/v=batchId), and a batch rewrites ONLY the buckets it
+    * (state/v=batchId/bkt=j), and a batch rewrites ONLY the buckets it
     * touches — plus, exactly once when the deletion-request list goes
     * live (batch 1), the requested users' home buckets (the retroactive
     * purge; an untouched bucket can never hold a requested user after
@@ -1701,12 +1701,29 @@ object ScaleQueries extends Registry {
     * latest-version union, so chunk boundaries and replay cannot change
     * it — it must hash-match the same plain batch oracle as q311.
     *
+    * All touched buckets of a batch land in ONE Spark write job
+    * (`partitionBy("bkt")` into `v=batchId/`), not one job per bucket —
+    * the r13 shape serialized ≈14 tiny jobs per run on the driver, a
+    * pure scheduling tax that would dominate at high bucket counts
+    * (VERDICT r13 ask #1). `partitionBy` only materializes directories
+    * for buckets that still HAVE rows, and a purge can legally empty a
+    * bucket (every user in it requested erasure) — so "which buckets did
+    * v rewrite" cannot be read from directory presence alone. Each
+    * version dir carries a `_touched` manifest (the batch's touched-
+    * bucket set, written driver-side after the data job); latest-state
+    * resolution is per-bucket max manifest version, with an absent
+    * `bkt=j` dir at that version meaning "rewritten to empty", never
+    * "fall back to the stale previous version".
+    *
     * The replay arrives in user-range chunks (the multi-tenant shape
     * where delta state wins: a batch carries a key subset, and the
     * pipeline is commutative counters so arrival order is free); the
-    * in-query assert pins the delta property itself — total bucket
-    * writes strictly under nBatches × nBuckets, i.e. the full-rewrite
-    * cost q311 pays by construction. At 100 TB the bucket count scales
+    * in-query assert pins the delta property itself — DISTINCT
+    * (bucket, version) rewrites strictly under nBatches × nBuckets, the
+    * full-rewrite cost q311 pays by construction (distinct pairs, not a
+    * raw counter, so a foreachBatch retry of an idempotent overwrite
+    * can't double-count and spuriously trip the assert — r13 ADVICE).
+    * At 100 TB the bucket count scales
     * with |users| and per-batch write cost is O(touched buckets), not
     * O(|state|); the purge stays a one-time KB-scale anti-join per
     * bucket.
@@ -1739,8 +1756,22 @@ object ScaleQueries extends Registry {
       val dir = TempDirs.scratch(
         s"graft_q314_${ProcessHandle.current().pid()}_$runId")
       val stateRoot = new java.io.File(dir, "state")
-      val writes = new java.util.concurrent.atomic.AtomicLong()
+      // distinct (bucket, version) rewrites — replay-proof accounting
+      val writtenPairs =
+        java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
       var nBatches = 0L
+      // manifest helpers: state/v=<id>/_touched lists the bucket ids the
+      // batch rewrote (an absent bkt dir at that version = emptied)
+      def readTouched(vdir: java.io.File): Set[Long] = {
+        val f = new java.io.File(vdir, "_touched")
+        if (!f.exists()) Set.empty
+        else java.nio.file.Files.readAllLines(f.toPath)
+          .toArray(Array.empty[String]).filter(_.nonEmpty).map(_.toLong).toSet
+      }
+      def versionDirs(): Seq[(Long, java.io.File)] =
+        Option(stateRoot.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("v="))
+          .map(f => f.getName.stripPrefix("v=").toLong -> f).toSeq
       val mem = MemoryStream[(Long, String)]
       val src = mem.toDF().toDF("user_id", "event_type")
       val query = StreamGate.withStatePartitions(s, noDataBatches = false) {
@@ -1765,32 +1796,49 @@ object ScaleQueries extends Registry {
               val purgeBkts =
                 if (id == 1L) requested.map(_ / bucketW).toSet
                 else Set.empty[Long]
-              (touchedNow ++ purgeBkts).toSeq.sorted.foreach { j =>
-                val bdir = new java.io.File(stateRoot, s"b=$j")
-                val prevVs = Option(bdir.listFiles()).getOrElse(Array.empty)
-                  .map(_.getName).filter(_.startsWith("v="))
-                  .map(_.stripPrefix("v=").toLong).filter(_ < id)
-                val prev =
-                  if (prevVs.isEmpty)
-                    ss.createDataFrame(
-                      ss.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                      org.apache.spark.sql.types.StructType(Seq(
-                        org.apache.spark.sql.types.StructField("user_id",
-                          org.apache.spark.sql.types.LongType),
-                        org.apache.spark.sql.types.StructField("event_type",
-                          org.apache.spark.sql.types.StringType),
-                        org.apache.spark.sql.types.StructField("n",
-                          org.apache.spark.sql.types.LongType))))
-                  else ss.read.parquet(s"$stateRoot/b=$j/v=${prevVs.max}")
-                val merged = prev
-                  .unionByName(cur.filter(col("bkt") === j).drop("bkt"))
-                  .groupBy("user_id", "event_type").agg(sum("n").as("n"))
-                val kept =
-                  if (id >= 1) merged.join(del, Seq("user_id"), "left_anti")
-                  else merged
-                kept.write.mode("overwrite").parquet(s"$stateRoot/b=$j/v=$id")
-                writes.incrementAndGet(): Unit
+              val touched = touchedNow ++ purgeBkts
+              // per-touched-bucket latest version < id, from the
+              // manifests (driver-side listing: |versions| tiny files)
+              val history = versionDirs().filter(_._1 < id)
+                .sortBy(_._1).flatMap { case (v, vdir) =>
+                  readTouched(vdir).map(j => j -> (v, vdir))
+                }.groupBy(_._1).map { case (j, hs) => j -> hs.last._2 }
+              val prevPaths = touched.toSeq.sorted.flatMap { j =>
+                history.get(j).flatMap { case (v, vdir) =>
+                  val bdir = new java.io.File(vdir, s"bkt=$j")
+                  // absent dir at the latest manifest version = the
+                  // bucket was rewritten to EMPTY, not "use older state"
+                  if (bdir.isDirectory) Some(bdir.getPath) else None
+                }
               }
+              val prev =
+                if (prevPaths.isEmpty)
+                  ss.createDataFrame(
+                    ss.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                    org.apache.spark.sql.types.StructType(Seq(
+                      org.apache.spark.sql.types.StructField("user_id",
+                        org.apache.spark.sql.types.LongType),
+                      org.apache.spark.sql.types.StructField("event_type",
+                        org.apache.spark.sql.types.StringType),
+                      org.apache.spark.sql.types.StructField("n",
+                        org.apache.spark.sql.types.LongType))))
+                else ss.read.parquet(prevPaths: _*)
+              // ONE job rewrites every touched bucket: merge + purge +
+              // partitionBy(bkt) into this batch's version dir (whole-dir
+              // overwrite = idempotent under foreachBatch replay)
+              val merged = prev.unionByName(cur.drop("bkt"))
+                .groupBy("user_id", "event_type").agg(sum("n").as("n"))
+              val kept =
+                if (id >= 1) merged.join(del, Seq("user_id"), "left_anti")
+                else merged
+              kept.withColumn("bkt", expr(s"user_id div $bucketW"))
+                .repartition(col("bkt"))
+                .write.partitionBy("bkt").mode("overwrite")
+                .parquet(s"$stateRoot/v=$id")
+              java.nio.file.Files.write(
+                new java.io.File(stateRoot, s"v=$id/_touched").toPath,
+                touched.toSeq.sorted.mkString("\n").getBytes("UTF-8")): Unit
+              touched.foreach(j => writtenPairs.add(s"$j/$id"): Unit)
             } finally { cur.unpersist(): Unit }
           }
           .outputMode("append").start()
@@ -1804,20 +1852,22 @@ object ScaleQueries extends Registry {
           nBatches += 1
         }
       } finally query.stop()
-      // the delta property q314 exists for: strictly fewer bucket writes
-      // than the full-rewrite cost (q311 pays nBatches full-table writes
-      // = nBatches × nBuckets bucket-equivalents by construction)
-      if (writes.get() >= nBatches * DeltaBuckets)
+      // the delta property q314 exists for: strictly fewer DISTINCT
+      // (bucket, version) rewrites than the full-rewrite cost (q311 pays
+      // nBatches full-table writes = nBatches × nBuckets bucket-
+      // equivalents by construction)
+      if (writtenPairs.size() >= nBatches * DeltaBuckets)
         throw new IllegalStateException(
-          s"delta state degenerated to full rewrites: ${writes.get()} bucket " +
-            s"writes over $nBatches batches × $DeltaBuckets buckets")
-      val latest = Option(stateRoot.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.startsWith("b=")).flatMap { bdir =>
-          val vs = bdir.listFiles().map(_.getName)
-            .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
-          if (vs.isEmpty) None
-          else Some(s"${bdir.getPath}/v=${vs.max}")
-        }
+          s"delta state degenerated to full rewrites: ${writtenPairs.size()} " +
+            s"bucket writes over $nBatches batches × $DeltaBuckets buckets")
+      // final state = per-bucket latest MANIFEST version's bkt dir
+      // (absent dir at that version = the bucket ended empty)
+      val latest = versionDirs().sortBy(_._1).flatMap { case (_, vdir) =>
+        readTouched(vdir).map(j => j -> vdir)
+      }.groupBy(_._1).toSeq.flatMap { case (j, hs) =>
+        val bdir = new java.io.File(hs.last._2, s"bkt=$j")
+        if (bdir.isDirectory) Some(bdir.getPath) else None
+      }
       s.read.parquet(latest.toIndexedSeq: _*)
         .groupBy("event_type")
         .agg(sum("n").as("n_after"),

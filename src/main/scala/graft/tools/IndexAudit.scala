@@ -17,6 +17,30 @@ import graft.GraftSession
   */
 object IndexAudit {
   def main(args: Array[String]): Unit = {
+    // `append` mode: time q315's incremental manifest maintenance vs a
+    // from-scratch rebuild over the same corpus (VERDICT r13 ask #3 —
+    // the cost side of the "adding files never rebuilds old filters"
+    // claim; the mechanism itself is gated by q315). min-of-2 per the
+    // storm protocol.
+    //   sbt "runMain graft.tools.IndexAudit append target/sf10 2"
+    if (args.headOption.contains("append")) {
+      val dir = args.lift(1).getOrElse("target/sf1")
+      val rounds = args.lift(2).map(_.toInt).getOrElse(2)
+      val spark = GraftSession.get("graft-index-audit",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      val runs = (1 to rounds).map { _ =>
+        graft.queries.LakehouseQueries.bloomAppendCost(spark, dir)
+      }
+      val nBase = runs.head._1
+      val inc = runs.map(_._2).min
+      val full = runs.map(_._3).min
+      println(f"[index-audit-append] dir=$dir baseFiles=$nBase rounds=$rounds " +
+        f"incremental=$inc%.2f s full_rebuild=$full%.2f s ratio=${full / inc}%.1fx " +
+        f"(samples inc=${runs.map(r => f"${r._2}%.2f").mkString("/")} " +
+        f"full=${runs.map(r => f"${r._3}%.2f").mkString("/")})")
+      spark.stop()
+      return
+    }
     val dir = args.headOption.getOrElse("target/sf1")
     val rounds = args.lift(1).map(_.toInt).getOrElse(3)
     val spark = GraftSession.get("graft-index-audit",

@@ -138,27 +138,30 @@ class VerifyBenchContractSpec extends SparkSpec {
 
   test("Bench resamples storm-straddled queries and flags unresolved ones contaminated") {
     val dir = "/root/testdata/sf0.001"
+    // Sample durations are INJECTED per tag (fakeClockForTest), not
+    // encoded as Thread.sleep ratios: a loaded CI host could stretch two
+    // "fast" real samples past the 1.5× bound and flake the very test
+    // that certifies storm handling (r13 ADVICE). The queries run real
+    // noop saves; only the recorded duration is fake.
+    //
     // q_storm reproduces the r12 q41 failure mode: a host storm inflates
-    // the FIRST timed sample (call 1 = warmup, call 2 = round 0), while
-    // later samples see the steady state — so one extra sample must cure
-    // it and the reported fastest-window spread must fall back ≤ bound.
-    val stormCalls = new AtomicInteger(0)
-    val storm: Bench.QueryFn = (s, d) => {
-      Thread.sleep(if (stormCalls.incrementAndGet() == 2) 2400 else 400)
-      good(s, d)
-    }
+    // round 0, while every later sample sees the steady state — so one
+    // extra sample must cure it and the reported fastest-window spread
+    // must fall back ≤ bound.
     // q_bimodal has NO steady state: fast once (round 0), slow on every
     // later sample — the extra-round budget exhausts and it must be
     // reported contaminated, with the honest min kept from the fast sample.
-    val biCalls = new AtomicInteger(0)
-    val bimodal: Bench.QueryFn = (s, d) => {
-      Thread.sleep(if (biCalls.incrementAndGet() >= 3) 2400 else 400)
-      good(s, d)
+    val fake: String => Option[Double] = {
+      case "q_storm@r0" => Some(2.4)
+      case t if t.startsWith("q_storm@r") => Some(0.4)
+      case "q_bimodal@r0" => Some(0.4)
+      case t if t.startsWith("q_bimodal@r") => Some(2.4)
+      case _ => None // warmup tags: untimed, real clock is fine
     }
     val run = Bench.sample(spark,
-      Seq("q_bimodal" -> bimodal, "q_storm" -> storm),
+      Seq("q_bimodal" -> good, "q_storm" -> good),
       sfDir = dir, warmDir = dir, sparse = Set.empty, nRounds = 2,
-      spreadBound = 1.5, maxExtraRounds = 2)
+      spreadBound = 1.5, maxExtraRounds = 2, fakeClockForTest = fake)
 
     assert(run.resampled.sameElements(Array("q_bimodal", "q_storm")),
       run.resampled.mkString(","))
@@ -186,6 +189,48 @@ class VerifyBenchContractSpec extends SparkSpec {
     assert(spreadOf("q_storm") <= 1.5, json)
     // unresolved: even the window straddles the two modes
     assert(spreadOf("q_bimodal") > 1.5, json)
+  }
+
+  test("Bench keeps extra-round failures out of flaky/failed and the exit code") {
+    val dir = "/root/testdata/sf0.001"
+    // r13 ADVICE: a query reaches an extra round only with nRounds
+    // successful samples behind it, so an error THERE (e.g. a storm
+    // timing out a resample) must not reclassify it flaky and fail a run
+    // whose pinned rounds all passed. Calls: 1 = warmup, 2 = r0, 3 = r1
+    // (wide spread via the fake clock), 4/5 = both extra rounds fail.
+    val calls = new AtomicInteger(0)
+    val wideThenBroken: Bench.QueryFn = (s, d) => {
+      if (calls.incrementAndGet() >= 4) throw new RuntimeException("extra-round storm")
+      good(s, d)
+    }
+    val fake: String => Option[Double] = {
+      case "q_wide@r0" => Some(2.4)
+      case t if t.startsWith("q_wide@r") => Some(0.4)
+      case _ => None
+    }
+    val run = Bench.sample(spark, Seq("q_wide" -> wideThenBroken),
+      sfDir = dir, warmDir = dir, sparse = Set.empty, nRounds = 2,
+      spreadBound = 1.5, maxExtraRounds = 2, fakeClockForTest = fake)
+
+    // the min over the pinned rounds is reported, the run stays green
+    assert(run.results.toMap.apply("q_wide") == 0.4)
+    assert(run.failed.isEmpty && run.flaky.isEmpty, run.timedFailed.toString)
+    assert(Bench.exitCode(run) == 0)
+    // both the attempt and the unresolved spread stay legible
+    assert(run.resampled.sameElements(Array("q_wide")))
+    assert(run.contaminated.sameElements(Array("q_wide")))
+    assert(run.resampleFailed.keySet == Set("q_wide") &&
+      run.resampleFailed("q_wide").contains("extra-round storm"))
+
+    val json = Bench.resultJson(run, dir)
+    assert(json.contains(""""resample_failed":["q_wide"],"n_resample_failed":1"""), json)
+    assert(json.contains(""""flaky":[]"""), json)
+
+    // and the column is always present (empty on a clean run)
+    val clean = Bench.sample(spark, Seq("q_good" -> good), dir, dir, Set.empty, 2,
+      spreadBound = Double.MaxValue)
+    val cleanJson = Bench.resultJson(clean, dir)
+    assert(cleanJson.contains(""""resample_failed":[],"n_resample_failed":0"""), cleanJson)
   }
 
   test("Bench memoBuild queries get one extra untimed priming pass at the timed dir") {

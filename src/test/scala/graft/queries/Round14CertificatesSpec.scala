@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Certificates for the round-14 queries (sf0.001): whole-result
+  * properties and independent recomputes the row-value oracles cannot
+  * state.
+  */
+class Round14CertificatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  /** Hand-rolled mirror of the library hash chain hexHash32∘md5. */
+  private def md5Hash32(x: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(8), 16)
+  }
+
+  test("q315: append-maintained lookup equals the plain full-scan filter") {
+    val viaIndex = run("q315_bloom_index_append")
+      .as[(Long, Long, String, Double)].collect().toSeq
+    // independent probe derivation + plain scan, no Bloom anywhere:
+    // 2 mod-97 probes from the base slice + the late file's smallest key
+    val ev = Tables.events(spark, sf)
+    val ids = ev.select($"event_id").as[Long].collect()
+    val baseProbes = ids.filter(id => id % 16 != 15)
+      .filter(id => md5Hash32(s"bfp:$id") % 97 == 0).sorted.take(2)
+    val newProbe = ids.filter(id => id % 16 == 15).min
+    val probes = (baseProbes :+ newProbe).distinct
+    val plain = ev.filter($"event_id".isin(probes: _*))
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .orderBy("event_id")
+      .as[(Long, Long, String, Double)].collect().toSeq
+    assert(viaIndex == plain, "append-indexed lookup diverged from full scan")
+    // the probe set must genuinely exercise the APPENDED filter
+    assert(viaIndex.map(_._1).contains(newProbe),
+      "no probe row from the late-ingested file")
+  }
+
+  test("q315: the append created only new manifest part-files, base filters untouched") {
+    val (base, after, newFiles, probes) =
+      LakehouseQueries.bloomAppendView(spark, sf)
+    // every base manifest part-file survives at its snapshot size —
+    // "adding files never rebuilds or resizes old filters", mechanically
+    base.foreach { case (path, size) =>
+      assert(after.get(path).contains(size),
+        s"base manifest part-file rewritten or removed: $path")
+    }
+    // and the append genuinely added manifest rows (meta + words for the
+    // late file land in NEW part-files)
+    assert(after.size > base.size,
+      s"append added no manifest part-files (${after.size} vs ${base.size})")
+    assert(newFiles.nonEmpty, "no late data file was ingested")
+    assert(probes.nonEmpty && probes.size <= 3)
+  }
+}
