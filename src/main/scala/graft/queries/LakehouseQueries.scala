@@ -1009,8 +1009,14 @@ object LakehouseQueries extends Registry {
         col("event_id").cast("string")))) % (col("nwords") * lit(64L))
     // sparse word build: one broadcast of the |files|-row meta onto the
     // scan, explode to 3 bit positions, one bit_or aggregate — the
-    // manifest is written straight back to parquet, nothing collects
+    // manifest is written straight back to parquet, nothing collects.
+    // The round-robin repartition decouples hash parallelism from the
+    // FILE layout: an incrementally-appended batch is often ONE file =
+    // one scan partition, which serialized the whole md5∘hexHash32 chain
+    // onto a single task (measured 8× the full rebuild's per-row wall at
+    // sf10); input_file_name() is pinned before the exchange.
     back.select(input_file_name().as("f"), col("event_id"))
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .join(broadcast(meta), "f")
       .select(col("f"),
         explode(array(bitCol(0), bitCol(1), bitCol(2))).as("bit"))
