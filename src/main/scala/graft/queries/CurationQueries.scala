@@ -1770,8 +1770,81 @@ object CurationQueries extends Registry {
       FROM t GROUP BY bin ORDER BY bin"""
     })
 
+  /** Water-filling token-budget allocation — the EXACT mixture solve
+    * behind "cap the biggest domains so the corpus fits the budget":
+    * given per-domain token counts t_d and a global budget B (here 80 %
+    * of total), find the unique integer level c with
+    * Σ_d min(t_d, c) ≤ B < Σ_d min(t_d, c+1); domains under the level
+    * keep everything, domains above are capped at c. q197 enforces a
+    * FIXED per-domain cap and q141/q179 REWEIGHT by temperature — this
+    * is the third recipe primitive, where the cap itself is solved from
+    * the budget. Closed form on the asc-sorted domain table: the level
+    * lies in the first segment i where p_{i−1} + t_i·(n−i+1) ≥ B, and
+    * c = ⌊(B − p_{i−1}) / (n−i+1)⌋ — all integer arithmetic, so the gate
+    * hashes exactly.
+    *
+    * Scale: the ONLY corpus-touching work is the per-domain token count
+    * (map-combined, one exchange on the domain key); everything after —
+    * the sort, the prefix sums, the segment scan — runs on |domains|
+    * rows, a metadata-scale frame (the single-partition window is over
+    * that table, not the corpus). The budget and level ride 1-row
+    * broadcast crossJoins (q141's device, BNLJ-allowlisted).
+    */
+  private val q317 = Q("q317_waterfill_budget",
+    (s, d) => {
+      // ONE corpus scan: the per-domain token count is the only
+      // corpus-touching job; localCheckpoint pins its |domains|-row
+      // result so the budget/level/final branches below never re-derive
+      // it (without this the lineage re-scans documents once per
+      // crossJoin branch — 4 scans for a 5-row table).
+      val t = Tables.fanOut(Tables.documents(s, d))
+        .select(col("lang"), size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+        .groupBy("lang").agg(sum(col("n")).as("toks"))
+        .localCheckpoint()
+      val tot = t.agg(sum(col("toks")).as("tt"), count(lit(1)).as("nd"))
+        .select(expr("tt * 4 div 5").as("budget"), col("nd"))
+      // |domains|-row frame from here down: metadata scale by design
+      val w = Window.orderBy("toks", "lang")
+      val seg = t.crossJoin(broadcast(tot))
+        .withColumn("i", row_number().over(w))
+        .withColumn("pfx",
+          coalesce(sum(col("toks")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("cand",
+          when(col("pfx") + col("toks") * (col("nd") - col("i") + 1) >= col("budget"),
+            expr("(budget - pfx) div (nd - i + 1)")))
+      // first qualifying segment holds the level (B < T ⇒ nonempty);
+      // min(struct(i, cand)) picks it without a second sort
+      val level = seg.filter(col("cand").isNotNull)
+        .agg(min(struct(col("i"), col("cand"))).as("m"))
+        .select(col("m.cand").as("level"))
+      seg.crossJoin(broadcast(level))
+        .select(col("lang"), col("toks"), col("budget"), col("level"),
+          least(col("toks"), col("level")).as("allocated"),
+          (col("toks") > col("level")).as("capped"))
+        .orderBy("lang")
+    },
+    Some("""WITH t AS (SELECT lang,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+        FROM documents GROUP BY lang),
+      tot AS (SELECT CAST(SUM(toks) * 4 // 5 AS BIGINT) AS budget,
+          COUNT(*) AS nd FROM t),
+      seg AS (SELECT lang, toks, budget, nd,
+          row_number() OVER (ORDER BY toks, lang) AS i,
+          COALESCE(SUM(toks) OVER (ORDER BY toks, lang
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+        FROM t CROSS JOIN tot),
+      cands AS (SELECT i, (budget - pfx) // (nd - i + 1) AS cand FROM seg
+        WHERE pfx + toks * (nd - i + 1) >= budget),
+      lvl AS (SELECT CAST(cand AS BIGINT) AS level FROM cands
+        ORDER BY i LIMIT 1)
+      SELECT lang, toks, budget, level,
+        CAST(least(toks, level) AS BIGINT) AS allocated,
+        toks > level AS capped
+      FROM seg CROSS JOIN lvl ORDER BY lang"""))
+
   override val all: Seq[Q] = Seq(q177, q178, q179, q180, q181, q182, q183,
     q184, q185, q186, q188, q189, q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q204, q205, q206, q207, q225, q226,
-    q232, q252, q267, q278, q279)
+    q232, q252, q267, q278, q279, q317)
 }

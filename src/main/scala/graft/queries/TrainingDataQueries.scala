@@ -2525,9 +2525,117 @@ object TrainingDataQueries extends Registry {
       ORDER BY h.qid"""
     })
 
+  /** Decontamination CASCADE — the shape that survives a benchmark set
+    * too big to broadcast. q47 (exact) broadcasts the full holdout
+    * shingle set to every task; q62 (Bloom) is a fixed 512-byte literal
+    * but pays a deterministic false-positive rate. The cascade composes
+    * them: a scan-local codegen'd Bloom probe (q62's m=4096/k=4 literal)
+    * kills the overwhelmingly-clean shingle stream FIRST, and only the
+    * survivors — true overlaps plus the filter's load-dependent FP tail
+    * (sf0.01: 1,720 of 26,136 shingle rows survive, 636 of them FPs the
+    * verify stage then kills; a production filter sized at ~24 bits/key
+    * like q307's pushes the tail to the 0.1 % class) — enter an
+    * UN-HINTED equi-join against the exact holdout set, so the sg-keyed
+    * exchange carries survivors, not the corpus, and the exact side may
+    * be arbitrarily large (shuffle join; AQE is free to downgrade it to
+    * broadcast at fixture scale, and does). The output carries BOTH
+    * counts per doc: the oracle computes n_exact_hits independently of
+    * the filter (plain membership), so a single false NEGATIVE in the
+    * Bloom literal — a survivor wrongly killed before the verify join —
+    * breaks the hash: the gate pins the no-false-negative property, and
+    * fp_killed shows the verify stage earning its keep.
+    *
+    * Scale: the bloom census and the survivors branch both hang off the
+    * same pruned (doc_id, text) scan; at 100 TB the census folds into
+    * whatever per-doc stats pass already runs (or the exploded frame is
+    * checkpointed once). The property that matters is that NO corpus-
+    * sized relation is ever broadcast and no corpus-sized stream is
+    * ever shuffled — reference src/metrics.py computes its overlap
+    * reports on the driver; here both stages are plan-native.
+    */
+  private val q316 = Q("q316_decontam_cascade",
+    (s, d) => {
+      def bloomPos(sg: org.apache.spark.sql.Column, j: Int) =
+        Dedup.hexHash32(substring(md5(sg), 1 + 8 * j, 8)) % 4096
+      val docs = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), explode(array(
+          array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)))).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val benchSh = docs.filter(col("doc_id") < 10)
+        .select(explode(col("sh")).as("bsh")).distinct()
+      // Bloom build + single-Literal bit table: exactly q62's device (one
+      // Literal node, not a 4096-child CreateArray — measured ~7 s/run
+      // of driver planning otherwise).
+      val setBits = benchSh
+        .select(array((0 until 4).map(j => bloomPos(col("bsh"), j)): _*).as("ps"))
+        .select(explode(col("ps")).as("pos"))
+        .distinct()
+        .collect().map(_.getLong(0).toInt).toSet
+      val bitsLit = typedLit((0 until 4096).map(p =>
+        if (setBits(p)) 1 else 0).toArray)
+      val bh = (0 until 4)
+        .map(j => element_at(bitsLit, (bloomPos(col("sg"), j) + 1).cast("int")) === 1)
+        .reduce(_ && _)
+      val ex = docs
+        .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
+          explode(col("sh")).as("sg"))
+        // bh in a projection (not downstream) so codegen's subexpression
+        // elimination computes md5(sg) once, not 4x (the q62 lesson)
+        .select(col("doc_id"), col("n_sh"), col("sg"), bh.as("bloom_hit"))
+      // Stage 1: per-doc Bloom census — map-combined keyed agg straight
+      // off the scan; every doc appears (zero-hit docs included).
+      val bloomCnt = ex.groupBy("doc_id", "n_sh")
+        .agg(sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"))
+      // Stage 2: exact verification of SURVIVORS ONLY. No broadcast hint:
+      // the declared plan is an equi-join whose left side the Bloom
+      // already shrank (15x at fixture load, 1000x at production
+      // bits/key), so it scales to a holdout set that cannot broadcast.
+      val exactCnt = ex.filter(col("bloom_hit"))
+        .join(benchSh, col("sg") === col("bsh"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_exact"))
+      bloomCnt.join(exactCnt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_sh"), col("n_bloom_hits"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact_hits"))
+        .withColumn("fp_killed", col("n_bloom_hits") - col("n_exact_hits"))
+        .withColumn("overlap_frac",
+          col("n_exact_hits").cast("double") / col("n_sh"))
+        .withColumn("contaminated", col("overlap_frac") >= 0.5d)
+        .orderBy("doc_id")
+    },
+    Some {
+      def duckPos(j: Int) =
+        s"((${duckHash32(s"substr(md5(sg), ${1 + 8 * j}, 8)")}) % 4096)"
+      val posList = (0 until 4).map(duckPos).mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, $duckToks AS w FROM documents),
+        s AS (SELECT doc_id, list_distinct(${duckShingles("w")}) AS sh FROM t),
+        f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+        ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS sg FROM f),
+        pos AS (SELECT doc_id, n_sh, sg, unnest($posList) AS pos FROM ex),
+        bpos AS (SELECT DISTINCT pos FROM pos WHERE doc_id < 10),
+        bsh AS (SELECT DISTINCT sg FROM ex WHERE doc_id < 10),
+        m AS (SELECT doc_id, n_sh, ex.sg,
+            SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS nb
+          FROM pos ex LEFT JOIN bpos b USING (pos)
+          GROUP BY doc_id, n_sh, ex.sg),
+        -- n_exact is EXACT membership, independent of the filter: a Bloom
+        -- false negative on the Spark side would undercount vs this.
+        h AS (SELECT m.doc_id, CAST(m.n_sh AS BIGINT) AS n_sh,
+            CAST(SUM(CASE WHEN m.nb = 4 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_bloom_hits,
+            CAST(SUM(CASE WHEN b.sg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_exact_hits
+          FROM m LEFT JOIN bsh b USING (sg)
+          GROUP BY m.doc_id, m.n_sh)
+      SELECT doc_id, n_sh, n_bloom_hits, n_exact_hits,
+        n_bloom_hits - n_exact_hits AS fp_killed,
+        CAST(n_exact_hits AS DOUBLE) / n_sh AS overlap_frac,
+        CAST(n_exact_hits AS DOUBLE) / n_sh >= 0.5::DOUBLE AS contaminated
+      FROM h ORDER BY doc_id"""
+    })
+
   override val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q38, q41, q42, q43, q44, q45, q47, q107, q112, q114, q115,
     q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q79, q124, q125, q126,
     q127, q134, q135, q140, q141, q142, q146, q150, q151, q163, q164, q218,
-    q241, q248, q249, q258, q313)
+    q241, q248, q249, q258, q313, q316)
 }

@@ -263,7 +263,8 @@ object PlanAudit {
     "q292_kaplan_meier",        // 1-row censoring-horizon scalar crossJoin
     "q299_rrf_fusion",          // 5-anchor set broadcast vs corpus scan (q26 shape)
     "q300_ndcg_at_10",          // 5-anchor set broadcast vs corpus scan (q26 shape)
-    "q310_data_contract")       // 1-row × 1-row × 1-row clause-scalar crossJoins
+    "q310_data_contract",       // 1-row × 1-row × 1-row clause-scalar crossJoins
+    "q317_waterfill_budget")    // 1-row budget + 1-row level scalar crossJoins on |domains| rows
 
   // ---------------------------------------------------------------------
   // Curated scale narratives (kept from rounds 2-7; auto entries cover the

@@ -57,4 +57,44 @@ class Round14CertificatesSpec extends SparkSpec {
     assert(newFiles.nonEmpty, "no late data file was ingested")
     assert(probes.nonEmpty && probes.size <= 3)
   }
+
+  test("q316: cascade is exact — per-doc verified counts equal q47's exact overlap") {
+    // The cascade's entire claim: Bloom prefilter + exact verify ==
+    // plain exact decontamination. Compare per-doc against the
+    // independent q47 operator (full holdout broadcast, no Bloom).
+    val cascade = run("q316_decontam_cascade")
+      .select($"doc_id", $"n_sh", $"n_exact_hits", $"contaminated")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val exact = run("q47_decontaminate")
+      .select($"doc_id", $"n_sh", $"n_overlap", $"contaminated")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(cascade == exact,
+      "cascade verified counts diverged from the exact operator — a Bloom " +
+        "false negative or a verify-join defect")
+    // and the prefilter is doing nontrivial work: some FPs must be killed
+    // (the filter is deliberately small at fixture scale)
+    val fp = run("q316_decontam_cascade")
+      .agg(sum($"fp_killed")).as[Long].head()
+    assert(fp > 0, "no false positives killed — the verify stage is untested")
+  }
+
+  test("q317: allocation is the tight waterfill optimum") {
+    val rows = run("q317_waterfill_budget")
+      .select($"toks", $"budget", $"level", $"allocated", $"capped")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(rows.nonEmpty)
+    val budget = rows.head._2
+    val level = rows.head._3
+    val alloc = rows.map(_._4).sum
+    // feasible: within budget; tight: raising the level by 1 overshoots
+    assert(alloc <= budget, s"allocation $alloc exceeds budget $budget")
+    val nextAlloc = rows.map(r => math.min(r._1, level + 1)).sum
+    assert(nextAlloc > budget,
+      s"level $level not tight: level+1 still fits ($nextAlloc <= $budget)")
+    // per-domain consistency
+    rows.foreach { case (toks, _, _, a, capped) =>
+      assert(a == math.min(toks, level))
+      assert(capped == (toks > level))
+    }
+  }
 }
