@@ -2553,89 +2553,181 @@ object TrainingDataQueries extends Registry {
     * ever shuffled — reference src/metrics.py computes its overlap
     * reports on the driver; here both stages are plan-native.
     */
+  // ---- cascade internals, single owner for q316 (batch) + q318 (per
+  // micro-batch): the same dataflow MUST produce the same rows whether
+  // it sees the corpus at once or in arrival order --------------------
+  private def cascadePos(sg: org.apache.spark.sql.Column, j: Int) =
+    Dedup.hexHash32(substring(md5(sg), 1 + 8 * j, 8)) % 4096
+
+  /** (doc_id, sh) with the empty-shingle docs dropped — q47's explode
+    * barrier (keeps the size filter from re-evaluating the chain 3x). */
+  private def shingled(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), explode(array(
+      array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)))).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** Bloom bit table as ONE Literal node (q62's device: a 4096-child
+    * CreateArray costs ~7 s/run of driver planning) from the holdout's
+    * distinct shingles; built once per query construction — and, for
+    * q318, once per STREAM, amortized over every micro-batch. */
+  private def cascadeBloomHit(benchSh: DataFrame): org.apache.spark.sql.Column = {
+    val setBits = benchSh
+      .select(array((0 until 4).map(j => cascadePos(col("bsh"), j)): _*).as("ps"))
+      .select(explode(col("ps")).as("pos"))
+      .distinct()
+      .collect().map(_.getLong(0).toInt).toSet
+    val bitsLit = typedLit((0 until 4096).map(p =>
+      if (setBits(p)) 1 else 0).toArray)
+    (0 until 4)
+      .map(j => element_at(bitsLit, (cascadePos(col("sg"), j) + 1).cast("int")) === 1)
+      .reduce(_ && _)
+  }
+
+  /** The cascade over a shingled frame: scan-local Bloom census, then
+    * exact verification of SURVIVORS ONLY against the holdout. No
+    * broadcast hint on the verify join: the declared plan is an
+    * equi-join whose left side the Bloom already shrank (15x at fixture
+    * load, 1000x at production bits/key), so it scales to a holdout set
+    * that cannot broadcast. Unordered — callers sort. */
+  private def cascadeDecisions(docs: DataFrame, benchSh: DataFrame,
+      bloomHit: org.apache.spark.sql.Column): DataFrame = {
+    val ex = docs
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
+        explode(col("sh")).as("sg"))
+      // bloomHit in a projection (not downstream) so codegen's
+      // subexpression elimination computes md5(sg) once, not 4x
+      .select(col("doc_id"), col("n_sh"), col("sg"), bloomHit.as("bloom_hit"))
+    // Stage 1: per-doc Bloom census — map-combined keyed agg straight
+    // off the scan; every doc appears (zero-hit docs included).
+    val bloomCnt = ex.groupBy("doc_id", "n_sh")
+      .agg(sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"))
+    // Stage 2: exact verification of survivors.
+    val exactCnt = ex.filter(col("bloom_hit"))
+      .join(benchSh, col("sg") === col("bsh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_exact"))
+    bloomCnt.join(exactCnt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"), col("n_bloom_hits"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact_hits"))
+      .withColumn("fp_killed", col("n_bloom_hits") - col("n_exact_hits"))
+      .withColumn("overlap_frac",
+        col("n_exact_hits").cast("double") / col("n_sh"))
+      .withColumn("contaminated", col("overlap_frac") >= 0.5d)
+  }
+
+  /** Shared DuckDB twin for q316/q318 (batch-invariant: each doc's
+    * decision depends only on its own shingles and the fixed holdout, so
+    * whole-corpus and per-micro-batch execution must hash identically). */
+  private val cascadeOracle: String = {
+    def duckPos(j: Int) =
+      s"((${duckHash32(s"substr(md5(sg), ${1 + 8 * j}, 8)")}) % 4096)"
+    val posList = (0 until 4).map(duckPos).mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, $duckToks AS w FROM documents),
+      s AS (SELECT doc_id, list_distinct(${duckShingles("w")}) AS sh FROM t),
+      f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+      ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS sg FROM f),
+      pos AS (SELECT doc_id, n_sh, sg, unnest($posList) AS pos FROM ex),
+      bpos AS (SELECT DISTINCT pos FROM pos WHERE doc_id < 10),
+      bsh AS (SELECT DISTINCT sg FROM ex WHERE doc_id < 10),
+      m AS (SELECT doc_id, n_sh, ex.sg,
+          SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS nb
+        FROM pos ex LEFT JOIN bpos b USING (pos)
+        GROUP BY doc_id, n_sh, ex.sg),
+      -- n_exact is EXACT membership, independent of the filter: a Bloom
+      -- false negative on the Spark side would undercount vs this.
+      h AS (SELECT m.doc_id, CAST(m.n_sh AS BIGINT) AS n_sh,
+          CAST(SUM(CASE WHEN m.nb = 4 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_bloom_hits,
+          CAST(SUM(CASE WHEN b.sg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_exact_hits
+        FROM m LEFT JOIN bsh b USING (sg)
+        GROUP BY m.doc_id, m.n_sh)
+    SELECT doc_id, n_sh, n_bloom_hits, n_exact_hits,
+      n_bloom_hits - n_exact_hits AS fp_killed,
+      CAST(n_exact_hits AS DOUBLE) / n_sh AS overlap_frac,
+      CAST(n_exact_hits AS DOUBLE) / n_sh >= 0.5::DOUBLE AS contaminated
+    FROM h ORDER BY doc_id"""
+  }
+
   private val q316 = Q("q316_decontam_cascade",
     (s, d) => {
-      def bloomPos(sg: org.apache.spark.sql.Column, j: Int) =
-        Dedup.hexHash32(substring(md5(sg), 1 + 8 * j, 8)) % 4096
-      val docs = Tables.fanOut(Tables.documents(s, d))
-        .select(col("doc_id"), explode(array(
-          array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)))).as("sh"))
-        .filter(size(col("sh")) > 0)
+      val docs = shingled(Tables.fanOut(Tables.documents(s, d)))
       val benchSh = docs.filter(col("doc_id") < 10)
         .select(explode(col("sh")).as("bsh")).distinct()
-      // Bloom build + single-Literal bit table: exactly q62's device (one
-      // Literal node, not a 4096-child CreateArray — measured ~7 s/run
-      // of driver planning otherwise).
-      val setBits = benchSh
-        .select(array((0 until 4).map(j => bloomPos(col("bsh"), j)): _*).as("ps"))
-        .select(explode(col("ps")).as("pos"))
-        .distinct()
-        .collect().map(_.getLong(0).toInt).toSet
-      val bitsLit = typedLit((0 until 4096).map(p =>
-        if (setBits(p)) 1 else 0).toArray)
-      val bh = (0 until 4)
-        .map(j => element_at(bitsLit, (bloomPos(col("sg"), j) + 1).cast("int")) === 1)
-        .reduce(_ && _)
-      val ex = docs
-        .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
-          explode(col("sh")).as("sg"))
-        // bh in a projection (not downstream) so codegen's subexpression
-        // elimination computes md5(sg) once, not 4x (the q62 lesson)
-        .select(col("doc_id"), col("n_sh"), col("sg"), bh.as("bloom_hit"))
-      // Stage 1: per-doc Bloom census — map-combined keyed agg straight
-      // off the scan; every doc appears (zero-hit docs included).
-      val bloomCnt = ex.groupBy("doc_id", "n_sh")
-        .agg(sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"))
-      // Stage 2: exact verification of SURVIVORS ONLY. No broadcast hint:
-      // the declared plan is an equi-join whose left side the Bloom
-      // already shrank (15x at fixture load, 1000x at production
-      // bits/key), so it scales to a holdout set that cannot broadcast.
-      val exactCnt = ex.filter(col("bloom_hit"))
-        .join(benchSh, col("sg") === col("bsh"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_exact"))
-      bloomCnt.join(exactCnt, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_sh"), col("n_bloom_hits"),
-          coalesce(col("n_exact"), lit(0L)).as("n_exact_hits"))
-        .withColumn("fp_killed", col("n_bloom_hits") - col("n_exact_hits"))
-        .withColumn("overlap_frac",
-          col("n_exact_hits").cast("double") / col("n_sh"))
-        .withColumn("contaminated", col("overlap_frac") >= 0.5d)
+      cascadeDecisions(docs, benchSh, cascadeBloomHit(benchSh))
         .orderBy("doc_id")
     },
-    Some {
-      def duckPos(j: Int) =
-        s"((${duckHash32(s"substr(md5(sg), ${1 + 8 * j}, 8)")}) % 4096)"
-      val posList = (0 until 4).map(duckPos).mkString("[", ", ", "]")
-      s"""WITH t AS (SELECT doc_id, $duckToks AS w FROM documents),
-        s AS (SELECT doc_id, list_distinct(${duckShingles("w")}) AS sh FROM t),
-        f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
-        ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS sg FROM f),
-        pos AS (SELECT doc_id, n_sh, sg, unnest($posList) AS pos FROM ex),
-        bpos AS (SELECT DISTINCT pos FROM pos WHERE doc_id < 10),
-        bsh AS (SELECT DISTINCT sg FROM ex WHERE doc_id < 10),
-        m AS (SELECT doc_id, n_sh, ex.sg,
-            SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS nb
-          FROM pos ex LEFT JOIN bpos b USING (pos)
-          GROUP BY doc_id, n_sh, ex.sg),
-        -- n_exact is EXACT membership, independent of the filter: a Bloom
-        -- false negative on the Spark side would undercount vs this.
-        h AS (SELECT m.doc_id, CAST(m.n_sh AS BIGINT) AS n_sh,
-            CAST(SUM(CASE WHEN m.nb = 4 THEN 1 ELSE 0 END) AS BIGINT)
-              AS n_bloom_hits,
-            CAST(SUM(CASE WHEN b.sg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-              AS n_exact_hits
-          FROM m LEFT JOIN bsh b USING (sg)
-          GROUP BY m.doc_id, m.n_sh)
-      SELECT doc_id, n_sh, n_bloom_hits, n_exact_hits,
-        n_bloom_hits - n_exact_hits AS fp_killed,
-        CAST(n_exact_hits AS DOUBLE) / n_sh AS overlap_frac,
-        CAST(n_exact_hits AS DOUBLE) / n_sh >= 0.5::DOUBLE AS contaminated
-      FROM h ORDER BY doc_id"""
-    })
+    Some(cascadeOracle))
+
+  private val q318Runs = new java.util.concurrent.atomic.AtomicLong()
+
+  /** ONLINE decontamination — the q316 cascade run per micro-batch at
+    * ingest, the admission-control shape a continuously-crawling corpus
+    * needs (decide AT ARRIVAL, not in a nightly batch; reference
+    * src/app.py's pipeline is exactly this always-on posture). The
+    * holdout index — Bloom literal + exact shingle set — is built ONCE
+    * before the stream starts and reused by every batch: per batch the
+    * cascade pays only its own rows. Decisions land idempotently in
+    * batchId-keyed parquet (q154's exactly-once discipline), and the
+    * post-stream union must hash-match the WHOLE-CORPUS oracle: a
+    * dropped batch, a duplicated emission, or any cross-batch
+    * sensitivity in the operator (each doc's decision must depend only
+    * on its own shingles and the fixed holdout) breaks the gate. The
+    * driver-side doc collect is the replay HARNESS (MemoryStream needs
+    * addData); production swaps in the file/WebSocket source and keeps
+    * the identical in-stream dataflow.
+    */
+  private val q318 = Q("q318_streaming_decontam",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      // Holdout index: built from the static table before the stream
+      // opens (deploy-time in production). benchSh is a static frame the
+      // per-batch cascade stream-static-joins against.
+      val benchSh = shingled(Tables.documents(s, d))
+        .filter(col("doc_id") < 10)
+        .select(explode(col("sh")).as("bsh")).distinct()
+      val bloomHit = cascadeBloomHit(benchSh)
+      val rows: Seq[(Long, String)] =
+        StreamFixtures.replayRows("q318", d) {
+          Tables.documents(s, d).select("doc_id", "text")
+            .orderBy("doc_id").collect().iterator
+            .map(r => (r.getLong(0), r.getString(1))).toSeq
+        }
+      val runId = q318Runs.incrementAndGet()
+      val dir = graft.streaming.TempDirs.scratch(
+        s"graft_q318_${ProcessHandle.current().pid()}_$runId")
+      val outRoot = new java.io.File(dir, "out").getPath
+      val mem = MemoryStream[(Long, String)](numPartitions = 4)
+      val src = mem.toDF().toDF("doc_id", "text")
+      val query = StreamGate.withStatePartitions(s, noDataBatches = false,
+          keepCodegen = true) { // real per-row md5 chains: interpreted eval costs more than recompiles
+        src.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            cascadeDecisions(shingled(batch), benchSh, bloomHit)
+              .write.mode("overwrite").parquet(s"$outRoot/batch=$id")
+          }
+          .outputMode("append").start()
+      }
+      try {
+        val chunk = math.max(1, (rows.size + 2) / 3)
+        rows.grouped(chunk).foreach { c =>
+          mem.addData(c: _*)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      // drop the inferred batch partition column: the gate is the union
+      s.read.parquet(outRoot)
+        .select(col("doc_id"), col("n_sh"), col("n_bloom_hits"),
+          col("n_exact_hits"), col("fp_killed"), col("overlap_frac"),
+          col("contaminated"))
+        .orderBy("doc_id")
+    },
+    Some(cascadeOracle))
 
   override val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q38, q41, q42, q43, q44, q45, q47, q107, q112, q114, q115,
     q48, q50, q51, q52, q53, q54, q55, q56, q57, q58, q79, q124, q125, q126,
     q127, q134, q135, q140, q141, q142, q146, q150, q151, q163, q164, q218,
-    q241, q248, q249, q258, q313, q316)
+    q241, q248, q249, q258, q313, q316, q318)
 }

@@ -78,6 +78,22 @@ class Round14CertificatesSpec extends SparkSpec {
     assert(fp > 0, "no false positives killed — the verify stage is untested")
   }
 
+  test("q318: per-micro-batch admission equals the whole-corpus cascade") {
+    // The online property under test: each doc's decision depends only
+    // on its own shingles and the FIXED holdout index, so running the
+    // cascade per arrival batch (3 micro-batches, idempotent batchId
+    // writes) must reproduce the batch operator row-for-row.
+    val streaming = run("q318_streaming_decontam")
+      .as[(Long, Long, Long, Long, Long, Double, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    val batch = run("q316_decontam_cascade")
+      .as[(Long, Long, Long, Long, Long, Double, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    assert(streaming == batch,
+      "per-batch cascade diverged from the whole-corpus cascade")
+    assert(streaming.nonEmpty)
+  }
+
   test("q317: allocation is the tight waterfill optimum") {
     val rows = run("q317_waterfill_budget")
       .select($"toks", $"budget", $"level", $"allocated", $"capped")
