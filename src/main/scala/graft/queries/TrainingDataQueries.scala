@@ -2583,22 +2583,31 @@ object TrainingDataQueries extends Registry {
       .reduce(_ && _)
   }
 
-  /** The cascade over a shingled frame: scan-local Bloom census, then
-    * exact verification of SURVIVORS ONLY against the holdout. No
+  /** The hashed shingle stream (doc_id, n_sh, sg, bloom_hit) — the
+    * expensive frame: every row pays the md5∘hexHash32 probe chain (the
+    * deliberate cross-engine-hash tax every oracle-gated dedup query
+    * carries). bloomHit sits in a projection (not downstream) so
+    * codegen's subexpression elimination computes md5(sg) once, not 4x. */
+  private def cascadeEx(docs: DataFrame,
+      bloomHit: org.apache.spark.sql.Column): DataFrame =
+    docs
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
+        explode(col("sh")).as("sg"))
+      .select(col("doc_id"), col("n_sh"), col("sg"), bloomHit.as("bloom_hit"))
+
+  /** The cascade over a hashed shingle stream: scan-local Bloom census,
+    * then exact verification of SURVIVORS ONLY against the holdout. No
     * broadcast hint on the verify join: the declared plan is an
     * equi-join whose left side the Bloom already shrank (15x at fixture
     * load, 1000x at production bits/key), so it scales to a holdout set
-    * that cannot broadcast. Unordered — callers sort. */
-  private def cascadeDecisions(docs: DataFrame, benchSh: DataFrame,
-      bloomHit: org.apache.spark.sql.Column): DataFrame = {
-    val ex = docs
-      .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
-        explode(col("sh")).as("sg"))
-      // bloomHit in a projection (not downstream) so codegen's
-      // subexpression elimination computes md5(sg) once, not 4x
-      .select(col("doc_id"), col("n_sh"), col("sg"), bloomHit.as("bloom_hit"))
+    * that cannot broadcast. Both stages consume `ex`; whether its hash
+    * chain is evaluated once (a checkpointed micro-batch, q318) or per
+    * branch (the corpus-sized batch operator, q316 — a 100 TB exploded
+    * frame cannot materialize) is the CALLER's scale decision.
+    * Unordered — callers sort. */
+  private def cascadeDecisions(ex: DataFrame, benchSh: DataFrame): DataFrame = {
     // Stage 1: per-doc Bloom census — map-combined keyed agg straight
-    // off the scan; every doc appears (zero-hit docs included).
+    // off the stream; every doc appears (zero-hit docs included).
     val bloomCnt = ex.groupBy("doc_id", "n_sh")
       .agg(sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"))
     // Stage 2: exact verification of survivors.
@@ -2653,7 +2662,11 @@ object TrainingDataQueries extends Registry {
       val docs = shingled(Tables.fanOut(Tables.documents(s, d)))
       val benchSh = docs.filter(col("doc_id") < 10)
         .select(explode(col("sh")).as("bsh")).distinct()
-      cascadeDecisions(docs, benchSh, cascadeBloomHit(benchSh))
+      // both cascade stages re-evaluate the hash chain from the scan: a
+      // corpus-sized exploded frame cannot materialize at 100 TB, so the
+      // batch operator pays the chain per branch (the census folds into
+      // whatever per-doc stats pass already runs in production)
+      cascadeDecisions(cascadeEx(docs, cascadeBloomHit(benchSh)), benchSh)
         .orderBy("doc_id")
     },
     Some(cascadeOracle))
@@ -2698,14 +2711,28 @@ object TrainingDataQueries extends Registry {
       val dir = graft.streaming.TempDirs.scratch(
         s"graft_q318_${ProcessHandle.current().pid()}_$runId")
       val outRoot = new java.io.File(dir, "out").getPath
-      val mem = MemoryStream[(Long, String)](numPartitions = 4)
+      // 16 input partitions + 8 shuffle partitions, NOT the stateful-gate
+      // clamp (n=2): this gate is STATELESS — no state-store instances to
+      // churn — and its per-batch cost is real CPU (md5 shingle chains),
+      // so the map side should parallelize like any batch scan. At 4
+      // source partitions the cascade ran ~2.5-way (stage_wall 4.6 s of
+      // 11.7 s cpu at sf0.1); the sizing below is the q155 device applied
+      // to a foreachBatch gate.
+      val mem = MemoryStream[(Long, String)](numPartitions = 16)
       val src = mem.toDF().toDF("doc_id", "text")
-      val query = StreamGate.withStatePartitions(s, noDataBatches = false,
+      val query = StreamGate.withStatePartitions(s, n = 8, noDataBatches = false,
           keepCodegen = true) { // real per-row md5 chains: interpreted eval costs more than recompiles
         src.writeStream
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-            cascadeDecisions(shingled(batch), benchSh, bloomHit)
+            // a micro-batch is ingest-rate-bounded, so materializing ITS
+            // hashed shingle frame is safe at any corpus size — pay the
+            // md5 chain once per batch instead of once per cascade stage
+            // (the batch operator q316 cannot make this trade; measured:
+            // stage cpu ~halves at sf0.1)
+            val ex = cascadeEx(shingled(batch), bloomHit).localCheckpoint()
+            try cascadeDecisions(ex, benchSh)
               .write.mode("overwrite").parquet(s"$outRoot/batch=$id")
+            finally { ex.unpersist(): Unit }
           }
           .outputMode("append").start()
       }
