@@ -171,6 +171,37 @@ object Dedup {
     (1 to 8).map(p => shiftleft(nibble(p), (8 - p) * 4)).reduce(_ + _)
   }
 
+  /** m=4096/k=4 Bloom geometry — SINGLE OWNER for the fixed-size
+    * decontamination filter (q62's probe, q316/q318's cascade prefilter):
+    * position j is an independent 12-bit hash from md5 slice j of the
+    * shingle. Keeping m, k, and the slice offsets in one place means the
+    * Spark probes and the DuckDB oracle mirrors
+    * ([[graft.queries.TrainingDataQueries.duckBloomPos]]) cannot drift
+    * apart query-by-query. Reference src/metrics.py:1-40 computes its
+    * overlap reports driver-side; the filter is the plan-native stand-in.
+    */
+  def bloomPos4096(sg: Column, j: Int): Column =
+    hexHash32(substring(md5(sg), 1 + 8 * j, 8)) % 4096
+
+  /** Build the 4096-bit filter from a holdout shingle column `bsh` and
+    * return the codegen'd k=4 membership probe over `sgCol`. The bit
+    * table ships as ONE Literal node (a 4096-child CreateArray costs
+    * ~7 s/run of driver-side planning — the q62 lesson); the collect is
+    * the index build, fixed-size no matter how large the corpus.
+    */
+  def bloomProbe4096(benchSh: DataFrame, sgCol: Column): Column = {
+    val setBits = benchSh
+      .select(array((0 until 4).map(j => bloomPos4096(col("bsh"), j)): _*).as("ps"))
+      .select(explode(col("ps")).as("pos"))
+      .distinct()
+      .collect().map(_.getLong(0).toInt).toSet
+    val bitsLit = typedLit((0 until 4096).map(p =>
+      if (setBits(p)) 1 else 0).toArray)
+    (0 until 4)
+      .map(j => element_at(bitsLit, (bloomPos4096(sgCol, j) + 1).cast("int")) === 1)
+      .reduce(_ && _)
+  }
+
   /** All token hashes as one array column via the native
     * [[graft.functions.TokenHash32]] expression — identical values to
     * `hexHash32(md5(token))` per token (spec-asserted). Use behind an

@@ -148,32 +148,19 @@ object PipelineQueries extends Registry {
     */
   private val q62 = Q("q62_bloom_decontaminate",
     (s, d) => {
-      def bloomPos(sg: org.apache.spark.sql.Column, j: Int) =
-        Dedup.hexHash32(substring(md5(sg), 1 + 8 * j, 8)) % 4096
-      val docs = Tables.fanOut(Tables.documents(s, d))
-        .select(col("doc_id"), explode(array(
-          array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)))).as("sh"))
-        .filter(size(col("sh")) > 0)
+      val docs = TrainingDataQueries.shingled(
+        Tables.fanOut(Tables.documents(s, d)))
       // Index build (like the IVF quantizer literals): the filter is pure
-      // fixed-size data — collect the set bit positions once and ship the
-      // m-entry bit table as a plan literal, so membership probing is a
-      // per-row O(k) lookup with NO join and NO per-shingle aggregation.
-      // (A production filter packs this into m/8 bytes; the flat 0/1
-      // table keeps the probe pure codegen'd `element_at`.)
-      val setBits = docs.filter(col("doc_id") < 10)
-        .select(explode(col("sh")).as("bsh"))
-        .select(array((0 until 4).map(j => bloomPos(col("bsh"), j)): _*).as("ps"))
-        .select(explode(col("ps")).as("pos"))
-        .distinct()
-        .collect().map(_.getLong(0).toInt).toSet
-      // One Literal node, NOT a 4096-child CreateArray: the probe clones
-      // this table k=4 times, and a 16k-node constant tree costs seconds
-      // of driver-side planning/codegen per run (measured: ~7 s/run).
-      val bitsLit = typedLit((0 until 4096).map(p =>
-        if (setBits(p)) 1 else 0).toArray)
-      val hit = (0 until 4)
-        .map(j => element_at(bitsLit, (bloomPos(col("sg"), j) + 1).cast("int")) === 1)
-        .reduce(_ && _)
+      // fixed-size data — Dedup.bloomProbe4096 collects the set bit
+      // positions once and ships the m-entry bit table as ONE plan
+      // literal, so membership probing is a per-row O(k) lookup with NO
+      // join and NO per-shingle aggregation. (A production filter packs
+      // this into m/8 bytes; the flat 0/1 table keeps the probe pure
+      // codegen'd `element_at`.) Geometry is single-owner with the
+      // q316/q318 cascade.
+      val hit = Dedup.bloomProbe4096(
+        docs.filter(col("doc_id") < 10).select(explode(col("sh")).as("bsh")),
+        col("sg"))
       docs
         .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
           explode(col("sh")).as("sg"))
@@ -187,9 +174,8 @@ object PipelineQueries extends Registry {
         .orderBy("doc_id")
     },
     Some {
-      def duckPos(j: Int) =
-        s"((${TrainingDataQueries.duckHash32(s"substr(md5(sg), ${1 + 8 * j}, 8)")}) % 4096)"
-      val posList = (0 until 4).map(duckPos).mkString("[", ", ", "]")
+      val posList = (0 until 4).map(TrainingDataQueries.duckBloomPos)
+        .mkString("[", ", ", "]")
       s"""WITH t AS (SELECT doc_id, ${TrainingDataQueries.duckToks} AS w FROM documents),
         s AS (SELECT doc_id, list_distinct(${TrainingDataQueries.duckShingles("w")}) AS sh FROM t),
         f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),

@@ -1002,13 +1002,7 @@ object TrainingDataQueries extends Registry {
     */
   private val q47 = Q("q47_decontaminate",
     (s, d) => {
-      // explode(array(...)) barrier (cf. minhashSigFrame): keeps the
-      // size(sh) > 0 filter from pushing below the projection, which would
-      // re-evaluate the shingling chain 3x per row before the fan-out
-      val docs = Tables.fanOut(Tables.documents(s, d))
-        .select(col("doc_id"), explode(array(
-          array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)))).as("sh"))
-        .filter(size(col("sh")) > 0)
+      val docs = shingled(Tables.fanOut(Tables.documents(s, d)))
       val benchSh = docs.filter(col("doc_id") < 10)
         .select(explode(col("sh")).as("bsh")).distinct()
       docs
@@ -2555,33 +2549,22 @@ object TrainingDataQueries extends Registry {
     */
   // ---- cascade internals, single owner for q316 (batch) + q318 (per
   // micro-batch): the same dataflow MUST produce the same rows whether
-  // it sees the corpus at once or in arrival order --------------------
-  private def cascadePos(sg: org.apache.spark.sql.Column, j: Int) =
-    Dedup.hexHash32(substring(md5(sg), 1 + 8 * j, 8)) % 4096
+  // it sees the corpus at once or in arrival order. Bloom geometry
+  // lives in Dedup.bloomPos4096/bloomProbe4096 (shared with q62). -----
+
+  /** DuckDB mirror of [[graft.operators.Dedup.bloomPos4096]] — the
+    * oracle-side single owner of the m=4096/k=4 geometry (q62's oracle
+    * and the cascade oracle both splice it). */
+  private[queries] def duckBloomPos(j: Int): String =
+    s"((${duckHash32(s"substr(md5(sg), ${1 + 8 * j}, 8)")}) % 4096)"
 
   /** (doc_id, sh) with the empty-shingle docs dropped — q47's explode
-    * barrier (keeps the size filter from re-evaluating the chain 3x). */
-  private def shingled(df: DataFrame): DataFrame =
+    * barrier (keeps the size filter from re-evaluating the chain 3x).
+    * Shared by q47/q62/q316/q318. */
+  private[queries] def shingled(df: DataFrame): DataFrame =
     df.select(col("doc_id"), explode(array(
       array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)))).as("sh"))
       .filter(size(col("sh")) > 0)
-
-  /** Bloom bit table as ONE Literal node (q62's device: a 4096-child
-    * CreateArray costs ~7 s/run of driver planning) from the holdout's
-    * distinct shingles; built once per query construction — and, for
-    * q318, once per STREAM, amortized over every micro-batch. */
-  private def cascadeBloomHit(benchSh: DataFrame): org.apache.spark.sql.Column = {
-    val setBits = benchSh
-      .select(array((0 until 4).map(j => cascadePos(col("bsh"), j)): _*).as("ps"))
-      .select(explode(col("ps")).as("pos"))
-      .distinct()
-      .collect().map(_.getLong(0).toInt).toSet
-    val bitsLit = typedLit((0 until 4096).map(p =>
-      if (setBits(p)) 1 else 0).toArray)
-    (0 until 4)
-      .map(j => element_at(bitsLit, (cascadePos(col("sg"), j) + 1).cast("int")) === 1)
-      .reduce(_ && _)
-  }
 
   /** The hashed shingle stream (doc_id, n_sh, sg, bloom_hit) — the
     * expensive frame: every row pays the md5∘hexHash32 probe chain (the
@@ -2627,9 +2610,7 @@ object TrainingDataQueries extends Registry {
     * decision depends only on its own shingles and the fixed holdout, so
     * whole-corpus and per-micro-batch execution must hash identically). */
   private val cascadeOracle: String = {
-    def duckPos(j: Int) =
-      s"((${duckHash32(s"substr(md5(sg), ${1 + 8 * j}, 8)")}) % 4096)"
-    val posList = (0 until 4).map(duckPos).mkString("[", ", ", "]")
+    val posList = (0 until 4).map(duckBloomPos).mkString("[", ", ", "]")
     s"""WITH t AS (SELECT doc_id, $duckToks AS w FROM documents),
       s AS (SELECT doc_id, list_distinct(${duckShingles("w")}) AS sh FROM t),
       f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
@@ -2666,7 +2647,7 @@ object TrainingDataQueries extends Registry {
       // corpus-sized exploded frame cannot materialize at 100 TB, so the
       // batch operator pays the chain per branch (the census folds into
       // whatever per-doc stats pass already runs in production)
-      cascadeDecisions(cascadeEx(docs, cascadeBloomHit(benchSh)), benchSh)
+      cascadeDecisions(cascadeEx(docs, Dedup.bloomProbe4096(benchSh, col("sg"))), benchSh)
         .orderBy("doc_id")
     },
     Some(cascadeOracle))
@@ -2695,12 +2676,17 @@ object TrainingDataQueries extends Registry {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       // Holdout index: built from the static table before the stream
-      // opens (deploy-time in production). benchSh is a static frame the
-      // per-batch cascade stream-static-joins against.
+      // opens (deploy-time in production) and MATERIALIZED once —
+      // localCheckpoint pins the distinct holdout shingles so the
+      // per-batch verify join reads the checkpointed KB-scale frame
+      // instead of re-deriving scan→shingle→distinct every micro-batch
+      // (review finding: the "built once" claim must hold for the exact
+      // set too, not just the Bloom literal).
       val benchSh = shingled(Tables.documents(s, d))
         .filter(col("doc_id") < 10)
         .select(explode(col("sh")).as("bsh")).distinct()
-      val bloomHit = cascadeBloomHit(benchSh)
+        .localCheckpoint()
+      val bloomHit = Dedup.bloomProbe4096(benchSh, col("sg"))
       val rows: Seq[(Long, String)] =
         StreamFixtures.replayRows("q318", d) {
           Tables.documents(s, d).select("doc_id", "text")
@@ -2728,8 +2714,12 @@ object TrainingDataQueries extends Registry {
             // hashed shingle frame is safe at any corpus size — pay the
             // md5 chain once per batch instead of once per cascade stage
             // (the batch operator q316 cannot make this trade; measured:
-            // stage cpu ~halves at sf0.1)
-            val ex = cascadeEx(shingled(batch), bloomHit).localCheckpoint()
+            // stage cpu ~halves at sf0.1). persist(), not localCheckpoint:
+            // the CacheManager substitutes the cached relation into BOTH
+            // cascade stages of the single write job, and unpersist()
+            // actually frees the blocks (it is a no-op on a checkpointed
+            // frame — review finding).
+            val ex = cascadeEx(shingled(batch), bloomHit).persist()
             try cascadeDecisions(ex, benchSh)
               .write.mode("overwrite").parquet(s"$outRoot/batch=$id")
             finally { ex.unpersist(): Unit }
