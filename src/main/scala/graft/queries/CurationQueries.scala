@@ -1843,8 +1843,114 @@ object CurationQueries extends Registry {
         toks > level AS capped
       FROM seg CROSS JOIN lvl ORDER BY lang"""))
 
+  private val q320Runs = new java.util.concurrent.atomic.AtomicLong()
+
+  /** ONLINE per-source token-quota admission — the ENFORCEMENT half of
+    * the budget family, run at ingest: q56 selects under a budget in
+    * QUALITY order (a ranking decision a nightly batch makes), q317
+    * SOLVES the cap from a global budget; this gate applies a per-source
+    * cap to a LIVE stream in ARRIVAL order — "take each source's
+    * documents as they arrive until its quota line is crossed", the
+    * admission-control shape a continuously-crawling corpus needs
+    * (reference src/app.py's always-on posture, same as q318's
+    * decontamination twin). Each micro-batch joins its in-batch
+    * running token sums against ONE |sources|-row state frame (tokens
+    * arrived before this batch), decides admitted = cumulative ≤ cap,
+    * and writes decisions + updated state to batchId-versioned parquet
+    * (q154/q304's idempotent replay discipline: a retried batch re-reads
+    * state b−1 and overwrites the same outputs). The replay feeds global
+    * doc_id order, so batch boundaries respect arrival order and the
+    * decision stream must reproduce the whole-corpus prefix-sum oracle
+    * bit-for-bit — a dropped batch, a doubled batch, or any state drift
+    * breaks the hash; the certificate separately pins online == batch.
+    *
+    * Scale: the stateful footprint is |sources| rows per version — the
+    * per-batch work is one token count over the batch plus a broadcast-
+    * sized join, and NO corpus-sized state ever accumulates (the q304
+    * "one row per key" state shape, applied to quota ledgers). At
+    * 100 TB/day of crawl the quota ledger is still KB.
+    */
+  private val q320 = Q("q320_streaming_token_quota",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val Cap = 500L
+      val rows: Seq[(Long, String, String)] =
+        StreamFixtures.replayRows("q320", d) {
+          Tables.documents(s, d).select("doc_id", "source", "text")
+            .orderBy("doc_id").collect().iterator
+            .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+        }
+      val runId = q320Runs.incrementAndGet()
+      val dir = graft.streaming.TempDirs.scratch(
+        s"graft_q320_${ProcessHandle.current().pid()}_$runId")
+      val outRoot = new java.io.File(dir, "out").getPath
+      val stateRoot = new java.io.File(dir, "state").getPath
+      val mem = MemoryStream[(Long, String, String)](numPartitions = 8)
+      val src = mem.toDF().toDF("doc_id", "source", "text")
+      val query = StreamGate.withStatePartitions(s, noDataBatches = false) {
+        src.writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val ss = batch.sparkSession
+            val prev =
+              if (id == 0)
+                ss.createDataFrame(
+                  ss.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  org.apache.spark.sql.types.StructType(Seq(
+                    org.apache.spark.sql.types.StructField("source",
+                      org.apache.spark.sql.types.StringType),
+                    org.apache.spark.sql.types.StructField("arrived",
+                      org.apache.spark.sql.types.LongType))))
+              else ss.read.parquet(s"$stateRoot/batch=${id - 1}")
+            val toks = batch.select(col("doc_id"), col("source"),
+              size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+            val w = Window.partitionBy("source").orderBy("doc_id")
+              .rowsBetween(Window.unboundedPreceding, 0)
+            toks.withColumn("in_batch_cum", sum(col("n_toks")).over(w))
+              .join(prev, Seq("source"), "left")
+              .withColumn("cum_toks",
+                coalesce(col("arrived"), lit(0L)) + col("in_batch_cum"))
+              .withColumn("admitted", col("cum_toks") <= Cap)
+              .select("doc_id", "source", "n_toks", "cum_toks", "admitted")
+              .write.mode("overwrite").parquet(s"$outRoot/batch=$id")
+            // next state: absent sources carry, arrivals add their batch
+            // mass (the quota counts ARRIVED tokens — cutoff semantics,
+            // q56's device — so admission never reopens after the line)
+            prev.join(toks.groupBy("source").agg(sum("n_toks").as("b_toks")),
+                Seq("source"), "full_outer")
+              .select(col("source"),
+                (coalesce(col("arrived"), lit(0L))
+                  + coalesce(col("b_toks"), lit(0L))).as("arrived"))
+              .write.mode("overwrite").parquet(s"$stateRoot/batch=$id")
+          }
+          .outputMode("append").start()
+      }
+      try {
+        val chunk = math.max(1, (rows.size + 2) / 3)
+        rows.grouped(chunk).foreach { c =>
+          mem.addData(c: _*)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      s.read.parquet(outRoot)
+        .select("doc_id", "source", "n_toks", "cum_toks", "admitted")
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        FROM documents),
+      c AS (SELECT doc_id, source, n_toks,
+          CAST(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_toks
+        FROM t)
+      SELECT doc_id, source, n_toks, cum_toks,
+        cum_toks <= 500 AS admitted
+      FROM c ORDER BY doc_id"""))
+
   override val all: Seq[Q] = Seq(q177, q178, q179, q180, q181, q182, q183,
     q184, q185, q186, q188, q189, q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q204, q205, q206, q207, q225, q226,
-    q232, q252, q267, q278, q279, q317)
+    q232, q252, q267, q278, q279, q317, q320)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{OracleSql, Tables}
@@ -732,6 +733,215 @@ object GovernanceQueries extends Registry {
         ON fl.event_type = cl.event_type AND fl.day = cl.day
       ORDER BY event_type, day"""))
 
+  /** Truncated two-sided geometric noise (α = e^(−ε_node), ε_node = 0.5,
+    * support ±B = ±40, renormalized) — SINGLE OWNER of the DP mechanism
+    * shared by q319 (one-shot count release) and q321 (continual
+    * counter), on BOTH engine sides: the CDF breakpoints are computed
+    * once driver-side (the only exp/pow calls — libm never runs inside
+    * either engine, the q229 sqrt-only discipline) and emitted as the
+    * SAME shortest-round-trip double literals to Spark (typedLit) and
+    * DuckDB (VARCHAR-cast list, the q300/q259 device). The inverse-CDF
+    * draw is a codegen'd array HOF — an O(2B) scan of an 80-element
+    * literal per released GROUP, not per corpus row.
+    */
+  private[queries] object GeomMechanism {
+    val B = 40
+    val epsNode = 0.5
+    private val alpha = math.exp(-epsNode)
+    private[queries] val rawMass: IndexedSeq[Double] =
+      (-B to B).map(k => math.pow(alpha, math.abs(k)))
+    /** breaks(i) = F(−B + i), the truncated CDF with the final 1.0
+      * dropped; a draw is z = −B + |{F ≤ u}|. */
+    private[queries] val breaks: IndexedSeq[Double] = {
+      val total = rawMass.sum
+      rawMass.scanLeft(0.0)(_ + _).tail.map(_ / total).dropRight(1)
+    }
+    /** z as a Column from a uniform-[0,1) column. */
+    def draw(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (size(filter(typedLit(breaks.toSeq), b => b <= u)) - lit(B)).cast("long")
+    private val duckBreaks =
+      breaks.map(b => s"CAST('$b' AS DOUBLE)").mkString("[", ", ", "]")
+    /** DuckDB mirror of [[draw]] over a uniform expression `u`. */
+    def duckDraw(u: String): String =
+      s"CAST(len(list_filter($duckBreaks, b -> b <= $u)) - $B AS BIGINT)"
+    /** Uniform from the library hash chain over a key expression. */
+    def uniform(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      Dedup.hexHash32(md5(key)).cast("double") / lit(4294967296.0d)
+    def duckUniform(keyMd5: String): String =
+      s"(CAST((${TrainingDataQueries.duckHash32(keyMd5)}) AS DOUBLE) / 4294967296.0::DOUBLE)"
+  }
+
+  /** ε-differentially-private count release — the third privacy pillar
+    * next to the k-anonymity family (q213/q312) and the erasure cascade
+    * (q306/q311): instead of suppressing or generalizing small groups,
+    * EVERY released count carries calibrated integer noise, so no single
+    * row's presence is inferable from the output (Ghosh, Roughgarden &
+    * Sundararajan 2009's geometric mechanism — the discrete,
+    * utility-optimal Laplace analogue; Dwork et al. 2006 for ε-DP
+    * itself). Mechanism: z ~ two-sided geometric with α = e^(−ε),
+    * truncated at ±B (B = 40; the tail mass beyond B is < 2·10⁻⁹ — the
+    * standard bounded-noise variant) and renormalized, sampled by
+    * inverse CDF from a uniform u derived with the library's
+    * cross-engine hash chain (hexHash32∘md5 of the release key, u =
+    * h/2³²). Released at TWO granularities in one pass — (event_type,
+    * day) cells and the (event_type) marginal via ROLLUP — each at
+    * ε = 0.5; the eps/eps_total columns are the sequential-composition
+    * ledger (every input row feeds both releases, so the privacy spend
+    * is their sum: basic composition). The draw key includes the
+    * grouping id, so the two releases use independent noise.
+    *
+    * Determinism across engines: the CDF breakpoints are computed ONCE
+    * driver-side (the only exp/pow calls — libm never runs inside
+    * either engine, the q229 sqrt-only discipline) and emitted to BOTH
+    * sides as the SAME shortest-round-trip double literals (the q300
+    * compile-time-literal device; DuckDB parses them via VARCHAR casts
+    * bit-exactly, the q259 lesson). The inverse-CDF probe is a
+    * codegen'd array HOF — size(filter(breaks, b → b ≤ u)) − B — an
+    * O(2B) scan of an 80-element literal per RELEASED GROUP, not per
+    * row. A production release drops n_true/u; the gate keeps them so
+    * the oracle pins the mechanism end-to-end (same u, same z, same
+    * clamped count), and the certificate independently re-derives every
+    * z and checks the mechanism's pmf against the analytic distribution.
+    *
+    * Scale: noise applies AFTER aggregation — the corpus pays one
+    * map-side-combinable rollup (the q271 Expand shape); the mechanism
+    * itself touches |groups| rows with literal-array arithmetic. At
+    * 100 TB the release cost is the aggregate it decorates.
+    */
+  private val q319 = Q("q319_dp_noisy_counts",
+    (s, d) => {
+      val g = Tables.fanOut(Tables.events(s, d))
+        .withColumn("day", date_format(col("ts_utc"), "yyyy-MM-dd"))
+        .rollup("event_type", "day")
+        .agg(count(lit(1)).as("n_true"), grouping_id().cast("long").as("gid"))
+        .filter(col("gid") < 3)
+        .select(col("event_type"), coalesce(col("day"), lit("*")).as("day"),
+          col("gid"), col("n_true"))
+      g.withColumn("u",
+          GeomMechanism.uniform(concat(lit("dp:"), col("gid").cast("string"),
+            lit(":"), col("event_type"), lit(":"), col("day"))))
+        .withColumn("z", GeomMechanism.draw(col("u")))
+        .withColumn("n_noisy", greatest(lit(0L), col("n_true") + col("z")))
+        .withColumn("eps", lit(GeomMechanism.epsNode))
+        .withColumn("eps_total", lit(2 * GeomMechanism.epsNode))
+        .orderBy("gid", "event_type", "day")
+    },
+    Some {
+      val keyMd5 =
+        "md5('dp:' || CAST(gid AS VARCHAR) || ':' || event_type || ':' || day)"
+      s"""WITH e AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day
+          FROM events),
+        g AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n_true,
+            CAST(GROUPING(event_type) * 2 + GROUPING(day) AS BIGINT) AS gid
+          FROM e GROUP BY ROLLUP (event_type, day)),
+        f AS (SELECT event_type, COALESCE(day, '*') AS day, gid, n_true
+          FROM g WHERE gid < 3),
+        h AS (SELECT *, ${GeomMechanism.duckUniform(keyMd5)} AS u FROM f),
+        n AS (SELECT *, ${GeomMechanism.duckDraw("u")} AS z FROM h)
+      SELECT event_type, day, gid, n_true, u, z,
+        CAST(greatest(0, n_true + z) AS BIGINT) AS n_noisy,
+        0.5::DOUBLE AS eps, 1.0::DOUBLE AS eps_total
+      FROM n ORDER BY gid, event_type, day"""
+    })
+
+  /** ε-DP release of a RUNNING count — Chan–Shi–Song / Dwork et al.'s
+    * continual-observation binary (dyadic-tree) mechanism, the privacy
+    * primitive for live telemetry: publishing the cumulative event count
+    * after every interval with fresh q319-style noise per release costs
+    * ε·T; adding noise once per DYADIC NODE and assembling each prefix
+    * from its ≤⌈log₂T⌉+1 set-bit segments costs each item only
+    * ε_node·levels and keeps the per-release error O(log^{1.5} T).
+    * Dataflow: one corpus aggregate buckets events into observed hours
+    * (dense index t = 1..T); everything after runs on metadata-scale
+    * frames — node sums s(l,j) = Σ c over [(j−1)·2ˡ+1 .. j·2ˡ] via a
+    * 21-level explode + re-aggregate, per-node noise from the shared
+    * [[GeomMechanism]] keyed 'dpc:l:j', and release R(t) = Σ over t's
+    * set bits of (s + z) at node (l, (t≫(l+1))·2+1) — pure integer
+    * shift/mask arithmetic both engines evaluate identically. Output
+    * keeps the true prefix and err = R − C (the ledger a release audit
+    * wants; a production release drops them) plus the triangle-inequality
+    * bound n_nodes·B the certificate re-checks, and eps_item =
+    * ε_node·levels — each bucket lands in exactly one node per level, so
+    * the composition ledger is exact, not a bound.
+    *
+    * Scale: the corpus pays one map-combinable groupBy(hour); the tree
+    * (≈2T nodes) and the decomposition join are |T|-row frames. The two
+    * 1-row crossJoins (T, levels) are the q317 scalar class
+    * (BNLJ-allowlisted). At 100 TB of events the release costs the hour
+    * census it decorates.
+    */
+  private val q321 = Q("q321_dp_continual_counter",
+    (s, d) => {
+      val hours = Tables.fanOut(Tables.events(s, d))
+        .groupBy(date_format(col("ts_utc"), "yyyy-MM-dd HH").as("hour"))
+        .agg(count(lit(1)).as("c"))
+      val wT = Window.orderBy("hour")
+      // |hours| rows; pinned so the node/decomposition/prefix branches
+      // below never re-run the corpus aggregate (the q317 device)
+      val buckets = hours
+        .withColumn("t", row_number().over(wT).cast("long"))
+        .localCheckpoint()
+      val tMax = buckets.agg(max("t").as("tmax"))
+      val levelSpine = explode(typedLit((0 to 20).toList)).as("l")
+      val nodes = buckets.select(col("t"), col("c"), levelSpine)
+        .crossJoin(broadcast(tMax))
+        .filter(expr("shiftleft(CAST(1 AS BIGINT), l) <= tmax"))
+        .withColumn("j", expr("shiftright(t - 1, l) + 1"))
+        .groupBy("l", "j").agg(sum("c").as("s"))
+        .withColumn("u", GeomMechanism.uniform(concat(lit("dpc:"),
+          col("l").cast("string"), lit(":"), col("j").cast("string"))))
+        .withColumn("z", GeomMechanism.draw(col("u")))
+      val nLevels = nodes.agg(countDistinct(col("l")).as("n_levels"))
+      val decomp = buckets.select(col("t"), levelSpine)
+        .filter(expr("(shiftright(t, l) & 1) = 1"))
+        .withColumn("j", expr("shiftright(t, l + 1) * 2 + 1"))
+      val released = decomp.join(nodes, Seq("l", "j"))
+        .groupBy("t").agg(sum(col("s") + col("z")).as("released"),
+          count(lit(1)).cast("long").as("n_nodes"))
+      val wPfx = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+      val truth = buckets
+        .withColumn("c_prefix", sum(col("c")).over(wPfx))
+      released.join(truth, "t").crossJoin(broadcast(nLevels))
+        .select(col("t"), col("hour"), col("c").as("c_bucket"), col("c_prefix"),
+          col("released"), (col("released") - col("c_prefix")).as("err"),
+          col("n_nodes"),
+          (col("n_nodes") * GeomMechanism.B).cast("long").as("err_bound"),
+          lit(GeomMechanism.epsNode).as("eps_node"),
+          (lit(GeomMechanism.epsNode) * col("n_levels").cast("double"))
+            .as("eps_item"))
+        .orderBy("t")
+    },
+    Some {
+      val nodeKey = "md5('dpc:' || CAST(l AS VARCHAR) || ':' || CAST(j AS VARCHAR))"
+      s"""WITH h AS (SELECT strftime(ts, '%Y-%m-%d %H') AS hour,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1),
+        b AS (SELECT hour, c,
+            CAST(row_number() OVER (ORDER BY hour) AS BIGINT) AS t FROM h),
+        tm AS (SELECT MAX(t) AS tmax FROM b),
+        lv AS (SELECT l FROM range(0, 21) r(l)),
+        n0 AS (SELECT l, ((t - 1) >> l) + 1 AS j, CAST(SUM(c) AS BIGINT) AS s
+          FROM b CROSS JOIN lv CROSS JOIN tm
+          WHERE (CAST(1 AS BIGINT) << l) <= tmax GROUP BY 1, 2),
+        nd AS (SELECT l, j, s, ${GeomMechanism.duckDraw(
+            GeomMechanism.duckUniform(nodeKey))} AS z FROM n0),
+        nl AS (SELECT CAST(COUNT(DISTINCT l) AS BIGINT) AS n_levels FROM nd),
+        dc AS (SELECT t, l, (t >> (l + 1)) * 2 + 1 AS j
+          FROM b CROSS JOIN lv WHERE ((t >> l) & 1) = 1),
+        rl AS (SELECT t, CAST(SUM(s + z) AS BIGINT) AS released,
+            CAST(COUNT(*) AS BIGINT) AS n_nodes
+          FROM dc JOIN nd USING (l, j) GROUP BY t),
+        tr AS (SELECT t, hour, c,
+            CAST(SUM(c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS BIGINT) AS c_prefix FROM b)
+      SELECT t, tr.hour, tr.c AS c_bucket, c_prefix, released,
+        CAST(released - c_prefix AS BIGINT) AS err, n_nodes,
+        CAST(n_nodes * ${GeomMechanism.B} AS BIGINT) AS err_bound,
+        0.5::DOUBLE AS eps_node,
+        0.5::DOUBLE * CAST(n_levels AS DOUBLE) AS eps_item
+      FROM rl JOIN tr USING (t) CROSS JOIN nl ORDER BY t"""
+    })
+
   override val all: Seq[Q] = Seq(q212, q213, q214, q215, q233, q273, q274,
-    q277, q306, q308, q310, q312)
+    q277, q306, q308, q310, q312, q319, q321)
 }
