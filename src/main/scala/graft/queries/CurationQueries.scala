@@ -1868,7 +1868,13 @@ object CurationQueries extends Registry {
     * per-batch work is one token count over the batch plus a broadcast-
     * sized join, and NO corpus-sized state ever accumulates (the q304
     * "one row per key" state shape, applied to quota ledgers). At
-    * 100 TB/day of crawl the quota ledger is still KB.
+    * 100 TB/day of crawl the quota ledger is still KB. The in-batch
+    * cumsum window partitions by source, so one source dominating a
+    * batch serializes ITS prefix sum onto one task — the q108-measured
+    * streaming hot-key shape; the deployed mitigation is q303/q304's
+    * time-chunk split (lag-free here: a running SUM decomposes over
+    * chunks with a per-chunk offset join), worth it only once a single
+    * source's per-batch mass × per-row cost nears the batch wall.
     */
   private val q320 = Q("q320_streaming_token_quota",
     (s, d) => {

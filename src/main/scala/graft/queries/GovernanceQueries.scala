@@ -756,9 +756,17 @@ object GovernanceQueries extends Registry {
       val total = rawMass.sum
       rawMass.scanLeft(0.0)(_ + _).tail.map(_ / total).dropRight(1)
     }
-    /** z as a Column from a uniform-[0,1) column. */
+    /** z as a Column from a uniform-[0,1) column: −B + |{F ≤ u}| as an
+      * unrolled 80-term comparison sum, NOT an array-HOF
+      * (size(filter(lit(breaks), b ≤ u)) profiled ~1.3 ms/row: ArrayFilter
+      * is CodegenFallback and pays interpreted lambda binding per element
+      * — the whole q321 fixed floor was this draw; 80 inline comparisons
+      * codegen to branch-free adds and the floor dropped ~2 s). The q62
+      * expression-tree caveat doesn't bite at 80 leaves (it was 4096×k).
+      */
     def draw(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      (size(filter(typedLit(breaks.toSeq), b => b <= u)) - lit(B)).cast("long")
+      (breaks.map(b => when(lit(b) <= u, 1).otherwise(0)).reduce(_ + _)
+        - lit(B)).cast("long")
     private val duckBreaks =
       breaks.map(b => s"CAST('$b' AS DOUBLE)").mkString("[", ", ", "]")
     /** DuckDB mirror of [[draw]] over a uniform expression `u`. */
@@ -865,9 +873,9 @@ object GovernanceQueries extends Registry {
     * the composition ledger is exact, not a bound.
     *
     * Scale: the corpus pays one map-combinable groupBy(hour); the tree
-    * (≈2T nodes) and the decomposition join are |T|-row frames. The two
-    * 1-row crossJoins (T, levels) are the q317 scalar class
-    * (BNLJ-allowlisted). At 100 TB of events the release costs the hour
+    * (≈2T nodes) and the decomposition join are |T|-row frames, and T
+    * itself is a 1-row collect off the checkpointed spine (the q303
+    * scalar class). At 100 TB of events the release costs the hour
     * census it decorates.
     */
   private val q321 = Q("q321_dp_continual_counter",
@@ -881,17 +889,20 @@ object GovernanceQueries extends Registry {
       val buckets = hours
         .withColumn("t", row_number().over(wT).cast("long"))
         .localCheckpoint()
-      val tMax = buckets.agg(max("t").as("tmax"))
-      val levelSpine = explode(typedLit((0 to 20).toList)).as("l")
+      // T and the level spine are KB-scale scalars off the checkpointed
+      // frame (the q303 two-scalar-collect class): deriving them as live
+      // lineage instead planned two 1-row broadcast crossJoins plus a
+      // countDistinct aggregate — six extra stages of pure machinery on
+      // a |T|-row dataflow (profiled: the fixed floor dropped ~40 %)
+      val tMax = buckets.agg(max("t")).collect()(0).getLong(0)
+      val levels = (0 to 62).filter(l => (1L << l) <= tMax)
+      val levelSpine = explode(typedLit(levels)).as("l")
       val nodes = buckets.select(col("t"), col("c"), levelSpine)
-        .crossJoin(broadcast(tMax))
-        .filter(expr("shiftleft(CAST(1 AS BIGINT), l) <= tmax"))
         .withColumn("j", expr("shiftright(t - 1, l) + 1"))
         .groupBy("l", "j").agg(sum("c").as("s"))
         .withColumn("u", GeomMechanism.uniform(concat(lit("dpc:"),
           col("l").cast("string"), lit(":"), col("j").cast("string"))))
         .withColumn("z", GeomMechanism.draw(col("u")))
-      val nLevels = nodes.agg(countDistinct(col("l")).as("n_levels"))
       val decomp = buckets.select(col("t"), levelSpine)
         .filter(expr("(shiftright(t, l) & 1) = 1"))
         .withColumn("j", expr("shiftright(t, l + 1) * 2 + 1"))
@@ -901,14 +912,13 @@ object GovernanceQueries extends Registry {
       val wPfx = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
       val truth = buckets
         .withColumn("c_prefix", sum(col("c")).over(wPfx))
-      released.join(truth, "t").crossJoin(broadcast(nLevels))
+      released.join(truth, "t")
         .select(col("t"), col("hour"), col("c").as("c_bucket"), col("c_prefix"),
           col("released"), (col("released") - col("c_prefix")).as("err"),
           col("n_nodes"),
           (col("n_nodes") * GeomMechanism.B).cast("long").as("err_bound"),
           lit(GeomMechanism.epsNode).as("eps_node"),
-          (lit(GeomMechanism.epsNode) * col("n_levels").cast("double"))
-            .as("eps_item"))
+          lit(GeomMechanism.epsNode * levels.size).as("eps_item"))
         .orderBy("t")
     },
     Some {

@@ -264,8 +264,7 @@ object PlanAudit {
     "q299_rrf_fusion",          // 5-anchor set broadcast vs corpus scan (q26 shape)
     "q300_ndcg_at_10",          // 5-anchor set broadcast vs corpus scan (q26 shape)
     "q310_data_contract",       // 1-row × 1-row × 1-row clause-scalar crossJoins
-    "q317_waterfill_budget",    // 1-row budget + 1-row level scalar crossJoins on |domains| rows
-    "q321_dp_continual_counter") // 1-row T + 1-row levels scalar crossJoins on the |T|-row spine
+    "q317_waterfill_budget")    // 1-row budget + 1-row level scalar crossJoins on |domains| rows
 
   // ---------------------------------------------------------------------
   // Curated scale narratives (kept from rounds 2-7; auto entries cover the

@@ -94,7 +94,20 @@ object ProfileBenchSeq {
           System.err.println(f"[stage] id=${si.stageId} wall=$wall%.1fs tasks=${si.numTasks} " +
             f"runMs=${m.executorRunTime} cpuMs=${m.executorCpuTime / 1000000} " +
             f"gcMs=${m.jvmGCTime} spillMB=${m.diskBytesSpilled / 1048576} ${si.name.take(60)}")
+          // GRAFT_PROF_DETAILS=1: stage call sites are useless for stages
+          // spawned on subquery/broadcast threads (they all read
+          // "withThreadLocalCaptured at CompletableFuture") — dump the
+          // submitting stack so the owning operator is identifiable.
+          if (sys.env.contains("GRAFT_PROF_DETAILS"))
+            si.details.linesIterator.take(12)
+              .foreach(l => System.err.println(s"[stage-detail] $l"))
         }
+      }
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (sys.env.contains("GRAFT_PROF_DETAILS"))
+          System.err.println(s"[job] id=${js.jobId} stages=${js.stageIds.mkString(",")} " +
+            s"desc=${Option(js.properties.getProperty("spark.job.description")).getOrElse("?").take(100)}")
       }
     })
     val names = if (args.nonEmpty) args.toSeq else Seq("q16_normalize_books5", "q17_normalize_trades")
