@@ -41,9 +41,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // JSON-heavy normalizer queries spilled and GC-thrashed (23-37 s in
   // BENCH_r01 vs ~4 s with room). 48g ≈ 0.9 GB/slot on a 125 GB box.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-  // 39 queries x (warmup+timed) generate hundreds of Janino classes;
+  // 321 queries x (warmup+timed) generate thousands of Janino classes —
+  // and r14 raises spark.sql.codegen.cache.maxEntries so they stay live;
   // default 240 MB JIT code cache can fill and silently disable the JIT.
-  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:ReservedCodeCacheSize=1g",
   // Long-lived session running many distinct generated plans: repeated
   // deopts at shared Spark methods hit HotSpot's recompilation cutoffs
   // (PerBytecodeRecompilationCutoff=200), after which the method runs

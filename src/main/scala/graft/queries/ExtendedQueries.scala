@@ -910,8 +910,13 @@ object ExtendedQueries extends Registry {
       val raw = o.join(l, col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
+      // r14: plain UNION ALL — raw is distinct and its (even src, odd dst)
+      // namespace is disjoint from the flipped copy's (odd src, even dst),
+      // so the old `.distinct()` after the union removed nothing and cost a
+      // full |E| shuffle+dedup (guide §2.4; the tradeGraph in
+      // FrontierQueries already symmetrizes this way). Oracle unchanged:
+      // its UNION dedup is likewise a no-op on disjoint inputs.
       val edges = raw.unionByName(raw.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
       GraphOps.pageRankFixed(edges, 5)
         .select(col("node"), col("rank"),
           (col("rank").cast("double") / lit(1000000000000.0)).as("score"))

