@@ -26,7 +26,9 @@ object CoreQueries extends Registry {
     */
   private val q1 = Q("q1_pricing_summary",
     (s, d) => {
-      Tables.lineitem(s, d)
+      // fanOut (r14): 7 decimal-route partial aggs ran in the single-split
+      // fixture scan task (cpu ~= wall ~= 1.2 s); no-op at real file counts
+      Tables.fanOut(Tables.lineitem(s, d))
         .filter(col("l_shipdate") <= lit(Timestamp.valueOf("1998-09-02 00:00:00")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -554,7 +556,7 @@ object CoreQueries extends Registry {
     */
   private val q40 = Q("q40_promo_share",
     (s, d) => {
-      val li = Tables.lineitem(s, d)
+      val li = Tables.fanOut(Tables.lineitem(s, d)) // r14: parallelize the decimal partial aggs
       val p = Tables.part(s, d)
       li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
         .filter(col("p_size").between(5, 40) && upper(col("p_brand")).like("BRAND#%"))

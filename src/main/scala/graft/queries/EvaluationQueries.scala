@@ -130,7 +130,10 @@ object EvaluationQueries extends Registry {
     */
   private val q293 = Q("q293_profile_census",
     (s, d) => {
-      val o = Tables.orders(s, d)
+      // fanOut (r14): the single-row-group fixture scan ran the Expand×5 +
+      // partial multi-distinct aggregate in ONE task (bench_stages: 2.8 s
+      // wall ≈ 3 s cpu, serialized); at any real file count this is a no-op
+      val o = Tables.fanOut(Tables.orders(s, d))
       def prof(c: String) = struct(
         sum(col(c).isNull.cast("long")).as("nulls"),
         countDistinct(col(c)).as("n_distinct"),
@@ -374,7 +377,7 @@ object EvaluationQueries extends Registry {
   private val q298 = Q("q298_ngram_decontam",
     (s, d) => {
       import graft.operators.TextAnalysis
-      val grams = Tables.documents(s, d)
+      val grams = Tables.fanOut(Tables.documents(s, d)) // r14: 8-gram explode off the 1-task scan
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
         // shingles() already guards the short-doc descending-sequence
         // trap and is the same space-joined n-gram shape the dedup

@@ -417,7 +417,7 @@ object ExtendedQueries extends Registry {
       import graft.operators.Dedup
       val rowKey = concat_ws("|", col("l_orderkey"), col("l_linenumber"),
         col("l_returnflag"), col("l_linestatus"))
-      Tables.lineitem(s, d)
+      Tables.fanOut(Tables.lineitem(s, d)) // r14: md5 chain off the 1-task scan
         .groupBy("l_returnflag")
         .agg(sum(Dedup.hexHash32(md5(rowKey))).as("checksum"),
           count(lit(1)).as("n_rows"))

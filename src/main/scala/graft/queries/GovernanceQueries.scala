@@ -309,7 +309,7 @@ object GovernanceQueries extends Registry {
           when(dig * 2 > 9, dig * 2 - 9).otherwise(dig * 2)).otherwise(dig)
         acc + term
       })
-      Tables.orders(s, d)
+      Tables.fanOut(Tables.orders(s, d)) // r14: the 16-digit luhn aggregate off the 1-task scan
         .select(col("o_orderkey"), col("o_orderpriority"), pan.as("pan"))
         .withColumn("luhn_valid", (luhnSum % 10) === 0)
         .groupBy("o_orderpriority")

@@ -88,7 +88,9 @@ object RelationalQueries extends Registry {
   private val q82 = Q("q82_corr_covar",
     (s, d) => {
       val x = col("l_quantity"); val y = col("l_extendedprice")
-      Tables.lineitem(s, d).groupBy("l_returnflag")
+      // fanOut (r14): 5 decimal-route partial sums over 600k rows ran in the
+      // single-split fixture scan task (cpu ≈ wall ≈ 2 s); no-op at scale
+      Tables.fanOut(Tables.lineitem(s, d)).groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           StableAgg.dsum(x).as("sx"), StableAgg.dsum(y).as("sy"),
           StableAgg.dsum(x * y).as("sxy"),

@@ -153,10 +153,22 @@ object ScaleQueries extends Registry {
     */
   private val q156 = Q("q156_hll_distinct_sketch",
     (s, d) => {
-      Tables.events(s, d)
+      // r14: dedupe (event_type, user_id) FIRST, then count + sketch the
+      // distinct pairs. The old single-agg form (countDistinct +
+      // approx_count_distinct together) planned as an Expand whose partial
+      // aggregate carried the rsd-1% HLL's ~13 KB register buffer PER
+      // (event_type, user_id) GROUP — ~1.3 GB of buffer churn per pass
+      // (measured: 61-72 s of task CPU at sf0.1 once the scan was fanned).
+      // HLL register updates are idempotent max()es, so sketching the
+      // distinct pairs yields the IDENTICAL estimate, n_exact is the pair
+      // count, and exactly |event_type| HLL buffers ever exist — which is
+      // also the 100 TB shape (map-side partial distinct, tiny sketch
+      // state). fanOut: partial distinct agg off the 1-task fixture scan.
+      Tables.fanOut(Tables.events(s, d))
+        .select(col("event_type"), col("user_id")).distinct()
         .groupBy("event_type")
         .agg(
-          countDistinct(col("user_id")).as("n_exact"),
+          count(lit(1)).as("n_exact"),
           approx_count_distinct(col("user_id"), 0.01).as("n_approx"))
         .select(col("event_type"), col("n_exact"),
           floor(abs(col("n_approx") - col("n_exact")).cast("double") *
@@ -1155,7 +1167,9 @@ object ScaleQueries extends Registry {
       def ck(df: DataFrame): DataFrame =
         rowHash(df).agg(count(lit(1)).as("n_rows"),
           expr("bit_xor(h_lo)").as("ck_lo"), expr("bit_xor(h_hi)").as("ck_hi"))
-      val base = Tables.orders(s, d)
+      // fanOut (r14): the nibble-decode hash ran in the 1-task scan; the
+      // checksum is partition-invariant by construction (that is the gate)
+      val base = Tables.fanOut(Tables.orders(s, d))
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
       val mutated = base.withColumn("o_totalprice",
         when(col("o_orderkey") === 7L, col("o_totalprice") + 0.01d)
