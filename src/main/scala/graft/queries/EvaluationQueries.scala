@@ -132,23 +132,45 @@ object EvaluationQueries extends Registry {
     (s, d) => {
       // fanOut (r14): the single-row-group fixture scan ran the Expand×5 +
       // partial multi-distinct aggregate in ONE task (bench_stages: 2.8 s
-      // wall ≈ 3 s cpu, serialized); at any real file count this is a no-op
+      // wall ≈ 3 s cpu, serialized); at any real file count this is a no-op.
+      // r15 (the q156 dedupe-first treatment — see q134's note): the
+      // Expand×5 multi-distinct carried every null/min/max buffer per
+      // (gid, value) group — 23 s of task CPU at sf0.1. Now one plain
+      // single-group stats pass (no Expand) plus ONE dedupe-first pass for
+      // all five exact distinct counts over injective value strings; the
+      // exchange carries distinct (name, value) pairs with no buffers.
       val o = Tables.fanOut(Tables.orders(s, d))
-      def prof(c: String) = struct(
-        sum(col(c).isNull.cast("long")).as("nulls"),
-        countDistinct(col(c)).as("n_distinct"),
-        min(col(c)).cast("string").as("min_s"),
-        max(col(c)).cast("string").as("max_s"))
-      val one = o.agg(
-        prof("o_orderkey").as("c1"), prof("o_custkey").as("c2"),
-        prof("o_orderstatus").as("c3"), prof("o_totalprice").as("c4"),
-        prof("o_orderpriority").as("c5"))
-      one.select(explode(map(
-          lit("o_orderkey"), col("c1"), lit("o_custkey"), col("c2"),
-          lit("o_orderstatus"), col("c3"), lit("o_totalprice"), col("c4"),
-          lit("o_orderpriority"), col("c5"))).as(Seq("col_name", "p")))
-        .select(col("col_name"), col("p.nulls").as("nulls"),
-          col("p.n_distinct").as("n_distinct"), col("p.min_s"), col("p.max_s"))
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority")
+      val statsExprs = cols.flatMap { c =>
+        Seq(
+          sum(col(c).isNull.cast("long")).as(s"${c}__nl"),
+          min(col(c)).cast("string").as(s"${c}__mn"),
+          max(col(c)).cast("string").as(s"${c}__mx"))
+      }
+      val stats = o.agg(statsExprs.head, statsExprs.tail: _*)
+      val dist = o
+        .select(explode(array(cols.map { c =>
+          struct(lit(c).as("c"), col(c).cast("string").as("v"))
+        }: _*)).as("p"))
+        .select(col("p.c").as("col_name"), col("p.v").as("v"))
+        .distinct()
+        .groupBy("col_name").agg(count(col("v")).as("n_distinct"))
+      def pick(suffix: String) =
+        cols.tail.foldLeft(
+          when(col("col_name") === cols.head, col(s"${cols.head}__$suffix"))) {
+          (acc, c) => acc.when(col("col_name") === c, col(s"${c}__$suffix"))
+        }
+      // literal column-name spine so the output is 5 rows even on an empty
+      // table (the old single-agg form's semantics, and the oracle's: an
+      // ungrouped aggregate always returns one row per UNION arm)
+      val names = s.range(1)
+        .select(explode(array(cols.map(lit): _*)).as("col_name"))
+      names.join(broadcast(dist), Seq("col_name"), "left")
+        .na.fill(0L, Seq("n_distinct"))
+        .crossJoin(broadcast(stats))
+        .select(col("col_name"), pick("nl").as("nulls"), col("n_distinct"),
+          pick("mn").as("min_s"), pick("mx").as("max_s"))
         .orderBy("col_name")
     },
     Some("""SELECT 'o_custkey' AS col_name,

@@ -903,20 +903,30 @@ object ExtendedQueries extends Registry {
     * gate with a full hash oracle, no FP accumulation-order caveats.
     * The readable score is one exact division at the end.
     */
+  /** q116's symmetrized edge build, factored so Round15CertificatesSpec
+    * can pin its PRE-checkpoint plan shape: the audited q116 plan is
+    * post-localCheckpoint (an RDD scan), so without this pin the r14
+    * removal of the no-op |E| dedup (guide §2.4) had no plan golden and a
+    * future edit could silently reintroduce the shuffle.
+    */
+  private[queries] def pagerankEdges(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val raw = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    // r14: plain UNION ALL — raw is distinct and its (even src, odd dst)
+    // namespace is disjoint from the flipped copy's (odd src, even dst),
+    // so the old `.distinct()` after the union removed nothing and cost a
+    // full |E| shuffle+dedup (guide §2.4; the tradeGraph in
+    // FrontierQueries already symmetrizes this way). Oracle unchanged:
+    // its UNION dedup is likewise a no-op on disjoint inputs.
+    raw.unionByName(raw.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
   private val q116 = Q("q116_pagerank_fixed",
     (s, d) => {
-      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-      val raw = o.join(l, col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
-      // r14: plain UNION ALL — raw is distinct and its (even src, odd dst)
-      // namespace is disjoint from the flipped copy's (odd src, even dst),
-      // so the old `.distinct()` after the union removed nothing and cost a
-      // full |E| shuffle+dedup (guide §2.4; the tradeGraph in
-      // FrontierQueries already symmetrizes this way). Oracle unchanged:
-      // its UNION dedup is likewise a no-op on disjoint inputs.
-      val edges = raw.unionByName(raw.select(col("dst").as("src"), col("src").as("dst")))
+      val edges = pagerankEdges(s, d)
       GraphOps.pageRankFixed(edges, 5)
         .select(col("node"), col("rank"),
           (col("rank").cast("double") / lit(1000000000000.0)).as("score"))

@@ -22,7 +22,7 @@ object FrontierQueries extends Registry {
     * discriminate (unlike the support-thresholded co-supply graph, which
     * is a uniform clique below sf0.1).
     */
-  private def tradeGraph(s: SparkSession, d: String): DataFrame = {
+  private[queries] def tradeGraph(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
     val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
     val raw = o.join(l, col("o_orderkey") === col("l_orderkey"))

@@ -182,9 +182,14 @@ object MicrostructureQueries extends Registry {
   private val q229 = Q("q229_roll_spread",
     (s, d) => {
       val w = Window.partitionBy("symbol").orderBy(tapeOrder: _*)
+      // r15: dq as lag(price,1) − lag(price,2), not lag(dp,1) — bit-identical
+      // (dq_i = dp_{i−1} = price_{i−1} − price_{i−2}; same IEEE subtraction of
+      // the same operands), but all three lags now evaluate in ONE Window
+      // node instead of two chained WindowExec passes over the full tape
+      // (guide §2.4: two operations keyed the same way share one pass).
       tape(s, d)
         .withColumn("dp", col("price") - lag(col("price"), 1).over(w))
-        .withColumn("dq", lag(col("dp"), 1).over(w))
+        .withColumn("dq", lag(col("price"), 1).over(w) - lag(col("price"), 2).over(w))
         .filter(col("dp").isNotNull && col("dq").isNotNull)
         .groupBy("symbol")
         .agg(count(lit(1)).as("n_pairs"),

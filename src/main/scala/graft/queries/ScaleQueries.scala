@@ -164,11 +164,15 @@ object ScaleQueries extends Registry {
       // count, and exactly |event_type| HLL buffers ever exist — which is
       // also the 100 TB shape (map-side partial distinct, tiny sketch
       // state). fanOut: partial distinct agg off the 1-task fixture scan.
+      // r15: count(user_id), not count(1), over the deduped pairs — a NULL
+      // user_id row survives the pair distinct but COUNT(DISTINCT user_id)
+      // (the oracle, and the HLL) excludes NULLs; count(col) restores exact
+      // COUNT(DISTINCT) semantics at zero cost (r14 verdict item 1).
       Tables.fanOut(Tables.events(s, d))
         .select(col("event_type"), col("user_id")).distinct()
         .groupBy("event_type")
         .agg(
-          count(lit(1)).as("n_exact"),
+          count(col("user_id")).as("n_exact"),
           approx_count_distinct(col("user_id"), 0.01).as("n_approx"))
         .select(col("event_type"), col("n_exact"),
           floor(abs(col("n_approx") - col("n_exact")).cast("double") *

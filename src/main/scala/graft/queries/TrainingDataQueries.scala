@@ -1733,25 +1733,47 @@ object TrainingDataQueries extends Registry {
   private val q134 = Q("q134_column_profile",
     (s, d) => {
       val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
-      val aggExprs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      // r15 (the q156 dedupe-first treatment, guide §5 agg-buffer shape):
+      // the old single multi-distinct aggregate planned as an Expand(5)
+      // whose partial aggregate was keyed by (gid, all four columns) and
+      // carried EVERY count/min/max buffer per group — measured 13.5 s of
+      // task CPU at sf0.1 for a 600k-row scan. Split into (a) one plain
+      // single-group pass for the non-distinct stats (tiny buffer, no
+      // Expand) and (b) ONE dedupe-first pass for all four exact distinct
+      // counts: explode to (col_name, value-string) pairs — the casts are
+      // injective per column (long/decimal/string/date all render
+      // canonically), so distinct pair count == exact COUNT(DISTINCT) —
+      // dedupe map-side, then count per column with count(v) (NULLs
+      // excluded, matching COUNT(DISTINCT)). The shuffle carries distinct
+      // (name, value) pairs with zero aggregation buffers, which is also
+      // the 100 TB shape: map-side partial distinct bounds the exchange
+      // by Σ|distinct(c)|, not |rows|, and no wide buffer rides per group.
+      val li = Tables.fanOut(Tables.lineitem(s, d))
+      val statsExprs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
         Seq(
           count(col(c)).as(s"${c}__nn"),
-          countDistinct(col(c)).as(s"${c}__nd"),
           min(col(c)).cast("string").as(s"${c}__mn"),
           max(col(c)).cast("string").as(s"${c}__mx"))
       }
-      Tables.fanOut(Tables.lineitem(s, d))
-        .agg(aggExprs.head, aggExprs.tail: _*)
+      val stats = li.agg(statsExprs.head, statsExprs.tail: _*)
+      val dist = li
         .select(explode(array(cols.map { c =>
-          struct(
-            lit(c).as("col_name"),
-            col("n_rows"),
-            (col("n_rows") - col(s"${c}__nn")).as("n_null"),
-            col(s"${c}__nd").as("n_distinct"),
-            col(s"${c}__mn").as("min_val"),
-            col(s"${c}__mx").as("max_val"))
+          struct(lit(c).as("c"), col(c).cast("string").as("v"))
         }: _*)).as("p"))
-        .select("p.*")
+        .select(col("p.c").as("col_name"), col("p.v").as("v"))
+        .distinct()
+        .groupBy("col_name").agg(count(col("v")).as("n_distinct"))
+      def pick(suffix: String) =
+        cols.tail.foldLeft(
+          when(col("col_name") === cols.head, col(s"${cols.head}__$suffix"))) {
+          (acc, c) => acc.when(col("col_name") === c, col(s"${c}__$suffix"))
+        }
+      dist.crossJoin(broadcast(stats))
+        .select(col("col_name"), col("n_rows"),
+          (col("n_rows") - pick("nn")).as("n_null"),
+          col("n_distinct"),
+          pick("mn").as("min_val"),
+          pick("mx").as("max_val"))
         .orderBy("col_name")
     },
     Some {

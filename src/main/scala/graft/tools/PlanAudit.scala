@@ -243,6 +243,7 @@ object PlanAudit {
     "q42_tfidf_top_terms",      // 1-row corpus-size scalar for idf
     "q55_length_filter",        // 2-number percentile scalar broadcast
     "q79_ann_pq",               // 50-row coarse-candidate set vs PQ codes
+    "q134_column_profile",      // 1-row stats scalar crossJoin (r15 dedupe-first profile)
     "q141_domain_mixture",      // 1-row budget scalar crossJoin
     "q142_bigram_lm_score",     // 1-row vocab-size crossJoin
     "q167_kmv_theta_setops",    // 5-row sketch table pairwise self-join
@@ -261,6 +262,7 @@ object PlanAudit {
     "q226_distribution_drift",  // 1-row (n_old, n_new) totals scalar crossJoin
     "q284_token_lift_pairs",    // 1-row n_docs scalar crossJoin (support floors + lift)
     "q292_kaplan_meier",        // 1-row censoring-horizon scalar crossJoin
+    "q293_profile_census",      // 1-row stats scalar crossJoin (r15 dedupe-first profile)
     "q299_rrf_fusion",          // 5-anchor set broadcast vs corpus scan (q26 shape)
     "q300_ndcg_at_10",          // 5-anchor set broadcast vs corpus scan (q26 shape)
     "q310_data_contract",       // 1-row × 1-row × 1-row clause-scalar crossJoins

@@ -269,4 +269,38 @@ class VerifyBenchContractSpec extends SparkSpec {
     assert(run2.warmupOnly.sameElements(Array("q_memo2")))
     assert(run2.results.map(_._1) == Seq("q_memo2") && Bench.exitCode(run2) == 0)
   }
+
+  test("memoBuild queries still perform real reads in their TIMED rounds") {
+    // The memo pass may absorb one-time INGEST cost only (bucketed-table
+    // writes, Bloom manifests): a memo that cached query RESULTS would
+    // make the timed rounds read ~nothing, turning the bench into a
+    // result-cache benchmark (r14 verdict ask #8). Prime each memo once
+    // (the untimed pass), then run the timed-round shape under an
+    // input-bytes listener and require a real scan.
+    val sf = "/root/testdata/sf0.001"
+    val memoBuild = Seq("q301_bucketed_fact_join", "q302_bucket_pruning",
+      "q307_bloom_file_skip", "q315_bloom_index_append")
+    memoBuild.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      // priming pass (memo build billed here, as in Bench's @m pass)
+      fn(spark, sf).write.format("noop").mode("overwrite").save()
+      val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            bytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead): Unit
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        fn(spark, sf).write.format("noop").mode("overwrite").save()
+        // listener bus is async: poll briefly for the metrics to land
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (bytes.get() == 0L && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        assert(bytes.get() > 0L,
+          s"$name timed round read zero input bytes — the memo pass is " +
+            "absorbing query work, not just ingest")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+  }
 }
