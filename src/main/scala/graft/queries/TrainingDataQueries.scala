@@ -1512,19 +1512,26 @@ object TrainingDataQueries extends Registry {
     val base = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .withColumn("n_tokens0", size(col("toks")).cast("long"))
-    val tokens0 = base.agg(sum(col("n_tokens0"))).as[Long].head()
+    // r15: tokens0 rides round 1's job as an Observation side metric
+    // instead of its own agg action — one fewer full tokenize pass over
+    // the corpus per invocation (guide §1.2: don't pay a pass for a
+    // scalar another pass already computes). The observe node sits only
+    // on round 1's source; the merge chain keeps the unobserved base.
+    val obs = org.apache.spark.sql.Observation()
     var toks = base
-    var remaining = tokens0
+    var remaining = 0L
     val learned = Seq.newBuilder[(Int, String, Long, Long)]
     for (r <- 1 to rounds) {
       val sp = split(col("pair"), " ", 2)
-      val top = toks
+      val src = if (r == 1) toks.observe(obs, sum(col("n_tokens0")).as("n0")) else toks
+      val top = src
         .select(explode(TextAnalysis.shingles(col("toks"), 2)).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("cnt"))
         .filter(element_at(sp, 1) =!= element_at(sp, 2))
         .orderBy(col("cnt").desc, col("pair").asc)
         .limit(1)
         .as[(String, Long)].head()
+      if (r == 1) remaining = obs.get("n0").asInstanceOf[Long]
       val Array(x, y) = top._1.split(" ", 2)
       remaining -= top._2
       learned += ((r, top._1, top._2, remaining))

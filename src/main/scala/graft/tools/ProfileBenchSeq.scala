@@ -115,12 +115,24 @@ object ProfileBenchSeq {
     // drives the sf1/sf10 scale-sanity passes (docs/SCALING.md)
     val warmDir = sys.env.getOrElse("GRAFT_PROF_WARM", "/root/testdata/sf0.001")
     val sfDir = sys.env.getOrElse("GRAFT_PROF_SF", "/root/testdata/sf0.1")
-    names.foreach { name =>
+    val sampled = names.map { name =>
       val s = runSampled(spark, name, warmDir, sfDir)
       val raw = s.samples.map(v => f"$v%.2f").mkString("/")
       println(f"[sampled] $name%-24s min=${s.min}%.2f spread=${s.spread}%.2f " +
         f"samples=$raw contaminated=${s.contaminated} warm=${s.warm}%.2f ($sfDir)")
+      s
     }
     spark.stop()
+    // One-line JSON summary (same shape as Bench's contract line, plus
+    // per-query spread/contaminated) so the sf1/sf10 spot-bench rows in
+    // docs/SCALING.md cite a machine-readable artifact instead of
+    // hand-copied mins (r14 verdict ask #6).
+    def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = sampled.map(s => "\"" + s.name + "\":" + f3(s.min)).mkString("{", ",", "}")
+    val spreads = sampled.map(s => "\"" + s.name + "\":" + f3(s.spread)).mkString("{", ",", "}")
+    val contaminated = sampled.filter(_.contaminated).map("\"" + _.name + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f3(sampled.map(_.min).sum)},"unit":"sec",""" +
+      s""""queries":$qs,"spread":$spreads,"contaminated":$contaminated,""" +
+      s""""cpus":"${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}","sf":"$sfDir"}""")
   }
 }
