@@ -23,6 +23,19 @@ object TextAnalysis {
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Adjacent token pairs as (w1, w2) STRUCTS — the split-free twin of
+    * `shingles(toks, 2)` for consumers that need the two tokens, not the
+    * joined string (q142's bigram LM): building "w1 w2" only to split it
+    * again paid concat + 2× split per bigram. Values are identical to
+    * splitting the shingle (tokens contain no spaces by construction of
+    * `tokens`). Empty for docs shorter than 2 tokens, like shingles.
+    */
+  def bigramPairs(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => struct(get(toks, i).as("w1"), get(toks, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+
   /** Apply one learned BPE merge (x, y) → m to a token array: every
     * adjacent occurrence of x followed by y collapses into the single
     * token m. Requires x != y — then no two occurrences can share a

@@ -2038,11 +2038,16 @@ object TrainingDataQueries extends Registry {
     (s, d) => {
       import graft.functions.{StableAgg => SA}
       val docs = Tables.fanOut(Tables.documents(s, d))
+      // r15: explode (w1, w2) STRUCTS instead of "w1 w2" shingle strings
+      // re-split twice per bigram — the concat_ws + 2× split round-trip
+      // was pure per-row string churn (the pairs are the same tokens by
+      // construction: tokens contain no spaces). Values identical, so
+      // the model counts, joins and scores are bit-unchanged.
       val bi = docs
         .select(col("doc_id"), col("lang"),
-          explode(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 2)).as("bg"))
-        .withColumn("w1", split(col("bg"), " ").getItem(0))
-        .withColumn("w2", split(col("bg"), " ").getItem(1))
+          explode(TextAnalysis.bigramPairs(TextAnalysis.tokens(col("text")))).as("p"))
+        .withColumn("w1", col("p.w1"))
+        .withColumn("w2", col("p.w2"))
       val train = bi.filter(col("lang") === "en")
       val c12 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"))
